@@ -1,0 +1,94 @@
+"""As-of join (point-in-time join) — Spark has no native ASOF JOIN.
+
+Implemented the scalable way (SURVEY.md section 4.2 item 1): UNION the two
+sides tagged left/right, hash-partition by key, sort within the window by
+(time, tag), and carry the most recent right-side row forward with
+``last(..., ignoreNulls=True)``.  This is one shuffle on the join key —
+no range cross-join, no per-key collect — and therefore survives skewed,
+100 TB-scale inputs (each key's timeline is processed as an ordered window,
+and Spark's window exec spills).
+
+For small right sides a broadcast join + max_by formulation is cheaper;
+``asof_join`` picks the union/window strategy by default and the caller can
+opt into ``strategy="broadcast"``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    strategy: str = "union",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.right_ts <= left.left_ts`` for the same ``on`` key.
+
+    ``tolerance`` (e.g. "30 days") optionally bounds how stale the match
+    may be.  Right-side value columns come back named as in ``right_cols``.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+
+    if strategy == "broadcast":
+        # join + max_by: fine when right fits in memory after broadcast.
+        cond = (left[on] == right[on]) & (right[right_ts] <= left[left_ts])
+        if tolerance is not None:
+            cond = cond & (
+                right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {tolerance}")
+            )
+        joined = left.join(broadcast(right), cond, "left")
+        key_cols = [left[c] for c in left.columns]
+        aggs = [
+            F.max_by(right[c], right[right_ts]).alias(c) for c in right_cols
+        ]
+        return joined.groupBy(*key_cols).agg(*aggs)
+
+    # union/window strategy: one shuffle on `on`, ordered carry-forward.
+    tag_l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c) for c in right_cols])).schema[0].dataType
+        ).alias("__r"),
+    )
+    tag_r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left.columns])).schema[0].dataType
+        ).alias("__l"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+    )
+    unioned = tag_l.unionByName(tag_r)
+    # Right rows sort before left rows at equal timestamps so a tick AT the
+    # right row's timestamp sees it (<= semantics).
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "__r_t", F.last(F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True).over(w)
+    ).withColumn("__rf", F.last("__r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        stale = F.col("__r_t") < F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        out = out.withColumn(
+            "__rf", F.when(stale, F.lit(None)).otherwise(F.col("__rf"))
+        )
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__rf.{c}").alias(c) for c in right_cols],
+    )

@@ -1,0 +1,110 @@
+"""Tick parsing + aggressor-side classification.
+
+Re-expresses the reference's streaming parse/classify path
+(reference data_processor.py:81-140) as pure DataFrame -> DataFrame
+functions built from built-in expressions only (no Python UDFs), so one
+code path serves batch and Structured Streaming alike.
+
+Fixes two reference defects (SURVEY.md section 4.1):
+
+1. **Empty-ladder sentinel leakage** — the reference folds best bid/ask with
+   +/-1.797e308 seeds (data_processor.py:128-134), so an empty
+   ``bidAskQuote`` classifies every tick as a buy.  We use
+   ``array_max``/``array_min`` (null on empty/null ladders) and classify
+   such ticks as NULL-side with zero buy/sell volume.
+2. **Stringly-typed casts** — ltq string->long, ltt epoch-millis
+   string->timestamp via ``timestamp_millis`` (keeps sub-second precision;
+   the reference's two paths disagree on this, data_processor.py:114 vs
+   tick_to_hdfs.py:50).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import TICK_SCHEMA
+
+
+def parse_ticks(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Kafka-shaped frame (binary/string `value`) -> flat tick frame.
+
+    Mirrors reference data_processor.py:71-115: cast payload to string,
+    schema-directed ``from_json``, explode the instrument-keyed feed map,
+    project nested paths, cast stringly-typed numerics, null-guard filter.
+    Works identically on batch frames and streaming frames.
+    """
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), TICK_SCHEMA).alias("data")
+    )
+    exploded = parsed.select(
+        F.explode("data.feeds").alias("instrument", "feed")
+    )
+    mff = "feed.fullFeed.marketFF"
+    flat = exploded.select(
+        F.col("instrument"),
+        F.col(f"{mff}.ltpc.ltp").alias("ltp"),
+        F.col(f"{mff}.ltpc.ltq").cast("long").alias("ltq"),
+        F.timestamp_millis(F.col(f"{mff}.ltpc.ltt").cast("long")).alias("event_time"),
+        F.col(f"{mff}.marketLevel.bidAskQuote").alias("bidAskQuote"),
+        F.col(f"{mff}.tbq").alias("tbq"),
+        F.col(f"{mff}.tsq").alias("tsq"),
+    )
+    return flat.filter(
+        F.col("ltp").isNotNull()
+        & F.col("ltq").isNotNull()
+        & F.col("event_time").isNotNull()
+    )
+
+
+def best_bid_ask(df: DataFrame, quote_col: str = "bidAskQuote") -> DataFrame:
+    """Derive best_bid/best_ask from the order-book ladder.
+
+    ``array_max``/``array_min`` replace the reference's sentinel-seeded
+    folds (data_processor.py:128-134); empty or null ladders yield NULL
+    (not +/-MAX_DOUBLE).
+    """
+    q = F.col(quote_col)
+    return df.withColumn("best_bid", F.array_max(q.getField("bidP"))).withColumn(
+        "best_ask", F.array_min(q.getField("askP"))
+    )
+
+
+def aggressor_side(
+    price: Column, best_bid: Column, best_ask: Column
+) -> Column:
+    """'buy' | 'sell' | NULL aggressor classification.
+
+    Reference rule (data_processor.py:136-139): buy iff
+    ``abs(ltp - best_ask) <= abs(ltp - best_bid)`` (ties -> buy).
+    NULL book (empty ladder) -> NULL side instead of the reference's
+    always-buy sentinel behavior.
+    """
+    return (
+        F.when(best_bid.isNull() | best_ask.isNull(), F.lit(None).cast("string"))
+        .when(F.abs(price - best_ask) <= F.abs(price - best_bid), F.lit("buy"))
+        .otherwise(F.lit("sell"))
+    )
+
+
+def classify_aggressor(
+    df: DataFrame,
+    price: str = "ltp",
+    qty: str = "ltq",
+    best_bid: str = "best_bid",
+    best_ask: str = "best_ask",
+) -> DataFrame:
+    """Add side / buy_volume / sell_volume / delta columns.
+
+    ``delta = buy_volume - sell_volume`` (reference data_processor.py:140).
+    """
+    side = aggressor_side(F.col(price), F.col(best_bid), F.col(best_ask))
+    df = df.withColumn("side", side)
+    df = df.withColumn(
+        "buy_volume",
+        F.when(F.col("side") == "buy", F.col(qty)).otherwise(F.lit(0)).cast("long"),
+    ).withColumn(
+        "sell_volume",
+        F.when(F.col("side") == "sell", F.col(qty)).otherwise(F.lit(0)).cast("long"),
+    )
+    return df.withColumn("delta", F.col("buy_volume") - F.col("sell_volume"))

@@ -1,0 +1,75 @@
+"""SparkSession factory + runtime conf normalization.
+
+The reference hand-tunes for an 8 GB host (reference README.md:501-504:
+``spark.default.parallelism=2``, ``spark.sql.shuffle.partitions=4``).  We
+instead enable AQE and let runtime statistics coalesce/skew-split partitions,
+which is the posture that survives a 1000-executor / 100 TB scale-up.
+
+``ensure_engine_confs`` exists because the correctness driver hands us *its*
+SparkSession: every conf the engine depends on must be runtime-settable and
+is (re)applied there before any table is read.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs the engine depends on.  Notes:
+# - session.timeZone=UTC: fixture timestamps are naive UTC; DuckDB oracle
+#   agrees only under UTC (SURVEY.md section 7.3 "Timestamp semantics").
+# - nanosAsLong: events.parquet carries TIMESTAMP(NANOS) which Spark's
+#   vectorized reader rejects; we read the raw int64 and convert to
+#   microseconds ourselves (sources/tables.py), matching DuckDB's ns->us
+#   truncation.
+# - AQE on: runtime partition coalescing + skew-join splitting instead of
+#   hand-tuned shuffle partition counts.
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an externally created session."""
+    for k, v in ENGINE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A conf made static in some future Spark: better to continue
+            # (most queries still work) than to fail every query up front.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "orderflow-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the engine defaults.
+
+    local[$SPARK_GRAFT_CPUS] by default; on a real cluster pass the master
+    URL (the reference submits to spark://spark-master:7077,
+    docker-compose.yml:156-161).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = os.environ.get("SPARK_MASTER_URL", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = SparkSession.builder.master(master).appName(app_name)
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.ui.enabled", "false")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return ensure_engine_confs(spark)

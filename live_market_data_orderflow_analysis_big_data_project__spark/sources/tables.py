@@ -1,0 +1,54 @@
+"""Batch table loaders for the driver fixtures (TESTDATA.md).
+
+Generalizes the reference's batch Parquet read-back path
+(reference README.md:386-391: ``spark.read.parquet(...)``), with one
+normalization: ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which
+Spark's reader rejects.  Under ``spark.sql.legacy.parquet.nanosAsLong`` the
+column arrives as int64 nanoseconds and we truncate-divide to microseconds
+(``ts div 1000``) — exactly what DuckDB does when it reads the same file,
+so both engines see identical microsecond timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..session import ensure_engine_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing nanosecond timestamps."""
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # int64 nanoseconds -> timestamp (microsecond precision, floor-div,
+        # matching DuckDB's ns->us truncation of the same parquet column).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register each fixture as a temp view (for spark.sql entry points)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
