@@ -8,9 +8,15 @@ bit-identical across engines.  Conventions used by every declared query:
   differs between engines (and between Spark partitions run-to-run); decimal
   summation is exact and associative, so ``sum(cast(x as decimal))`` is
   deterministic in both engines.  Cast back to double at the end.
-- **Averages** = exact decimal sum (as double) / count — one IEEE division,
-  identical in both engines — then ROUND(...,4).
-- **Every computed float output is ROUND(x, 4)** on both sides.
+- **Averages** = exact decimal sum (as double) / count — one IEEE division
+  of bit-identical operands, hence bit-identical, with NO rounding.
+- **ROUND(x, 4) only on irrational/transcendental outputs** (sqrt, ln, pow,
+  cosine similarity), where libm implementations may differ in the last ulp
+  but a decimal half-way boundary hit has ~zero probability.  Rounding
+  rational values (money averages, ratios) is *dangerous*: they can land
+  exactly on .xxxx5 boundaries where Spark (HALF_UP) and DuckDB
+  (half-to-even on the scaled double) disagree.  For such values either do
+  the arithmetic in DECIMAL end-to-end or emit the unrounded division.
 - **Timestamps/dates are emitted as formatted strings**, never raw
   timestamp values, so engine-internal precision/timezone representations
   can't leak into the hash.
@@ -41,13 +47,14 @@ def dsum(col: Column | str, alias: str | None = None) -> Column:
 
 
 def avg_exact(col: Column | str, alias: str | None = None) -> Column:
-    """Deterministic mean: exact decimal sum / count, rounded to 4.
+    """Deterministic mean: exact decimal sum (as double) / count.
 
-    Oracle twin:
-    ``ROUND(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(x), 4)``.
+    One IEEE division of bit-identical operands — no rounding needed (and
+    rounding would *add* boundary risk, see module docstring).  Oracle twin:
+    ``CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(x)``.
     """
     c = _c(col)
-    out = F.round(F.sum(c.cast(_DEC)).cast("double") / F.count(c), 4)
+    out = F.sum(c.cast(_DEC)).cast("double") / F.count(c)
     return out.alias(alias) if alias else out
 
 

@@ -223,7 +223,7 @@ def q08_group_sums(spark, sf):
             F.max(v).alias("max_value"),
             avg_exact(v, "avg_value"),
         )
-        .withColumn("span", F.round(F.col("max_value") - F.col("min_value"), 4))
+        .withColumn("span", F.col("max_value") - F.col("min_value"))
     )
 
 
@@ -233,8 +233,8 @@ SELECT event_type,
        CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
        min(value) AS min_value,
        max(value) AS max_value,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(value), 4) AS avg_value,
-       ROUND(max(value) - min(value), 4) AS span
+       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(value) AS avg_value,
+       max(value) - min(value) AS span
 FROM events
 GROUP BY event_type
 """
@@ -346,7 +346,7 @@ def q16_global_stats(spark, sf):
     return agg.withColumn(
         "buy_sell_ratio",
         F.when(
-            F.col("sum_sell") != 0.0, F.round(F.col("sum_buy") / F.col("sum_sell"), 4)
+            F.col("sum_sell") != 0.0, F.col("sum_buy") / F.col("sum_sell")
         ).otherwise(F.lit(None).cast("double")),
     )
 
@@ -361,7 +361,7 @@ WITH a AS (
   FROM events
 )
 SELECT max_value, min_value, n, sum_buy, sum_sell,
-       CASE WHEN sum_sell != 0.0 THEN ROUND(sum_buy / sum_sell, 4)
+       CASE WHEN sum_sell != 0.0 THEN sum_buy / sum_sell
             ELSE NULL END AS buy_sell_ratio
 FROM a
 """
