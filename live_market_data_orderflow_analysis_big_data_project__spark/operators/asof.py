@@ -37,20 +37,28 @@ def asof_join(
     may be.  Right-side value columns come back named as in ``right_cols``.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"right_cols {sorted(clash)} collide with left columns; "
+            "rename or prefix them before the as-of join"
+        )
 
     if strategy == "broadcast":
         # join + max_by: fine when right fits in memory after broadcast.
-        cond = (left[on] == right[on]) & (right[right_ts] <= left[left_ts])
+        # A unique per-row id keys the post-join re-aggregation so duplicate
+        # left rows survive (grouping by the left *columns* would collapse
+        # them, and breaks for non-groupable types like map).
+        lid = left.withColumn("__lid", F.monotonically_increasing_id())
+        cond = (lid[on] == right[on]) & (right[right_ts] <= lid[left_ts])
         if tolerance is not None:
             cond = cond & (
-                right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {tolerance}")
+                right[right_ts] >= lid[left_ts] - F.expr(f"INTERVAL {tolerance}")
             )
-        joined = left.join(broadcast(right), cond, "left")
-        key_cols = [left[c] for c in left.columns]
-        aggs = [
-            F.max_by(right[c], right[right_ts]).alias(c) for c in right_cols
-        ]
-        return joined.groupBy(*key_cols).agg(*aggs)
+        joined = lid.join(broadcast(right), cond, "left")
+        aggs = [F.first(lid[c], ignorenulls=False).alias(c) for c in left.columns]
+        aggs += [F.max_by(right[c], right[right_ts]).alias(c) for c in right_cols]
+        return joined.groupBy("__lid").agg(*aggs).drop("__lid")
 
     # union/window strategy: one shuffle on `on`, ordered carry-forward.
     tag_l = left.select(

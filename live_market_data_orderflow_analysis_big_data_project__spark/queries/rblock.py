@@ -258,17 +258,29 @@ FROM x
 
 
 # --- q10: higher-order transform over embeddings (O11) ---------------------
+# The transformed array is serialized to a comma-joined decimal string so the
+# driver's canonicalizer (pandas sort -> md5) sees a scalar cell, not a numpy
+# array (round-1 gate failure: "unhashable type: numpy.ndarray").  Decimal
+# fixed-scale stringification is format-identical in Spark and DuckDB.
 def q10_array_transform(spark, sf):
     emb = _t(spark, sf, "embeddings")
     scaled = F.transform(
-        F.col("embedding"), lambda x: F.round(x.cast("double") * 10.0, 4)
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 10.0, 4)
+        .cast("decimal(18,4)")
+        .cast("string"),
     )
-    return emb.select("vec_id", scaled.alias("scaled"))
+    return emb.select("vec_id", F.array_join(scaled, ",").alias("scaled"))
 
 
 Q10_SQL = """
 SELECT vec_id,
-       list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * 10.0, 4)) AS scaled
+       array_to_string(
+         list_transform(
+           embedding,
+           x -> CAST(CAST(ROUND(CAST(x AS DOUBLE) * 10.0, 4) AS DECIMAL(18,4))
+                     AS VARCHAR)),
+         ',') AS scaled
 FROM embeddings
 """
 

@@ -35,15 +35,40 @@ ENGINE_CONFS: dict[str, str] = {
 }
 
 
+# Confs whose absence silently corrupts results (wrong timestamps / failed
+# nanos reads) rather than just slowing things down: these must fail loudly.
+_CORRECTNESS_CRITICAL = (
+    "spark.sql.session.timeZone",
+    "spark.sql.legacy.parquet.nanosAsLong",
+)
+
+
 def ensure_engine_confs(spark: SparkSession) -> SparkSession:
-    """Apply the engine's runtime confs to an externally created session."""
+    """Apply the engine's runtime confs to an externally created session.
+
+    Correctness-critical confs are verified by reading them back; a mismatch
+    raises instead of letting every events-table query return
+    wrong-but-plausible results (round-1 advisory, session.py hygiene).
+    """
+    import warnings
+
     for k, v in ENGINE_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            # A conf made static in some future Spark: better to continue
-            # (most queries still work) than to fail every query up front.
-            pass
+        except Exception as exc:
+            if k in _CORRECTNESS_CRITICAL:
+                raise RuntimeError(
+                    f"engine conf {k}={v} could not be set ({exc}); "
+                    "results would be silently wrong — refusing to continue"
+                ) from exc
+            warnings.warn(f"engine conf {k}={v} not applied: {exc}", stacklevel=2)
+    for k in _CORRECTNESS_CRITICAL:
+        got = spark.conf.get(k, None)
+        want = ENGINE_CONFS[k]
+        if got is None or got.lower() != want.lower():
+            raise RuntimeError(
+                f"engine conf {k} reads back as {got!r}, expected {want!r}"
+            )
     return spark
 
 
