@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 # Matches CAST(x AS DECIMAL(18,4)) on the DuckDB side: 4 fractional digits
 # is enough for the 2-decimal fixture money/value columns and products
 # thereof (rounded to 4 first when needed).
-_DEC = "decimal(28,10)"
+_DEC = "decimal(28,6)"
 
 
 def _c(col: Column | str) -> Column:
@@ -40,7 +40,7 @@ def _c(col: Column | str) -> Column:
 def dsum(col: Column | str, alias: str | None = None) -> Column:
     """Exact (decimal-backed) sum of a double column, returned as double.
 
-    Oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE)``.
+    Oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE)``.
     """
     out = F.sum(_c(col).cast(_DEC)).cast("double")
     return out.alias(alias) if alias else out
@@ -51,7 +51,7 @@ def avg_exact(col: Column | str, alias: str | None = None) -> Column:
 
     One IEEE division of bit-identical operands — no rounding needed (and
     rounding would *add* boundary risk, see module docstring).  Oracle twin:
-    ``CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(x)``.
+    ``CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(x)``.
     """
     c = _c(col)
     out = F.sum(c.cast(_DEC)).cast("double") / F.count(c)

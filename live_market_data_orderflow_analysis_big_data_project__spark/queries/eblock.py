@@ -1,4 +1,620 @@
-"""eblock — to be filled in."""
+"""E-block — general relational surface (SURVEY.md section 2.3).
 
-QUERIES = {}
-ORACLE = {}
+The reference has no joins, window functions, or set ops (SURVEY.md
+section 2.2: single-stream topology), so this block is the engine's
+generalization to a full relational surface.  Scale posture per query:
+
+- small dims (region/nation/part/bands) are explicitly ``F.broadcast``-ed;
+  big-big joins shuffle on their keys and rely on AQE skew handling
+  (session.py confs).
+- the as-of join (q25) uses operators/asof.py's union+window strategy:
+  ONE shuffle on the join key, no range cross-join — the formulation that
+  survives 100 TB inputs.
+- window functions always partition by a key (never a global window) and
+  carry total-order tie-breaks so results are deterministic.
+- hash-stability conventions from functions/hashstable.py: decimal-backed
+  sums, formatted timestamps, ROUND(...,4) only on irrational outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import avg_exact, dsum, fmt_date, fmt_ts, round4
+from ..operators.asof import asof_join
+from ..sources.tables import load_table, register_views
+
+_DEC = "decimal(28,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _revenue() -> F.Column:
+    """Exact decimal revenue l_extendedprice * (1 - l_discount) (q04 twin)."""
+    ep = F.col("l_extendedprice").cast("decimal(12,4)")
+    dc = F.col("l_discount").cast("decimal(12,4)")
+    return ep * (F.lit(1).cast("decimal(12,4)") - dc)
+
+
+# =========================================================================
+# Joins q20-q26
+# =========================================================================
+
+
+# --- q20: equi hash join orders ⋈ customer --------------------------------
+# Big-big equi join: shuffles both sides on the key; AQE handles skew.
+def q20_join_inner(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+Q20_SQL = """
+SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --- q21: broadcast join lineitem ⋈ part (small dim) -----------------------
+# part is a dimension table: broadcast it so the fact side never shuffles.
+def q21_join_broadcast(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_revenue().cast(_DEC)).cast("double").alias("revenue"),
+        )
+    )
+
+
+Q21_SQL = """
+SELECT p_brand, count(*) AS n_items,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+                     * (1 - CAST(l_discount AS DECIMAL(12,4)))
+                AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --- q22: outer join customer ⟕ orders -------------------------------------
+def q22_join_outer(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+Q22_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+"""
+
+
+# --- q23: semi + anti joins (customers with / without orders) --------------
+def q23_join_semi_anti(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .withColumn("status", F.lit("has_orders"))
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("status", F.lit("no_orders"))
+    )
+    return semi.unionByName(anti)
+
+
+Q23_SQL = """
+SELECT c_custkey, c_name, 'has_orders' AS status FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, 'no_orders' AS status FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# --- q24: non-equi range join events × value-band dim ----------------------
+# The band dim is tiny and driver-side literal: broadcast nested-loop join
+# is the correct physical plan (a shuffle range join would be wasteful).
+_BANDS = [
+    ("low", -1e18, 50.0),
+    ("mid", 50.0, 100.0),
+    ("high", 100.0, 150.0),
+    ("vip", 150.0, 1e18),
+]
+
+
+def q24_join_range_theta(spark, sf):
+    e = _t(spark, sf, "events")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    cond = (e.value >= bands.lo) & (e.value < bands.hi)
+    return e.join(F.broadcast(bands), cond, "inner").select(
+        "event_id", "value", "band"
+    )
+
+
+Q24_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', -1e18, 50.0), ('mid', 50.0, 100.0),
+         ('high', 100.0, 150.0), ('vip', 150.0, 1e18)
+)
+SELECT event_id, value, band
+FROM events JOIN bands ON value >= lo AND value < hi
+"""
+
+
+# --- q25: as-of join — latest order at-or-before each event ----------------
+# Spark has no native ASOF JOIN (SURVEY.md section 4.2 item 1); the
+# operators/asof.py union+window strategy is one shuffle on the key.  The
+# right side is pre-deduped to one row per (customer, date) so the match is
+# deterministic on both engines (DuckDB ASOF breaks ties arbitrarily).
+def q25_join_asof(spark, sf):
+    e = _t(spark, sf, "events").select("event_id", "user_id", "ts")
+    r = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_totalprice").alias("last_order_price"))
+    )
+    out = asof_join(
+        e,
+        r,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderdate", "last_order_price"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        fmt_date(F.col("o_orderdate"), "last_order_date"),
+        "last_order_price",
+    )
+
+
+Q25_SQL = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         max(o_totalprice) AS last_order_price
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       strftime(r.o_orderdate, '%Y-%m-%d') AS last_order_date,
+       r.last_order_price
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+"""
+
+
+# --- q26: multiway join chain (TPC-H Q5 shape) -----------------------------
+# region→nation are broadcast dims; customer⋈orders⋈lineitem shuffle on
+# their keys.  Catalyst + AQE pick broadcast-hash for the hinted dims and
+# shuffle-hash/sort-merge for the fact joins.
+def q26_multiway_join(spark, sf):
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_revenue().cast(_DEC)).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q26_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+                     * (1 - CAST(l_discount AS DECIMAL(12,4)))
+                AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n_name
+"""
+
+
+# =========================================================================
+# Grouping extensions q30-q35
+# =========================================================================
+
+
+# --- q30: rollup ------------------------------------------------------------
+def q30_rollup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+        dsum(F.col("l_extendedprice"), "sum_base"),
+    )
+
+
+Q30_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- q31: cube --------------------------------------------------------------
+def q31_cube(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    )
+
+
+Q31_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- q32: explicit grouping sets (SQL entry point) --------------------------
+# Shared ANSI text: Spark runs it via spark.sql over registered views,
+# DuckDB runs the identical string.
+Q32_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q32_grouping_sets(spark, sf):
+    register_views(spark, sf, ("lineitem",))
+    return spark.sql(Q32_SQL)
+
+
+# --- q33: distinct + countDistinct -----------------------------------------
+def q33_distinct(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(fmt_date(F.col("ts"))).alias("n_days"),
+        F.count("*").alias("n"),
+    )
+
+
+Q33_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- q34: approx_count_distinct (HLL; estimates differ across engines -------
+# so this is declared rows-only, no oracle twin) -----------------------------
+def q34_approx_distinct(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_id").alias("approx_events"),
+    )
+
+
+# --- q35: HAVING (post-aggregation filter) ----------------------------------
+def q35_having(spark, sf):
+    e = _t(spark, sf, "events")
+    agg = e.groupBy("user_id").agg(
+        F.count("*").alias("n"), dsum(F.col("value"), "sum_value")
+    )
+    return agg.filter(F.col("sum_value") > 3000.0)
+
+
+Q35_SQL = """
+SELECT user_id, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id
+HAVING CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) > 3000.0
+"""
+
+
+# =========================================================================
+# Window functions q40-q45
+# =========================================================================
+
+
+# --- q40: rank / dense_rank / row_number per group --------------------------
+def q40_rank_window(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+Q40_SQL = """
+SELECT event_id, event_type, value,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       row_number() OVER w AS rn
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC)
+"""
+
+
+# --- q41: lag / lead per user ordered by time -------------------------------
+def q41_lag_lead(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+    )
+
+
+Q41_SQL = """
+SELECT event_id, user_id, value,
+       lag(value, 1)  OVER w AS prev_value,
+       lead(value, 1) OVER w AS next_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+# --- q42: 3-row moving average per user -------------------------------------
+# Decimal-backed sliding sum: add/remove on the frame is exact, so Spark's
+# incremental window update and DuckDB's recompute agree bit-for-bit.
+def q42_moving_agg(spark, sf):
+    e = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, 0)
+    )
+    msum = F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+    mcnt = F.count("value").over(w)
+    return e.select(
+        "event_id", "user_id", "value", (msum / mcnt).alias("moving_avg3")
+    )
+
+
+Q42_SQL = """
+SELECT event_id, user_id, value,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+         / COUNT(value) OVER w AS moving_avg3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- q43: ntile / percent_rank / cume_dist ----------------------------------
+# percent_rank=(rank-1)/(n-1) and cume_dist are single IEEE divisions of
+# integers — bit-identical across engines, no rounding needed.
+def q43_ntile_dist(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+Q43_SQL = """
+SELECT event_id, event_type,
+       ntile(4)      OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+"""
+
+
+# --- q44: range frame (trailing 30 days of order value per customer) --------
+# Ordered by integer epoch seconds so the identical numeric RANGE frame
+# exists on both engines (Spark's rangeBetween is numeric-only in PySpark).
+def q44_range_frame(spark, sf):
+    o = _t(spark, sf, "orders").withColumn(
+        "epoch_s", F.unix_timestamp("o_orderdate")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_s")
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        fmt_date(F.col("o_orderdate"), "order_day"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("sum_30d"),
+    )
+
+
+Q44_SQL = """
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- q45: top-k per group (window rank + filter) ----------------------------
+def q45_topk_per_group(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+Q45_SQL = """
+SELECT user_id, event_id, value, rn FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 2
+"""
+
+
+# =========================================================================
+# Set operations q50-q53
+# =========================================================================
+
+
+def q50_union_all(spark, sf):
+    e = _t(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "purchase")
+    b = e.filter(F.col("event_type") == "click")
+    return a.unionByName(b).select("event_id", "event_type", "value")
+
+
+Q50_SQL = """
+SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+"""
+
+
+def q51_union_distinct(spark, sf):
+    e = _t(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "purchase").select("user_id")
+    b = e.filter(F.col("event_type") == "view").select("user_id")
+    return a.union(b).distinct()
+
+
+Q51_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+UNION
+SELECT user_id FROM events WHERE event_type = 'view'
+"""
+
+
+def q52_intersect(spark, sf):
+    e = _t(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "purchase").select("user_id")
+    b = e.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b)
+
+
+Q52_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def q53_except(spark, sf):
+    e = _t(spark, sf, "events")
+    a = e.filter(F.col("value") > 120.0).select("event_id").distinct()
+    b = e.filter(F.col("event_type") == "purchase").select("event_id")
+    return a.subtract(b)
+
+
+Q53_SQL = """
+SELECT event_id FROM events WHERE value > 120.0
+EXCEPT
+SELECT event_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+QUERIES = {
+    "q20_join_inner": q20_join_inner,
+    "q21_join_broadcast": q21_join_broadcast,
+    "q22_join_outer": q22_join_outer,
+    "q23_join_semi_anti": q23_join_semi_anti,
+    "q24_join_range_theta": q24_join_range_theta,
+    "q25_join_asof": q25_join_asof,
+    "q26_multiway_join": q26_multiway_join,
+    "q30_rollup": q30_rollup,
+    "q31_cube": q31_cube,
+    "q32_grouping_sets": q32_grouping_sets,
+    "q33_distinct": q33_distinct,
+    "q34_approx_distinct": q34_approx_distinct,
+    "q35_having": q35_having,
+    "q40_rank_window": q40_rank_window,
+    "q41_lag_lead": q41_lag_lead,
+    "q42_moving_agg": q42_moving_agg,
+    "q43_ntile_dist": q43_ntile_dist,
+    "q44_range_frame": q44_range_frame,
+    "q45_topk_per_group": q45_topk_per_group,
+    "q50_union_all": q50_union_all,
+    "q51_union_distinct": q51_union_distinct,
+    "q52_intersect": q52_intersect,
+    "q53_except": q53_except,
+}
+
+ORACLE = {
+    "q20_join_inner": Q20_SQL,
+    "q21_join_broadcast": Q21_SQL,
+    "q22_join_outer": Q22_SQL,
+    "q23_join_semi_anti": Q23_SQL,
+    "q24_join_range_theta": Q24_SQL,
+    "q25_join_asof": Q25_SQL,
+    "q26_multiway_join": Q26_SQL,
+    "q30_rollup": Q30_SQL,
+    "q31_cube": Q31_SQL,
+    "q32_grouping_sets": Q32_SQL,
+    "q33_distinct": Q33_SQL,
+    "q34_approx_distinct": None,  # HLL estimates differ across engines
+    "q35_having": Q35_SQL,
+    "q40_rank_window": Q40_SQL,
+    "q41_lag_lead": Q41_SQL,
+    "q42_moving_agg": Q42_SQL,
+    "q43_ntile_dist": Q43_SQL,
+    "q44_range_frame": Q44_SQL,
+    "q45_topk_per_group": Q45_SQL,
+    "q50_union_all": Q50_SQL,
+    "q51_union_distinct": Q51_SQL,
+    "q52_intersect": Q52_SQL,
+    "q53_except": Q53_SQL,
+}

@@ -181,7 +181,7 @@ SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS window_start,
        min(value) AS low,
        arg_max(value, ts) AS close,
        count(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -230,10 +230,10 @@ def q08_group_sums(spark, sf):
 Q08_SQL = """
 SELECT event_type,
        count(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
        min(value) AS min_value,
        max(value) AS max_value,
-       CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(value) AS avg_value,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value) AS avg_value,
        max(value) - min(value) AS span
 FROM events
 GROUP BY event_type
@@ -367,9 +367,9 @@ Q16_SQL = """
 WITH a AS (
   SELECT max(value) AS max_value, min(value) AS min_value, count(*) AS n,
          CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
-                       AS DECIMAL(28,10))) AS DOUBLE) AS sum_buy,
+                       AS DECIMAL(28,6))) AS DOUBLE) AS sum_buy,
          CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END
-                       AS DECIMAL(28,10))) AS DOUBLE) AS sum_sell
+                       AS DECIMAL(28,6))) AS DOUBLE) AS sum_sell
   FROM events
 )
 SELECT max_value, min_value, n, sum_buy, sum_sell,

@@ -1,0 +1,100 @@
+"""Unit tests for operators/asof.py (both strategies).
+
+Covers the round-1 advisories: duplicate left rows must survive the
+broadcast strategy's re-aggregation, and right_cols colliding with left
+column names must be rejected up front.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from live_market_data_orderflow_analysis_big_data_project__spark.operators.asof import (
+    asof_join,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01 00:05:00"), 10.0),
+            (2, "A", _ts("2024-01-01 00:10:00"), 11.0),
+            (3, "A", _ts("2024-01-01 00:10:00"), 11.0),  # duplicate tick
+            (4, "B", _ts("2024-01-01 00:01:00"), 20.0),  # before any right row
+            (5, "C", _ts("2024-01-01 00:30:00"), 30.0),  # key with no right rows
+        ],
+        "event_id long, k string, ts timestamp, v double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 00:04:00"), 100.0),
+            ("A", _ts("2024-01-01 00:10:00"), 200.0),  # exactly at left ts
+            ("B", _ts("2024-01-01 00:02:00"), 300.0),
+        ],
+        "k string, rts timestamp, quote double",
+    )
+    return left, right
+
+
+EXPECTED = {
+    1: 100.0,  # latest right at/before 00:05 is 00:04
+    2: 200.0,  # right row AT the left timestamp matches (<= semantics)
+    3: 200.0,  # duplicate left row keeps its own output row
+    4: None,  # no right row yet
+    5: None,  # key never seen on the right
+}
+
+
+@pytest.mark.parametrize("strategy", ["union", "broadcast"])
+def test_asof_semantics(frames, strategy):
+    left, right = frames
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts", strategy=strategy
+    )
+    rows = out.collect()
+    assert len(rows) == 5, "every left row (including duplicates) must survive"
+    assert {r["event_id"]: r["quote"] for r in rows} == EXPECTED
+
+
+@pytest.mark.parametrize("strategy", ["union", "broadcast"])
+def test_asof_tolerance(frames, strategy):
+    left, right = frames
+    out = asof_join(
+        left,
+        right,
+        on="k",
+        left_ts="ts",
+        right_ts="rts",
+        strategy=strategy,
+        tolerance="2 minutes",
+    )
+    got = {r["event_id"]: r["quote"] for r in out.collect()}
+    # event 1 at 00:05: latest right 00:04 is within 2 min -> kept;
+    # event 4 at 00:01: no prior right row -> null either way.
+    assert got[1] == 100.0
+    assert got[2] == 200.0
+    assert got[4] is None
+
+
+def test_asof_rejects_column_collision(frames):
+    left, right = frames
+    clashing = right.withColumnRenamed("quote", "v")  # collides with left.v
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, clashing, on="k", left_ts="ts", right_ts="rts")
+
+
+def test_asof_duplicate_left_rows_broadcast(frames):
+    """Round-1 bug: broadcast strategy collapsed identical left rows."""
+    left, right = frames
+    doubled = left.unionByName(left)  # every left row twice
+    out = asof_join(
+        doubled, right, on="k", left_ts="ts", right_ts="rts", strategy="broadcast"
+    )
+    assert out.count() == 10
