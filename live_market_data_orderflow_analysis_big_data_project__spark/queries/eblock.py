@@ -567,6 +567,340 @@ SELECT event_id FROM events WHERE event_type = 'purchase'
 """
 
 
+# =========================================================================
+# Scalar-function blocks q60-q64
+# =========================================================================
+
+
+# --- q60: string functions over part ----------------------------------------
+def q60_string_funcs(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_pad"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias(
+            "name_trim"
+        ),
+        F.col("p_name").like("%gear%").alias("is_gear"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+    )
+
+
+Q60_SQL = r"""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substring(p_name, 1, 5) AS name_pfx,
+       concat_ws(':', p_brand, p_type) AS brand_type,
+       lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+       trim('  ' || p_name || '  ') AS name_trim,
+       p_name LIKE '%gear%' AS is_gear,
+       regexp_extract(p_name, '^(\w+)', 1) AS first_word
+FROM part
+"""
+
+
+# --- q61: date/time functions + market-hours gate (O32 twin) ----------------
+# The is_market_hours flag is the batch twin of the reference's trading-
+# window gate (reference run_pipline.py:11-33: 09:15-15:30, weekdays).
+def q61_date_funcs(spark, sf):
+    e = _t(spark, sf, "events")
+    ts = F.col("ts")
+    dow = F.dayofweek(ts)  # 1=Sunday .. 7=Saturday
+    return e.select(
+        "event_id",
+        F.year(ts).alias("y"),
+        F.month(ts).alias("mo"),
+        F.dayofmonth(ts).alias("d"),
+        F.hour(ts).alias("hr"),
+        F.minute(ts).alias("mi"),
+        dow.alias("dow"),
+        F.datediff(ts, F.lit("2024-01-01").cast("date")).alias("days_since"),
+        fmt_date(F.add_months(ts, 3), "plus3m"),
+        (
+            dow.isin(2, 3, 4, 5, 6)
+            & (
+                (F.hour(ts) * 60 + F.minute(ts)).between(9 * 60 + 15, 15 * 60 + 30)
+            )
+        ).alias("is_market_hours"),
+    )
+
+
+Q61_SQL = """
+SELECT event_id,
+       EXTRACT(year FROM ts)   AS y,
+       EXTRACT(month FROM ts)  AS mo,
+       EXTRACT(day FROM ts)    AS d,
+       EXTRACT(hour FROM ts)   AS hr,
+       EXTRACT(minute FROM ts) AS mi,
+       EXTRACT(dow FROM ts) + 1 AS dow,
+       datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since,
+       strftime(ts + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+       (EXTRACT(dow FROM ts) + 1 IN (2, 3, 4, 5, 6)
+        AND EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)
+            BETWEEN 9 * 60 + 15 AND 15 * 60 + 30) AS is_market_hours
+FROM events
+"""
+
+
+# --- q62: math functions ----------------------------------------------------
+# sqrt is IEEE correctly-rounded in both engines (bit-identical, no round);
+# ln/pow are libm calls that may differ in the last ulp -> ROUND(...,4).
+def q62_math_funcs(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.abs(F.col("l_discount") - F.col("l_tax")).alias("abs_dt"),
+        F.sqrt(q).alias("sqrt_qty"),
+        round4(F.log(F.col("l_extendedprice")), "ln_price"),
+        round4(F.pow(q, F.lit(2)), "qty_sq"),
+        F.ceil(q * 1.5).cast("long").alias("ceil_q"),
+        F.floor(q * 1.5).cast("long").alias("floor_q"),
+        (F.col("l_partkey") % 7).alias("pk_mod7"),
+    )
+
+
+Q62_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       abs(l_discount - l_tax) AS abs_dt,
+       sqrt(l_quantity) AS sqrt_qty,
+       ROUND(ln(l_extendedprice), 4) AS ln_price,
+       ROUND(pow(l_quantity, 2), 4) AS qty_sq,
+       CAST(ceil(l_quantity * 1.5) AS BIGINT) AS ceil_q,
+       CAST(floor(l_quantity * 1.5) AS BIGINT) AS floor_q,
+       l_partkey % 7 AS pk_mod7
+FROM lineitem
+"""
+
+
+# --- q63: array functions over embeddings (O22 twin) ------------------------
+# Elements are integer-ized with floor (exact, identical across engines)
+# before slicing/sorting/joining so no float-formatting can leak into the
+# hash; filter/transform are JVM-side higher-order functions.
+def q63_array_funcs(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    ints = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.array_join(F.slice(ints, 1, 5), ",").alias("first5"),
+        F.array_join(F.slice(F.sort_array(ints), 1, 5), ",").alias("sorted5"),
+        F.size(F.filter(ints, lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+Q63_SQL = """
+WITH x AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+                        e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS ints
+  FROM embeddings
+)
+SELECT vec_id,
+       len(embedding) AS n_dims,
+       array_to_string(list_slice(ints, 1, 5), ',') AS first5,
+       array_to_string(list_slice(list_sort(ints), 1, 5), ',') AS sorted5,
+       len(list_filter(ints, e -> e > 0)) AS n_pos
+FROM x
+"""
+
+
+# --- q64: JSON functions over events.props (O4 twin) ------------------------
+# Twin of the reference's from_json/get_json_object surface
+# (reference data_processor.py:81, tick_to_hdfs.py:46).
+def q64_json_funcs(spark, sf):
+    e = _t(spark, sf, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.size(m).alias("n_keys"),
+    )
+
+
+Q64_SQL = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+       json_extract_string(props, '$.k') AS k_str,
+       len(json_keys(props)) AS n_keys
+FROM events
+"""
+
+
+# =========================================================================
+# SQL entry points q70-q73 — shared ANSI text through spark.sql + DuckDB
+# =========================================================================
+
+Q70_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+"""
+
+
+def q70_subquery_in(spark, sf):
+    register_views(spark, sf, ("customer", "orders"))
+    return spark.sql(Q70_SQL)
+
+
+Q71_SQL = """
+SELECT event_id, user_id, value
+FROM events
+WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                      / COUNT(value) * 1.5
+               FROM events)
+"""
+
+
+def q71_scalar_subquery(spark, sf):
+    register_views(spark, sf, ("events",))
+    return spark.sql(Q71_SQL)
+
+
+Q72_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS spend
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       count(*) AS n_cust,
+       SUM(COALESCE(n_orders, 0)) AS total_orders,
+       CAST(SUM(CAST(COALESCE(spend, 0.0) AS DECIMAL(28,6))) AS DOUBLE) AS total_spend
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q72_cte(spark, sf):
+    register_views(spark, sf, ("customer", "orders"))
+    return spark.sql(Q72_SQL)
+
+
+# --- q73: pivot (conditional-aggregation twin for the oracle) ---------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q73_pivot(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast(_DEC)).cast("double"))
+    )
+
+
+Q73_SQL = """
+SELECT user_id,
+       CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value END
+                AS DECIMAL(28,6))) AS DOUBLE) AS click,
+       CAST(SUM(CAST(CASE WHEN event_type = 'error' THEN value END
+                AS DECIMAL(28,6))) AS DOUBLE) AS error,
+       CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value END
+                AS DECIMAL(28,6))) AS DOUBLE) AS purchase,
+       CAST(SUM(CAST(CASE WHEN event_type = 'signup' THEN value END
+                AS DECIMAL(28,6))) AS DOUBLE) AS signup,
+       CAST(SUM(CAST(CASE WHEN event_type = 'view' THEN value END
+                AS DECIMAL(28,6))) AS DOUBLE) AS view
+FROM events
+GROUP BY user_id
+"""
+
+
+# =========================================================================
+# UDF surface q80-q82
+# =========================================================================
+# UDFs are the engine's slow path (SURVEY.md section 4.1: prefer built-in
+# expressions — the reference itself has zero UDFs).  These three queries
+# exist to prove the surface works AND that each UDF matches a built-in/SQL
+# twin; the hot path elsewhere never uses them.  q81/q82 are Arrow-batched
+# (pandas) — the only acceptable Python form at 100 TB.
+
+
+def _value_band(v) -> str | None:
+    if v is None:
+        return None
+    if v < 50.0:
+        return "low"
+    if v < 100.0:
+        return "mid"
+    if v < 150.0:
+        return "high"
+    return "vip"
+
+
+def q80_python_udf(spark, sf):
+    e = _t(spark, sf, "events")
+    band_udf = F.udf(_value_band, "string")
+    return e.select("event_id", "value", band_udf("value").alias("band"))
+
+
+Q80_SQL = """
+SELECT event_id, value,
+       CASE WHEN value IS NULL THEN NULL
+            WHEN value < 50.0 THEN 'low'
+            WHEN value < 100.0 THEN 'mid'
+            WHEN value < 150.0 THEN 'high'
+            ELSE 'vip' END AS band
+FROM events
+"""
+
+
+def q81_pandas_udf(spark, sf):
+    from ..functions.pandasudfs import rescale_half_minus_ten
+
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id", "value", rescale_half_minus_ten("value").alias("rescaled")
+    )
+
+
+Q81_SQL = """
+SELECT event_id, value, value * 0.5 - 10.0 AS rescaled
+FROM events
+"""
+
+
+def q82_grouped_map(spark, sf):
+    import numpy as np
+    import pandas as pd
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = pdf["value"].astype("float64")
+        std = v.std(ddof=1)  # matches SQL stddev_samp
+        if not np.isfinite(std) or std == 0.0:
+            z = pd.Series([None] * len(v), dtype="float64")
+        else:
+            z = ((v - v.mean()) / std).round(4)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z}
+        )
+
+    e = _t(spark, sf, "events").select("event_id", "user_id", "value")
+    return e.groupBy("user_id").applyInPandas(
+        zscore, "event_id long, user_id long, z double"
+    )
+
+
+Q82_SQL = """
+SELECT event_id, user_id,
+       CASE WHEN stddev_samp(value) OVER w > 0
+            THEN ROUND((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4)
+       END AS z
+FROM events
+WINDOW w AS (PARTITION BY user_id)
+"""
+
+
 QUERIES = {
     "q20_join_inner": q20_join_inner,
     "q21_join_broadcast": q21_join_broadcast,
@@ -591,6 +925,18 @@ QUERIES = {
     "q51_union_distinct": q51_union_distinct,
     "q52_intersect": q52_intersect,
     "q53_except": q53_except,
+    "q60_string_funcs": q60_string_funcs,
+    "q61_date_funcs": q61_date_funcs,
+    "q62_math_funcs": q62_math_funcs,
+    "q63_array_funcs": q63_array_funcs,
+    "q64_json_funcs": q64_json_funcs,
+    "q70_subquery_in": q70_subquery_in,
+    "q71_scalar_subquery": q71_scalar_subquery,
+    "q72_cte": q72_cte,
+    "q73_pivot": q73_pivot,
+    "q80_python_udf": q80_python_udf,
+    "q81_pandas_udf": q81_pandas_udf,
+    "q82_grouped_map": q82_grouped_map,
 }
 
 ORACLE = {
@@ -617,4 +963,16 @@ ORACLE = {
     "q51_union_distinct": Q51_SQL,
     "q52_intersect": Q52_SQL,
     "q53_except": Q53_SQL,
+    "q60_string_funcs": Q60_SQL,
+    "q61_date_funcs": Q61_SQL,
+    "q62_math_funcs": Q62_SQL,
+    "q63_array_funcs": Q63_SQL,
+    "q64_json_funcs": Q64_SQL,
+    "q70_subquery_in": Q70_SQL,
+    "q71_scalar_subquery": Q71_SQL,
+    "q72_cte": Q72_SQL,
+    "q73_pivot": Q73_SQL,
+    "q80_python_udf": Q80_SQL,
+    "q81_pandas_udf": Q81_SQL,
+    "q82_grouped_map": Q82_SQL,
 }
