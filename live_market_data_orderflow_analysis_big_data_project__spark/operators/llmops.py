@@ -1,0 +1,294 @@
+"""LLM-data-pipeline operators: dedup, near-dup, similarity search, text
+analysis (the BASELINE.json north star; SURVEY.md section 2.3 L-block).
+
+Scale design (the 100 TB contract for each operator):
+
+- ``exact_dedup``: hash-groupBy on md5(text) — one shuffle keyed by a
+  uniformly-distributed hash, no skew by construction.
+- ``jaccard_pairs``: exact token-set Jaccard via a token-key self-join.
+  CORRECTNESS baseline only: common tokens make skewed join keys and the
+  candidate set is quadratic in df (document frequency).  At scale use
+  ``minhash_lsh_pairs``.
+- ``minhash_lsh_pairs``: MinHash + banding via MLlib ``MinHashLSH`` —
+  candidate pairs come from hash-bucket joins (near-linear), the classic
+  banded formulation (Broder '97; MMDS ch.3).  Same output contract as
+  ``jaccard_pairs`` so callers can swap strategies.
+- ``cosine_topk``: brute-force probe scan — a single narrow pass, probe
+  broadcast, per-partition top-k then driver merge of k rows
+  (TakeOrderedAndProject); linear and embarrassingly parallel.
+- ``knn_join``: bounded-sample crossJoin baseline; the at-scale variant is
+  ``knn_join_lsh`` (BucketedRandomProjectionLSH bucket-join).
+- text ops (tokens/tfidf): narrow per-row expressions + keyed aggregations,
+  all JVM-side higher-order functions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def tokens_col(text_col: Column | str) -> Column:
+    """Lowercased word tokens (non-word-char split, empties dropped).
+
+    Oracle twin: ``list_filter(regexp_split_to_array(lower(text), '\\W+'),
+    x -> x <> '')``.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(c), r"\W+"), lambda t: t != "")
+
+
+def shingles_col(text_col: Column | str, n: int) -> Column:
+    """Distinct n-word shingles (n-grams joined by single spaces).
+
+    n-gram Jaccard discriminates near-dups even over tiny vocabularies
+    where token-set Jaccard saturates.  Docs with < n tokens yield an
+    empty array (guard against Spark's descending ``sequence``).
+    """
+    toks = tokens_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct text: md5 fingerprint, kept (min) id, dup count.
+
+    Generalizes content-addressed dedup for training corpora; md5 over the
+    UTF-8 bytes so any engine computes the same fingerprint.
+    """
+    h = F.md5(F.col(text_col).cast("binary")).alias("text_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard pairs with similarity >= threshold.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) — a single IEEE division of exact
+    integers, so bit-identical across engines with no rounding.
+    ``ngram=1`` is plain token sets; ``ngram>=2`` uses word shingles,
+    which stay discriminative over tiny vocabularies.
+    """
+    feature = tokens_col(text_col) if ngram == 1 else shingles_col(text_col, ngram)
+    toks = (
+        df.select(F.col(id_col).alias("doc"), F.explode(feature).alias("tok"))
+        .distinct()
+    )
+    sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_tok").alias("n_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hash_tables: int = 8,
+    vocab_size: int = 1 << 18,
+    ngram: int = 1,
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHash + banded LSH (the scale path).
+
+    shingles -> binary HashingTF vector -> MinHashLSH; candidate pairs come
+    from bucket joins (``approxSimilarityJoin``), so cost is near-linear in
+    corpus size instead of quadratic.  Output: (doc_a, doc_b,
+    jaccard_distance_est).  Estimates vary with hashing, hence rows-only in
+    the correctness gate.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    feature = tokens_col(text_col) if ngram == 1 else shingles_col(text_col, ngram)
+    tokened = df.select(
+        F.col(id_col).alias("doc"), feature.alias("toks")
+    ).filter(F.size("toks") > 0)
+    tf = HashingTF(
+        inputCol="toks", outputCol="features", numFeatures=vocab_size, binary=True
+    )
+    feats = tf.transform(tokened)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, 1.0 - threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.doc").alias("doc_a"),
+            F.col("datasetB.doc").alias("doc_b"),
+            F.col("jaccard_dist"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    probe_id: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k rows most cosine-similar to the probe row's vector.
+
+    Brute force: broadcast the 1-row probe, one narrow scan, top-k via
+    orderBy+limit (compiles to per-partition top-k + driver merge of k
+    rows — no global sort).  Similarity is ROUND(...,4) for cross-engine
+    hash stability (libm association differs in the last ulp).
+    """
+    probe = df.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("__probe")
+    )
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col("__probe")), 4)
+    return (
+        df.crossJoin(F.broadcast(probe))
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_join(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN self-join (cosine) — bounded-sample correctness baseline.
+
+    All-pairs is O(n²): only run on a bounded sample; the scale path is
+    ``knn_join_lsh``.
+    """
+    a = df.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("__vb"))
+    sim = F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 4)
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("left_id") != F.col("right_id"))
+        .select("left_id", "right_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("left_id").orderBy(
+        F.col("sim").desc(), F.col("right_id").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("left_id", "right_id", "rn", "sim")
+    )
+
+
+def knn_join_lsh(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    max_l2: float = 1e9,
+) -> DataFrame:
+    """Approximate k-NN via BucketedRandomProjectionLSH (the scale path).
+
+    Euclidean-LSH bucket join generates candidates near-linearly; rank
+    candidates per left id by L2 distance.  Approximate (bucketing may miss
+    true neighbors), hence rows-only in the correctness gate.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col).alias("doc"),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, max_l2, distCol="l2_dist")
+    cand = pairs.select(
+        F.col("datasetA.doc").alias("left_id"),
+        F.col("datasetB.doc").alias("right_id"),
+        F.round(F.col("l2_dist"), 4).alias("l2_dist"),
+    ).filter(F.col("left_id") != F.col("right_id"))
+    w = Window.partitionBy("left_id").orderBy(
+        F.col("l2_dist").asc(), F.col("right_id").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("left_id", "right_id", "rn", "l2_dist")
+    )
+
+
+def tfidf(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact TF-IDF per (doc, term): tf * ln(N / df), ROUND(...,4).
+
+    Joins: term-frequency agg (keyed by doc+term), document-frequency agg
+    (keyed by term, broadcast-sized vocabulary), one broadcast join back.
+    At 100 TB vocabularies use MLlib HashingTF/IDF behind the same shape.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("term")
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+    )

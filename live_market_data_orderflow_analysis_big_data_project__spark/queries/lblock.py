@@ -1,4 +1,319 @@
-"""lblock — to be filled in."""
+"""L-block — LLM-data-pipeline queries (SURVEY.md section 2.3; the
+BASELINE.json north star: dedup, similarity search, multimodal metadata,
+text analysis over the ``documents``/``embeddings`` fixtures).
 
-QUERIES = {}
-ORACLE = {}
+Every exact formulation is hash-checked against a DuckDB twin; the two
+LSH-based scale-path variants (q91b MinHash banding, q93b random-projection
+buckets) are approximate by construction and declared rows-only.  The
+operator implementations live in operators/llmops.py with the 100 TB
+design notes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.llmops import (
+    cosine_topk,
+    exact_dedup,
+    jaccard_pairs,
+    knn_join,
+    knn_join_lsh,
+    minhash_lsh_pairs,
+    tfidf,
+    tokens_col,
+)
+from ..sources.tables import load_table
+
+# DuckDB twin of operators/llmops.py::tokens_col
+_DUCK_TOKS = "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- q90: exact dedup by content hash ---------------------------------------
+def q90_exact_dedup(spark, sf):
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+Q90_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS kept_id, count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+# --- q91: near-dup pairs via exact 3-shingle Jaccard ------------------------
+# Token-SET jaccard saturates on the fixture's 31-word vocabulary (every
+# doc pair overlaps); 3-word shingles isolate the 25 planted near-dup
+# pairs at threshold 0.5.  jaccard is one IEEE division of exact ints —
+# no rounding needed for hash parity.
+def q91_near_dedup_jaccard(spark, sf):
+    return jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5, ngram=3)
+
+
+Q91_SQL = f"""
+WITH docs AS (
+  SELECT doc_id AS doc, {_DUCK_TOKS} AS arr FROM documents
+), toks AS (
+  SELECT doc, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos FROM docs
+), sh AS (
+  SELECT DISTINCT a.doc, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a
+  JOIN toks b ON a.doc = b.doc AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc = c.doc AND c.pos = a.pos + 2
+), sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+"""
+
+
+# --- q91b: MinHash+LSH banded near-dup (scale path; rows-only) --------------
+def q91b_near_dedup_minhash_lsh(spark, sf):
+    return minhash_lsh_pairs(
+        _t(spark, sf, "documents"), threshold=0.5, ngram=3
+    )
+
+
+# --- q92: brute-force cosine top-k against a probe vector -------------------
+def q92_cosine_topk(spark, sf):
+    return cosine_topk(_t(spark, sf, "embeddings"), probe_id=0, k=10)
+
+
+Q92_SQL = """
+WITH p AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS probe
+  FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)), probe), 4) AS sim
+FROM embeddings, p
+ORDER BY sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# --- q93: exact k-NN self-join on a bounded sample --------------------------
+def q93_knn_join(spark, sf):
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 50)
+    return knn_join(emb, k=3)
+
+
+Q93_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 50
+), pairs AS (
+  SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+         ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+  FROM e a JOIN e b ON a.vec_id != b.vec_id
+)
+SELECT left_id, right_id, rn, sim FROM (
+  SELECT left_id, right_id, sim,
+         row_number() OVER (PARTITION BY left_id
+                            ORDER BY sim DESC, right_id ASC) AS rn
+  FROM pairs
+) WHERE rn <= 3
+"""
+
+
+# --- q93b: approximate k-NN via random-projection LSH (scale path) ----------
+def q93b_knn_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 50)
+    return knn_join_lsh(emb, k=3)
+
+
+# --- q94: tokenize + word count (top 30) ------------------------------------
+def q94_tokenize_wordcount(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(tokens_col("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(30)
+    )
+
+
+Q94_SQL = f"""
+WITH toks AS (SELECT unnest({_DUCK_TOKS}) AS word FROM documents)
+SELECT word, count(*) AS n
+FROM toks
+GROUP BY word
+ORDER BY n DESC, word ASC
+LIMIT 30
+"""
+
+
+# --- q95: bigram extraction + counts (top 30) -------------------------------
+def q95_ngrams(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = tokens_col("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(30)
+    )
+
+
+Q95_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, {_DUCK_TOKS} AS arr FROM documents
+), toks AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos FROM docs
+), big AS (
+  SELECT a.tok || ' ' || b.tok AS bigram
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+)
+SELECT bigram, count(*) AS n
+FROM big
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 30
+"""
+
+
+# --- q96: exact TF-IDF per (doc, term) --------------------------------------
+def q96_tfidf(spark, sf):
+    return tfidf(_t(spark, sf, "documents"))
+
+
+Q96_SQL = f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest({_DUCK_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(DISTINCT doc) AS df FROM toks GROUP BY 1
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT doc, term, tf, df,
+       ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+FROM tf JOIN dfreq USING (term), n
+"""
+
+
+# --- q97: per-language/source metadata aggregation --------------------------
+# The multimodal-metadata pattern: group typed metadata columns of an
+# opaque-payload table (lang/source stand in for modality/codec).
+def q97_lang_source_agg(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("n_chars")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+Q97_SQL = """
+SELECT lang, source, count(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+# --- q98: regex field extraction over text ----------------------------------
+def q98_regex_extract(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"(s[a-z]+)", 1).alias("first_s_word"),
+        F.regexp_extract("text", r"\b(spark|stream|scan)\b", 1).alias("first_kw"),
+        (F.regexp_count("text", F.lit(r"\bvalue\b"))).alias("n_value"),
+    )
+
+
+Q98_SQL = r"""
+SELECT doc_id,
+       regexp_extract(text, '(s[a-z]+)', 1) AS first_s_word,
+       regexp_extract(text, '\b(spark|stream|scan)\b', 1) AS first_kw,
+       len(regexp_extract_all(text, '\bvalue\b')) AS n_value
+FROM documents
+"""
+
+
+# --- q99: length distribution percentiles per language ----------------------
+# Continuous-interpolation percentiles of INTEGER data: the interpolation
+# weights (.25/.5/.75) are dyadic, so lower + (upper-lower)*g and
+# (1-g)*lower + g*upper are both exact — engines agree bit-for-bit.
+def q99_length_percentiles(spark, sf):
+    d = _t(spark, sf, "documents")
+    n = F.col("n_chars")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min(n).alias("min_chars"),
+        F.percentile(n, F.lit(0.25)).alias("p25"),
+        F.percentile(n, F.lit(0.5)).alias("p50"),
+        F.percentile(n, F.lit(0.75)).alias("p75"),
+        F.max(n).alias("max_chars"),
+    )
+
+
+Q99_SQL = """
+SELECT lang, count(*) AS n_docs,
+       min(n_chars) AS min_chars,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5)  AS p50,
+       quantile_cont(n_chars, 0.75) AS p75,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+QUERIES = {
+    "q90_exact_dedup": q90_exact_dedup,
+    "q91_near_dedup_jaccard": q91_near_dedup_jaccard,
+    "q91b_near_dedup_minhash_lsh": q91b_near_dedup_minhash_lsh,
+    "q92_cosine_topk": q92_cosine_topk,
+    "q93_knn_join": q93_knn_join,
+    "q93b_knn_lsh": q93b_knn_lsh,
+    "q94_tokenize_wordcount": q94_tokenize_wordcount,
+    "q95_ngrams": q95_ngrams,
+    "q96_tfidf": q96_tfidf,
+    "q97_lang_source_agg": q97_lang_source_agg,
+    "q98_regex_extract": q98_regex_extract,
+    "q99_length_percentiles": q99_length_percentiles,
+}
+
+ORACLE = {
+    "q90_exact_dedup": Q90_SQL,
+    "q91_near_dedup_jaccard": Q91_SQL,
+    "q91b_near_dedup_minhash_lsh": None,  # LSH estimates vary with hashing
+    "q92_cosine_topk": Q92_SQL,
+    "q93_knn_join": Q93_SQL,
+    "q93b_knn_lsh": None,  # approximate bucketing
+    "q94_tokenize_wordcount": Q94_SQL,
+    "q95_ngrams": Q95_SQL,
+    "q96_tfidf": Q96_SQL,
+    "q97_lang_source_agg": Q97_SQL,
+    "q98_regex_extract": Q98_SQL,
+    "q99_length_percentiles": Q99_SQL,
+}

@@ -1,0 +1,77 @@
+"""Unit tests for functions/vectors.py and operators/llmops.py."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from live_market_data_orderflow_analysis_big_data_project__spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
+from live_market_data_orderflow_analysis_big_data_project__spark.operators.llmops import (
+    exact_dedup,
+    jaccard_pairs,
+    shingles_col,
+    tokens_col,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]), (2, [1.0, 2.0, 2.0], [2.0, 4.0, 4.0])],
+        "id long, a array<double>, b array<double>",
+    )
+
+
+def test_vector_functions(vecs):
+    out = vecs.select(
+        "id",
+        dot("a", "b").alias("d"),
+        l2_norm("a").alias("na"),
+        cosine_similarity("a", "b").alias("cos"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["d"] == 0.0 and by_id[1]["cos"] == 0.0
+    assert by_id[2]["na"] == 3.0
+    assert math.isclose(by_id[2]["cos"], 1.0, rel_tol=1e-12)  # parallel vectors
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([(1, "A b,  c d")], "id long, text string")
+    row = df.select(
+        tokens_col("text").alias("t"), shingles_col("text", 3).alias("s")
+    ).first()
+    assert row["t"] == ["a", "b", "c", "d"]
+    assert row["s"] == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "one two")], "id long, text string")
+    assert short.select(shingles_col("text", 3).alias("s")).first()["s"] == []
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(10, "same text"), (3, "same text"), (7, "other")],
+        "doc_id long, text string",
+    )
+    rows = {r["kept_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    assert rows == {3: 2, 7: 1}  # min doc_id kept, copies counted
+
+
+def test_jaccard_pairs_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox leaps"),  # 4/6 tokens shared with 1
+            (3, "completely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert got == {(1, 2): pytest.approx(4 / 6)}
