@@ -33,11 +33,18 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table, normalizing nanosecond timestamps."""
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, normalize: bool = True
+) -> DataFrame:
+    """Load one fixture table, normalizing nanosecond timestamps.
+
+    ``normalize=False`` returns the raw frame (``events.ts`` as int64
+    nanoseconds) — the streaming file source needs this schema to read the
+    same files before applying its own normalization.
+    """
     ensure_engine_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+    if normalize and name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # int64 nanoseconds -> timestamp (microsecond precision, floor-div,
         # matching DuckDB's ns->us truncation of the same parquet column).
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

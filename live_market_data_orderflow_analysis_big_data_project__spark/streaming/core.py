@@ -1,0 +1,289 @@
+"""Structured Streaming sources, sinks, and stateful operators.
+
+Reference parity (SURVEY.md section 2.1): the reference IS a streaming
+pipeline — Kafka source (data_processor.py:65-69), 5-minute watermark
+(:142), windowed stateful agg (:144-157), Kafka sink (:177-183), and a
+date-partitioned parquet sink with a 10-second processing-time trigger and
+checkpoint (tick_to_hdfs.py:62-71).  This container has no Kafka broker, so
+the replay source is Spark's FILE streaming source over the driver's
+parquet fixtures — the same micro-batch machinery (offsets log, watermark
+state, checkpointed sinks) with a swappable source; ``kafka_source`` below
+shows the one-line Kafka equivalent for a real deployment.
+
+Scale posture: every stateful op is keyed (watermark bounds state, no
+global aggregation without a window), sinks partition by date (reference
+tick_to_hdfs.py:67), and for 100 TB state the session factory can opt into
+the RocksDB state store (see session.py).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..sources.tables import load_table
+
+_qid = itertools.count()
+
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+
+
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source replay of the ``events`` fixture as a streaming frame.
+
+    Streaming twin of sources/tables.py::load_table — same nanosecond
+    normalization, but through ``readStream`` (the file source requires an
+    explicit schema; we take it from the batch reader).
+    """
+    raw_schema = load_table(spark, sf_dir, "events", normalize=False).schema
+    reader = spark.readStream.schema(raw_schema).option(
+        "pathGlobFilter", "events.parquet"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    return _normalize_ts(df)
+
+
+def stream_events_dir(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream an arbitrary directory of event-shaped parquet files
+    (replay harness / tests): files appearing later are later micro-batches.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _normalize_ts(reader.parquet(path))
+
+
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    if "ts" in df.columns and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka source (reference data_processor.py:65-69 / tick_to_hdfs.py:20-25).
+
+    Not runnable in this container (no broker); kept as the deployment
+    path — everything downstream is source-agnostic.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS json_str", "timestamp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sinks / runners
+# ---------------------------------------------------------------------------
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Run a streaming frame to completion (AvailableNow) into a memory
+    sink and return the collected batch DataFrame.
+
+    AvailableNow processes every available input split into micro-batches,
+    advances the watermark, runs the final no-data batch that flushes
+    closed windows, then terminates — which is what makes streaming
+    queries expressible under the driver's batch ``queries()`` contract.
+    """
+    qname = f"{name}_{next(_qid)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = sdf.sparkSession
+    return spark.table(qname)
+
+
+def parquet_sink(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: tuple[str, ...] = ("date",),
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Date-partitioned parquet sink with checkpoint (reference
+    tick_to_hdfs.py:62-71: partitionBy("date"), append mode, checkpointed,
+    10-second processing-time trigger).
+
+    ``available_now=True`` drains the source and terminates (test mode);
+    pass ``processing_time="10 seconds"`` instead for the reference's
+    continuous cadence.  Exactly-once comes from the checkpointed offsets
+    plus the sink's _spark_metadata transaction log.
+    """
+    w = (
+        sdf.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if processing_time is not None:
+        w = w.trigger(processingTime=processing_time)
+    elif available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+# ---------------------------------------------------------------------------
+# Stateful operators
+# ---------------------------------------------------------------------------
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding event-time window counts (each event lands in
+    window/slide overlapping panes)."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window, slide).alias("w"), key_col)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session windows per key: a session extends while events arrive
+    within ``gap`` of the previous one."""
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup bounded by the watermark: duplicates arriving
+    within ``watermark`` of the first copy are dropped; state for older
+    keys is evicted (bounded memory at 100 TB)."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return df.dropDuplicates(list(keys))
+
+
+def running_vwap(df: DataFrame, timeout_s: int | None = None) -> DataFrame:
+    """Custom per-key state: running VWAP per user via
+    ``applyInPandasWithState`` (price=value, qty=1).
+
+    Output (update mode): one row per key per micro-batch with the running
+    (n_events, vwap).  State is three scalars per key — constant-size
+    per-key state, safe at any scale.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, vwap double"
+    state_schema = "n long, sum_pv double, sum_q double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, sum_pv, sum_q = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdf_iter:
+            v = pdf["value"].astype("float64")
+            n += len(v)
+            sum_pv += float(v.sum())  # qty == 1 per tick
+            sum_q += float(len(v))
+        state.update((n, sum_pv, sum_q))
+        vwap = sum_pv / sum_q if sum_q else None
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "vwap": [vwap]}
+        )
+
+    return df.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Replay helpers (multi-batch fixtures)
+# ---------------------------------------------------------------------------
+
+
+def write_replay_files(
+    dfs: list[DataFrame], base_dir: str | None = None
+) -> str:
+    """Write each frame as one parquet file with strictly increasing
+    modification times so the file streaming source replays them as
+    ordered micro-batches (with maxFilesPerTrigger=1)."""
+    base_dir = base_dir or tempfile.mkdtemp(prefix="replay_")
+    t0 = 1_700_000_000
+    for i, df in enumerate(dfs):
+        sub = os.path.join(base_dir, f"b{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        for root, _dirs, files in os.walk(sub):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (t0 + i, t0 + i))
+    return os.path.join(base_dir, "b*", "part-*.parquet")

@@ -1,0 +1,191 @@
+"""Streaming semantics tests (SURVEY.md section 5.2.3): late-data drop,
+session-window boundaries, dedup-within-watermark, streaming/batch candle
+parity, and exactly-once sink behavior across a checkpoint restart."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from live_market_data_orderflow_analysis_big_data_project__spark.operators.candles import (
+    ohlc_candles,
+)
+from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
+    dedup_within_watermark,
+    run_to_memory,
+    session_counts,
+    stream_events,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _ts(m: int, s: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, m, s)
+
+
+def _stream_rows(spark, rows, schema):
+    """Materialize rows to parquet and open them as a file-source stream."""
+    tmp = tempfile.mkdtemp(prefix="strm_rows_")
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    return spark.readStream.schema(df.schema).parquet(tmp)
+
+
+def test_session_window_boundaries(spark):
+    rows = [
+        (1, _ts(0)), (1, _ts(3)),   # one session [00:00, 00:08)
+        (1, _ts(10)),               # gap > 5 min -> new session [00:10, 00:15)
+        (2, _ts(20)),               # other key   [00:20, 00:25)
+        (9, _ts(40)),               # sentinel: advances watermark past 00:25
+    ]
+    sdf = _stream_rows(spark, rows, "user_id long, ts timestamp")
+    out = run_to_memory(
+        session_counts(sdf, gap="5 minutes", watermark="0 seconds"),
+        "t_session",
+    ).collect()
+    # the sentinel's own session [00:40, 00:45) ends past the final
+    # watermark (00:40) and is correctly withheld in append mode.
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in out
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:08:00"): 2,
+        (1, "2024-01-01 00:10:00", "2024-01-01 00:15:00"): 1,
+        (2, "2024-01-01 00:20:00", "2024-01-01 00:25:00"): 1,
+    }
+
+
+def test_dedup_within_watermark(spark):
+    rows = [
+        (1, _ts(0), "a"),
+        (1, _ts(0), "a-dup"),   # same event_id -> dropped
+        (2, _ts(1), "b"),
+        (2, _ts(2), "b-dup"),   # same event_id, 1 min later, inside watermark
+        (3, _ts(3), "c"),
+    ]
+    sdf = _stream_rows(spark, rows, "event_id long, ts timestamp, tag string")
+    out = run_to_memory(
+        dedup_within_watermark(sdf, keys=("event_id",), watermark="10 minutes"),
+        "t_dedup",
+    )
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_late_data_dropped_across_restart(spark):
+    """Watermark committed by run 1 filters run 2's too-old rows."""
+    base = tempfile.mkdtemp(prefix="t_late_")
+    src, ckpt, out = (os.path.join(base, d) for d in ("src", "ckpt", "out"))
+    schema = "id long, ts timestamp"
+    fresh = spark.createDataFrame(
+        [(1, _ts(30)), (2, _ts(40)), (3, _ts(59))], schema
+    )
+    late = spark.createDataFrame([(4, _ts(0))], schema)  # 59-10=49 min late
+
+    def run_once():
+        sdf = spark.readStream.schema(fresh.schema).parquet(src)
+        agg = (
+            sdf.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 minute").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sum(
+            (so.get("numRowsDroppedByWatermark") or 0)
+            for p in q.recentProgress
+            for so in (p.get("stateOperators") or [])
+        )
+
+    fresh.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    late.coalesce(1).write.mode("append").parquet(src)
+    dropped = run_once()
+    assert dropped == 1
+    emitted = spark.read.parquet(out)
+    # windows 00:30 and 00:40 are below the final watermark (00:49) and
+    # emitted; 00:59 is withheld; the late 00:00 window never appears.
+    got = {r["ws"].minute: r["n"] for r in emitted.collect()}
+    assert got == {30: 1, 40: 1}
+
+
+def test_streaming_candles_match_batch(spark):
+    """Streaming (watermarked, append) OHLC equals the batch aggregation on
+    every window the watermark closed — same builder, two execution modes."""
+    ticks = stream_events(spark, SF0001).select(
+        F.col("user_id").cast("string").alias("instrument"),
+        F.col("ts").alias("event_time"),
+        F.col("value").alias("ltp"),
+        F.lit(1).cast("long").alias("ltq"),
+        F.lit("buy").alias("side"),
+    )
+    stream_out = run_to_memory(
+        ohlc_candles(ticks, window="1 minute", watermark="5 minutes"),
+        "t_candles",
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (
+        load_table,
+    )
+
+    batch_ticks = load_table(spark, SF0001, "events").select(
+        F.col("user_id").cast("string").alias("instrument"),
+        F.col("ts").alias("event_time"),
+        F.col("value").alias("ltp"),
+        F.lit(1).cast("long").alias("ltq"),
+        F.lit("buy").alias("side"),
+    )
+    batch_out = ohlc_candles(batch_ticks, window="1 minute")
+
+    s_rows = {tuple(r) for r in stream_out.collect()}
+    b_rows = {tuple(r) for r in batch_out.collect()}
+    assert s_rows, "streaming emitted nothing"
+    assert s_rows <= b_rows, "streaming emitted a row batch never produced"
+    # everything batch produced below the final watermark must be emitted
+    max_ts = batch_ticks.agg(F.max("event_time")).first()[0]
+    wm = max_ts - dt.timedelta(minutes=5)
+    b_closed = {t for t in b_rows if t[1] <= wm}  # t[1] = window_end
+    assert b_closed <= s_rows
+
+
+def test_exactly_once_sink_across_restart(spark):
+    """Checkpoint + _spark_metadata give exactly-once parquet output even
+    when the query is restarted and old source files are still present."""
+    base = tempfile.mkdtemp(prefix="t_eo_")
+    src, ckpt, out = (os.path.join(base, d) for d in ("src", "ckpt", "out"))
+    schema = "event_id long, ts timestamp"
+    b1 = spark.createDataFrame([(i, _ts(i)) for i in range(5)], schema)
+    b2 = spark.createDataFrame([(i, _ts(i)) for i in range(5, 8)], schema)
+
+    def run_once():
+        sdf = spark.readStream.schema(b1.schema).parquet(src)
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    run_once()  # no new data: must not re-emit batch 1
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 8
+    assert got.select("event_id").distinct().count() == 8

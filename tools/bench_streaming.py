@@ -1,0 +1,116 @@
+"""Tick-replay streaming throughput bench (BASELINE.md comparison).
+
+The reference publishes only streaming operational numbers (reference
+README.md:538-548): 50+ ticks/s sustained ingest and 1-2 s micro-batch
+time on an 8 GB host.  This harness replays the events fixture through the
+flagship streaming pipeline (classify -> watermark -> 1-minute OHLC
+candles, the data_processor.py:81-165 shape) as N parquet chunk files
+drained by micro-batches, and reports sustained events/sec plus micro-batch
+latency percentiles from the query's own progress metrics.
+
+Usage: python tools/bench_streaming.py [sf_dir] [n_chunks]
+Prints ONE JSON line; the driver-facing wall number is events/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    from pyspark.sql import functions as F
+
+    from live_market_data_orderflow_analysis_big_data_project__spark import get_spark
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.candles import (
+        ohlc_candles,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.ticks import (
+        aggressor_side,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (
+        load_table,
+    )
+
+    spark = get_spark("stream-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    events = load_table(spark, sf_dir, "events")
+    n_events = events.count()
+
+    # Chunk the fixture into n_chunks files: each micro-batch drains one.
+    src = tempfile.mkdtemp(prefix="streambench_")
+    events.withColumn(
+        "chunk", F.abs(F.hash("event_id")) % n_chunks
+    ).repartition(n_chunks, "chunk").drop("chunk").write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    schema = events.schema
+    ticks = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            F.col("user_id").cast("string").alias("instrument"),
+            F.col("ts").alias("event_time"),
+            F.col("value").alias("ltp"),
+            F.lit(1).cast("long").alias("ltq"),
+        )
+        .withColumn("side", aggressor_side(F.col("ltp"), F.lit(50.0), F.lit(150.0)))
+    )
+    candles = ohlc_candles(ticks, window="1 minute", watermark="5 minutes")
+
+    t0 = time.time()
+    q = (
+        candles.writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    wall = time.time() - t0
+
+    progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    batch_ms = sorted(
+        p["durationMs"].get("triggerExecution", 0) for p in progresses
+    )
+
+    def pct(p: float) -> float:
+        return batch_ms[min(len(batch_ms) - 1, int(p * len(batch_ms)))] if batch_ms else -1
+
+    print(
+        json.dumps(
+            {
+                "metric": "stream_events_per_sec",
+                "value": round(n_events / wall, 1),
+                "unit": "events/sec",
+                "n_events": n_events,
+                "wall_sec": round(wall, 2),
+                "n_micro_batches": len(batch_ms),
+                "micro_batch_ms_p50": pct(0.5),
+                "micro_batch_ms_max": batch_ms[-1] if batch_ms else -1,
+                "baseline_ref": {
+                    "ingest_events_per_sec": 50,
+                    "micro_batch_sec": "1-2",
+                    "source": "reference README.md:538-548",
+                },
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
