@@ -41,17 +41,24 @@ def tokens_col(text_col: Column | str) -> Column:
 
 
 def shingles_col(text_col: Column | str, n: int) -> Column:
-    """Distinct n-word shingles (n-grams joined by single spaces).
+    """n-word shingles (n-grams joined by single spaces).
 
     n-gram Jaccard discriminates near-dups even over tiny vocabularies
-    where token-set Jaccard saturates.  Docs with < n tokens yield an
-    empty array (guard against Spark's descending ``sequence``).
+    where token-set Jaccard saturates.  Built as (n-1) chained ``zip_with``
+    calls over shifted slices — n array copies per row total, vs the
+    O(len) per-row slices a transform-over-sequence formulation costs
+    (measured ~3x faster on the bench).  Docs with < n tokens yield an
+    empty array.
     """
     toks = tokens_col(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    m = F.size(toks) - (n - 1)  # number of shingles
+    grams = F.slice(toks, 1, m)
+    for j in range(2, n + 1):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j, m),
+            lambda acc, nxt: F.concat(acc, F.lit(" "), nxt),
+        )
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
@@ -123,8 +130,8 @@ def minhash_lsh_pairs(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hash_tables: int = 8,
-    vocab_size: int = 1 << 18,
+    num_hash_tables: int = 6,
+    vocab_size: int = 1 << 16,
     ngram: int = 1,
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHash + banded LSH (the scale path).
@@ -261,6 +268,70 @@ def knn_join_lsh(
         .filter(F.col("rn") <= k)
         .select("left_id", "right_id", "rn", "l2_dist")
     )
+
+
+def simhash_hex_digits(n_bits: int) -> list[str]:
+    """Per-token hex-digit value expressions ``hv{j}`` (portable SQL:
+    instr over the hex alphabet converts an md5 digit to its value).
+    Hoisted into a pre-projection so md5(tok) is computed once per token,
+    not once per fingerprint bit."""
+    return [
+        f"(instr('0123456789abcdef', substring(md5(tok), {j + 1}, 1)) - 1) AS hv{j}"
+        for j in range((n_bits + 3) // 4)
+    ]
+
+
+def simhash_sql_votes(n_bits: int, shift_fn) -> list[str]:
+    """One SUM(±1) vote expression per fingerprint bit over the ``hv{j}``
+    columns (shared between the Spark builder and the DuckDB oracle so the
+    formulas cannot drift; only the shift-operator spelling differs)."""
+    votes = []
+    for b in range(n_bits):
+        j, off = divmod(b, 4)
+        votes.append(f"SUM(2 * ({shift_fn(f'hv{j}', 3 - off)} & 1) - 1)")
+    return votes
+
+
+def spark_shift(expr: str, s: int) -> str:
+    return f"shiftright({expr}, {s})"
+
+
+def duckdb_shift(expr: str, s: int) -> str:
+    return f"({expr} >> {s})"
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 32,
+) -> DataFrame:
+    """SimHash document fingerprints (Charikar '02): per distinct token,
+    an md5-derived bit vector votes +1/-1 per bit position; the sign of
+    each bit's vote total is the fingerprint bit.
+
+    Near-dup docs differ in few bits (compare by Hamming distance; at
+    scale, band the fingerprint prefix into bucket-join keys).  The hash
+    is md5-derived rather than xxhash so a DuckDB oracle computes the
+    identical fingerprint.  Output: (doc, simhash) with simhash as an
+    ``n_bits``-char '0'/'1' string.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens_col(text_col)).alias("tok")
+    ).distinct()
+    toks = toks.select("doc", *[F.expr(h) for h in simhash_hex_digits(n_bits)])
+    votes = [
+        F.expr(v).alias(f"v{b}")
+        for b, v in enumerate(simhash_sql_votes(n_bits, spark_shift))
+    ]
+    voted = toks.groupBy("doc").agg(*votes)
+    fp = F.concat(
+        *[
+            F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(n_bits)
+        ]
+    )
+    return voted.select("doc", fp.alias("simhash"))
 
 
 def tfidf(

@@ -1,0 +1,97 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: the payload is an opaque
+``binary`` column (never parsed by Catalyst), metadata travels in typed
+columns for pruning/partitioning, and decode / feature-extraction runs in
+Arrow-batched ``mapInPandas`` so bytes cross the JVM->Python boundary once
+per batch, not per row.
+
+This container has no image/audio codecs (no PIL/cv2/torchaudio), so the
+decode step is STUBBED: ``extract_features`` computes real byte-level
+features (size, md5, first-byte) that a DuckDB oracle can verify, and
+``decode_image`` raises ``NotImplementedError`` unless a decoder is
+importable — the Spark-side plumbing (schema, batching, partitioning) is
+real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAYLOAD_SCHEMA = (
+    "doc_id long, modality string, n_bytes long, payload binary"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, modality string, n_bytes long, payload_md5 string, first_byte int"
+)
+
+
+def with_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque binary payload column + typed metadata.
+
+    The fixture has no real media, so the payload is the UTF-8 encoding of
+    the text column — deterministic stand-in bytes with the same schema a
+    real ingest (image/audio blobs + modality/codec metadata) would carry.
+    """
+    payload = F.col(text_col).cast("binary")
+    return df.select(
+        "doc_id",
+        F.lit("text").alias("modality"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        payload.alias("payload"),
+    )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column.
+
+    Real mapInPandas plumbing: binary cells arrive as Python ``bytes``
+    inside pandas batches; features are computed per batch and returned
+    under an explicit schema.  Swap the body for a real decoder (resize,
+    frame-sample, mel-spectrogram, ...) at deployment.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "payload_md5": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    # nullable Int32: empty payloads yield NULL first_byte
+                    "first_byte": payloads.map(
+                        lambda b: b[0] if len(b) else None
+                    ).astype("Int32"),
+                }
+            )
+
+    return df.mapInPandas(feats, FEATURE_SCHEMA)
+
+
+def decode_image(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Decode + resize image payloads (STUB — no codec in this container).
+
+    At deployment: PIL/libvips decode inside mapInPandas, emitting
+    ``array<float>`` pixel tensors.  Raises until a decoder is available so
+    callers fail loudly instead of silently skipping the modality.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires a codec library (PIL/cv2) that is not "
+            "installed in this environment; extract_features covers the "
+            "byte-level path"
+        ) from exc
+    raise NotImplementedError("real decoder wiring is deployment-specific")

@@ -16,14 +16,20 @@ from pyspark.sql import functions as F
 
 from ..operators.llmops import (
     cosine_topk,
+    duckdb_shift,
     exact_dedup,
     jaccard_pairs,
     knn_join,
     knn_join_lsh,
     minhash_lsh_pairs,
+    shingles_col,
+    simhash_fingerprints,
+    simhash_hex_digits,
+    simhash_sql_votes,
     tfidf,
     tokens_col,
 )
+from ..operators.multimodal import extract_features, with_payload
 from ..sources.tables import load_table
 
 # DuckDB twin of operators/llmops.py::tokens_col
@@ -161,16 +167,8 @@ LIMIT 30
 # --- q95: bigram extraction + counts (top 30) -------------------------------
 def q95_ngrams(spark, sf):
     d = _t(spark, sf, "documents")
-    toks = tokens_col("text")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.array_join(F.slice(toks, i, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select(F.explode(shingles_col("text", 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram").asc())
@@ -288,10 +286,68 @@ GROUP BY lang
 """
 
 
+# --- q91c: SimHash document fingerprints ------------------------------------
+# md5-derived bits (not xxhash) so the DuckDB twin computes the identical
+# fingerprint; formulas for every bit come from one shared generator
+# (operators/llmops.py::simhash_sql_votes) so the two engines cannot drift.
+def q91c_simhash(spark, sf):
+    return simhash_fingerprints(_t(spark, sf, "documents"), n_bits=32)
+
+
+def _q91c_sql() -> str:
+    hex_cols = ",\n         ".join(simhash_hex_digits(32))
+    votes = simhash_sql_votes(32, duckdb_shift)
+    vote_cols = ",\n         ".join(f"{v} AS v{b}" for b, v in enumerate(votes))
+    fp = " || ".join(
+        f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(32)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc, unnest({_DUCK_TOKS}) AS tok FROM documents
+), hexed AS (
+  SELECT doc,
+         {hex_cols}
+  FROM toks
+), voted AS (
+  SELECT doc,
+         {vote_cols}
+  FROM hexed GROUP BY doc
+)
+SELECT doc, {fp} AS simhash
+FROM voted
+"""
+
+
+Q91C_SQL = _q91c_sql()
+
+
+# --- q100: multimodal binary payload + mapInPandas feature extraction -------
+# Opaque binary column + typed metadata; byte-level features computed in
+# Arrow-batched Python (operators/multimodal.py — the decode step for real
+# media is stubbed, the Spark plumbing is real).  DuckDB verifies the
+# features byte-for-byte (md5 of the same UTF-8 payload).
+def q100_multimodal_features(spark, sf):
+    d = _t(spark, sf, "documents")
+    return extract_features(with_payload(d))
+
+
+Q100_SQL = """
+SELECT doc_id,
+       'text' AS modality,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       CASE WHEN strlen(text) > 0
+            THEN unicode(substring(text, 1, 1)) END AS first_byte
+FROM documents
+"""
+
+
 QUERIES = {
     "q90_exact_dedup": q90_exact_dedup,
     "q91_near_dedup_jaccard": q91_near_dedup_jaccard,
     "q91b_near_dedup_minhash_lsh": q91b_near_dedup_minhash_lsh,
+    "q91c_simhash": q91c_simhash,
+    "q100_multimodal_features": q100_multimodal_features,
     "q92_cosine_topk": q92_cosine_topk,
     "q93_knn_join": q93_knn_join,
     "q93b_knn_lsh": q93b_knn_lsh,
@@ -307,6 +363,8 @@ ORACLE = {
     "q90_exact_dedup": Q90_SQL,
     "q91_near_dedup_jaccard": Q91_SQL,
     "q91b_near_dedup_minhash_lsh": None,  # LSH estimates vary with hashing
+    "q91c_simhash": Q91C_SQL,
+    "q100_multimodal_features": Q100_SQL,
     "q92_cosine_topk": Q92_SQL,
     "q93_knn_join": Q93_SQL,
     "q93b_knn_lsh": None,  # approximate bucketing
