@@ -160,6 +160,32 @@ def test_streaming_candles_match_batch(spark):
     assert b_closed <= s_rows
 
 
+def test_rocksdb_state_store_provider(spark):
+    """The 100 TB state posture (RocksDB provider) must actually run."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        rows = [(1, _ts(0)), (2, _ts(1)), (3, _ts(30))]
+        sdf = _stream_rows(spark, rows, "id long, ts timestamp")
+        agg = (
+            sdf.withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+        )
+        out = run_to_memory(agg, "t_rocksdb").collect()
+        assert {r["n"] for r in out} == {2}  # first window closed, n=2
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def test_exactly_once_sink_across_restart(spark):
     """Checkpoint + _spark_metadata give exactly-once parquet output even
     when the query is restarted and old source files are still present."""
