@@ -1,0 +1,63 @@
+"""Bucketed co-located join: the fact-fact join must plan WITHOUT a
+shuffle (no Exchange on either join input)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import tempfile
+
+import pytest
+
+from live_market_data_orderflow_analysis_big_data_project__spark.sources.bucketed import (
+    read_bucketed,
+    write_bucketed,
+)
+from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (
+    load_table,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    orders = load_table(spark, SF0001, "orders")
+    lineitem = load_table(spark, SF0001, "lineitem")
+    write_bucketed(
+        orders, "orders_b", ("o_orderkey",), 8,
+        path=os.path.join(base, "orders"), sort_cols=("o_orderkey",),
+    )
+    write_bucketed(
+        lineitem, "lineitem_b", ("l_orderkey",), 8,
+        path=os.path.join(base, "lineitem"), sort_cols=("l_orderkey",),
+    )
+    yield "orders_b", "lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    ot, lt = bucketed_tables
+    o, li = read_bucketed(spark, ot), read_bucketed(spark, lt)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and it is actually correct
+        li0 = load_table(spark, SF0001, "lineitem")
+        o0 = load_table(spark, SF0001, "orders")
+        expected = li0.join(o0, li0.l_orderkey == o0.o_orderkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
