@@ -334,6 +334,90 @@ def simhash_fingerprints(
     return voted.select("doc", fp.alias("simhash"))
 
 
+# Tiny per-language marker vocabularies for the n-gram/stopword language-ID
+# heuristic.  At deployment these are the top-k stopwords per language (or
+# char-trigram profiles); the operator shape is identical.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "value"),
+    "de": ("der", "die", "das", "und", "wert"),
+    "es": ("el", "la", "de", "y", "valor"),
+    "fr": ("le", "la", "de", "et", "valeur"),
+    "zh": ("de5", "he2", "zhi1", "shi4", "zhi2"),
+}
+
+
+def lang_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic language ID: distinct-token overlap with per-language
+    marker vocabularies; argmax with a lexicographic tie-break.
+
+    A narrow per-row expression (array_intersect against literal arrays)
+    — no shuffle, no UDF; linear scan at any scale.  Output:
+    (doc, predicted_lang, {lang}_hits per language).
+    """
+    toks = F.array_distinct(tokens_col(text_col))
+    hit_cols = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    }
+    out = df.select(
+        F.col(id_col).alias("doc"),
+        *[c.alias(f"{lang}_hits") for lang, c in hit_cols.items()],
+    )
+    # argmax over hit counts; ties resolve to the alphabetically first lang
+    best = None
+    for lang in sorted(LANG_MARKERS):
+        cond = F.lit(True)
+        for other in sorted(LANG_MARKERS):
+            if other < lang:
+                cond = cond & (F.col(f"{lang}_hits") > F.col(f"{other}_hits"))
+            elif other > lang:
+                cond = cond & (F.col(f"{lang}_hits") >= F.col(f"{other}_hits"))
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return out.withColumn("predicted_lang", best)
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Document quality signals for corpus filtering: length, token stats,
+    stopword ratio, punctuation ratio, BPE-ish token count, and a
+    composite score.
+
+    All ratios are single IEEE divisions of exact integers (bit-identical
+    across engines); the composite is ROUND(...,4).  Narrow per-row
+    expressions — linear at any scale.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text_col)
+    n_chars = F.length(text)
+    n_toks = F.size(toks)
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop))
+    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    # BPE-ish pre-tokenization: letter runs, digit runs, single symbols
+    n_bpe = F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    score = F.round(
+        F.least(n_chars / F.lit(500.0), F.lit(1.0)) * 0.5
+        + (n_stop.cast("double") / F.greatest(n_toks, F.lit(1))) * 0.3
+        + (F.lit(1.0) - n_punct.cast("double") / F.greatest(n_chars, F.lit(1)))
+        * 0.2,
+        4,
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n_chars.cast("long").alias("n_chars_text"),
+        n_toks.cast("long").alias("n_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        n_stop.cast("long").alias("n_stopword_types"),
+        n_punct.cast("long").alias("n_punct"),
+        score.alias("quality"),
+    )
+
+
 def tfidf(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

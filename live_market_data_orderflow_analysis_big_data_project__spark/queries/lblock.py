@@ -15,9 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.llmops import (
+    LANG_MARKERS,
     cosine_topk,
     duckdb_shift,
     exact_dedup,
+    lang_id,
+    quality_score,
     jaccard_pairs,
     knn_join,
     knn_join_lsh,
@@ -342,12 +345,81 @@ FROM documents
 """
 
 
+# --- q101: heuristic language ID --------------------------------------------
+def q101_lang_id(spark, sf):
+    return lang_id(_t(spark, sf, "documents"))
+
+
+def _q101_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    hits = ",\n       ".join(
+        "len(list_intersect(t, ["
+        + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        + f"])) AS {lang}_hits"
+        for lang in langs
+    )
+    whens = []
+    for lang in langs:
+        conds = []
+        for other in langs:
+            if other < lang:
+                conds.append(f"{lang}_hits > {other}_hits")
+            elif other > lang:
+                conds.append(f"{lang}_hits >= {other}_hits")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, list_distinct({_DUCK_TOKS}) AS t FROM documents
+), hits AS (
+  SELECT doc,
+       {hits}
+  FROM toks
+)
+SELECT doc, de_hits, en_hits, es_hits, fr_hits, zh_hits,
+       {case} AS predicted_lang
+FROM hits
+"""
+
+
+Q101_SQL = _q101_sql()
+
+
+# --- q102: document quality scoring -----------------------------------------
+Q102_SQL = rf"""
+WITH x AS (
+  SELECT doc_id AS doc, text,
+         length(text) AS n_chars_text,
+         len({_DUCK_TOKS}) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS n_bpe_tokens,
+         len(list_intersect(list_distinct({_DUCK_TOKS}),
+                            ['the', 'a', 'of', 'and', 'value']))
+           AS n_stopword_types,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc, n_chars_text, n_tokens, n_bpe_tokens, n_stopword_types, n_punct,
+       ROUND(least(n_chars_text / 500.0, 1.0) * 0.5
+             + (CAST(n_stopword_types AS DOUBLE) / greatest(n_tokens, 1)) * 0.3
+             + (1.0 - CAST(n_punct AS DOUBLE) / greatest(n_chars_text, 1)) * 0.2,
+             4) AS quality
+FROM x
+"""
+
+
+def q102_quality_score(spark, sf):
+    return quality_score(_t(spark, sf, "documents"))
+
+
 QUERIES = {
     "q90_exact_dedup": q90_exact_dedup,
     "q91_near_dedup_jaccard": q91_near_dedup_jaccard,
     "q91b_near_dedup_minhash_lsh": q91b_near_dedup_minhash_lsh,
     "q91c_simhash": q91c_simhash,
     "q100_multimodal_features": q100_multimodal_features,
+    "q101_lang_id": q101_lang_id,
+    "q102_quality_score": q102_quality_score,
     "q92_cosine_topk": q92_cosine_topk,
     "q93_knn_join": q93_knn_join,
     "q93b_knn_lsh": q93b_knn_lsh,
@@ -365,6 +437,8 @@ ORACLE = {
     "q91b_near_dedup_minhash_lsh": None,  # LSH estimates vary with hashing
     "q91c_simhash": Q91C_SQL,
     "q100_multimodal_features": Q100_SQL,
+    "q101_lang_id": Q101_SQL,
+    "q102_quality_score": Q102_SQL,
     "q92_cosine_topk": Q92_SQL,
     "q93_knn_join": Q93_SQL,
     "q93b_knn_lsh": None,  # approximate bucketing
