@@ -1,0 +1,94 @@
+"""Physical-plan audit: would this plan survive a 100x scale-up?
+
+Dumps the executed plan of every BATCH query at a given sf dir and flags
+scale red-flags:
+
+- CartesianProduct / BroadcastNestedLoopJoin without an intended
+  non-equi condition (whitelisted queries excepted)
+- global Sort not under a TakeOrderedAndProject (unbounded sort)
+- row-Python UDF (BatchEvalPython) outside the declared UDF-surface
+  queries
+- Exchange (shuffle) counts per query, to spot accidental double shuffles
+
+Writes a markdown report to PLAN_AUDIT.md and exits non-zero on
+unexpected flags.  Streaming (s*) queries are skipped: their plans are
+per-micro-batch and audited via their progress metrics instead.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DEFAULT = "/root/testdata/sf0.01"
+
+# queries where a nested-loop/cross join IS the intended physical plan
+NON_EQUI_OK = {
+    "q24_join_range_theta",  # band dim broadcast non-equi join
+    "q92_cosine_topk",       # 1-row probe crossJoin
+    "q93_knn_join",          # bounded-sample all-pairs baseline
+    "q96_tfidf",             # 1-row doc-count crossJoin
+}
+# queries whose purpose is the row-Python UDF surface
+PY_UDF_OK = {"q80_python_udf"}
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else SF_DEFAULT
+
+    import __spark_entry__ as ent
+    from live_market_data_orderflow_analysis_big_data_project__spark import get_spark
+
+    spark = get_spark("plan-audit", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows, problems = [], []
+    for key, fn in ent.queries().items():
+        if key.startswith("s"):
+            continue
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_exchange = len(re.findall(r"\bExchange\b", plan))
+        flags = []
+        if "CartesianProduct" in plan and key not in NON_EQUI_OK:
+            flags.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and key not in NON_EQUI_OK:
+            flags.append("BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan and key not in PY_UDF_OK:
+            flags.append("row-Python UDF")
+        # A global (non-partition-local) sort prints as 'Sort [...], true, 0'.
+        # Top-k queries compile to TakeOrderedAndProject (no Sort node), and
+        # window/merge-join sorts are partition-local ('false'), so any
+        # global Sort here is an unbounded whole-dataset sort — a red flag.
+        for m in re.finditer(r"Sort \[(.*?)\], true, 0", plan):
+            if "TakeOrderedAndProject" not in plan:
+                flags.append(f"global sort on [{m.group(1)[:60]}]")
+        rows.append((key, n_exchange, flags))
+        if flags:
+            problems.append((key, flags))
+
+    with open("PLAN_AUDIT.md", "w") as fh:
+        fh.write(
+            "# Plan audit (batch queries, sf="
+            + sf.rsplit("sf", 1)[-1]
+            + ")\n\nFlags: CartesianProduct / BNLJ outside the non-equi "
+            "whitelist, row-Python\nUDFs outside the UDF surface, global "
+            "sorts outside top-k.\n\n| query | exchanges | flags |\n|---|---|---|\n"
+        )
+        for key, n_ex, flags in rows:
+            fh.write(f"| {key} | {n_ex} | {', '.join(flags) or 'ok'} |\n")
+    print(f"audited {len(rows)} batch plans -> PLAN_AUDIT.md")
+    if problems:
+        for key, flags in problems:
+            print(f"FLAG {key}: {flags}")
+        sys.exit(1)
+    print("no unexpected scale red-flags")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
