@@ -418,6 +418,65 @@ def quality_score(
     )
 
 
+def ann_ivf(
+    df: DataFrame,
+    probe_id: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors: a KMeans coarse
+    quantizer partitions vectors into cells; a probe searches only the
+    ``n_probe`` cells whose centroids are nearest.
+
+    The classic FAISS-style scale path: candidate set shrinks by
+    ~n_probe/n_clusters vs brute force, and the cell assignment column
+    doubles as a physical partition key at rest.  The probe row and the
+    centroid table are the ONLY driver-side data (one vector + n_clusters
+    centroids); the scan stays distributed.  Approximate by construction
+    (cells can hide true neighbors) -> rows-only in the correctness gate.
+    ``n_probe=n_clusters`` degenerates to exact brute force.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feats)
+    assigned = model.transform(feats)  # adds 'prediction' = cell id
+
+    probe_vec = np.array(
+        df.filter(F.col(id_col) == probe_id).select(vec_col).first()[0],
+        dtype="float64",
+    )
+    centers = model.clusterCenters()
+    cells = sorted(
+        range(len(centers)),
+        key=lambda c: float(np.linalg.norm(np.asarray(centers[c]) - probe_vec)),
+    )[:n_probe]
+
+    probe = df.filter(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("__probe")
+    )
+    sim = F.round(cosine_similarity(F.col(vec_col), F.col("__probe")), 4)
+    return (
+        assigned.filter(F.col("prediction").isin(cells))
+        .crossJoin(F.broadcast(probe))
+        .select(F.col(id_col), F.col("prediction").alias("cell"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def tfidf(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

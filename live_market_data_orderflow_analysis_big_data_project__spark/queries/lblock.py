@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators.llmops import (
     LANG_MARKERS,
+    ann_ivf,
     cosine_topk,
     duckdb_shift,
     exact_dedup,
@@ -113,6 +114,13 @@ FROM embeddings, p
 ORDER BY sim DESC, vec_id ASC
 LIMIT 10
 """
+
+
+# --- q92b: IVF approximate top-k (scale path; rows-only) --------------------
+def q92b_cosine_topk_ivf(spark, sf):
+    return ann_ivf(
+        _t(spark, sf, "embeddings"), probe_id=0, k=10, n_clusters=16, n_probe=4
+    )
 
 
 # --- q93: exact k-NN self-join on a bounded sample --------------------------
@@ -421,6 +429,7 @@ QUERIES = {
     "q101_lang_id": q101_lang_id,
     "q102_quality_score": q102_quality_score,
     "q92_cosine_topk": q92_cosine_topk,
+    "q92b_cosine_topk_ivf": q92b_cosine_topk_ivf,
     "q93_knn_join": q93_knn_join,
     "q93b_knn_lsh": q93b_knn_lsh,
     "q94_tokenize_wordcount": q94_tokenize_wordcount,
@@ -440,6 +449,7 @@ ORACLE = {
     "q101_lang_id": Q101_SQL,
     "q102_quality_score": Q102_SQL,
     "q92_cosine_topk": Q92_SQL,
+    "q92b_cosine_topk_ivf": None,  # IVF cells approximate; rows-only
     "q93_knn_join": Q93_SQL,
     "q93b_knn_lsh": None,  # approximate bucketing
     "q94_tokenize_wordcount": Q94_SQL,

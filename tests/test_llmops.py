@@ -61,6 +61,28 @@ def test_exact_dedup(spark):
     assert rows == {3: 2, 7: 1}  # min doc_id kept, copies counted
 
 
+def test_ann_ivf_exhaustive_probe_matches_brute_force(spark):
+    """With n_probe == n_clusters, IVF degenerates to exact brute force."""
+    import random
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.llmops import (
+        ann_ivf,
+        cosine_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = [(r["vec_id"], r["sim"]) for r in cosine_topk(df, 0, 5).collect()]
+    ivf = [
+        (r["vec_id"], r["sim"])
+        for r in ann_ivf(df, 0, 5, n_clusters=4, n_probe=4).collect()
+    ]
+    assert ivf == exact
+
+
 def test_jaccard_pairs_exact(spark):
     df = spark.createDataFrame(
         [
