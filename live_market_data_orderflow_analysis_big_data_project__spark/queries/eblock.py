@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import avg_exact, dsum, fmt_date, fmt_ts, round4
+from ..functions import dsum, fmt_date, round4
 from ..operators.asof import asof_join
 from ..sources.tables import load_table, register_views
 

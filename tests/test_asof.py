@@ -98,3 +98,68 @@ def test_asof_duplicate_left_rows_broadcast(frames):
         doubled, right, on="k", left_ts="ts", right_ts="rts", strategy="broadcast"
     )
     assert out.count() == 10
+
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        lefts=st.lists(
+            st.tuples(
+                st.sampled_from(["A", "B", "C"]),
+                st.integers(min_value=0, max_value=120),
+            ),
+            min_size=1,
+            max_size=12,
+        ),
+        rights=st.lists(
+            st.tuples(
+                st.sampled_from(["A", "B"]),
+                st.integers(min_value=0, max_value=120),
+            ),
+            max_size=8,
+            unique_by=lambda t: t,  # unique (key, ts) -> deterministic match
+        ),
+    )
+    def test_asof_strategies_equivalent(spark, lefts, rights):
+        """The union+window and broadcast strategies must agree on any
+        input where the right side is unique per (key, ts)."""
+        left = spark.createDataFrame(
+            [
+                (i, k, _ts(f"2024-01-01 00:{m:02d}:00"))
+                for i, (k, m) in enumerate((k, m % 60) for k, m in lefts)
+            ],
+            "event_id long, k string, ts timestamp",
+        )
+        # dedupe per (key, minute-of-hour) AFTER the modulo so the right
+        # side is genuinely unique per (k, rts) — a deterministic match
+        uniq = {(k, m % 60): float(m) for k, m in rights}
+        right = spark.createDataFrame(
+            [
+                (k, _ts(f"2024-01-01 00:{mm:02d}:30"), q)
+                for (k, mm), q in sorted(uniq.items())
+            ],
+            "k string, rts timestamp, quote double",
+        ) if uniq else spark.createDataFrame(
+            [], "k string, rts timestamp, quote double"
+        )
+        a = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                      strategy="union")
+        b = asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                      strategy="broadcast")
+        ra = sorted(map(tuple, a.collect()))
+        rb = sorted(map(tuple, b.collect()))
+        assert ra == rb
