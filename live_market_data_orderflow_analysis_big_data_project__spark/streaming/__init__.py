@@ -3,6 +3,7 @@ from .core import (
     parquet_sink,
     run_to_memory,
     running_vwap,
+    serialize_json,
     session_counts,
     sliding_counts,
     stream_events,
@@ -14,6 +15,7 @@ __all__ = [
     "stream_events_dir",
     "run_to_memory",
     "parquet_sink",
+    "serialize_json",
     "sliding_counts",
     "session_counts",
     "dedup_within_watermark",

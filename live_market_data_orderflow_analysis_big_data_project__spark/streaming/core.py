@@ -163,6 +163,22 @@ def parquet_sink(
     return w.start()
 
 
+def serialize_json(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Pack every column into a JSON ``value`` (+ optional ``key``) —
+    the Kafka wire shape (reference data_processor.py:175:
+    ``to_json(struct("*"))`` feeding the candle topic).
+
+    The output frame plugs straight into ``writeStream.format("kafka")``;
+    ``from_json`` with the matching schema inverts it downstream
+    (candle_to_hdfs.py:46, data_plotter.py:61-78).
+    """
+    out = df.select(
+        *([F.col(key_col).cast("string").alias("key")] if key_col else []),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Stateful operators
 # ---------------------------------------------------------------------------

@@ -83,6 +83,49 @@ def test_asof_tolerance(frames, strategy):
     assert got[4] is None
 
 
+FORWARD_EXPECTED = {
+    1: 200.0,  # earliest right at/after 00:05 is 00:10
+    2: 200.0,  # right row AT the left timestamp matches (>= semantics)
+    3: 200.0,
+    4: 300.0,  # 00:01 -> next right at 00:02
+    5: None,   # key C never seen on the right
+}
+
+
+@pytest.mark.parametrize("strategy", ["union", "broadcast"])
+def test_asof_forward_direction(frames, strategy):
+    left, right = frames
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        strategy=strategy, direction="forward",
+    )
+    assert {r["event_id"]: r["quote"] for r in out.collect()} == FORWARD_EXPECTED
+
+
+@pytest.mark.parametrize("strategy", ["union", "broadcast"])
+def test_asof_forward_tolerance(frames, strategy):
+    left, right = frames
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        strategy=strategy, direction="forward", tolerance="2 minutes",
+    )
+    got = {r["event_id"]: r["quote"] for r in out.collect()}
+    # event 1 at 00:05: next right is 00:10, farther than 2 min -> null
+    assert got[1] is None
+    assert got[2] == 200.0  # exact-timestamp match always inside tolerance
+    assert got[4] == 300.0  # 00:01 -> 00:02 is 1 min away
+
+
+def test_asof_rejects_bad_args(frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="strategy"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                  strategy="broadcst")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                  direction="nearest")
+
+
 def test_asof_rejects_column_collision(frames):
     left, right = frames
     clashing = right.withColumnRenamed("quote", "v")  # collides with left.v

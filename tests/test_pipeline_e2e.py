@@ -69,3 +69,37 @@ def test_full_pipeline_streaming(spark):
     # the sentinel's own window (minute 10) is inside the watermark delay
     # and correctly withheld in append mode
     assert 24 not in out and len(out) == 2
+
+
+def test_candle_json_serialization_roundtrip(spark):
+    """O22/O23 parity: candles pack into the Kafka wire shape
+    (key + to_json(struct(*))) and from_json inverts it losslessly —
+    the exact producer/consumer pair the reference runs between
+    data_processor.py:175 and candle_to_hdfs.py:46."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.schemas import (
+        CANDLE_SCHEMA,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
+        serialize_json,
+    )
+
+    candle = (
+        dt.datetime(2024, 1, 1, 9, 15), dt.datetime(2024, 1, 1, 9, 16),
+        "NSE_EQ|TEST", 100.0, 102.0, 99.2, 101.5, 7, 4, 11, 3, 10.0, 20.0,
+    )
+    df = spark.createDataFrame([candle], CANDLE_SCHEMA)
+    wire = serialize_json(df, key_col="instrument")
+    assert wire.columns == ["key", "value"]
+    row = wire.first()
+    assert row["key"] == "NSE_EQ|TEST"
+    back = (
+        spark.createDataFrame([(row["value"],)], "value string")
+        .select(F.from_json("value", CANDLE_SCHEMA).alias("c"))
+        .select("c.*")
+        .first()
+    )
+    assert tuple(back) == candle
