@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..operators.llmops import (
     LANG_MARKERS,
     ann_ivf,
+    cosine_near_dup_pairs,
     cosine_topk,
     duckdb_shift,
     exact_dedup,
@@ -151,6 +152,26 @@ SELECT left_id, right_id, rn, sim FROM (
 def q93b_knn_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 50)
     return knn_join_lsh(emb, k=3)
+
+
+# --- q103: embedding-cosine near-duplicate pairs ----------------------------
+# All-pairs baseline on a bounded slice (the scale path is q93b's LSH /
+# q92b's IVF); sim rounded identically on both sides before the filter.
+def q103_embedding_near_dup(spark, sf):
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    return cosine_near_dup_pairs(emb, threshold=0.4)
+
+
+Q103_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 500
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+"""
 
 
 # --- q94: tokenize + word count (top 30) ------------------------------------
@@ -432,6 +453,7 @@ QUERIES = {
     "q92b_cosine_topk_ivf": q92b_cosine_topk_ivf,
     "q93_knn_join": q93_knn_join,
     "q93b_knn_lsh": q93b_knn_lsh,
+    "q103_embedding_near_dup": q103_embedding_near_dup,
     "q94_tokenize_wordcount": q94_tokenize_wordcount,
     "q95_ngrams": q95_ngrams,
     "q96_tfidf": q96_tfidf,
@@ -452,6 +474,7 @@ ORACLE = {
     "q92b_cosine_topk_ivf": None,  # IVF cells approximate; rows-only
     "q93_knn_join": Q93_SQL,
     "q93b_knn_lsh": None,  # approximate bucketing
+    "q103_embedding_near_dup": Q103_SQL,
     "q94_tokenize_wordcount": Q94_SQL,
     "q95_ngrams": Q95_SQL,
     "q96_tfidf": Q96_SQL,
