@@ -160,7 +160,32 @@ def test_streaming_candles_match_batch(spark):
     assert b_closed <= s_rows
 
 
-def test_rocksdb_state_store_provider(spark):
+def test_stream_stream_left_outer_interval_join(spark):
+    """Left-outer stream-stream join: unmatched left rows are emitted
+    null-padded once the watermark proves no match can still arrive."""
+    lrows = [(1, "A", _ts(10)), (2, "B", _ts(11)), (3, "A", _ts(50))]
+    # right: one match for left 1, plus a sentinel that advances the RIGHT
+    # watermark (the global watermark is the min across streams — without
+    # it, right's lagging watermark blocks all null-padding).
+    rrows = [(101, "A", _ts(12)), (999, "Z", _ts(55))]
+    left = _stream_rows(spark, lrows, "lid long, k string, lts timestamp")
+    right = _stream_rows(spark, rrows, "rid long, rk string, rts timestamp")
+    joined = (
+        left.withWatermark("lts", "1 minute")
+        .join(
+            right.withWatermark("rts", "1 minute"),
+            (F.col("k") == F.col("rk"))
+            & (F.col("rts") >= F.col("lts"))
+            & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 5 MINUTES")),
+            "leftOuter",
+        )
+        .select("lid", "rid")
+    )
+    got = {r["lid"]: r["rid"] for r in run_to_memory(joined, "t_ssoj").collect()}
+    # left 1 matched; left 2 unmatched -> null-padded after watermark;
+    # left 3 is too close to the stream end for the watermark to close it.
+    assert got[1] == 101
+    assert 2 in got and got[2] is None
     """The 100 TB state posture (RocksDB provider) must actually run."""
     provider = (
         "org.apache.spark.sql.execution.streaming.state."
