@@ -186,6 +186,9 @@ def test_stream_stream_left_outer_interval_join(spark):
     # left 3 is too close to the stream end for the watermark to close it.
     assert got[1] == 101
     assert 2 in got and got[2] is None
+
+
+def test_rocksdb_state_store_provider(spark):
     """The 100 TB state posture (RocksDB provider) must actually run."""
     provider = (
         "org.apache.spark.sql.execution.streaming.state."
