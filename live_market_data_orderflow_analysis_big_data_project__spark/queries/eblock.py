@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import dsum, fmt_date, round4
+from ..functions import dsum, fmt_date, fmt_ts, round4
 from ..operators.asof import asof_join
 from ..sources.tables import load_table, register_views
 
@@ -483,6 +483,83 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS B
 """
 
 
+# --- q46: sliding event-time windows (batch twin of s02) --------------------
+# Hash-checks Spark's window(ts, 10min, 5min) pane assignment against a
+# first-principles oracle: an event at t belongs to panes
+# p = floor(t/300) - k for k in {0,1} (window = 2 x slide), pane start
+# p*300.  Upgrades sliding-window semantics from rows-only to hash-gated.
+def q46_sliding_window_batch(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+Q46_SQL = """
+WITH panes AS (
+  SELECT event_type, value,
+         CAST(floor(epoch(ts) / 300) - k AS BIGINT) AS p
+  FROM events, unnest([0, 1]) AS t(k)
+)
+SELECT strftime(to_timestamp(p * 300), '%Y-%m-%d %H:%M') AS window_start,
+       event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM panes
+GROUP BY 1, 2
+"""
+
+
+# --- q47: session windows (batch twin of s03) -------------------------------
+# Hash-checks Spark's session_window(ts, gap) against the classic SQL
+# gaps-and-islands formulation: a new session starts when the gap since
+# the previous event exceeds 5 minutes; session end = last event + gap.
+def q47_session_window_batch(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            fmt_ts(F.col("w.start"), "session_start"),
+            fmt_ts(F.col("w.end"), "session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+Q47_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 5 MINUTES
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL 5 MINUTES,
+                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       user_id,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+
 # --- q45: top-k per group (window rank + filter) ----------------------------
 def q45_topk_per_group(spark, sf):
     e = _t(spark, sf, "events")
@@ -921,6 +998,8 @@ QUERIES = {
     "q43_ntile_dist": q43_ntile_dist,
     "q44_range_frame": q44_range_frame,
     "q45_topk_per_group": q45_topk_per_group,
+    "q46_sliding_window_batch": q46_sliding_window_batch,
+    "q47_session_window_batch": q47_session_window_batch,
     "q50_union_all": q50_union_all,
     "q51_union_distinct": q51_union_distinct,
     "q52_intersect": q52_intersect,
@@ -959,6 +1038,8 @@ ORACLE = {
     "q43_ntile_dist": Q43_SQL,
     "q44_range_frame": Q44_SQL,
     "q45_topk_per_group": Q45_SQL,
+    "q46_sliding_window_batch": Q46_SQL,
+    "q47_session_window_batch": Q47_SQL,
     "q50_union_all": Q50_SQL,
     "q51_union_distinct": Q51_SQL,
     "q52_intersect": Q52_SQL,
