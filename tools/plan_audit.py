@@ -28,10 +28,12 @@ SF_DEFAULT = "/root/testdata/sf0.01"
 
 # queries where a nested-loop/cross join IS the intended physical plan
 NON_EQUI_OK = {
-    "q24_join_range_theta",  # band dim broadcast non-equi join
-    "q92_cosine_topk",       # 1-row probe crossJoin
-    "q93_knn_join",          # bounded-sample all-pairs baseline
-    "q96_tfidf",             # 1-row doc-count crossJoin
+    "q24_join_range_theta",     # band dim broadcast non-equi join
+    "q92_cosine_topk",          # 1-row probe crossJoin
+    "q92b_cosine_topk_ivf",     # 1-row probe crossJoin after cell pruning
+    "q93_knn_join",             # bounded-sample all-pairs baseline
+    "q96_tfidf",                # 1-row doc-count crossJoin
+    "q103_embedding_near_dup",  # bounded all-pairs baseline (scale: LSH/IVF)
 }
 # queries whose purpose is the row-Python UDF surface
 PY_UDF_OK = {"q80_python_udf"}
