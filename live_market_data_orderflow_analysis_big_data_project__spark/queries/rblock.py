@@ -247,13 +247,16 @@ def q09_explode_map(spark, sf):
     return e.select("event_id", F.explode(m).alias("prop_key", "prop_val"))
 
 
+# json_transform-to-MAP rather than '$.' || key path concatenation: path
+# strings break on keys containing '.', quotes, or brackets, while the MAP
+# conversion (like Spark's from_json map<string,bigint>) is charset-proof.
 Q09_SQL = """
 WITH x AS (
-  SELECT event_id, unnest(json_keys(props)) AS prop_key, props FROM events
+  SELECT event_id,
+         unnest(map_entries(json_transform(props, '"MAP(VARCHAR, BIGINT)"'))) AS me
+  FROM events
 )
-SELECT event_id, prop_key,
-       CAST(json_extract(props, '$.' || prop_key) AS BIGINT) AS prop_val
-FROM x
+SELECT event_id, me.key AS prop_key, me.value AS prop_val FROM x
 """
 
 
