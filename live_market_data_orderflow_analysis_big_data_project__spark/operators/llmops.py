@@ -451,7 +451,11 @@ def ann_ivf(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("features"),
     )
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feats)
+    # A coarse quantizer doesn't need tight convergence: 8 iterations is
+    # plenty for cell assignment (seeded, so still deterministic).
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=8, featuresCol="features"
+    ).fit(feats)
     assigned = model.transform(feats)  # adds 'prediction' = cell id
 
     probe_vec = np.array(
@@ -550,3 +554,85 @@ def tfidf(
             ).alias("tfidf"),
         )
     )
+
+
+def rolling_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    base: int = 31,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Rabin-Karp-style document fingerprint: polynomial hashes of every
+    character ``k``-gram, summarized per doc as (min, max, distinct-count).
+
+    The min k-gram hash is the classic winnowing/MOSS-family fingerprint
+    (Schleimer et al., SIGMOD'03): equal fingerprints => shared substrings,
+    so the ``fp_min`` column is a cheap near-dup blocking key that
+    complements token-level MinHash (``minhash_lsh_pairs``) and bit-level
+    SimHash (``simhash_fingerprints``).
+
+    Scale posture: one narrow per-row projection, zero shuffles, whole-stage
+    codegen (nested higher-order functions, no Python).  Per-gram cost is
+    O(k) with k constant, i.e. O(n_chars) per document overall — the same
+    asymptotics as a true rolling update, vectorized JVM-side.
+
+    Integer-exactness contract (what makes this hash-checkable against
+    DuckDB): coefficients base^(k-1-j) and the k-term dot product stay under
+    2^63 for base=31, k=8, codes <= 0x10FFFF, so both engines compute the
+    identical BIGINT before the single ``% mod``.
+    """
+    if base ** (k - 1) * 0x10FFFF * k >= 2**63:
+        raise ValueError(f"k={k}/base={base} risks BIGINT overflow pre-mod")
+    pows = ",".join(str(base ** (k - 1 - j)) for j in range(k))
+    lower = f"lower({text_col})"
+    # Docs shorter than k need an explicit empty-array branch: Spark's
+    # sequence(1, 0) is a DESCENDING [1, 0], not [] (DuckDB's half-open
+    # range(1, 1) is genuinely empty, so the twin needs no guard).
+    hashes = (
+        f"CASE WHEN char_length({lower}) >= {k} THEN transform("
+        f"  transform(sequence(1, char_length({lower}) - {k - 1}),"
+        f"            i -> substring({lower}, i, {k})),"
+        f"  g -> aggregate(sequence(1, {k}), cast(0 as bigint),"
+        f"       (acc, j) -> acc + ascii(substring(g, j, 1))"
+        f"                   * element_at(array({pows}), j)) % {mod})"
+        f" ELSE CAST(array() AS array<bigint>) END"
+    )
+    hs = F.expr(hashes)
+    return df.select(
+        F.col(id_col),
+        F.size(hs).alias("n_grams"),
+        F.array_min(hs).alias("fp_min"),
+        F.array_max(hs).alias("fp_max"),
+        F.size(F.array_distinct(hs)).alias("n_distinct"),
+    )
+
+
+def rolling_fingerprint_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    base: int = 31,
+    mod: int = 1_000_000_007,
+) -> str:
+    """DuckDB twin of :func:`rolling_fingerprint` (same BIGINT math)."""
+    pows = "[" + ",".join(str(base ** (k - 1 - j)) for j in range(k)) + "]"
+    lower = f"lower({text_col})"
+    return f"""
+WITH g AS (
+  SELECT {id_col},
+    list_transform(
+      list_transform(range(1, greatest(len({lower}) - {k - 1}, 0) + 1),
+                     i -> substring({lower}, i, {k})),
+      g -> list_sum(list_transform(range(1, {k + 1}),
+           j -> ascii(substring(g, j, 1)) * ({pows})[j])) % {mod}
+    ) AS hs
+  FROM {table}
+)
+SELECT {id_col}, len(hs) AS n_grams,
+       list_min(hs) AS fp_min, list_max(hs) AS fp_max,
+       len(list_distinct(hs)) AS n_distinct
+FROM g
+"""

@@ -24,6 +24,8 @@ from ..operators.llmops import (
     lang_id,
     quality_score,
     jaccard_pairs,
+    rolling_fingerprint,
+    rolling_fingerprint_sql,
     knn_join,
     knn_join_lsh,
     minhash_lsh_pairs,
@@ -441,6 +443,16 @@ def q102_quality_score(spark, sf):
     return quality_score(_t(spark, sf, "documents"))
 
 
+# --- q104: rolling-hash document fingerprints -------------------------------
+# Rabin-Karp char-8-gram polynomial hashes (winnowing/MOSS family): per-doc
+# min/max/distinct fingerprint summary, exact BIGINT parity with the oracle.
+def q104_rolling_fingerprint(spark, sf):
+    return rolling_fingerprint(_t(spark, sf, "documents"))
+
+
+Q104_SQL = rolling_fingerprint_sql()
+
+
 QUERIES = {
     "q90_exact_dedup": q90_exact_dedup,
     "q91_near_dedup_jaccard": q91_near_dedup_jaccard,
@@ -449,6 +461,7 @@ QUERIES = {
     "q100_multimodal_features": q100_multimodal_features,
     "q101_lang_id": q101_lang_id,
     "q102_quality_score": q102_quality_score,
+    "q104_rolling_fingerprint": q104_rolling_fingerprint,
     "q92_cosine_topk": q92_cosine_topk,
     "q92b_cosine_topk_ivf": q92b_cosine_topk_ivf,
     "q93_knn_join": q93_knn_join,
@@ -470,6 +483,7 @@ ORACLE = {
     "q100_multimodal_features": Q100_SQL,
     "q101_lang_id": Q101_SQL,
     "q102_quality_score": Q102_SQL,
+    "q104_rolling_fingerprint": Q104_SQL,
     "q92_cosine_topk": Q92_SQL,
     "q92b_cosine_topk_ivf": None,  # IVF cells approximate; rows-only
     "q93_knn_join": Q93_SQL,

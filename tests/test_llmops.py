@@ -97,3 +97,42 @@ def test_jaccard_pairs_exact(spark):
         for r in jaccard_pairs(df, threshold=0.5).collect()
     }
     assert got == {(1, 2): pytest.approx(4 / 6)}
+
+
+def test_rolling_fingerprint_exact(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.llmops import (
+        rolling_fingerprint,
+    )
+
+    k, base, mod = 8, 31, 1_000_000_007
+
+    def ref_hashes(text: str) -> list[int]:
+        t = text.lower()
+        return [
+            sum(
+                ord(t[i + j]) * base ** (k - 1 - j) for j in range(k)
+            ) % mod
+            for i in range(len(t) - k + 1)
+        ]
+
+    df = spark.createDataFrame(
+        [(1, "AbCdEfGhIj"), (2, "short"), (3, "aaaaaaaaaa")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in rolling_fingerprint(df).collect()}
+
+    h1 = ref_hashes("abcdefghij")
+    assert got[1]["n_grams"] == 3
+    assert got[1]["fp_min"] == min(h1)
+    assert got[1]["fp_max"] == max(h1)
+    assert got[1]["n_distinct"] == 3
+    # doc shorter than k: no grams, null min/max
+    assert got[2] == {
+        "doc_id": 2, "n_grams": 0, "fp_min": None, "fp_max": None,
+        "n_distinct": 0,
+    }
+    # identical grams collapse to one distinct fingerprint
+    h3 = ref_hashes("aaaaaaaaaa")
+    assert got[3]["n_grams"] == 3
+    assert got[3]["n_distinct"] == 1
+    assert got[3]["fp_min"] == got[3]["fp_max"] == h3[0]
