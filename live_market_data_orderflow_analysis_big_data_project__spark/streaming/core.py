@@ -303,3 +303,92 @@ def write_replay_files(
             for fname in files:
                 os.utime(os.path.join(root, fname), (t0 + i, t0 + i))
     return os.path.join(base_dir, "b*", "part-*.parquet")
+
+
+def kafka_sink(
+    sdf: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str | None = None,
+    processing_time: str | None = None,
+):
+    """Kafka sink (reference data_processor.py:177-183: append-mode
+    streaming write of ``to_json(struct(*))`` rows, checkpointed).
+
+    Columns are packed to the Kafka wire shape by :func:`serialize_json`.
+    Not runnable in this container (no broker) — the started query would
+    fail to connect; everything upstream is sink-agnostic, so tests cover
+    the payload shape and the runnable sinks cover the trigger/checkpoint
+    mechanics.
+    """
+    wire = serialize_json(sdf, key_col=key_col)
+    w = (
+        wire.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if processing_time is not None:
+        w = w.trigger(processingTime=processing_time)
+    return w
+
+
+def console_sink(
+    sdf: DataFrame,
+    num_rows: int = 20,
+    truncate: bool = True,
+    available_now: bool = True,
+):
+    """Console sink (reference O25, data_processor.py:74-79 and 4 more):
+    the debug tap.  The reference runs FIVE of these concurrently against
+    one topic, re-reading the source per sink — here it is opt-in, one at
+    a time, for the same reason the engine doesn't replicate the six-query
+    fan-out (SURVEY.md section 3.1 step 2).
+    """
+    w = (
+        sdf.writeStream.format("console")
+        .option("numRows", num_rows)
+        .option("truncate", truncate)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def foreach_batch_sink(
+    sdf: DataFrame,
+    batch_fn,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """``foreachBatch`` sink: hand each micro-batch to ``batch_fn(df,
+    batch_id)`` as a BATCH DataFrame, where batch-only operations are legal.
+
+    This is the correct home for the reference's broken streaming sort
+    (candle_to_hdfs.py:53 orderBy on an unaggregated stream raises
+    AnalysisException at start()): sort INSIDE the batch function instead —
+    see :func:`sorted_parquet_batch_writer`.
+    """
+    w = (
+        sdf.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def sorted_parquet_batch_writer(path: str, sort_cols: tuple[str, ...]):
+    """Batch function for :func:`foreach_batch_sink`: per-batch sort +
+    parquet append — the legal replacement for the reference's streaming
+    ``orderBy``.  The sort cost is bounded by the micro-batch (not the
+    stream), which is why it's fine here and impossible on the unbounded
+    frame; readers wanting TOTAL order across batches sort at read time."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.orderBy(*sort_cols).write.mode("append").parquet(path)
+
+    return write

@@ -48,3 +48,69 @@ def test_csv_export_single_file(spark):
     with open(files[0]) as fh:
         header = fh.readline().strip()
     assert header == "event_id,event_type"
+
+
+def test_foreach_batch_sorted_sink(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
+        foreach_batch_sink,
+        sorted_parquet_batch_writer,
+        stream_events,
+    )
+
+    base = tempfile.mkdtemp(prefix="sink_fb_")
+    out = os.path.join(base, "data")
+    ckpt = os.path.join(base, "ckpt")
+    s = stream_events(spark, SF0001).select("event_id", "user_id", "ts")
+    q = foreach_batch_sink(
+        s, sorted_parquet_batch_writer(out, ("ts", "event_id")), ckpt
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == load_table(spark, SF0001, "events").count()
+    # restart from the same checkpoint: no new batches, no duplicates
+    q2 = foreach_batch_sink(
+        stream_events(spark, SF0001).select("event_id", "user_id", "ts"),
+        sorted_parquet_batch_writer(out, ("ts", "event_id")),
+        ckpt,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == back.count()
+
+
+def test_console_sink_runs(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
+        console_sink,
+        stream_events,
+    )
+
+    s = stream_events(spark, SF0001).select("event_id", "event_type")
+    q = console_sink(s, num_rows=3)
+    q.awaitTermination(120)
+    assert q.lastProgress is not None
+
+
+def test_kafka_sink_wire_shape(spark):
+    # No broker in this container: assert the writer builds and the wire
+    # payload inverts through from_json (reference candle_to_hdfs.py:46).
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
+        kafka_sink,
+        serialize_json,
+        stream_events,
+    )
+
+    s = stream_events(spark, SF0001).select("event_id", "user_id", "value")
+    w = kafka_sink(s, "broker:9092", "topic", "/tmp/ckpt_unused")
+    assert w is not None  # DataStreamWriter configured, not started
+
+    batch = load_table(spark, SF0001, "events").select(
+        "event_id", "user_id", "value"
+    )
+    wire = serialize_json(batch, key_col="event_id")
+    assert wire.columns == ["key", "value"]
+    back = wire.select(
+        F.from_json(
+            "value", "event_id long, user_id long, value double"
+        ).alias("d")
+    ).select("d.*")
+    assert back.filter(F.col("event_id").isNull()).count() == 0
+    assert back.count() == batch.count()
