@@ -95,3 +95,81 @@ def decode_image(df: DataFrame, width: int = 224, height: int = 224) -> DataFram
             "byte-level path"
         ) from exc
     raise NotImplementedError("real decoder wiring is deployment-specific")
+
+
+RESIZE_SCHEMA = "doc_id long, modality string, pixels array<int>"
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, offset long, frame_byte int"
+
+
+def fake_decode_resize(df: DataFrame, out_len: int = 16) -> DataFrame:
+    """Deterministic stand-in for decode+resize: evenly sample the payload
+    bytes down to a fixed-length ``array<int>`` "pixel" vector.
+
+    Exercises the real resize plumbing — fixed-size tensor output schema,
+    Arrow binary batches, one JVM->Python crossing per batch — with a
+    deterministic fake in place of the codec (none in this container).
+    Swap the body for PIL/libvips ``resize((w, h))`` at deployment.
+    """
+    import pandas as pd
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = []
+            for b in pdf["payload"]:
+                b = bytes(b)
+                n = len(b)
+                if n == 0:
+                    pixels.append([])
+                elif out_len == 1:
+                    pixels.append([b[0]])
+                else:
+                    pixels.append(
+                        [b[i * (n - 1) // (out_len - 1)] for i in range(out_len)]
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "pixels": pixels,
+                }
+            )
+
+    return df.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Deterministic stand-in for video frame-sampling: emit ``n_frames``
+    rows per payload at evenly spaced byte offsets (inclusive endpoints,
+    ``offset_i = i*(n-1) // (k-1)``).
+
+    The row-exploding batch shape is the real thing (one input row ->
+    k output rows inside mapInPandas); a real sampler would seek keyframes
+    with pyav/ffmpeg and emit decoded tensors instead of single bytes.
+    """
+    import pandas as pd
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, vals = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                n = len(b)
+                if n == 0:
+                    continue
+                for i in range(n_frames):
+                    off = 0 if n_frames == 1 else i * (n - 1) // (n_frames - 1)
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(off)
+                    vals.append(b[off])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "offset": pd.Series(offs, dtype="int64"),
+                    "frame_byte": pd.Series(vals, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(frames, FRAME_SCHEMA)

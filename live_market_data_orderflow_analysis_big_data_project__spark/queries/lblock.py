@@ -36,7 +36,7 @@ from ..operators.llmops import (
     tfidf,
     tokens_col,
 )
-from ..operators.multimodal import extract_features, with_payload
+from ..operators.multimodal import extract_features, sample_frames, with_payload
 from ..sources.tables import load_table
 
 # DuckDB twin of operators/llmops.py::tokens_col
@@ -376,6 +376,28 @@ FROM documents
 """
 
 
+# --- q105: frame-sampling over binary payloads ------------------------------
+# Video-style frame sampling plumbing (1 payload row -> k frame rows inside
+# mapInPandas) with a deterministic fake sampler: evenly spaced byte
+# offsets, inclusive endpoints.  The fixture payload is UTF-8 ASCII text,
+# so DuckDB recomputes the identical offsets/bytes from the text column.
+def q105_frame_sample(spark, sf):
+    d = _t(spark, sf, "documents")
+    return sample_frames(with_payload(d), n_frames=4)
+
+
+Q105_SQL = """
+WITH f AS (SELECT unnest([0, 1, 2, 3]) AS frame_idx),
+d AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n FROM documents)
+SELECT doc_id, frame_idx,
+       (frame_idx * (n - 1)) // 3 AS "offset",
+       unicode(substring(text, CAST((frame_idx * (n - 1)) // 3 AS INT) + 1, 1))
+         AS frame_byte
+FROM d, f
+WHERE n > 0
+"""
+
+
 # --- q101: heuristic language ID --------------------------------------------
 def q101_lang_id(spark, sf):
     return lang_id(_t(spark, sf, "documents"))
@@ -462,6 +484,7 @@ QUERIES = {
     "q101_lang_id": q101_lang_id,
     "q102_quality_score": q102_quality_score,
     "q104_rolling_fingerprint": q104_rolling_fingerprint,
+    "q105_frame_sample": q105_frame_sample,
     "q92_cosine_topk": q92_cosine_topk,
     "q92b_cosine_topk_ivf": q92b_cosine_topk_ivf,
     "q93_knn_join": q93_knn_join,
@@ -484,6 +507,7 @@ ORACLE = {
     "q101_lang_id": Q101_SQL,
     "q102_quality_score": Q102_SQL,
     "q104_rolling_fingerprint": Q104_SQL,
+    "q105_frame_sample": Q105_SQL,
     "q92_cosine_topk": Q92_SQL,
     "q92b_cosine_topk_ivf": None,  # IVF cells approximate; rows-only
     "q93_knn_join": Q93_SQL,
