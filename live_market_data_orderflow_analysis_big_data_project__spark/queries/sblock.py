@@ -59,7 +59,7 @@ def s01_tumbling_candles(spark, sf):
         window="1 minute",
         watermark="5 minutes",
     )
-    out = run_to_memory(candles, "s01_candles")
+    out = run_to_memory(candles, "s01_candles", n_state_partitions=8)
     return out.select(
         _fmt("window_start", "window_start"),
         "instrument",
@@ -77,13 +77,13 @@ def s01_tumbling_candles(spark, sf):
 # --- s02: sliding window aggregation ----------------------------------------
 def s02_sliding_window(spark, sf):
     s = sliding_counts(stream_events(spark, sf))
-    return run_to_memory(s, "s02_sliding")
+    return run_to_memory(s, "s02_sliding", n_state_partitions=8)
 
 
 # --- s03: session windows per user ------------------------------------------
 def s03_session_window(spark, sf):
     s = session_counts(stream_events(spark, sf), gap="5 minutes")
-    return run_to_memory(s, "s03_session")
+    return run_to_memory(s, "s03_session", n_state_partitions=8)
 
 
 # --- s04: late data beyond the watermark is dropped -------------------------
@@ -158,7 +158,7 @@ def s05_stream_static_join(spark, sf):
         .agg(F.count("*").alias("n"))
         .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "c_mktsegment", "n")
     )
-    return run_to_memory(agg, "s05_stream_static")
+    return run_to_memory(agg, "s05_stream_static", n_state_partitions=8)
 
 
 # --- s06: stream-stream join with event-time interval bounds ----------------
@@ -192,7 +192,7 @@ def s06_stream_stream_join(spark, sf):
         & (F.col("click_ts") <= F.col("buy_ts")),
         "inner",
     ).select("buy_id", "click_id", "user_id")
-    return run_to_memory(joined, "s06_ss_join")
+    return run_to_memory(joined, "s06_ss_join", n_state_partitions=8)
 
 
 # --- s07: streaming dedup within the watermark ------------------------------
@@ -201,7 +201,11 @@ def s06_stream_stream_join(spark, sf):
 def s07_stream_dedup(spark, sf):
     doubled = stream_events(spark, sf).unionByName(stream_events(spark, sf))
     deduped = dedup_within_watermark(doubled, keys=("event_id",), watermark="10 minutes")
-    out = run_to_memory(deduped.select("event_id", "user_id", "event_type"), "s07_dedup")
+    out = run_to_memory(
+        deduped.select("event_id", "user_id", "event_type"),
+        "s07_dedup",
+        n_state_partitions=8,
+    )
     return out.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.countDistinct("event_id").alias("n_distinct"),
@@ -211,7 +215,9 @@ def s07_stream_dedup(spark, sf):
 # --- s08: custom per-key state — running VWAP via applyInPandasWithState ----
 def s08_stateful_custom(spark, sf):
     vwap = running_vwap(stream_events(spark, sf))
-    out = run_to_memory(vwap, "s08_vwap", output_mode="update")
+    out = run_to_memory(
+        vwap, "s08_vwap", output_mode="update", n_state_partitions=8
+    )
     # One output row per key per micro-batch: keep each user's final state.
     return (
         out.groupBy("user_id")

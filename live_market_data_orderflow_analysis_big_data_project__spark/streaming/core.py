@@ -21,6 +21,7 @@ from __future__ import annotations
 import itertools
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -104,11 +105,37 @@ def kafka_source(
 # ---------------------------------------------------------------------------
 
 
+@contextmanager
+def state_partitions(spark: SparkSession, n: int | None):
+    """Temporarily pin ``spark.sql.shuffle.partitions`` while a streaming
+    query STARTS (the stateful operators capture the count at first-batch
+    planning and keep it for the checkpoint's lifetime).
+
+    This is the state-sizing knob: one state store (plus, for Python
+    stateful ops, one worker+state-server handshake; for stream-stream
+    joins, four stores) exists PER partition PER stateful operator.  Size
+    it to key cardinality — the demo queries here carry ~1.5k keys, where
+    32 partitions are pure overhead; a 100 TB deployment with 10^8 keys
+    raises it instead (docs/TUNING.md).
+    """
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def run_to_memory(
     sdf: DataFrame,
     name: str,
     output_mode: str = "append",
     timeout_s: int = 300,
+    n_state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming frame to completion (AvailableNow) into a memory
     sink and return the collected batch DataFrame.
@@ -119,15 +146,16 @@ def run_to_memory(
     queries expressible under the driver's batch ``queries()`` contract.
     """
     qname = f"{name}_{next(_qid)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
     spark = sdf.sparkSession
+    with state_partitions(spark, n_state_partitions):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
     return spark.table(qname)
 
 
