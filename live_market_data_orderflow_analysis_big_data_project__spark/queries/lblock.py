@@ -320,6 +320,21 @@ GROUP BY lang
 """
 
 
+# --- q99b: approx percentiles (the at-scale twin of q99) ---------------------
+# Exact percentile is a full sort-within-group; percentile_approx streams a
+# bounded sketch (Greenwald-Khanna) through the same partial+final agg, the
+# right trade at 100 TB.  Sketch outputs differ across engines -> rows-only
+# (the q33/q34 exact-vs-approx pattern).
+def q99b_length_percentiles_approx(spark, sf):
+    d = _t(spark, sf, "documents")
+    n = F.col("n_chars")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile_approx(n, F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+        F.percentile_approx(n, F.lit(0.95), F.lit(1000)).alias("p95_approx"),
+    )
+
+
 # --- q91c: SimHash document fingerprints ------------------------------------
 # md5-derived bits (not xxhash) so the DuckDB twin computes the identical
 # fingerprint; formulas for every bit come from one shared generator
@@ -496,6 +511,7 @@ QUERIES = {
     "q97_lang_source_agg": q97_lang_source_agg,
     "q98_regex_extract": q98_regex_extract,
     "q99_length_percentiles": q99_length_percentiles,
+    "q99b_length_percentiles_approx": q99b_length_percentiles_approx,
 }
 
 ORACLE = {
@@ -519,4 +535,5 @@ ORACLE = {
     "q97_lang_source_agg": Q97_SQL,
     "q98_regex_extract": Q98_SQL,
     "q99_length_percentiles": Q99_SQL,
+    "q99b_length_percentiles_approx": None,  # GK sketch estimates; rows-only
 }
