@@ -243,3 +243,23 @@ def test_exactly_once_sink_across_restart(spark):
     got = spark.read.parquet(out)
     assert got.count() == 8
     assert got.select("event_id").distinct().count() == 8
+
+
+def test_state_partitions_scoped_and_restored(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
+        run_to_memory,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    rows = [(1, _ts(0)), (1, _ts(5)), (2, _ts(10))]
+    sdf = _stream_rows(spark, rows, "id long, ts timestamp")
+    agg = (
+        sdf.withWatermark("ts", "1 minute")
+        .groupBy("id")
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_to_memory(agg, "t_nparts", output_mode="complete", n_state_partitions=4)
+    got = {r["id"]: r["n"] for r in out.collect()}
+    assert got == {1: 2, 2: 1}
+    assert spark.conf.get(key) == before  # restored after the run
