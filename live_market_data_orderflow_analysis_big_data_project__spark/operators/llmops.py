@@ -636,3 +636,65 @@ SELECT {id_col}, len(hs) AS n_grams,
        len(list_distinct(hs)) AS n_distinct
 FROM g
 """
+
+
+def rolling_fingerprint_fast(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    base: int = 31,
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Vectorized twin of :func:`rolling_fingerprint` (identical output).
+
+    The expression version stays JVM-side but pays interpreted
+    higher-order-function overhead (~us/element); this one computes every
+    gram hash as one ``np.convolve`` int64 dot product per document inside
+    Arrow-batched ``mapInPandas`` — ~100x more chars/sec/core, the right
+    trade once fingerprinting dominates a corpus pipeline.  Codepoints via
+    UTF-32 decode, so parity holds beyond ASCII too (Spark's ``ascii()``
+    returns the full codepoint).  Kept as a separate entry point so the
+    oracle-checked query stays pure-JVM; a parity test pins the two
+    together.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if base ** (k - 1) * 0x10FFFF * k >= 2**63:
+        raise ValueError(f"k={k}/base={base} risks BIGINT overflow pre-mod")
+    pows = np.array([base ** (k - 1 - j) for j in range(k)], dtype=np.int64)
+
+    def fp(batches):
+        for pdf in batches:
+            n_grams, fp_min, fp_max, n_distinct = [], [], [], []
+            for t in pdf[text_col]:
+                codes = np.frombuffer(
+                    t.lower().encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                if len(codes) < k:
+                    n_grams.append(0)
+                    fp_min.append(None)
+                    fp_max.append(None)
+                    n_distinct.append(0)
+                    continue
+                hs = np.convolve(codes, pows[::-1], "valid") % mod
+                n_grams.append(len(hs))
+                fp_min.append(int(hs.min()))
+                fp_max.append(int(hs.max()))
+                n_distinct.append(len(np.unique(hs)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_grams": pd.Series(n_grams, dtype="int32"),
+                    "fp_min": pd.Series(fp_min, dtype="Int64"),
+                    "fp_max": pd.Series(fp_max, dtype="Int64"),
+                    "n_distinct": pd.Series(n_distinct, dtype="int32"),
+                }
+            )
+
+    schema = (
+        f"{id_col} long, n_grams int, fp_min bigint, fp_max bigint, "
+        "n_distinct int"
+    )
+    return df.select(id_col, text_col).mapInPandas(fp, schema)

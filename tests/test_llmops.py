@@ -136,3 +136,32 @@ def test_rolling_fingerprint_exact(spark):
     assert got[3]["n_grams"] == 3
     assert got[3]["n_distinct"] == 1
     assert got[3]["fp_min"] == got[3]["fp_max"] == h3[0]
+
+
+def test_rolling_fingerprint_fast_parity(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.llmops import (
+        rolling_fingerprint,
+        rolling_fingerprint_fast,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cols = ["doc_id", "n_grams", "fp_min", "fp_max", "n_distinct"]
+    slow = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in rolling_fingerprint(docs).collect()
+    }
+    fast = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in rolling_fingerprint_fast(docs).collect()
+    }
+    assert slow == fast
+    # non-ASCII parity: codepoints, not bytes
+    uni = spark.createDataFrame(
+        [(1, "héllo wörld — ünïcode test")], "doc_id long, text string"
+    )
+    a = rolling_fingerprint(uni).collect()[0]
+    b = rolling_fingerprint_fast(uni).collect()[0]
+    assert tuple(a) == tuple(b)
