@@ -79,3 +79,44 @@ def ohlc_candles(
         "delta",
         *extra_last,
     )
+
+
+def rollup_ohlc(
+    candles: DataFrame,
+    ts_col: str = "window_start",
+    key_col: str = "instrument",
+    window: str = "1 hour",
+    sum_cols: tuple[str, ...] = ("buy_volume", "sell_volume", "total_volume"),
+) -> DataFrame:
+    """Roll fine candles up to a coarser resolution WITHOUT rescanning raw
+    ticks — the continuous-aggregate / hypertable-rollup pattern.
+
+    OHLC composes associatively: the hour's open is the open of its
+    earliest minute (min_by keyed on the sub-window start, which is unique
+    per group — fully deterministic), high/low are max/min, volumes sum.
+    At 100 TB this is the point: 1-min candles are ~3 orders of magnitude
+    smaller than ticks, so daily/hourly resolutions cost a scan of candles,
+    not ticks, and each level partitions by the same (window, key) scheme.
+    q48's oracle asserts the associativity: rolled-up == computed-direct.
+    """
+    ts = F.col(ts_col)
+    aggs = [
+        F.min_by("open", ts).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", ts).alias("close"),
+    ]
+    aggs += [F.sum(c).cast("long").alias(c) for c in sum_cols]
+    out = candles.groupBy(F.window(ts, window).alias("w"), F.col(key_col)).agg(
+        *aggs
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        key_col,
+        "open",
+        "high",
+        "low",
+        "close",
+        *sum_cols,
+    )

@@ -21,8 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import dsum, fmt_date, fmt_ts, round4
+from ..functions import dsum, fmt_date, fmt_minute, fmt_ts, round4
 from ..operators.asof import asof_join
+from ..operators.candles import rollup_ohlc
 from ..sources.tables import load_table, register_views
 
 _DEC = "decimal(28,6)"
@@ -562,6 +563,65 @@ GROUP BY user_id, sid
 """
 
 
+# --- q48: hierarchical candle rollup (continuous-aggregate pattern) ---------
+# 1-minute candles roll up to hourly WITHOUT rescanning raw events
+# (operators/candles.py::rollup_ohlc).  The oracle computes the hourly
+# candles DIRECTLY from raw events — hash equality asserts OHLC rollup
+# associativity, the property that makes multi-resolution candle storage
+# sound at 100 TB (each coarser level scans candles, not ticks).
+def q48_candle_rollup(spark, sf):
+    e = _t(spark, sf, "events")
+    ts, v = F.col("ts"), F.col("value")
+    minute = (
+        e.groupBy(F.window(ts, "1 minute").alias("w"), "user_id")
+        .agg(
+            F.min_by(v, ts).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, ts).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    hourly = rollup_ohlc(
+        minute,
+        ts_col="window_start",
+        key_col="user_id",
+        window="1 hour",
+        sum_cols=("n_events",),
+    )
+    return hourly.select(
+        fmt_minute(F.col("window_start"), "hour_start"),
+        "user_id",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+    )
+
+
+Q48_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+       user_id,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # --- q45: top-k per group (window rank + filter) ----------------------------
 def q45_topk_per_group(spark, sf):
     e = _t(spark, sf, "events")
@@ -1002,6 +1062,7 @@ QUERIES = {
     "q45_topk_per_group": q45_topk_per_group,
     "q46_sliding_window_batch": q46_sliding_window_batch,
     "q47_session_window_batch": q47_session_window_batch,
+    "q48_candle_rollup": q48_candle_rollup,
     "q50_union_all": q50_union_all,
     "q51_union_distinct": q51_union_distinct,
     "q52_intersect": q52_intersect,
@@ -1042,6 +1103,7 @@ ORACLE = {
     "q45_topk_per_group": Q45_SQL,
     "q46_sliding_window_batch": Q46_SQL,
     "q47_session_window_batch": Q47_SQL,
+    "q48_candle_rollup": Q48_SQL,
     "q50_union_all": Q50_SQL,
     "q51_union_distinct": Q51_SQL,
     "q52_intersect": Q52_SQL,

@@ -98,3 +98,37 @@ if HAVE_HYP:
         assert r.high >= max(r.open, r.close)
         assert r.total_volume == r.buy_volume + r.sell_volume
         assert r.delta == r.buy_volume - r.sell_volume
+
+
+def test_rollup_ohlc_composes(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.candles import (
+        rollup_ohlc,
+    )
+
+    rows = [
+        # (window_start, instrument, open, high, low, close, vol)
+        ("2024-01-01 09:00:00", "A", 10.0, 12.0, 9.0, 11.0, 5),
+        ("2024-01-01 09:30:00", "A", 11.0, 15.0, 11.0, 14.0, 3),
+        ("2024-01-01 10:15:00", "A", 14.0, 14.0, 13.0, 13.5, 2),
+        ("2024-01-01 09:10:00", "B", 100.0, 101.0, 99.0, 100.5, 7),
+    ]
+    candles = spark.createDataFrame(
+        rows,
+        "window_start string, instrument string, open double, high double,"
+        " low double, close double, total_volume long",
+    ).withColumn("window_start", F.col("window_start").cast("timestamp"))
+    out = rollup_ohlc(
+        candles, window="1 hour", sum_cols=("total_volume",)
+    ).collect()
+    got = {
+        (str(r["window_start"]), r["instrument"]): (
+            r["open"], r["high"], r["low"], r["close"], r["total_volume"]
+        )
+        for r in out
+    }
+    assert got == {
+        # hour 09: open of earliest minute, high/low across, close of latest
+        ("2024-01-01 09:00:00", "A"): (10.0, 15.0, 9.0, 14.0, 8),
+        ("2024-01-01 10:00:00", "A"): (14.0, 14.0, 13.0, 13.5, 2),
+        ("2024-01-01 09:00:00", "B"): (100.0, 101.0, 99.0, 100.5, 7),
+    }
