@@ -108,3 +108,79 @@ def classify_aggressor(
         F.when(F.col("side") == "sell", F.col(qty)).otherwise(F.lit(0)).cast("long"),
     )
     return df.withColumn("delta", F.col("buy_volume") - F.col("sell_volume"))
+
+
+def parse_ticks_with_quarantine(
+    raw: DataFrame, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Like :func:`parse_ticks`, but routes unusable input to a dead-letter
+    frame instead of silently dropping it.
+
+    The reference's ``from_json`` nulls malformed payloads and the
+    null-guard filter (data_processor.py:115) then discards them without a
+    trace — at production scale that's silent data loss with no way to
+    replay.  Returns ``(ticks, dead_letters)`` where dead_letters carries
+    the verbatim payload plus a reason:
+
+    - ``malformed_json``: payload didn't parse against the tick schema
+    - ``no_feeds``: valid JSON but an empty/missing instrument feed map
+    - ``missing_fields``: a feed without ltp/ltq/ltt after flattening
+
+    Both frames share one lineage (filters over the same parse), work
+    identically in batch and streaming, and the dead-letter side plugs
+    straight into a partitioned parquet sink as a replayable dead-letter
+    queue.
+    """
+    # PERMISSIVE from_json yields an all-null struct for malformed input
+    # (not a null struct), so malformed-ness must be captured explicitly:
+    # a _corrupt_record field in the parse schema receives the raw payload
+    # exactly when parsing failed.
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    quarantine_schema = StructType(
+        list(TICK_SCHEMA.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    tagged = raw.select(F.col(value_col).cast("string").alias("json_str")).withColumn(
+        "data",
+        F.from_json(
+            "json_str",
+            quarantine_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    bad = F.col("data").isNull() | F.col("data._corrupt_record").isNotNull()
+    malformed = tagged.filter(F.col("json_str").isNotNull() & bad).select(
+        "json_str", F.lit("malformed_json").alias("reason")
+    )
+    has_data = tagged.filter(~bad)
+    n_feeds = F.coalesce(F.size(F.map_keys(F.col("data.feeds"))), F.lit(0))
+    no_feeds = has_data.filter(n_feeds == 0).select(
+        "json_str", F.lit("no_feeds").alias("reason")
+    )
+    exploded = has_data.filter(n_feeds > 0).select(
+        "json_str", F.explode("data.feeds").alias("instrument", "feed")
+    )
+    mff = "feed.fullFeed.marketFF"
+    flat = exploded.select(
+        "json_str",
+        F.col("instrument"),
+        F.col(f"{mff}.ltpc.ltp").alias("ltp"),
+        F.col(f"{mff}.ltpc.ltq").cast("long").alias("ltq"),
+        F.timestamp_millis(F.col(f"{mff}.ltpc.ltt").cast("long")).alias(
+            "event_time"
+        ),
+        F.col(f"{mff}.marketLevel.bidAskQuote").alias("bidAskQuote"),
+        F.col(f"{mff}.tbq").alias("tbq"),
+        F.col(f"{mff}.tsq").alias("tsq"),
+    )
+    complete = (
+        F.col("ltp").isNotNull()
+        & F.col("ltq").isNotNull()
+        & F.col("event_time").isNotNull()
+    )
+    missing = flat.filter(~complete).select(
+        "json_str", F.lit("missing_fields").alias("reason")
+    )
+    ticks = flat.filter(complete).drop("json_str")
+    dead = malformed.unionByName(no_feeds).unionByName(missing)
+    return ticks, dead

@@ -101,3 +101,64 @@ def test_sell_classification(spark):
     df = best_bid_ask(_parse(spark, [tick_json(ltp=99.1)]))
     r = classify_aggressor(df).collect()[0]
     assert r.side == "sell" and r.sell_volume == 5 and r.buy_volume == 0
+
+
+def test_parse_quarantine_reasons(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.ticks import (
+        parse_ticks,
+        parse_ticks_with_quarantine,
+    )
+
+    good_json = (
+        '{"feeds": {"NSE_EQ|X": {"fullFeed": {"marketFF": {"ltpc": '
+        '{"ltp": 101.5, "ltt": "1700000000000", "ltq": "7"}}}}}}'
+    )
+    missing_json = (
+        '{"feeds": {"NSE_EQ|Y": {"fullFeed": {"marketFF": {"ltpc": '
+        '{"ltp": 99.0}}}}}}'
+    )
+    raw = spark.createDataFrame(
+        [
+            (good_json,),
+            ("{not valid json",),
+            ('{"feeds": {}}',),
+            (missing_json,),
+        ],
+        "value string",
+    )
+    ticks, dead = parse_ticks_with_quarantine(raw)
+    t = ticks.collect()
+    assert len(t) == 1 and t[0]["instrument"] == "NSE_EQ|X"
+    assert t[0]["ltq"] == 7 and t[0]["ltp"] == 101.5
+    reasons = sorted(r["reason"] for r in dead.collect())
+    assert reasons == ["malformed_json", "missing_fields", "no_feeds"]
+    # the dead-letter payload is verbatim, so the queue is replayable
+    assert {r["json_str"] for r in dead.collect()} == {
+        "{not valid json", '{"feeds": {}}', missing_json,
+    }
+    # good path agrees with the plain parser
+    assert [tuple(r) for r in ticks.collect()] == [
+        tuple(r) for r in parse_ticks(raw).collect()
+    ]
+
+
+def test_parse_quarantine_streaming(spark):
+    import tempfile
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.ticks import (
+        parse_ticks_with_quarantine,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
+        run_to_memory,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="quarantine_")
+    spark.createDataFrame(
+        [("{broken",), ('{"feeds": {}}',)], "value string"
+    ).write.mode("overwrite").parquet(tmp)
+    sraw = spark.readStream.schema("value string").parquet(tmp)
+    _ticks, dead = parse_ticks_with_quarantine(sraw)
+    out = run_to_memory(dead, "t_quarantine")
+    assert sorted(r["reason"] for r in out.collect()) == [
+        "malformed_json", "no_feeds",
+    ]
