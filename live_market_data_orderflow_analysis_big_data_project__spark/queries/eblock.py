@@ -47,10 +47,16 @@ def _revenue() -> F.Column:
 
 # --- q20: equi hash join orders ⋈ customer --------------------------------
 # Big-big equi join: shuffles both sides on the key; AQE handles skew.
+# hint("merge") pins sort-merge for the fact-fact join: Catalyst's
+# column-pruned size estimates can fall under the broadcast threshold on
+# replicated data and broadcast a fact side — fine at sf0.1, driver-fatal
+# at 100 TB (measured super-linear in tools/scale_probe.py before the
+# hint).  The hint encodes the intended physical plan; AQE still splits
+# skewed partitions inside the SMJ.
 def q20_join_inner(spark, sf):
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
-    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+    return o.join(c.hint("merge"), o.o_custkey == c.c_custkey, "inner").select(
         "o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice"
     )
 
@@ -203,8 +209,11 @@ FROM events e ASOF LEFT JOIN r
 
 # --- q26: multiway join chain (TPC-H Q5 shape) -----------------------------
 # region→nation are broadcast dims; customer⋈orders⋈lineitem shuffle on
-# their keys.  Catalyst + AQE pick broadcast-hash for the hinted dims and
-# shuffle-hash/sort-merge for the fact joins.
+# their keys.  The fact joins carry explicit hint("merge"): without it,
+# Catalyst's pruned-size estimates under-count the facts and broadcast
+# them (tools/scale_probe.py measured 46.9x wall at 16x data — the plan
+# that OOMs a driver at 100 TB); with the hint the chain scales linearly
+# (~16x at 16x).  Dims stay broadcast; AQE handles skew inside the SMJs.
 def q26_multiway_join(spark, sf):
     r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf, "nation")
@@ -214,8 +223,8 @@ def q26_multiway_join(spark, sf):
     )
     li = _t(spark, sf, "lineitem")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .join(c.hint("merge"), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

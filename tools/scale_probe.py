@@ -1,0 +1,185 @@
+"""Scale probe: does each headline plan scale ~linearly with input size?
+
+Materializes a MULT-x replica of the sf0.1 fixtures (key spaces scaled with
+the data: user/cust keys are offset per copy so cardinality grows too, the
+honest formulation — replicating rows under fixed keys would inflate groups
+instead of scaling them), then times representative queries at 1x and MULT-x
+and reports the wall-time ratio.  A keyed, shuffle-bounded plan should land
+near MULT (linear); a quadratic, driver-bound, or misplanned-broadcast plan
+blows past it.  This probe is how the q20/q26 fact-broadcast misplan was
+caught (46.9x wall at 16x before the merge hints; ~linear after).
+
+Each (query, scale) measurement runs in its OWN subprocess so timings
+can't be contaminated by accumulated session state (plan caches, GC
+pressure, MLlib lineages) — a single shared session was measured to
+inflate some entries >10x.
+
+Writes docs/SCALING.md.  Usage: python tools/scale_probe.py [mult]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.1"
+PROBE_DIR = "/tmp/scale_probe"
+DRIVER_MEM = "24g"  # local-mode driver == whole JVM; 1g serves sf0.1 only
+
+# (query key, why it's representative)
+PROBE_QUERIES = [
+    ("q01_scan_project", "pure scan + projection (I/O floor)"),
+    ("q06_tumbling_ohlc", "keyed window agg, 1 shuffle"),
+    ("q08_group_sums", "low-cardinality group agg"),
+    ("q20_join_inner", "big-big shuffle join (merge-hinted)"),
+    ("q26_multiway_join", "TPC-H Q5 chain: broadcast dims + merge facts"),
+    ("q40_rank_window", "ranking window function"),
+    ("q48_candle_rollup", "two-level hierarchical agg"),
+    ("q90_exact_dedup", "hash-groupBy dedup"),
+    ("q91b_near_dedup_minhash_lsh", "LSH banded near-dup (the scale path)"),
+    ("q104_rolling_fingerprint", "Arrow-vectorized per-row text op"),
+]
+
+
+def replicate(mult: int) -> str:
+    """Write MULT-x copies of each fixture with offset keys."""
+    out = os.path.join(PROBE_DIR, f"x{mult}")
+    done_marker = os.path.join(out, "_REPLICATED")
+    if os.path.exists(done_marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    from pyspark.sql import functions as F
+
+    from live_market_data_orderflow_analysis_big_data_project__spark import (
+        get_spark,
+    )
+
+    spark = get_spark(
+        "scale-probe-replicate", extra_conf={"spark.driver.memory": DRIVER_MEM}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    offsets = {
+        "events": [("event_id", 1_000_000), ("user_id", 10_000)],
+        "orders": [("o_orderkey", 10_000_000), ("o_custkey", 10_000)],
+        "customer": [("c_custkey", 10_000)],
+        "lineitem": [("l_orderkey", 10_000_000)],
+        "documents": [("doc_id", 1_000_000)],
+        "embeddings": [("vec_id", 1_000_000)],
+    }
+    for name in ["region", "nation", "supplier", "part"]:
+        shutil.copy(
+            os.path.join(SF, f"{name}.parquet"),
+            os.path.join(out, f"{name}.parquet"),
+        )
+    for name, offs in offsets.items():
+        base = spark.read.parquet(os.path.join(SF, f"{name}.parquet"))
+        copies = []
+        for i in range(mult):
+            c = base
+            for col, step in offs:
+                c = c.withColumn(col, F.col(col) + F.lit(i * step))
+            copies.append(c)
+        df = copies[0]
+        for c in copies[1:]:
+            df = df.unionByName(c)
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+    spark.stop()
+    open(done_marker, "w").close()
+    return out
+
+
+def measure_one(key: str, sf_dir: str) -> None:
+    """Subprocess entry: time one query in a fresh session."""
+    import __spark_entry__ as ent
+
+    from live_market_data_orderflow_analysis_big_data_project__spark import (
+        get_spark,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (
+        TABLES,
+        load_table,
+    )
+
+    spark = get_spark(
+        "scale-probe", extra_conf={"spark.driver.memory": DRIVER_MEM}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()  # warm metadata + codegen
+    t0 = time.time()
+    ent.queries()[key](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    print(f"ONE {time.time() - t0:.3f}")
+    spark.stop()
+
+
+def run_isolated(key: str, sf_dir: str) -> float:
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", key, sf_dir],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("ONE "):
+            return float(line.split()[1])
+    raise RuntimeError(f"{key} @ {sf_dir} failed:\n{p.stderr[-2000:]}")
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--one":
+        measure_one(sys.argv[2], sys.argv[3])
+        return
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    big = replicate(mult)
+
+    rows = []
+    for key, why in PROBE_QUERIES:
+        t1 = run_isolated(key, SF)
+        tm = run_isolated(key, big)
+        ratio = tm / t1 if t1 > 0 else float("inf")
+        rows.append((key, why, t1, tm, ratio))
+        print(f"{key}: 1x={t1:.2f}s {mult}x={tm:.2f}s ratio={ratio:.1f}")
+
+    lines = [
+        f"# Scale probe ({mult}x replicated sf0.1 fixtures, local[32])",
+        "",
+        "Key spaces are scaled with the data (ids offset per copy), so a",
+        "keyed shuffle-bounded plan should show wall-time ratio <= ~the",
+        f"replication factor ({mult}); super-linear ratios flag plans that",
+        "would not survive a 100 TB scale-up.  Ratios well under the factor",
+        "mean the 1x run is overhead-dominated (session/scan fixed costs),",
+        "common for sub-second queries.  Each cell is measured in its own",
+        "process (fresh JVM) to keep timings independent.",
+        "",
+        f"| query | representative of | 1x sec | {mult}x sec | ratio |",
+        "|---|---|---|---|---|",
+    ]
+    for key, why, t1, tm, ratio in rows:
+        lines.append(f"| {key} | {why} | {t1:.2f} | {tm:.2f} | {ratio:.1f} |")
+    lines += [
+        "",
+        "Finding encoded back into the engine: before explicit",
+        "`hint(\"merge\")` on the q20/q26 fact joins, Catalyst's",
+        "column-pruned size estimates broadcast the fact tables at 16x",
+        "(q26 ratio 46.9 — the plan that OOMs a driver at 100 TB); with",
+        "the hints the chain scales ~linearly.",
+        "",
+        "Regenerate: `python tools/scale_probe.py`.",
+        "",
+    ]
+    with open("/root/repo/docs/SCALING.md", "w") as f:
+        f.write("\n".join(lines))
+    print("wrote docs/SCALING.md")
+
+
+if __name__ == "__main__":
+    main()
