@@ -85,6 +85,20 @@ def replicate(mult: int) -> str:
             c = base
             for col, step in offs:
                 c = c.withColumn(col, F.col(col) + F.lit(i * step))
+            if name == "documents" and i > 0:
+                # Make copies textually DISJOINT (suffix every token with
+                # the copy index): verbatim replication gives every doc 16
+                # exact twins, near-dup classes grow with scale, and any
+                # pairwise dedup output becomes quadratic BY CONSTRUCTION
+                # — measuring the fixture artifact, not the operator
+                # (first probe run: q91b "ratio" 109x).  A real 16x corpus
+                # keeps per-doc near-dup degree O(1); token-suffixing
+                # preserves each copy's internal pair structure exactly
+                # while zeroing cross-copy Jaccard.
+                c = c.withColumn(
+                    "text",
+                    F.regexp_replace(F.col("text"), r"(\w+)", f"$1zq{i}"),
+                )
             copies.append(c)
         df = copies[0]
         for c in copies[1:]:
