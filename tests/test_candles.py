@@ -132,3 +132,42 @@ def test_rollup_ohlc_composes(spark):
         ("2024-01-01 10:00:00", "A"): (14.0, 14.0, 13.0, 13.5, 2),
         ("2024-01-01 09:00:00", "B"): (100.0, 101.0, 99.0, 100.5, 7),
     }
+
+
+if HAVE_HYP:
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.dictionaries(
+            st.integers(0, 3 * 3600 - 1),  # unique second offsets, ~3 hours
+            st.tuples(
+                st.floats(1.0, 1000.0, allow_nan=False),
+                st.integers(1, 100),
+                st.sampled_from(["buy", "sell"]),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def test_rollup_equals_direct(spark, tick_map):
+        """Rollup associativity: minute candles rolled to hourly must equal
+        hourly candles computed directly from the ticks (the q48 oracle
+        property, here over arbitrary generated ticks)."""
+        from live_market_data_orderflow_analysis_big_data_project__spark.operators.candles import (
+            rollup_ohlc,
+        )
+
+        ticks = [(o, "X", p, q, s) for o, (p, q, s) in tick_map.items()]
+        df = tick_frame(spark, ticks)
+        direct = ohlc_candles(df, window="1 hour")
+        rolled = rollup_ohlc(
+            ohlc_candles(df, window="1 minute"),
+            sum_cols=("buy_volume", "sell_volume", "total_volume"),
+        ).withColumn("delta", F.col("buy_volume") - F.col("sell_volume"))
+        cols = [
+            "window_start", "instrument", "open", "high", "low", "close",
+            "buy_volume", "sell_volume", "total_volume", "delta",
+        ]
+        d = sorted(tuple(r[c] for c in cols) for r in direct.select(cols).collect())
+        g = sorted(tuple(r[c] for c in cols) for r in rolled.select(cols).collect())
+        assert d == g
