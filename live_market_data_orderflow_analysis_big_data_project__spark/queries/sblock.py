@@ -104,6 +104,8 @@ def s04_late_data_drop(spark, sf):
     out_dir = os.path.join(base, "out")
 
     def run_once():
+        from ..streaming.core import state_partitions
+
         # src holds re-materialized (already ts-normalized) frames.
         sdf = spark.readStream.schema(recent.schema).parquet(src)
         agg = (
@@ -112,15 +114,16 @@ def s04_late_data_drop(spark, sf):
             .agg(F.count("*").alias("n"))
             .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "n")
         )
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        with state_partitions(spark, 8):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
         return sum(
             (so.get("numRowsDroppedByWatermark") or 0)
             for p in q.recentProgress
