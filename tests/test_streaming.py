@@ -263,3 +263,86 @@ def test_state_partitions_scoped_and_restored(spark):
     got = {r["id"]: r["n"] for r in out.collect()}
     assert got == {1: 2, 2: 1}
     assert spark.conf.get(key) == before  # restored after the run
+
+
+def test_multiresolution_candle_pipeline(spark):
+    """Capstone: streaming ticks -> watermarked 1-min candles ->
+    foreachBatch parquet sink -> batch hourly rollup, compared against
+    hourly candles computed directly from the raw ticks.  This is the
+    lambda-architecture-free multi-resolution pattern: coarser levels
+    scan candles at rest, never raw ticks."""
+    import os
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.candles import (
+        ohlc_candles,
+        rollup_ohlc,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
+        foreach_batch_sink,
+        sorted_parquet_batch_writer,
+        stream_events,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.ticks import (
+        aggressor_side,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (
+        load_table,
+    )
+
+    def ticks_of(df):
+        return df.select(
+            F.col("user_id").cast("string").alias("instrument"),
+            F.col("ts").alias("event_time"),
+            F.col("value").alias("ltp"),
+            F.lit(1).cast("long").alias("ltq"),
+        ).withColumn(
+            "side", aggressor_side(F.col("ltp"), F.lit(50.0), F.lit(150.0))
+        )
+
+    base = tempfile.mkdtemp(prefix="multires_")
+    minute_dir = os.path.join(base, "minute")
+    ckpt = os.path.join(base, "ckpt")
+
+    # streaming leg: ticks -> minute candles -> parquet via foreachBatch
+    candles = ohlc_candles(
+        ticks_of(stream_events(spark, SF0001)),
+        ts_col="event_time",
+        window="1 minute",
+        watermark="5 minutes",
+    )
+    q = foreach_batch_sink(
+        candles, sorted_parquet_batch_writer(minute_dir, ("window_start",)), ckpt
+    )
+    q.awaitTermination(120)
+
+    # batch leg: roll stored minute candles up to hourly
+    rolled = rollup_ohlc(
+        spark.read.parquet(minute_dir), window="1 hour"
+    ).withColumn("delta", F.col("buy_volume") - F.col("sell_volume"))
+
+    # truth: hourly candles computed directly from raw ticks
+    direct = ohlc_candles(
+        ticks_of(load_table(spark, SF0001, "events")),
+        ts_col="event_time",
+        window="1 hour",
+    )
+    # Append mode only emits windows the watermark has closed: the stream's
+    # final minutes are (correctly) withheld, so compare only hours that
+    # are fully past the watermark on both sides.
+    max_ts = (
+        load_table(spark, SF0001, "events").agg(F.max("ts")).first()[0]
+    )
+    closed = F.col("window_start") + F.expr("INTERVAL 66 MINUTES") <= F.lit(max_ts)
+    cols = [
+        "window_start", "instrument", "open", "high", "low", "close",
+        "buy_volume", "sell_volume", "total_volume", "delta",
+    ]
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in rolled.filter(closed).select(cols).collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in direct.filter(closed).select(cols).collect()
+    )
+    assert got == want and len(got) > 0
