@@ -328,14 +328,46 @@ GROUP BY event_type
 """
 
 
-# --- q34: approx_count_distinct (HLL; estimates differ across engines -------
-# so this is declared rows-only, no oracle twin) -----------------------------
+# --- q34: approx_count_distinct (HLL) ---------------------------------------
+# Raw HLL estimates differ across engines, so the round-2 entry was
+# rows-only (driver recorded err:no_oracle).  Hash-checkable formulation:
+# emit the EXACT distinct counts plus booleans asserting the HLL estimate
+# lands within its error envelope (rsd=0.05 -> |err| < 3*rsd = 15% holds
+# w.p. ~99.7%; the fixture estimates are well inside it at every sf).  The
+# oracle emits the same exact counts and TRUE — the hash matches iff
+# Spark's sketch is actually within tolerance, turning the approx operator
+# into a driver-verifiable contract instead of an unchecked row count.
 def q34_approx_distinct(spark, sf):
     e = _t(spark, sf, "events")
+    tol = 0.15
+
+    def _ok(approx, exact):
+        return (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= F.lit(tol) * exact.cast("double")
+        )
+
+    au = F.approx_count_distinct("user_id")
+    ae = F.approx_count_distinct("event_id")
+    xu = F.count_distinct("user_id")
+    xe = F.count_distinct("event_id")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_count_distinct("event_id").alias("approx_events"),
+        xu.alias("n_users_exact"),
+        xe.alias("n_events_exact"),
+        _ok(au, xu).alias("approx_users_ok"),
+        _ok(ae, xe).alias("approx_events_ok"),
     )
+
+
+Q34_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users_exact,
+       count(DISTINCT event_id) AS n_events_exact,
+       TRUE AS approx_users_ok,
+       TRUE AS approx_events_ok
+FROM events
+GROUP BY event_type
+"""
 
 
 # --- q35: HAVING (post-aggregation filter) ----------------------------------
@@ -913,17 +945,23 @@ def q71_scalar_subquery(spark, sf):
     return spark.sql(Q71_SQL)
 
 
+# spend stays DECIMAL end-to-end: any intermediate double would re-round
+# under each engine's own decimal rules (Spark HALF_UP vs DuckDB) and can
+# legally differ in the last digit — the round-2 driver hash-fail.  One
+# final cast to DOUBLE of the identical exact decimal is deterministic
+# IEEE round-to-nearest on both engines.
 Q72_SQL = """
 WITH per_cust AS (
   SELECT o_custkey, count(*) AS n_orders,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS spend
+         SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS spend
   FROM orders
   GROUP BY o_custkey
 )
 SELECT c_mktsegment,
        count(*) AS n_cust,
        SUM(COALESCE(n_orders, 0)) AS total_orders,
-       CAST(SUM(CAST(COALESCE(spend, 0.0) AS DECIMAL(28,6))) AS DOUBLE) AS total_spend
+       CAST(SUM(COALESCE(spend, CAST(0 AS DECIMAL(28,6)))) AS DOUBLE)
+         AS total_spend
 FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
 GROUP BY c_mktsegment
 """
@@ -1102,7 +1140,7 @@ ORACLE = {
     "q31_cube": Q31_SQL,
     "q32_grouping_sets": Q32_SQL,
     "q33_distinct": Q33_SQL,
-    "q34_approx_distinct": None,  # HLL estimates differ across engines
+    "q34_approx_distinct": Q34_SQL,  # exact counts + in-envelope booleans
     "q35_having": Q35_SQL,
     "q40_rank_window": Q40_SQL,
     "q41_lag_lead": Q41_SQL,

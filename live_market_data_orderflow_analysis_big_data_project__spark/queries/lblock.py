@@ -65,13 +65,25 @@ GROUP BY md5(text)
 # doc pair overlaps); 3-word shingles isolate the 25 planted near-dup
 # pairs at threshold 0.5.  jaccard is one IEEE division of exact ints —
 # no rounding needed for hash parity.
+#
+# BOUNDED input (doc_id < 1000), like q93/q103: the exact shingle-key
+# self-join is quadratic in per-shingle document frequency, so the exact
+# formulation runs on a constant-size slice regardless of data scale
+# (covers the whole table at sf<=0.01).  The unbounded full-table scale
+# path is q91b's MinHash+LSH banding — bucketed candidate generation,
+# near-linear.
+_Q91_BOUND = 1000
+
+
 def q91_near_dedup_jaccard(spark, sf):
-    return jaccard_pairs(_t(spark, sf, "documents"), threshold=0.5, ngram=3)
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < _Q91_BOUND)
+    return jaccard_pairs(docs, threshold=0.5, ngram=3)
 
 
 Q91_SQL = f"""
 WITH docs AS (
   SELECT doc_id AS doc, {_DUCK_TOKS} AS arr FROM documents
+  WHERE doc_id < {_Q91_BOUND}
 ), toks AS (
   SELECT doc, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos FROM docs
 ), sh AS (
