@@ -5,6 +5,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query executes through the noop sink (full plan runs, nothing is
 collected to the driver) so timings measure engine execution.
+
+The driver records only the LAST ~2000 characters of stdout (round 2's
+83-entry line overflowed that window and BENCH_r02.json was recorded
+unparseable), so the stdout line uses compact separators and short query
+keys (the unique q/s-number prefix, e.g. ``q91b``); the same payload with
+full query names is written to ``BENCH_full.json`` at the repo root.
 """
 
 from __future__ import annotations
@@ -47,17 +53,23 @@ def main() -> None:
             timings[key] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "query_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "query_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_full.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+
+    # Stdout line must fit the driver's ~2000-char tail window: shorten
+    # each query key to its unique q/s-number prefix ("q91b_..." -> "q91b").
+    short = {k.split("_", 1)[0]: v for k, v in timings.items()}
+    assert len(short) == len(timings), "short query keys must stay unique"
+    print(json.dumps({**payload, "queries": short}, separators=(",", ":")))
     spark.stop()
 
 
