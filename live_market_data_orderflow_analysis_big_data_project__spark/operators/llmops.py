@@ -654,9 +654,12 @@ def rolling_fingerprint_fast(
     Arrow-batched ``mapInPandas`` — ~100x more chars/sec/core, the right
     trade once fingerprinting dominates a corpus pipeline.  Codepoints via
     UTF-32 decode, so parity holds beyond ASCII too (Spark's ``ascii()``
-    returns the full codepoint).  Kept as a separate entry point so the
-    oracle-checked query stays pure-JVM; a parity test pins the two
-    together.
+    returns the full codepoint).  This fast path IS the q104 query path
+    (queries/lblock.py); the pure-JVM expression twin
+    :func:`rolling_fingerprint` is retained for the parity test that pins
+    the two together.  NULL text follows the expression twin's semantics
+    (CASE -> empty gram array): n_grams=0, fp_min/fp_max NULL, n_distinct=0
+    — a single NULL row must not kill a corpus job.
     """
     import numpy as np
     import pandas as pd
@@ -669,9 +672,12 @@ def rolling_fingerprint_fast(
         for pdf in batches:
             n_grams, fp_min, fp_max, n_distinct = [], [], [], []
             for t in pdf[text_col]:
-                codes = np.frombuffer(
-                    t.lower().encode("utf-32-le"), dtype="<u4"
-                ).astype(np.int64)
+                if t is None:
+                    codes = np.empty(0, dtype=np.int64)
+                else:
+                    codes = np.frombuffer(
+                        t.lower().encode("utf-32-le"), dtype="<u4"
+                    ).astype(np.int64)
                 if len(codes) < k:
                     n_grams.append(0)
                     fp_min.append(None)

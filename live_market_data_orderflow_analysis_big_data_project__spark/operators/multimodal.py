@@ -60,18 +60,25 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payloads (e.g. NULL source text) yield NULL features
+            # rather than raising inside the batch loop — one bad row must
+            # not fail the corpus job.
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": payloads.map(len).astype("int64"),
+                    "n_bytes": payloads.map(
+                        lambda b: None if b is None else len(b)
+                    ).astype("Int64"),
                     "payload_md5": payloads.map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                        lambda b: None
+                        if b is None
+                        else hashlib.md5(bytes(b)).hexdigest()
                     ),
-                    # nullable Int32: empty payloads yield NULL first_byte
+                    # nullable Int32: empty/NULL payloads yield NULL
                     "first_byte": payloads.map(
-                        lambda b: b[0] if len(b) else None
+                        lambda b: b[0] if b is not None and len(b) else None
                     ).astype("Int32"),
                 }
             )
@@ -117,6 +124,11 @@ def fake_decode_resize(df: DataFrame, out_len: int = 16) -> DataFrame:
         for pdf in batches:
             pixels = []
             for b in pdf["payload"]:
+                # NULL payload -> NULL pixels (decode of nothing is NULL,
+                # not an empty tensor); keeps one bad row from failing the job
+                if b is None:
+                    pixels.append(None)
+                    continue
                 b = bytes(b)
                 n = len(b)
                 if n == 0:
@@ -153,6 +165,10 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
         for pdf in batches:
             ids, idxs, offs, vals = [], [], [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                # NULL payloads sample no frames, like empty ones (and the
+                # oracle's WHERE n > 0), instead of raising mid-batch
+                if b is None:
+                    continue
                 b = bytes(b)
                 n = len(b)
                 if n == 0:

@@ -122,6 +122,7 @@ def parse_ticks_with_quarantine(
     replay.  Returns ``(ticks, dead_letters)`` where dead_letters carries
     the verbatim payload plus a reason:
 
+    - ``null_payload``: the payload itself is NULL (e.g. a Kafka tombstone)
     - ``malformed_json``: payload didn't parse against the tick schema
     - ``no_feeds``: valid JSON but an empty/missing instrument feed map
     - ``missing_fields``: a feed without ltp/ltq/ltt after flattening
@@ -149,10 +150,16 @@ def parse_ticks_with_quarantine(
         ),
     )
     bad = F.col("data").isNull() | F.col("data._corrupt_record").isNotNull()
+    # NULL payloads (Kafka tombstones) are unusable too, but they are not
+    # malformed JSON — give them their own reason so the dead-letter queue
+    # keeps the no-silent-drops promise for every input row.
+    null_payload = tagged.filter(F.col("json_str").isNull()).select(
+        "json_str", F.lit("null_payload").alias("reason")
+    )
     malformed = tagged.filter(F.col("json_str").isNotNull() & bad).select(
         "json_str", F.lit("malformed_json").alias("reason")
     )
-    has_data = tagged.filter(~bad)
+    has_data = tagged.filter(F.col("json_str").isNotNull() & ~bad)
     n_feeds = F.coalesce(F.size(F.map_keys(F.col("data.feeds"))), F.lit(0))
     no_feeds = has_data.filter(n_feeds == 0).select(
         "json_str", F.lit("no_feeds").alias("reason")
@@ -182,5 +189,9 @@ def parse_ticks_with_quarantine(
         "json_str", F.lit("missing_fields").alias("reason")
     )
     ticks = flat.filter(complete).drop("json_str")
-    dead = malformed.unionByName(no_feeds).unionByName(missing)
+    dead = (
+        null_payload.unionByName(malformed)
+        .unionByName(no_feeds)
+        .unionByName(missing)
+    )
     return ticks, dead

@@ -165,3 +165,14 @@ def test_rolling_fingerprint_fast_parity(spark):
     a = rolling_fingerprint(uni).collect()[0]
     b = rolling_fingerprint_fast(uni).collect()[0]
     assert tuple(a) == tuple(b)
+    # NULL-text parity: the expression twin's CASE yields the empty-gram
+    # row; the fast path must match instead of crashing the whole batch
+    nul = spark.createDataFrame(
+        [(1, None), (2, "abcdefghij")], "doc_id long, text string"
+    )
+    slow_n = {r["doc_id"]: tuple(r)[1:] for r in rolling_fingerprint(nul).collect()}
+    fast_n = {
+        r["doc_id"]: tuple(r)[1:] for r in rolling_fingerprint_fast(nul).collect()
+    }
+    assert slow_n == fast_n
+    assert slow_n[1] == (0, None, None, 0)

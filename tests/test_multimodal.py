@@ -85,3 +85,50 @@ def test_sample_frames_explodes_rows(spark):
         (1, 2): (6, ord("6")),
         (1, 3): (9, ord("9")),
     }
+
+
+def test_null_payload_yields_null_features_not_crash(spark):
+    """A NULL text row (NULL payload after with_payload) must flow through
+    every mapInPandas operator as NULL/skipped output — one bad row must
+    not kill a corpus job (round-2 ADVICE item 1)."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.multimodal import (
+        extract_features,
+        fake_decode_resize,
+        sample_frames,
+        with_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "ok")], "doc_id long, text string"
+    )
+    wp = with_payload(df)
+    assert {r["doc_id"]: r["payload"] for r in wp.collect()}[1] is None
+
+    feats = {r["doc_id"]: r for r in extract_features(wp).collect()}
+    assert feats[1]["n_bytes"] is None
+    assert feats[1]["payload_md5"] is None
+    assert feats[1]["first_byte"] is None
+    assert feats[2]["first_byte"] == ord("o")
+
+    pix = {r["doc_id"]: r["pixels"] for r in fake_decode_resize(wp, 4).collect()}
+    assert pix[1] is None and pix[2] is not None
+
+    frames = sample_frames(wp, n_frames=2).collect()
+    assert {r["doc_id"] for r in frames} == {2}
+
+
+def test_fixture_docs_are_ascii_single_byte():
+    """q105's oracle mixes byte offsets (Spark side indexes raw UTF-8)
+    with character-based substring/unicode (DuckDB side) — only sound
+    while every fixture doc is pure ASCII and non-NULL.  Pin that
+    assumption so a fixture change fails here, not as a silent q105 hash
+    divergence (round-2 ADVICE item 4)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01", "0.1"):
+        bad = con.execute(
+            f"SELECT count(*) FROM '/root/testdata/sf{sf}/documents.parquet' "
+            "WHERE text IS NULL OR strlen(text) <> length(text)"
+        ).fetchone()[0]
+        assert bad == 0, f"sf{sf}: {bad} non-ASCII or NULL docs break q105 parity"

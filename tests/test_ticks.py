@@ -123,6 +123,7 @@ def test_parse_quarantine_reasons(spark):
             ("{not valid json",),
             ('{"feeds": {}}',),
             (missing_json,),
+            (None,),  # Kafka tombstone: NULL payload must not vanish
         ],
         "value string",
     )
@@ -131,10 +132,12 @@ def test_parse_quarantine_reasons(spark):
     assert len(t) == 1 and t[0]["instrument"] == "NSE_EQ|X"
     assert t[0]["ltq"] == 7 and t[0]["ltp"] == 101.5
     reasons = sorted(r["reason"] for r in dead.collect())
-    assert reasons == ["malformed_json", "missing_fields", "no_feeds"]
+    assert reasons == [
+        "malformed_json", "missing_fields", "no_feeds", "null_payload",
+    ]
     # the dead-letter payload is verbatim, so the queue is replayable
     assert {r["json_str"] for r in dead.collect()} == {
-        "{not valid json", '{"feeds": {}}', missing_json,
+        "{not valid json", '{"feeds": {}}', missing_json, None,
     }
     # good path agrees with the plain parser
     assert [tuple(r) for r in ticks.collect()] == [
