@@ -363,6 +363,38 @@ def kafka_sink(
     return w
 
 
+def kafka_sink_capture(
+    sdf: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str | None = None,
+    available_now: bool = True,
+):
+    """In-environment capture of the EXACT Kafka-sink wire frame.
+
+    :func:`kafka_sink` cannot run here (no broker), so this writes the
+    identical frame it would hand the Kafka writer — ``serialize_json``'s
+    (key, value) columns (reference data_processor.py:177-183) — through a
+    checkpointed ``foreachBatch`` that lands each micro-batch in a
+    ``batch_id=N`` subdirectory with overwrite mode.  Checkpointed offsets
+    make a restarted query re-run the SAME batch ids, and per-batch-id
+    overwrite makes the re-run idempotent — the foreachBatch analogue of
+    the parquet sink's ``_spark_metadata`` transaction log, and the same
+    effectively-once contract an idempotent/transactional producer gives
+    the real Kafka sink.  Downstream readers see the payload exactly as a
+    consumer would (candle_to_hdfs.py:45-47 re-parses it with
+    ``from_json``), so wire-format parity is testable byte-for-byte.
+    """
+    wire = serialize_json(sdf, key_col=key_col)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch_id={batch_id}")
+        )
+
+    return foreach_batch_sink(wire, write, checkpoint, available_now=available_now)
+
+
 def console_sink(
     sdf: DataFrame,
     num_rows: int = 20,

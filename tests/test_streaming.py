@@ -346,3 +346,85 @@ def test_multiresolution_candle_pipeline(spark):
         for r in direct.filter(closed).select(cols).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_kafka_wire_roundtrip_byte_for_byte(spark):
+    """The Kafka wire path, end-to-end in-env: candles -> serialize_json ->
+    the exact kafka_sink frame (captured via checkpointed foreachBatch) ->
+    from_json with the candle schema recovers every row, and re-serializing
+    the parsed rows reproduces the wire bytes exactly (reference parity:
+    data_processor.py:175-183 producing, candle_to_hdfs.py:45-47
+    consuming)."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
+        kafka_sink_capture,
+    )
+
+    def candle_stream():
+        ticks = stream_events(spark, SF0001).select(
+            F.col("user_id").cast("string").alias("instrument"),
+            F.col("ts").alias("event_time"),
+            F.col("value").alias("ltp"),
+            F.lit(1).cast("long").alias("ltq"),
+            F.lit("buy").alias("side"),
+        )
+        return ohlc_candles(ticks, window="1 minute", watermark="5 minutes")
+
+    base = tempfile.mkdtemp(prefix="t_kwire_")
+    out, ckpt = (os.path.join(base, d) for d in ("out", "ckpt"))
+    q = kafka_sink_capture(candle_stream(), out, ckpt, key_col="instrument")
+    q.awaitTermination(120)
+
+    wire = spark.read.parquet(out)
+    # the frame is exactly what writeStream.format("kafka") consumes:
+    # string key + JSON string value (+ the capture's batch_id partition)
+    assert sorted(wire.columns) == ["batch_id", "key", "value"]
+
+    candle_schema = candle_stream().schema
+    cols = [f.name for f in candle_schema.fields]
+    parsed = wire.select(
+        "key", "value", F.from_json("value", candle_schema).alias("c")
+    )
+    # 1. parse recovers every emitted candle row + the key column
+    expected = run_to_memory(candle_stream(), "t_kwire_mem")
+    got_rows = {tuple(r["c"][c] for c in cols) for r in parsed.collect()}
+    exp_rows = {tuple(r) for r in expected.collect()}
+    assert got_rows == exp_rows and got_rows
+    assert parsed.filter(F.col("key") != F.col("c.instrument")).count() == 0
+    # 2. byte-for-byte: to_json(from_json(value)) == value for every row
+    reser = parsed.withColumn(
+        "value2", F.to_json(F.struct(*[F.col(f"c.{c}") for c in cols]))
+    )
+    assert reser.filter(F.col("value2") != F.col("value")).count() == 0
+
+
+def test_kafka_shaped_sink_exactly_once_restart(spark):
+    """The Kafka-shaped sink keeps exactly-once across checkpoint restarts,
+    mirroring test_exactly_once_sink_across_restart for the parquet sink
+    (O23's semantics twin of O24's): re-running with old source files
+    present must not re-emit batch 1, and a replayed batch id overwrites
+    instead of duplicating."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
+        kafka_sink_capture,
+    )
+
+    base = tempfile.mkdtemp(prefix="t_kwire_eo_")
+    src, ckpt, out = (os.path.join(base, d) for d in ("src", "ckpt", "out"))
+    schema = "event_id long, ts timestamp"
+    b1 = spark.createDataFrame([(i, _ts(i)) for i in range(5)], schema)
+    b2 = spark.createDataFrame([(i, _ts(i)) for i in range(5, 8)], schema)
+
+    def run_once():
+        sdf = spark.readStream.schema(b1.schema).parquet(src)
+        q = kafka_sink_capture(sdf, out, ckpt, key_col="event_id")
+        q.awaitTermination(120)
+
+    b1.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    run_once()  # no new data: must not re-emit batch 1
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    wire = spark.read.parquet(out)
+    assert wire.count() == 8
+    ids = wire.select(F.get_json_object("value", "$.event_id").cast("long"))
+    assert ids.distinct().count() == 8
+    assert wire.filter(F.col("key") != F.get_json_object("value", "$.event_id")).count() == 0
