@@ -42,7 +42,9 @@ PROBE_QUERIES = [
     ("q48_candle_rollup", "two-level hierarchical agg"),
     ("q90_exact_dedup", "hash-groupBy dedup"),
     ("q91b_near_dedup_minhash_lsh", "LSH banded near-dup (the scale path)"),
+    ("q100_multimodal_features", "mapInPandas over binary payloads"),
     ("q104_rolling_fingerprint", "Arrow-vectorized per-row text op"),
+    ("q105_frame_sample", "row-exploding mapInPandas (1 payload -> k frames)"),
 ]
 
 
