@@ -176,3 +176,36 @@ def test_rolling_fingerprint_fast_parity(spark):
     }
     assert slow_n == fast_n
     assert slow_n[1] == (0, None, None, 0)
+
+
+def test_minhash_lsh_matches_exact_on_fixture(spark):
+    """The banded-LSH scale path verifies candidates with EXACT Jaccard,
+    so on the fixture (planted near-dups well above threshold) its output
+    must equal the exact all-pairs baseline, values included — candidate
+    generation may only lose borderline recall, never add false pairs."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.llmops import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.5, ngram=3).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=0.5, ngram=3).collect()
+    }
+    assert exact and lsh == exact
+    # no false positives even at a threshold that admits more candidates
+    lsh_lo = minhash_lsh_pairs(docs, threshold=0.3, ngram=3)
+    exact_lo = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.3, ngram=3).collect()
+    }
+    for r in lsh_lo.collect():
+        assert exact_lo[(r["doc_a"], r["doc_b"])] == r["jaccard"]
