@@ -392,6 +392,85 @@ def simhash_fingerprints(
     return voted.select("doc", fp.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 32,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: bit-band bucket join + Hamming verification.
+
+    Completes the SimHash path (``simhash_fingerprints`` computes the
+    fingerprints; this generates the pairs).  Candidate generation bands
+    the fingerprint into ``n_bands`` contiguous substrings and bucket-joins
+    on (band, substring); by pigeonhole, any pair within Hamming distance
+    ``n_bands - 1`` agrees on at least one whole band, so for
+    ``max_hamming <= n_bands - 1`` recall is EXACT — unlike MinHash
+    banding, the banded result is deterministic and hash-checkable against
+    an all-pairs oracle.  Verification counts differing bit positions with
+    a generated ``n_bits``-term expression shared with the DuckDB twin.
+
+    100 TB: bucket-join candidate generation, never all-pairs.  Bucket
+    sizes track fingerprint entropy — 64-bit fingerprints over real
+    corpora give near-unique bands (tiny test vocabularies saturate, which
+    is why the gate query bounds its input the way q91 does).  Skewed
+    buckets (a viral boilerplate fingerprint) fall to AQE skew-join
+    handling like every other bucketed op here.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"exact recall needs max_hamming <= n_bands-1 "
+            f"({max_hamming} > {n_bands - 1})"
+        )
+    if n_bits % n_bands:
+        raise ValueError("n_bands must divide n_bits evenly")
+    fps = simhash_fingerprints(df, id_col=id_col, text_col=text_col, n_bits=n_bits)
+    width = n_bits // n_bands
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.substring("simhash", j * width + 1, width).alias("bkey"),
+        )
+        for j in range(n_bands)
+    ]
+    bands = fps.select(
+        "doc", "simhash", F.explode(F.array(*band_structs)).alias("bs")
+    ).select(
+        "doc",
+        "simhash",
+        F.col("bs.band").alias("band"),
+        F.col("bs.bkey").alias("bkey"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("x.simhash").alias("fp_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("y.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = sum(
+        (F.substring("fp_a", i + 1, 1) != F.substring("fp_b", i + 1, 1)).cast(
+            "int"
+        )
+        for i in range(n_bits)
+    )
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # Tiny per-language marker vocabularies for the n-gram/stopword language-ID
 # heuristic.  At deployment these are the top-k stopwords per language (or
 # char-trigram profiles); the operator shape is identical.

@@ -33,6 +33,7 @@ from ..operators.llmops import (
     shingles_col,
     simhash_fingerprints,
     simhash_hex_digits,
+    simhash_near_dup_pairs,
     simhash_sql_votes,
     tfidf,
     tokens_col,
@@ -383,6 +384,57 @@ FROM voted
 Q91C_SQL = _q91c_sql()
 
 
+# --- q91d: SimHash near-dup pairs (banded Hamming join) ----------------------
+# Bit-band bucket join with EXACT recall (pigeonhole: hamming <= n_bands-1
+# guarantees one intact band), so unlike MinHash banding this is
+# deterministic and hash-checked.  The oracle recomputes the identical
+# fingerprints and verifies via all-pairs Hamming over the same bounded
+# slice (bounded like q91: band buckets saturate on the fixture's 31-word
+# vocabulary; real 64-bit fingerprints keep buckets near-unique).
+def q91d_simhash_pairs(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < _Q91_BOUND)
+    return simhash_near_dup_pairs(docs, max_hamming=2, n_bits=32, n_bands=4)
+
+
+def _q91d_sql(n_bits: int = 32, max_hamming: int = 2) -> str:
+    hex_cols = ",\n         ".join(simhash_hex_digits(n_bits))
+    votes = simhash_sql_votes(n_bits, duckdb_shift)
+    vote_cols = ",\n         ".join(f"{v} AS v{b}" for b, v in enumerate(votes))
+    fp = " || ".join(
+        f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(n_bits)
+    )
+    ham = " + ".join(
+        f"CASE WHEN substring(a.simhash, {i + 1}, 1) <> "
+        f"substring(b.simhash, {i + 1}, 1) THEN 1 ELSE 0 END"
+        for i in range(n_bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc, unnest({_DUCK_TOKS}) AS tok FROM documents
+  WHERE doc_id < {_Q91_BOUND}
+), hexed AS (
+  SELECT doc,
+         {hex_cols}
+  FROM toks
+), voted AS (
+  SELECT doc,
+         {vote_cols}
+  FROM hexed GROUP BY doc
+), fps AS (
+  SELECT doc, {fp} AS simhash FROM voted
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         CAST({ham} AS INTEGER) AS hamming
+  FROM fps a JOIN fps b ON a.doc < b.doc
+)
+WHERE hamming <= {max_hamming}
+"""
+
+
+Q91D_SQL = _q91d_sql()
+
+
 # --- q100: multimodal binary payload + mapInPandas feature extraction -------
 # Opaque binary column + typed metadata; byte-level features computed in
 # Arrow-batched Python (operators/multimodal.py — the decode step for real
@@ -512,6 +564,7 @@ QUERIES = {
     "q91_near_dedup_jaccard": q91_near_dedup_jaccard,
     "q91b_near_dedup_minhash_lsh": q91b_near_dedup_minhash_lsh,
     "q91c_simhash": q91c_simhash,
+    "q91d_simhash_pairs": q91d_simhash_pairs,
     "q100_multimodal_features": q100_multimodal_features,
     "q101_lang_id": q101_lang_id,
     "q102_quality_score": q102_quality_score,
@@ -534,8 +587,9 @@ QUERIES = {
 ORACLE = {
     "q90_exact_dedup": Q90_SQL,
     "q91_near_dedup_jaccard": Q91_SQL,
-    "q91b_near_dedup_minhash_lsh": None,  # LSH estimates vary with hashing
+    "q91b_near_dedup_minhash_lsh": None,  # LSH recall probabilistic; rows-only
     "q91c_simhash": Q91C_SQL,
+    "q91d_simhash_pairs": Q91D_SQL,  # banded Hamming join, exact recall
     "q100_multimodal_features": Q100_SQL,
     "q101_lang_id": Q101_SQL,
     "q102_quality_score": Q102_SQL,

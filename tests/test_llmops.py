@@ -209,3 +209,45 @@ def test_minhash_lsh_matches_exact_on_fixture(spark):
     }
     for r in lsh_lo.collect():
         assert exact_lo[(r["doc_a"], r["doc_b"])] == r["jaccard"]
+
+
+def test_simhash_banded_pairs_equal_brute_force(spark):
+    """Pigeonhole guarantee: with 4 bands over 32 bits, the banded bucket
+    join finds EVERY pair at Hamming <= 3 — banding must equal all-pairs
+    brute force exactly, not approximately."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.llmops import (
+        simhash_fingerprints,
+        simhash_near_dup_pairs,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    banded = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    fps = simhash_fingerprints(docs, n_bits=32)
+    a, b = fps.alias("a"), fps.alias("b")
+    ham = sum(
+        (
+            F.substring(F.col("a.simhash"), i + 1, 1)
+            != F.substring(F.col("b.simhash"), i + 1, 1)
+        ).cast("int")
+        for i in range(32)
+    )
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute and banded
+    with pytest.raises(ValueError, match="exact recall"):
+        simhash_near_dup_pairs(docs, max_hamming=4, n_bands=4)
