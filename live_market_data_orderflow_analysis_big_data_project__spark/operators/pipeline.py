@@ -1,0 +1,324 @@
+"""Training-data pipeline operators: decontamination, deterministic
+sampling, shard packing, repetition stats, PII scrubbing, dedup
+clustering, stratified sampling, embedding centroids.
+
+These extend the LLM-data block (operators/llmops.py) with the corpus
+*curation* steps a 100 TB pretraining pipeline runs between raw scrape
+and tokenizer: drop benchmark-contaminated docs, draw reproducible
+samples, pack documents into fixed-token-budget shards, kill
+degenerate/repetitive text, redact PII, collapse near-dup clusters to
+one representative, and summarize the embedding space.
+
+Every operator is pure DataFrame expressions (no Python in the hot
+path); the one driver-side loop (``dedup_clusters``) is a bounded
+Pregel-style iteration over distributed joins, the standard Spark shape
+for connected components (GraphX/GraphFrames do the same with
+large-star/small-star optimizations).
+
+Reference parity: the reference engine (data_processor.py) has no
+corpus-curation surface; these operators are the SURVEY.md section 2.4
+"beyond the reference" extensions, same family as operators/llmops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .llmops import shingles_col, tokens_col
+
+__all__ = [
+    "decontaminate",
+    "hash_sample",
+    "pack_shards",
+    "repetition_stats",
+    "scrub_pii",
+    "dedup_clusters",
+    "stratified_sample",
+    "embedding_centroids",
+]
+
+
+def _md5_key(col: Column | str) -> Column:
+    """First 8 hex digits of md5 — a deterministic, engine-portable
+    uniform key in [0, 16^8).  Compared lexicographically (hex digits
+    sort like their values), so no hex->int conversion is needed and
+    DuckDB computes the identical key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(c.cast("binary")), 1, 8)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    n-gram with an evaluation set.
+
+    The standard pretraining hygiene step (GPT-3 appendix C / PaLM
+    sect. 8 style): a training document is contaminated if any of its
+    n-grams appears verbatim in a benchmark document.  Returns one row
+    per contaminated doc: (doc_id, n_shared_ngrams).
+
+    100 TB: the eval side is benchmarks — MBs, not TBs — so its
+    distinct-shingle set is broadcast and the corpus is flagged in ONE
+    linear scan with a broadcast hash join; the corpus side is NOT
+    pre-deduplicated (that would shuffle every (doc, shingle) pair) —
+    matches are filtered through the broadcast first, so the only
+    shuffle is the countDistinct over the contaminated subset, which is
+    eval-set-sized, not corpus-sized.
+    """
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle")
+    )
+    eval_sh = eval_set.select(
+        F.explode(shingles_col(text_col, n)).alias("shingle")
+    ).distinct()
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_shared_ngrams"))
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    threshold_hex: str = "20000000",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic content-hash sampling: keep rows whose md5 key
+    sorts below ``threshold_hex`` ("20000000" = 2/16 = 12.5%).
+
+    The reproducible alternative to ``df.sample()``: membership depends
+    only on content, so the same doc is in/out of the sample across
+    runs, cluster sizes, and engines — the property a 100 TB corpus
+    snapshot needs for auditable subsampling.  Narrow per-row filter,
+    no shuffle, no RNG state.
+    """
+    return df.withColumn("sample_key", _md5_key(text_col)).filter(
+        F.col("sample_key") < F.lit(threshold_hex)
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    budget_tokens: int = 1000,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training shards.
+
+    Within each ``part_col`` partition, documents are laid out in
+    ``id_col`` order and cut into shards of ~``budget_tokens`` via a
+    running prefix sum: shard_id = floor(tokens_before / budget).
+
+    100 TB: the window is PARTITIONED BY the layout key, so each
+    partition's prefix sum is independent — parallel, single shuffle on
+    part_col.  (A single *global* packing order would instead use
+    range-partitioning + per-partition offsets, two passes; per-source
+    sharding is what real pipelines do anyway to keep domains
+    co-located.)
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.size(tokens_col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.col(part_col),
+        n_tok.alias("n_tokens"),
+        F.floor(
+            F.coalesce(F.sum(n_tok).over(w), F.lit(0)) / budget_tokens
+        ).alias("shard_id"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    dup_ratio_flag: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style within-document repetition stats.
+
+    Per doc: token count, distinct-token (type) count, the most common
+    token's share, and the duplicate-token ratio (1 - types/tokens);
+    ``repetitive`` flags docs above ``dup_ratio_flag``.  Degenerate
+    generated text (the same line or phrase looped) spikes both ratios;
+    Gopher sect. A1.1 filters on exactly these.
+
+    100 TB: explode -> two keyed aggregations ((doc, token) then doc).
+    Both keys are high-cardinality and uniform — partial aggregation
+    does most of the work map-side; no skew, no Python.
+    """
+    per_tok = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_tokens = F.sum("cnt")
+    return per_tok.groupBy(id_col).agg(
+        n_tokens.alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.round(F.max("cnt") / n_tokens, 4).alias("top_token_frac"),
+        F.round(1 - F.count("*") / n_tokens, 4).alias("dup_ratio"),
+        (F.round(1 - F.count("*") / n_tokens, 4) > dup_ratio_flag)
+        .cast("int")
+        .alias("repetitive"),
+    )
+
+
+# Engine-portable regexes: no lookaround (RE2-safe), no \d (class parity).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "contact_text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Redact emails and (555-prefixed fixture) phone numbers.
+
+    Emails first, then phones, each replaced by a typed placeholder;
+    per-row redaction counts let the pipeline monitor PII density by
+    source.  Patterns avoid lookaround so Java (Spark) and RE2 (DuckDB)
+    regex engines agree character-for-character.
+
+    100 TB: narrow per-row regexp_replace/regexp_count — fully
+    pipelined inside whole-stage codegen, no shuffle, no Python.
+    """
+    emails = F.regexp_count(F.col(text_col), F.lit(PII_EMAIL_RE))
+    phones = F.regexp_count(F.col(text_col), F.lit(PII_PHONE_RE))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text_col, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed"),
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+    )
+
+
+def dedup_clusters(
+    edges: DataFrame,
+    max_iters: int = 15,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (doc_id,
+    cluster_id) with cluster_id = min doc id in the component.
+
+    Dedup pair-finders (exact md5 groups, MinHash/SimHash banding)
+    emit EDGES; corpus dedup needs CLUSTERS, so transitively linked
+    docs collapse to one kept representative.  This is min-label
+    propagation (Pregel-style): every node starts labeled with its own
+    id; each round a node takes the min of its and its neighbors'
+    labels; converged when no label changes.  Rounds needed = graph
+    diameter (near-dup components are tiny — pairs and small chains).
+
+    ``edges`` must have columns (doc_a, doc_b).
+
+    100 TB: each round is one join keyed by node id — distributed,
+    no all-pairs; ``localCheckpoint`` cuts the lineage so plans don't
+    grow with iterations (the standard iterative-algorithm discipline;
+    GraphFrames' large-star/small-star does the same with fewer
+    rounds on high-diameter graphs).  The per-round convergence check
+    is one count() on the (small) label-change set, not a data
+    collect.
+    """
+    sym = edges.selectExpr(f"doc_a AS {id_col}", "doc_b AS nbr").unionAll(
+        edges.selectExpr(f"doc_b AS {id_col}", "doc_a AS nbr")
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(id_col).distinct().withColumn("lbl", F.col(id_col))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed(id_col, "nbr"), "nbr")
+            .groupBy(id_col)
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col(id_col), F.col("lbl").alias("cluster_id"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    per_stratum: int = 20,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic per-stratum quota sample: the ``per_stratum`` docs
+    with the smallest content-hash keys in each stratum.
+
+    Hash-ordered rank gives exact quotas AND run-to-run reproducibility
+    (no RNG): the language-balanced eval split you can re-derive from
+    the corpus alone.
+
+    100 TB: one shuffle on the stratum key; strata are few, so the
+    rank window is the skew risk — at real scale, pre-filter each
+    stratum with ``hash_sample`` at a few times the target rate (narrow,
+    no shuffle), then rank only the survivors.  Quota-size output.
+    """
+    w = Window.partitionBy(stratum_col).orderBy("sample_key", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(stratum_col),
+            _md5_key(text_col).alias("sample_key"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_stratum)
+        .drop("sample_key")
+    )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label elementwise centroid, long format (label, dim, centroid).
+
+    The embedding-space summary behind IVF coarse quantizers (q92b) and
+    cluster-balance monitoring: posexplode to (label, dim, value),
+    average per cell.
+
+    100 TB: one shuffle keyed by (label, dim) — cardinality
+    labels x dims, uniform by construction; partial avg aggregates
+    map-side so the shuffle carries (sum, count) pairs, not vectors.
+    Long format avoids driver-side array reassembly.
+    """
+    return (
+        df.select(
+            F.col(label_col), F.posexplode(vec_col).alias("dim", "val")
+        )
+        .groupBy(label_col, "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid"))
+    )

