@@ -251,3 +251,27 @@ def test_simhash_banded_pairs_equal_brute_force(spark):
     assert banded == brute and banded
     with pytest.raises(ValueError, match="exact recall"):
         simhash_near_dup_pairs(docs, max_hamming=4, n_bands=4)
+
+
+def test_simhash_packed_matches_bitstring(spark):
+    """The packed BIGINT fingerprint (simhash_fingerprints_long, the pair
+    join's representation) must be the bit-string read as binary for every
+    doc — the shared vote expressions may not drift between the two."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.llmops import (
+        simhash_fingerprints,
+        simhash_fingerprints_long,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    strings = {
+        r["doc"]: r["simhash"]
+        for r in simhash_fingerprints(docs, n_bits=32).collect()
+    }
+    packed = {
+        r["doc"]: r["fp_long"]
+        for r in simhash_fingerprints_long(docs, n_bits=32).collect()
+    }
+    assert packed == {d: int(s, 2) for d, s in strings.items()} and packed
