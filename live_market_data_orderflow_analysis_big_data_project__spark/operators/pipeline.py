@@ -36,6 +36,9 @@ __all__ = [
     "dedup_clusters",
     "stratified_sample",
     "embedding_centroids",
+    "split_assign",
+    "chunk_documents",
+    "quantize_embeddings",
 ]
 
 
@@ -296,6 +299,106 @@ def stratified_sample(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= per_stratum)
         .drop("sample_key")
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    val_hex: str = "0a",
+    test_hex: str = "14",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-hash range.
+
+    md5-prefix ranges partition the corpus into DISJOINT, EXHAUSTIVE
+    splits ([0, val) -> val, [val, test) -> test, rest -> train) that any
+    engine re-derives from content alone — so a doc can never leak
+    between splits across reprocessing runs, the failure mode RNG-based
+    splitting invites.  Defaults: ~3.9% val, ~3.9% test.
+
+    100 TB: one narrow CASE per row, zero shuffle.
+    """
+    key = F.substring(F.md5(F.col(text_col).cast("binary")), 1, 2)
+    return df.select(
+        F.col(id_col),
+        key.alias("split_key"),
+        F.when(key < val_hex, "val")
+        .when(key < test_hex, "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks (1 doc row ->
+    ceil growth), the pretraining/RAG chunking step.
+
+    Chunk i covers tokens [i*stride, i*stride + chunk_tokens); the last
+    chunk may be short; docs shorter than one chunk yield one chunk.
+    n_chunks = 1 + ceil(max(n - chunk_tokens, 0) / stride), so every
+    token lands in at least one chunk and consecutive chunks overlap by
+    ``chunk_tokens - stride``.
+
+    100 TB: ``sequence``+``explode`` is a narrow per-row expansion — row
+    growth ~n/stride, no shuffle; the token array is built once per doc
+    and sliced per chunk.  (``sequence(1, 0)`` would count DOWN in
+    Spark, so the chunk-count arithmetic keeps the upper bound >= 0
+    explicitly.)
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    n_chunks = 1 + F.floor(
+        F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride)
+    ).cast("int") + F.when(
+        (F.greatest(n - chunk_tokens, F.lit(0)) % stride) > 0, 1
+    ).otherwise(0)
+    out = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).filter(F.size("__toks") > 0)
+    chunk = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization with a per-vector scale
+    (max |x| / 127) — the storage layout ANN services ship embeddings
+    in (4x smaller than float32, dot products in integer arithmetic).
+
+    Output: (vec_id, scale ROUND 6, q array<int> in [-127, 127]).
+    Division and rounding happen in IEEE double on both engines, so the
+    quantized codes are hash-exact, not approximate.
+
+    100 TB: narrow per-row array transform, zero shuffle.
+    """
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(dbl, lambda x: F.abs(x)))
+    scale = F.greatest(max_abs, F.lit(1e-12)) / F.lit(127.0)
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.transform(dbl, lambda x: F.round(x / scale, 0).cast("int")).alias(
+            "q"
+        ),
     )
 
 

@@ -21,13 +21,16 @@ from ..operators.llmops import jaccard_pairs
 from ..operators.pipeline import (
     PII_EMAIL_RE,
     PII_PHONE_RE,
+    chunk_documents,
     decontaminate,
     dedup_clusters,
     embedding_centroids,
     hash_sample,
     pack_shards,
+    quantize_embeddings,
     repetition_stats,
     scrub_pii,
+    split_assign,
     stratified_sample,
 )
 from ..sources.tables import load_table
@@ -265,6 +268,71 @@ GROUP BY 1, 2
 """
 
 
+# --- q114: deterministic train/val/test split -------------------------------
+# Content-hash ranges give disjoint, exhaustive, rerun-stable splits —
+# no doc can leak between train and eval across reprocessing runs.
+def q114_split_assign(spark, sf):
+    return split_assign(_docs(spark, sf))
+
+
+Q114_SQL = """
+SELECT doc_id,
+       substring(md5(text), 1, 2) AS split_key,
+       CASE WHEN substring(md5(text), 1, 2) < '0a' THEN 'val'
+            WHEN substring(md5(text), 1, 2) < '14' THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+# --- q115: overlapping token-chunk explosion --------------------------------
+# The pretraining/RAG chunking step: 32-token chunks, stride 24
+# (8-token overlap); every token lands in >= 1 chunk.
+def q115_chunk_documents(spark, sf):
+    return chunk_documents(_docs(spark, sf), chunk_tokens=32, stride=24)
+
+
+Q115_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS arr, len({_DUCK_TOKS}) AS n FROM documents
+), c AS (
+  SELECT doc_id, arr,
+         unnest(range(0, 1 + greatest(n - 32, 0) // 24
+                         + CASE WHEN greatest(n - 32, 0) % 24 > 0
+                                THEN 1 ELSE 0 END)) AS chunk_idx
+  FROM t WHERE n > 0
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(arr[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(arr[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+         AS chunk_text
+FROM c
+"""
+
+
+# --- q116: int8 embedding quantization --------------------------------------
+# Per-vector symmetric scale; codes are hash-exact (IEEE double divide +
+# round on both engines), not approximate.
+def q116_quantize_embeddings(spark, sf):
+    return quantize_embeddings(load_table(spark, sf, "embeddings"))
+
+
+Q116_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS sc
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(sc, 6) AS scale,
+       list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) / sc, 0) AS INTEGER)) AS q
+FROM s
+"""
+
+
 QUERIES = {
     "q106_decontaminate": q106_decontaminate,
     "q107_hash_sample": q107_hash_sample,
@@ -274,6 +342,9 @@ QUERIES = {
     "q111_dedup_clusters": q111_dedup_clusters,
     "q112_stratified_sample": q112_stratified_sample,
     "q113_embedding_centroids": q113_embedding_centroids,
+    "q114_split_assign": q114_split_assign,
+    "q115_chunk_documents": q115_chunk_documents,
+    "q116_quantize_embeddings": q116_quantize_embeddings,
 }
 
 ORACLE = {
@@ -285,4 +356,7 @@ ORACLE = {
     "q111_dedup_clusters": Q111_SQL,
     "q112_stratified_sample": Q112_SQL,
     "q113_embedding_centroids": Q113_SQL,
+    "q114_split_assign": Q114_SQL,
+    "q115_chunk_documents": Q115_SQL,
+    "q116_quantize_embeddings": Q116_SQL,
 }

@@ -19,7 +19,10 @@ from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipel
     hash_sample,
     pack_shards,
     repetition_stats,
+    chunk_documents,
+    quantize_embeddings,
     scrub_pii,
+    split_assign,
     stratified_sample,
 )
 
@@ -146,3 +149,56 @@ def test_embedding_centroids_elementwise_mean(spark):
         for r in embedding_centroids(df).collect()
     }
     assert out == {(0, 0): 2.0, (0, 1): 4.0, (1, 0): 10.0, (1, 1): 20.0}
+
+
+def test_split_assign_disjoint_exhaustive(spark):
+    df = _docs(spark, [(i, f"doc body {i}") for i in range(100)])
+    out = split_assign(df).collect()
+    assert len(out) == 100  # exhaustive: every doc gets exactly one split
+    for r in out:
+        want = (
+            "val"
+            if r["split_key"] < "0a"
+            else "test" if r["split_key"] < "14" else "train"
+        )
+        assert r["split"] == want
+    # rerun-stable (content-pure)
+    again = {r["doc_id"]: r["split"] for r in split_assign(df).collect()}
+    assert again == {r["doc_id"]: r["split"] for r in out}
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(80))  # 80 tokens
+    df = _docs(spark, [(1, words), (2, "tiny doc")])
+    out = [
+        r
+        for r in chunk_documents(df, chunk_tokens=32, stride=24).collect()
+        if r["doc_id"] == 1
+    ]
+    # n_chunks = 1 + ceil((80-32)/24) = 3; last chunk is full (tokens 48..79)
+    assert sorted(r["chunk_idx"] for r in out) == [0, 1, 2]
+    by_idx = {r["chunk_idx"]: r for r in out}
+    assert by_idx[0]["chunk_text"].split()[:2] == ["w0", "w1"]
+    assert by_idx[1]["chunk_text"].split()[0] == "w24"  # stride 24
+    assert by_idx[2]["chunk_text"].split()[-1] == "w79"  # covers the tail
+    assert [by_idx[i]["n_chunk_tokens"] for i in (0, 1, 2)] == [32, 32, 32]
+    # short doc: one (short) chunk
+    small = [
+        r
+        for r in chunk_documents(df, chunk_tokens=32, stride=24).collect()
+        if r["doc_id"] == 2
+    ]
+    assert len(small) == 1 and small[0]["n_chunk_tokens"] == 2
+
+
+def test_quantize_embeddings_codes_and_scale(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 254.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # scale = max|x|/127 = 2/127; codes = round(x*127/2)
+    assert out[1]["q"] == [64, -127, 32]
+    assert abs(out[1]["scale"] - round(2.0 / 127, 6)) < 1e-9
+    assert out[2]["q"] == [0, 0, 127] and out[2]["scale"] == 2.0
+    assert all(-127 <= c <= 127 for r in out.values() for c in r["q"])
