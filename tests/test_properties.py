@@ -91,3 +91,116 @@ def test_jaccard_pairs_matches_reference_model(spark, texts):
         for r in jaccard_pairs(df, threshold=0.3).collect()
     }
     assert got == _ref_jaccard_pairs(texts, 0.3)
+
+
+def _ref_chunks(text: str, C: int, S: int):
+    toks = [w for w in re.split(r"\W+", text.lower(), flags=re.UNICODE) if w]
+    n = len(toks)
+    if n == 0:
+        return {}
+    over = max(n - C, 0)
+    n_chunks = 1 + over // S + (1 if over % S else 0)
+    return {
+        i: (len(toks[i * S : i * S + C]), " ".join(toks[i * S : i * S + C]))
+        for i in range(n_chunks)
+    }
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab cd,ef.gh", max_size=80), min_size=1, max_size=5),
+    st.integers(min_value=2, max_value=6),
+    st.integers(min_value=1, max_value=5),
+)
+def test_chunk_documents_matches_reference_model(spark, texts, C, S):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipeline import (
+        chunk_documents,
+    )
+
+    S = min(S, C)  # stride > chunk would skip tokens; the op is used with S <= C
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, chunk_tokens=C, stride=S).collect()
+    }
+    expected = {
+        (i, ci): chunk
+        for i, t in enumerate(texts)
+        for ci, chunk in _ref_chunks(t, C, S).items()
+    }
+    assert got == expected
+
+
+def _ref_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_dedup_clusters_matches_union_find(spark, edges):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipeline import (
+        dedup_clusters,
+    )
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(df).collect()}
+    assert got == _ref_components(edges)
+
+
+def _ref_quantize(vec):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    sc = max(max(abs(x) for x in vec), 1e-12) / 127.0
+    # Spark's round(double) goes BigDecimal.valueOf -> decimal repr of the
+    # double -> HALF_UP; Decimal(repr(v)) mirrors that exactly.
+    return [
+        int(Decimal(repr(x / sc)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+        for x in vec
+    ]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-1000, max_value=1000).map(lambda k: k / 8.0),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_quantize_embeddings_matches_reference_model(spark, vecs):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipeline import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>"
+    )
+    got = {r["vec_id"]: r["q"] for r in quantize_embeddings(df).collect()}
+    assert got == {i: _ref_quantize(v) for i, v in enumerate(vecs)}
+    assert all(-127 <= c <= 127 for q in got.values() for c in q)

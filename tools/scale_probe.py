@@ -45,6 +45,11 @@ PROBE_QUERIES = [
     ("q100_multimodal_features", "mapInPandas over binary payloads"),
     ("q104_rolling_fingerprint", "Arrow-vectorized per-row text op"),
     ("q105_frame_sample", "row-exploding mapInPandas (1 payload -> k frames)"),
+    ("q106_decontaminate", "broadcast eval-set n-gram join (corpus side never pre-shuffled)"),
+    ("q109_repetition_stats", "explode + two keyed aggs (map-side partials)"),
+    ("q111_dedup_clusters", "linear star edges + CC loop over bounded near-dup slice"),
+    ("q115_chunk_documents", "narrow row-exploding chunker, zero shuffle"),
+    ("q91d_simhash_pairs", "bounded banded SimHash pairs (constant slice BY DESIGN: expect ~1x)"),
 ]
 
 
