@@ -83,6 +83,14 @@ def main() -> None:
         )
         for key, n_ex, flags in rows:
             fh.write(f"| {key} | {n_ex} | {', '.join(flags) or 'ok'} |\n")
+        fh.write(
+            "\nNote: q111_dedup_clusters shows 0 exchanges because its "
+            "result is a\n`localCheckpoint` leaf — the audited plan is the "
+            "final labels scan; the\nper-iteration shuffles (edge join + "
+            "groupBy.min per propagation round)\nexecute during "
+            "construction and are bounded by the near-dup graph size,\n"
+            "not the corpus (see operators/pipeline.py::dedup_clusters).\n"
+        )
     print(f"audited {len(rows)} batch plans -> PLAN_AUDIT.md")
     if problems:
         for key, flags in problems:

@@ -188,11 +188,36 @@ def main() -> None:
         lines.append(f"| {key} | {why} | {t1:.2f} | {tm:.2f} | {ratio:.1f} |")
     lines += [
         "",
-        "Finding encoded back into the engine: before explicit",
-        "`hint(\"merge\")` on the q20/q26 fact joins, Catalyst's",
-        "column-pruned size estimates broadcast the fact tables at 16x",
-        "(q26 ratio 46.9 — the plan that OOMs a driver at 100 TB); with",
-        "the hints the chain scales ~linearly.",
+        "Findings encoded back into the engine:",
+        "",
+        "1. Before explicit `hint(\"merge\")` on the q20/q26 fact joins,",
+        "   Catalyst's column-pruned size estimates broadcast the fact tables",
+        "   at 16x (q26 ratio 46.9 — the plan that OOMs a driver at 100 TB);",
+        "   with the hints the chain scales ~linearly.",
+        "2. The replica must scale the CORPUS, not copy it: verbatim text",
+        "   replication gives every document 16 exact twins, so near-dup",
+        "   classes grow with scale and pairwise-dedup output is quadratic by",
+        "   construction (first run showed q91b \"ratio\" 109x measuring that",
+        "   artifact).  With copies made textually disjoint (per-copy token",
+        "   suffix), banded LSH shows its real behavior — bucket joins only",
+        "   pay for genuinely similar documents.  (Round 3 replaced the MLlib",
+        "   MinHashLSH formulation with pure-expression banding + exact",
+        "   candidate verification: 64.4s -> 5.0s at 1x, 235s -> 23s at 16x.)",
+        "3. The Arrow/mapInPandas surface scales flat at this fixture size:",
+        "   q100 (binary-payload features), q104 (rolling fingerprint), q105",
+        "   (frame sampling) land at ratio ~1.0-1.3 at 16x data — 80k docs",
+        "   through a per-batch Python pipe is session-overhead-dominated,",
+        "   i.e. the Arrow crossing itself is not the bottleneck term;",
+        "   per-row Python (the banned pattern) would already be",
+        "   super-linear here.",
+        "",
+        "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
+        "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
+        "re-measured at 4.3x quiet; re-run ratios that look anomalous before",
+        "acting on them.  The per-run RATIO is the stable signal, and only on",
+        "a quiet host.  Measurements are on a single 32-core JVM —",
+        "shuffle-heavy ratios (q20) include single-host sort/spill effects a",
+        "real cluster distributes.",
         "",
         "Regenerate: `python tools/scale_probe.py`.",
         "",
