@@ -39,6 +39,9 @@ __all__ = [
     "split_assign",
     "chunk_documents",
     "quantize_embeddings",
+    "bm25_search",
+    "unigram_nll_score",
+    "collapse_clusters",
 ]
 
 
@@ -424,4 +427,150 @@ def embedding_centroids(
         )
         .groupBy(label_col, "dim")
         .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid"))
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k docs for a bag of query terms.
+
+    The classic Okapi BM25 scoring (Lucene's IDF variant,
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``) — the retrieval step of a
+    RAG / data-curation pipeline, complementing q96's per-term TF-IDF
+    table with an actual ranked search over the corpus.
+
+    Pipeline: doc lengths come from a narrow ``size(tokens)`` projection
+    (no explode, includes zero-token docs in N/avgdl, matching the SQL
+    twin); term frequencies explode only rows matching the query terms
+    (the IN filter pushes below the explode's generator output, so the
+    shuffle carries query-term hits, not the corpus); per-term document
+    frequencies aggregate from the tf table (tiny: <= |terms| rows) and
+    broadcast back, as do the two corpus scalars.
+
+    100 TB: one shuffle for tf (keyed by doc, term), one for the final
+    per-doc sum; df/N/avgdl are broadcast scalars; top-k compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows), never a global sort.
+
+    Output: (doc_id, n_hit_terms, score ROUND 4), ordered score desc
+    with doc_id tie-break.
+    """
+    toks = tokens_col(text_col)
+    dl = df.select(F.col(id_col), F.size(toks).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.col("term").isin([t.lower() for t in query_terms]))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct(id_col).alias("term_df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("term_df") + 0.5)
+        / (F.col("term_df") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", idf * norm)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            F.round(F.sum("w"), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def unigram_nll_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's
+    own unigram language model — the perplexity-style fluency/quality
+    filter (CCNet / Gopher run a KenLM n-gram model; the unigram case
+    is the same pipeline shape with an in-engine model).
+
+    Two passes over one exploded token frame: (1) global token counts
+    become the LM (``p(t) = count(t) / total``); (2) each doc averages
+    ``-ln p(t)`` over its tokens.  Docs full of rare tokens score high
+    (surprising text), template/boilerplate docs score low — both tails
+    are curation candidates.
+
+    100 TB: the LM table is vocabulary-sized (~millions of rows, MBs)
+    — broadcast back to the token frame, so the per-doc pass adds no
+    shuffle beyond its own groupBy; if vocabulary outgrows the
+    broadcast threshold, drop the hint and AQE falls back to a shuffle
+    join keyed by term (uniform by construction after the count agg).
+
+    Output: (doc_id, n_tokens, avg_nll ROUND 4).
+    """
+    tk = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    vocab = tk.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lm = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.log(F.col("cnt").cast("double") / F.col("total")).alias("logp"),
+    )
+    return (
+        tk.join(F.broadcast(lm), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.avg("logp"), 4).alias("avg_nll"),
+        )
+    )
+
+
+def collapse_clusters(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Turn a (doc_id, cluster_id) component labeling into the corpus
+    keep-list: every doc mapped to its cluster (singletons form their
+    own), kept iff it is the cluster's canonical representative (the
+    min-id member, which min-label propagation makes the label itself).
+
+    This is the step that actually SHRINKS the corpus after
+    ``dedup_clusters`` — downstream stages filter ``is_kept = 1`` and
+    every near-dup class contributes exactly one document.
+
+    100 TB: ``clusters`` is bounded by the near-dup graph (docs with at
+    least one edge), far smaller than the corpus — broadcast it and the
+    keep-list is a single narrow scan of ``df``; no shuffle.
+    """
+    return (
+        df.select(id_col)
+        .join(F.broadcast(clusters), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias(
+                "cluster_id"
+            ),
+            (
+                F.coalesce(F.col("cluster_id"), F.col(id_col))
+                == F.col(id_col)
+            )
+            .cast("int")
+            .alias("is_kept"),
+        )
     )

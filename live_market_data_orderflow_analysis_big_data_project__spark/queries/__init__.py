@@ -27,7 +27,7 @@ _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 # (tools/check_oracle.py).
 _PRIORITY = (
     list(lblock.QUERIES)                      # 22: q90-q105 + variants
-    + list(pblock.QUERIES)                    # 8: q106-q113 (new this round)
+    + list(pblock.QUERIES)                    # 14: q106-q119 (new this round)
     + ["q81_pandas_udf", "q82_grouped_map"]   # 2: Arrow UDF surface
     + list(sblock.QUERIES)                    # 10: s01-s10
     + ["q72_cte", "q34_approx_distinct"]      # 2: changed last round

@@ -21,7 +21,9 @@ from ..operators.llmops import jaccard_pairs
 from ..operators.pipeline import (
     PII_EMAIL_RE,
     PII_PHONE_RE,
+    bm25_search,
     chunk_documents,
+    collapse_clusters,
     decontaminate,
     dedup_clusters,
     embedding_centroids,
@@ -32,6 +34,7 @@ from ..operators.pipeline import (
     scrub_pii,
     split_assign,
     stratified_sample,
+    unigram_nll_score,
 )
 from ..sources.tables import load_table
 from .lblock import _Q91_BOUND, Q91_SQL, _DUCK_TOKS
@@ -333,6 +336,86 @@ FROM s
 """
 
 
+# --- q117: BM25 ranked retrieval --------------------------------------------
+# Top-50 docs for a 3-term query under Okapi BM25 (Lucene IDF variant)
+# — the retrieval step of a RAG/curation pipeline, complementing q96's
+# per-term TF-IDF table with an actual ranked search.
+_BM25_TERMS = ["spark", "merge", "window"]
+
+
+def q117_bm25_search(spark, sf):
+    return bm25_search(_docs(spark, sf), _BM25_TERMS, top_k=50)
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+Q117_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, len({_DUCK_TOKS}) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+  WHERE tok IN ({_BM25_IN})
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS term_df FROM tf GROUP BY 1
+)
+SELECT doc_id, COUNT(*) AS n_hit_terms,
+       ROUND(SUM(ln(1.0 + (n_docs - term_df + 0.5) / (term_df + 0.5))
+                 * (tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))),
+             4) AS score
+FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 50
+"""
+
+
+# --- q118: unigram-LM fluency score -----------------------------------------
+# Per-doc average negative log-likelihood under the corpus's own
+# unigram LM — the perplexity-filter shape (CCNet/KenLM) with an
+# in-engine model.
+def q118_unigram_nll(spark, sf):
+    return unigram_nll_score(_docs(spark, sf))
+
+
+Q118_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+), v AS (
+  SELECT tok, count(*) AS cnt FROM tk GROUP BY 1
+), tot AS (
+  SELECT SUM(cnt) AS total FROM v
+), lm AS (
+  SELECT tok, ln(CAST(cnt AS DOUBLE) / total) AS logp FROM v, tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens, ROUND(-AVG(logp), 4) AS avg_nll
+FROM tk JOIN lm USING (tok)
+GROUP BY doc_id
+"""
+
+
+# --- q119: dedup cluster collapse -> corpus keep-list -----------------------
+# The step that actually shrinks the corpus: every doc mapped to its
+# q111 component (singletons form their own), kept iff it is the
+# canonical (min-id) member.
+def q119_dedup_collapse(spark, sf):
+    return collapse_clusters(
+        _docs(spark, sf), q111_dedup_clusters(spark, sf)
+    )
+
+
+Q119_SQL = f"""
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       CAST(COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS INTEGER)
+         AS is_kept
+FROM documents d
+LEFT JOIN ({Q111_SQL}) c ON c.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "q106_decontaminate": q106_decontaminate,
     "q107_hash_sample": q107_hash_sample,
@@ -345,6 +428,9 @@ QUERIES = {
     "q114_split_assign": q114_split_assign,
     "q115_chunk_documents": q115_chunk_documents,
     "q116_quantize_embeddings": q116_quantize_embeddings,
+    "q117_bm25_search": q117_bm25_search,
+    "q118_unigram_nll": q118_unigram_nll,
+    "q119_dedup_collapse": q119_dedup_collapse,
 }
 
 ORACLE = {
@@ -359,4 +445,7 @@ ORACLE = {
     "q114_split_assign": Q114_SQL,
     "q115_chunk_documents": Q115_SQL,
     "q116_quantize_embeddings": Q116_SQL,
+    "q117_bm25_search": Q117_SQL,
+    "q118_unigram_nll": Q118_SQL,
+    "q119_dedup_collapse": Q119_SQL,
 }

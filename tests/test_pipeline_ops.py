@@ -202,3 +202,73 @@ def test_quantize_embeddings_codes_and_scale(spark):
     assert abs(out[1]["scale"] - round(2.0 / 127, 6)) < 1e-9
     assert out[2]["q"] == [0, 0, 127] and out[2]["scale"] == 2.0
     assert all(-127 <= c <= 127 for r in out.values() for c in r["q"])
+
+
+def test_bm25_ranks_and_scores(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipeline import (
+        bm25_search,
+    )
+    import math
+
+    df = _docs(
+        spark,
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry cherry"),
+        ],
+    )
+    rows = bm25_search(df, ["apple", "banana"], top_k=10).collect()
+    # doc 3 has no query term; docs rank 1 (2 hits) then 2
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    assert [r["n_hit_terms"] for r in rows] == [2, 1]
+
+    def idf(df_t, n=3):
+        return math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+
+    def norm(tf, dl, avgdl=3.0, k1=1.2, b=0.75):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    want1 = round(idf(1) * norm(2, 3) + idf(2) * norm(1, 3), 4)
+    want2 = round(idf(2) * norm(1, 2), 4)
+    assert rows[0]["score"] == pytest.approx(want1, abs=1e-4)
+    assert rows[1]["score"] == pytest.approx(want2, abs=1e-4)
+
+
+def test_unigram_nll_matches_hand_model(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipeline import (
+        unigram_nll_score,
+    )
+    import math
+
+    df = _docs(spark, [(1, "a a b"), (2, "b c")])
+    out = {r["doc_id"]: r for r in unigram_nll_score(df).collect()}
+    # counts: a=2 b=2 c=1, total=5
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert out[1]["avg_nll"] == pytest.approx(-math.log(0.4), abs=1e-4)
+    assert out[2]["avg_nll"] == pytest.approx(
+        -(math.log(0.4) + math.log(0.2)) / 2, abs=1e-4
+    )
+
+
+def test_collapse_clusters_keep_list(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipeline import (
+        collapse_clusters,
+    )
+
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(1, 6)])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_kept"])
+        for r in collapse_clusters(docs, dedup_clusters(edges)).collect()
+    }
+    # 1-2-3 collapse to cluster 1 (min id kept); 4 and 5 are singletons
+    assert out == {
+        1: (1, 1),
+        2: (1, 0),
+        3: (1, 0),
+        4: (4, 1),
+        5: (5, 1),
+    }

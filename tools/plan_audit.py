@@ -34,6 +34,8 @@ NON_EQUI_OK = {
     "q93_knn_join",             # bounded-sample all-pairs baseline
     "q96_tfidf",                # 1-row doc-count crossJoin
     "q103_embedding_near_dup",  # bounded all-pairs baseline (scale: LSH/IVF)
+    "q117_bm25_search",         # 1-row N/avgdl scalar crossJoin
+    "q118_unigram_nll",         # 1-row LM-total scalar crossJoin
 }
 # queries whose purpose is the row-Python UDF surface
 PY_UDF_OK = {"q80_python_udf"}
