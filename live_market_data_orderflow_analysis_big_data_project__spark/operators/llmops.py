@@ -737,6 +737,42 @@ def tfidf(
     )
 
 
+def gram_hash_expr(
+    text_col: str = "text",
+    k: int = 8,
+    base: int = 31,
+    mod: int = 1_000_000_007,
+) -> str:
+    """Spark SQL expression string: ``array<bigint>`` of polynomial
+    hashes of every character ``k``-gram of ``lower(text_col)``.
+
+    Shared by :func:`rolling_fingerprint` (per-doc summary) and
+    :func:`fingerprint_overlap_pairs` (cross-doc inverted index), so the
+    hash definition can't drift between the two.
+
+    Integer-exactness contract: coefficients base^(k-1-j) and the k-term
+    dot product stay under 2^63 for base=31, k=8, codes <= 0x10FFFF, so
+    Spark and DuckDB compute the identical BIGINT before the single
+    ``% mod``.
+    """
+    if base ** (k - 1) * 0x10FFFF * k >= 2**63:
+        raise ValueError(f"k={k}/base={base} risks BIGINT overflow pre-mod")
+    pows = ",".join(str(base ** (k - 1 - j)) for j in range(k))
+    lower = f"lower({text_col})"
+    # Docs shorter than k need an explicit empty-array branch: Spark's
+    # sequence(1, 0) is a DESCENDING [1, 0], not [] (DuckDB's half-open
+    # range(1, 1) is genuinely empty, so the twin needs no guard).
+    return (
+        f"CASE WHEN char_length({lower}) >= {k} THEN transform("
+        f"  transform(sequence(1, char_length({lower}) - {k - 1}),"
+        f"            i -> substring({lower}, i, {k})),"
+        f"  g -> aggregate(sequence(1, {k}), cast(0 as bigint),"
+        f"       (acc, j) -> acc + ascii(substring(g, j, 1))"
+        f"                   * element_at(array({pows}), j)) % {mod})"
+        f" ELSE CAST(array() AS array<bigint>) END"
+    )
+
+
 def rolling_fingerprint(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -764,23 +800,7 @@ def rolling_fingerprint(
     2^63 for base=31, k=8, codes <= 0x10FFFF, so both engines compute the
     identical BIGINT before the single ``% mod``.
     """
-    if base ** (k - 1) * 0x10FFFF * k >= 2**63:
-        raise ValueError(f"k={k}/base={base} risks BIGINT overflow pre-mod")
-    pows = ",".join(str(base ** (k - 1 - j)) for j in range(k))
-    lower = f"lower({text_col})"
-    # Docs shorter than k need an explicit empty-array branch: Spark's
-    # sequence(1, 0) is a DESCENDING [1, 0], not [] (DuckDB's half-open
-    # range(1, 1) is genuinely empty, so the twin needs no guard).
-    hashes = (
-        f"CASE WHEN char_length({lower}) >= {k} THEN transform("
-        f"  transform(sequence(1, char_length({lower}) - {k - 1}),"
-        f"            i -> substring({lower}, i, {k})),"
-        f"  g -> aggregate(sequence(1, {k}), cast(0 as bigint),"
-        f"       (acc, j) -> acc + ascii(substring(g, j, 1))"
-        f"                   * element_at(array({pows}), j)) % {mod})"
-        f" ELSE CAST(array() AS array<bigint>) END"
-    )
-    hs = F.expr(hashes)
+    hs = F.expr(gram_hash_expr(text_col, k=k, base=base, mod=mod))
     return df.select(
         F.col(id_col),
         F.size(hs).alias("n_grams"),
@@ -816,6 +836,107 @@ SELECT {id_col}, len(hs) AS n_grams,
        list_min(hs) AS fp_min, list_max(hs) AS fp_max,
        len(list_distinct(hs)) AS n_distinct
 FROM g
+"""
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    base: int = 31,
+    mod: int = 1_000_000_007,
+    p: int = 61,
+    max_df: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """MOSS-style cross-document overlap detection: pairs of docs
+    sharing >= ``min_shared`` *selected* k-gram fingerprints.
+
+    Selection is mod-p sampling (keep gram hashes ``h % p == 0`` —
+    Manber's "fingerprinting by sampling", the order-free cousin of
+    winnowing): each doc contributes ~n_grams/p fingerprints, and two
+    docs sharing a run of >= k+p characters are overwhelmingly likely
+    to share a selected fingerprint.  Complements the token-level
+    families (q91 shingle Jaccard, q91b MinHash, q91d SimHash) with a
+    CHARACTER-level detector that survives token-boundary edits.
+
+    Fingerprints seen in more than ``max_df`` docs are dropped before
+    the pair join — the standard boilerplate suppression (a header
+    shared by half the corpus would otherwise contribute a quadratic
+    blowup; this is exactly the unboundedness q91's exact baseline was
+    flagged for, closed here by construction).
+
+    100 TB: the inverted index is |selected| ~ corpus_grams/p rows; the
+    self-join is keyed by fingerprint and, after the max_df guard, each
+    key fans out to <= max_df^2/2 pairs — linear in corpus size with a
+    constant cap per key, the bucketed candidate-generation shape.
+
+    Output: (doc_a, doc_b, n_shared_fp) with doc_a < doc_b.
+    """
+    hs = F.expr(gram_hash_expr(text_col, k=k, base=base, mod=mod))
+    sel = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.filter(hs, lambda h: h % p == 0))
+        ).alias("fp"),
+    )
+    # (doc, fp) is distinct by construction, so count(*) == doc-frequency.
+    ok = (
+        sel.groupBy("fp")
+        .agg(F.count("*").alias("fp_df"))
+        .filter(F.col("fp_df") <= max_df)
+        .select("fp")
+    )
+    kept = sel.join(ok, "fp")
+    a = kept.select(F.col("fp"), F.col("doc").alias("doc_a"))
+    b = kept.select(F.col("fp"), F.col("doc").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= min_shared)
+    )
+
+
+def fingerprint_overlap_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    base: int = 31,
+    mod: int = 1_000_000_007,
+    p: int = 61,
+    max_df: int = 50,
+    min_shared: int = 2,
+) -> str:
+    """DuckDB twin of :func:`fingerprint_overlap_pairs` (same BIGINT
+    hash via the shared polynomial, same mod-p selection and guards)."""
+    pows = "[" + ",".join(str(base ** (k - 1 - j)) for j in range(k)) + "]"
+    lower = f"lower({text_col})"
+    return f"""
+WITH g AS (
+  SELECT {id_col},
+    list_transform(
+      list_transform(range(1, greatest(len({lower}) - {k - 1}, 0) + 1),
+                     i -> substring({lower}, i, {k})),
+      gr -> list_sum(list_transform(range(1, {k + 1}),
+            j -> ascii(substring(gr, j, 1)) * ({pows})[j])) % {mod}
+    ) AS hs
+  FROM {table}
+), sel AS (
+  SELECT {id_col} AS doc,
+         unnest(list_distinct(list_filter(hs, h -> h % {p} = 0))) AS fp
+  FROM g
+), ok AS (
+  SELECT fp FROM sel GROUP BY fp HAVING count(*) <= {max_df}
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared_fp
+FROM sel a JOIN ok USING (fp) JOIN sel b ON a.fp = b.fp
+WHERE a.doc < b.doc
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
 """
 
 

@@ -25,9 +25,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.vectors import dot, l2_norm
 from .llmops import shingles_col, tokens_col
 
 __all__ = [
+    "span_dedup_stats",
+    "semdedup",
+    "source_mixture_sample",
+    "quality_classifier_score",
+    "epoch_shuffle",
     "decontaminate",
     "hash_sample",
     "pack_shards",
@@ -572,5 +578,308 @@ def collapse_clusters(
             )
             .cast("int")
             .alias("is_kept"),
+        )
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    span_tokens: int = 8,
+    flag_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document span-level exact dedup stats (the C4 / CCNet
+    paragraph-dedup shape, at fixed token granularity): cut each doc
+    into non-overlapping ``span_tokens``-token spans, count how many
+    DISTINCT docs each span occurs in, and report per doc how much of
+    it is boilerplate shared with other docs.
+
+    A doc whose spans mostly appear elsewhere is template/mirror
+    content; curation drops the doc (``flagged``) or strips the
+    duplicated spans.  Span granularity generalizes line/paragraph
+    dedup to text without newline structure.
+
+    100 TB: span frequencies are a two-level hash agg keyed by span
+    text (partial map-side count-distinct per span, then merge) — the
+    heavy-hitter span IS the interesting output, and the per-doc join
+    back is keyed by span with the doc list bounded per span by its
+    doc frequency.  One explode (~n_tokens/span_tokens rows per doc),
+    two shuffles total.
+
+    Output: (doc_id, n_spans, n_dup_spans, dup_span_frac ROUND 4,
+    flagged) — ``n_dup_spans`` counts span POSITIONS whose text occurs
+    in >= 2 distinct docs.
+    """
+    spans = chunk_documents(
+        df,
+        chunk_tokens=span_tokens,
+        stride=span_tokens,
+        id_col=id_col,
+        text_col=text_col,
+    ).select(F.col(id_col), F.col("chunk_text").alias("span"))
+    freq = spans.groupBy("span").agg(
+        F.countDistinct(id_col).alias("span_df")
+    )
+    frac = F.round(
+        F.sum(F.when(F.col("span_df") >= 2, 1).otherwise(0))
+        / F.count("*"),
+        4,
+    )
+    return (
+        spans.join(freq, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("span_df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            frac.alias("dup_span_frac"),
+            (frac >= flag_frac).cast("int").alias("flagged"),
+        )
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped embedding dedup (Abbas et al.,
+    2023): within each cluster, a vector is a semantic duplicate if an
+    earlier (lower-id) cluster member sits within cosine ``threshold``;
+    keep only the earliest member of each duplicate chain.
+
+    The whole point of the cluster scope is scale: the corpus-wide
+    pairwise matrix is quadratic, but partitioning by a coarse cluster
+    (here the fixture's ``label``; in production the k-means cell from
+    the q113/q92b coarse quantizer) bounds the join to
+    sum(|cluster|^2) — embarrassingly parallel across clusters, the
+    published SemDeDup design point.
+
+    100 TB: one equi-join keyed by cluster id (norms projected once per
+    side, before the join), one groupBy keyed by vector id.  Cluster
+    size is the knob: cap it in the quantizer and the per-key cost is
+    constant.
+
+    Output: (vec_id, label, n_close_earlier, max_cos_earlier ROUND 4 —
+    NULL for each cluster's first member, is_kept).  Threshold compares
+    the ROUNDED similarity so the boundary is engine-portable.
+    """
+    nrm = l2_norm(vec_col)
+    a = df.select(
+        F.col(label_col).alias("__lbl"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        nrm.alias("na"),
+    )
+    b = df.select(
+        F.col(label_col).alias("__lbl"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        nrm.alias("nb"),
+    )
+    sim = F.round(
+        dot("va", "vb") / (F.col("na") * F.col("nb")), 4
+    ).alias("sim")
+    pairs = (
+        a.join(b, "__lbl")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", sim)
+    )
+    stats = pairs.groupBy("id_b").agg(
+        F.sum(F.when(F.col("sim") >= threshold, 1).otherwise(0))
+        .cast("long")
+        .alias("n_close_earlier"),
+        F.max("sim").alias("max_cos_earlier"),
+    )
+    return (
+        df.select(F.col(id_col), F.col(label_col))
+        .join(stats, F.col(id_col) == F.col("id_b"), "left")
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.coalesce(F.col("n_close_earlier"), F.lit(0)).alias(
+                "n_close_earlier"
+            ),
+            F.col("max_cos_earlier"),
+            (F.coalesce(F.col("n_close_earlier"), F.lit(0)) == 0)
+            .cast("int")
+            .alias("is_kept"),
+        )
+    )
+
+
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def _hex_nibble(col: Column) -> Column:
+    """0..15 from one lowercase hex character — position in the digit
+    alphabet, the engine-portable hex->int that needs no
+    ``conv``/``from_hex`` (DuckDB twin: ``strpos``)."""
+    return F.position(col, F.lit(_HEX_DIGITS)) - 1
+
+
+def source_mixture_sample(
+    df: DataFrame,
+    oversample: float = 1.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture resampling (the DoReMi / Pile-construction step):
+    re-weight the corpus toward target per-source shares by
+    deterministic content-hash subsampling.
+
+    Target shares here derive from a fixture-stable rule (first md5
+    nibble of the source name + 1, normalized) standing in for learned
+    domain weights; each source keeps
+    ``frac = min(1, oversample * share * N / n_source)`` of its docs,
+    chosen by md5 content key < a per-source hex threshold — the same
+    rerun-stable, engine-portable membership rule as ``hash_sample``.
+
+    100 TB: per-source counts and weights are a tiny dim (|sources|
+    rows) broadcast back to the corpus; membership is then a narrow
+    per-row compare — one small agg plus a linear scan, no repartition
+    of the fact table.
+
+    Output: (doc_id, source, sample_frac ROUND 4, is_kept).
+    """
+    w = _hex_nibble(F.substring(F.md5(F.col(source_col).cast("binary")), 1, 1)) + 1
+    per_src = df.groupBy(source_col).agg(
+        F.count("*").alias("n_src"), F.max(w).alias("w")
+    )
+    tot = per_src.agg(
+        F.sum("n_src").alias("n_total"), F.sum("w").alias("w_total")
+    )
+    dim = per_src.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(oversample)
+            * (F.col("w") / F.col("w_total"))
+            * (F.col("n_total") / F.col("n_src")),
+        ).alias("frac"),
+    )
+    thr = F.format_string(
+        "%08x", F.floor(F.col("frac") * F.lit(4294967296.0)).cast("long")
+    )
+    key = F.substring(F.md5(F.col(text_col).cast("binary")), 1, 8)
+    return (
+        df.select(F.col(id_col), F.col(source_col), key.alias("__key"))
+        .join(F.broadcast(dim), source_col)
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            F.round(F.col("frac"), 4).alias("sample_frac"),
+            ((F.col("frac") >= 1.0) | (F.col("__key") < thr))
+            .cast("int")
+            .alias("is_kept"),
+        )
+    )
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Linear model-based quality scoring over hashed token features —
+    the fastText-classifier shape (CCNet/LLaMA "looks like Wikipedia"
+    filters) with an in-engine weight table.
+
+    Tokens hash to ``n_buckets`` buckets (two md5 hex chars); a
+    256-row weight table (deterministic surrogate for learned weights,
+    dyadic values i -> ((i*37) % 101 - 50)/64 so sums are EXACT in
+    IEEE double regardless of aggregation order) joins in broadcast;
+    the doc score is the mean bucket weight squashed by a sigmoid.
+
+    100 TB: the weight table is model-sized (constant) — broadcast
+    hash join against the exploded token frame, then one groupBy keyed
+    by doc.  Swapping in real learned weights changes the table
+    contents, not the plan.
+
+    Output: (doc_id, n_tokens, score ROUND 4, prob ROUND 4, label).
+    """
+    spark = df.sparkSession
+    i = F.col("id").cast("int")
+    weights = spark.range(n_buckets).select(
+        F.format_string("%02x", i).alias("bucket"),
+        (((i * 37) % 101 - 50) / F.lit(64.0)).alias("w"),
+    )
+    tk = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+    ).select(
+        F.col(id_col),
+        F.substring(F.md5(F.col("tok").cast("binary")), 1, 2).alias(
+            "bucket"
+        ),
+    )
+    scored = tk.join(F.broadcast(weights), "bucket")
+    raw = F.sum("w") / F.count("*")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(raw, 4).alias("score"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 4).alias(
+                "prob"
+            ),
+            (raw > 0).cast("int").alias("label"),
+        )
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int = 7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every epoch
+    permutes the corpus by a content-free hash of (epoch, doc_id),
+    sharded so no single global row_number ever materializes.
+
+    The shard is the first hex nibble of the key (16 uniform shards;
+    production uses more digits), the position is a ROW_NUMBER
+    partitioned BY SHARD — windows run per-shard in parallel, and the
+    global training order is simply (shard, pos).  Rerunning with the
+    same epoch reproduces the exact order on any cluster size;
+    changing the epoch re-permutes.
+
+    100 TB: one hash-partition shuffle by shard + a per-shard sort —
+    the same cost as any repartition, with no driver-side or
+    single-partition step (a global ROW_NUMBER would serialize the
+    corpus through one task; partitioned windows are the scale-legal
+    formulation).
+
+    Output: (doc_id, shuffle_key, shard, pos).
+    """
+    key = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(f"epoch{epoch}:"), F.col(id_col).cast("string")
+            ).cast("binary")
+        ),
+        1,
+        8,
+    )
+    shard = _hex_nibble(F.substring(F.col("shuffle_key"), 1, 1))
+    win = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("shuffle_key"), F.col(id_col))
+    )
+    return (
+        df.select(F.col(id_col), key.alias("shuffle_key"))
+        .select(
+            F.col(id_col), F.col("shuffle_key"), shard.alias("shard")
+        )
+        .select(
+            F.col(id_col),
+            F.col("shuffle_key"),
+            F.col("shard"),
+            (F.row_number().over(win) - 1).cast("long").alias("pos"),
         )
     )

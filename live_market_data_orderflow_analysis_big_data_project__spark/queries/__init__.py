@@ -27,11 +27,15 @@ _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 # (tools/check_oracle.py).
 _PRIORITY = (
     list(lblock.QUERIES)                      # 22: q90-q105 + variants
-    + list(pblock.QUERIES)                    # 14: q106-q119 (new this round)
+    + list(pblock.QUERIES)[:14]               # 14: q106-q119 (new this round)
     + ["q81_pandas_udf", "q82_grouped_map"]   # 2: Arrow UDF surface
     + list(sblock.QUERIES)                    # 10: s01-s10
     + ["q72_cte", "q34_approx_distinct"]      # 2: changed last round
 )
+# q120-q125 (added later in round 3) deliberately sit PAST the driver's
+# 50-entry window this round — the window is spent on the 33 entries that
+# had no CORRECTNESS_r02 row; the local gate covers the rest, and they
+# are first in line for the r4 window.
 assert len(_PRIORITY) <= 50, "driver gate only checks the first 50 entries"
 
 _ALL_Q = {}

@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.llmops import jaccard_pairs
+from ..operators.llmops import (
+    fingerprint_overlap_pairs,
+    fingerprint_overlap_sql,
+    jaccard_pairs,
+)
 from ..operators.pipeline import (
     PII_EMAIL_RE,
     PII_PHONE_RE,
@@ -27,11 +31,16 @@ from ..operators.pipeline import (
     decontaminate,
     dedup_clusters,
     embedding_centroids,
+    epoch_shuffle,
     hash_sample,
     pack_shards,
+    quality_classifier_score,
     quantize_embeddings,
     repetition_stats,
     scrub_pii,
+    semdedup,
+    source_mixture_sample,
+    span_dedup_stats,
     split_assign,
     stratified_sample,
     unigram_nll_score,
@@ -416,6 +425,164 @@ LEFT JOIN ({Q111_SQL}) c ON c.doc_id = d.doc_id
 """
 
 
+# --- q120: cross-doc span-level exact dedup (C4/CCNet paragraph shape) ------
+def q120_span_dedup(spark, sf):
+    return span_dedup_stats(_docs(spark, sf), span_tokens=8, flag_frac=0.5)
+
+
+Q120_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS arr, len({_DUCK_TOKS}) AS n FROM documents
+), c AS (
+  SELECT doc_id, arr,
+         unnest(range(0, 1 + greatest(n - 8, 0) // 8
+                         + CASE WHEN greatest(n - 8, 0) % 8 > 0
+                                THEN 1 ELSE 0 END)) AS ci
+  FROM t WHERE n > 0
+), s AS (
+  SELECT doc_id, array_to_string(arr[ci * 8 + 1 : ci * 8 + 8], ' ') AS span
+  FROM c
+), f AS (
+  SELECT span, count(DISTINCT doc_id) AS span_df FROM s GROUP BY 1
+)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(SUM(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       ROUND(CAST(SUM(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS dup_span_frac,
+       CAST(ROUND(CAST(SUM(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*), 4) >= 0.5 AS INTEGER)
+         AS flagged
+FROM s JOIN f USING (span)
+GROUP BY doc_id
+"""
+
+
+# --- q121: SemDeDup cluster-scoped embedding dedup --------------------------
+# Within each label (standing in for the k-means cell a production run
+# gets from q113/q92b), a vector is a semantic duplicate if an earlier
+# member sits within cosine 0.35; each duplicate chain keeps its first.
+def q121_semdedup(spark, sf):
+    return semdedup(load_table(spark, sf, "embeddings"), threshold=0.35)
+
+
+Q121_SQL = """
+WITH n AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), p AS (
+  SELECT b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+), s AS (
+  SELECT id_b,
+         CAST(SUM(CASE WHEN sim >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_close_earlier,
+         max(sim) AS max_cos_earlier
+  FROM p GROUP BY 1
+)
+SELECT e.vec_id, e.label,
+       COALESCE(s.n_close_earlier, 0) AS n_close_earlier,
+       s.max_cos_earlier,
+       CAST(COALESCE(s.n_close_earlier, 0) = 0 AS INTEGER) AS is_kept
+FROM embeddings e LEFT JOIN s ON s.id_b = e.vec_id
+"""
+
+
+# --- q122: domain-mixture resampling ----------------------------------------
+def q122_source_mixture(spark, sf):
+    return source_mixture_sample(_docs(spark, sf))
+
+
+Q122_SQL = """
+WITH w AS (
+  SELECT source, count(*) AS n_src,
+         strpos('0123456789abcdef', substring(md5(source), 1, 1)) AS w
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_src) AS n_total, SUM(w) AS w_total FROM w
+), dim AS (
+  SELECT source,
+         least(1.0, (CAST(w AS DOUBLE) / w_total)
+                    * (CAST(n_total AS DOUBLE) / n_src)) AS frac
+  FROM w, tot
+)
+SELECT d.doc_id, d.source, ROUND(frac, 4) AS sample_frac,
+       CAST(frac >= 1.0
+            OR substring(md5(d.text), 1, 8)
+               < printf('%08x', CAST(floor(frac * 4294967296.0) AS BIGINT))
+            AS INTEGER) AS is_kept
+FROM documents d JOIN dim USING (source)
+"""
+
+
+# --- q123: hashed-feature linear quality classifier -------------------------
+# Weights are dyadic (multiples of 1/64), so the per-doc sum is EXACT in
+# IEEE double regardless of Spark's aggregation order — the hash gate
+# never rides on float summation order.
+def q123_quality_classifier(spark, sf):
+    return quality_classifier_score(_docs(spark, sf))
+
+
+Q123_SQL = f"""
+WITH wt AS (
+  SELECT printf('%02x', i) AS bucket, ((i * 37) % 101 - 50) / 64.0 AS w
+  FROM (SELECT unnest(range(0, 256)) AS i)
+), tk AS (
+  SELECT doc_id, substring(md5(tok), 1, 2) AS bucket
+  FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+)
+SELECT doc_id, count(*) AS n_tokens,
+       ROUND(SUM(w) / count(*), 4) AS score,
+       ROUND(1.0 / (1.0 + exp(-(SUM(w) / count(*)))), 4) AS prob,
+       CAST(SUM(w) / count(*) > 0 AS INTEGER) AS label
+FROM tk JOIN wt USING (bucket)
+GROUP BY doc_id
+"""
+
+
+# --- q124: MOSS-style fingerprint-overlap pair detection --------------------
+# Char-level near-dup candidates: docs sharing >= 18 mod-7-sampled gram
+# fingerprints.  At this operating point the pair list is 24 rows, 22 of
+# which are q91's token-level verified near-dups — high precision from a
+# detector that shares no machinery with the shingle/MinHash/SimHash
+# family.
+_FPOV = dict(p=7, max_df=100, min_shared=18)
+
+
+def q124_fingerprint_overlap(spark, sf):
+    return fingerprint_overlap_pairs(_docs(spark, sf), **_FPOV)
+
+
+Q124_SQL = fingerprint_overlap_sql(**_FPOV)
+
+
+# --- q125: deterministic epoch shuffle --------------------------------------
+def q125_epoch_shuffle(spark, sf):
+    return epoch_shuffle(_docs(spark, sf), epoch=7)
+
+
+Q125_SQL = """
+WITH k AS (
+  SELECT doc_id,
+         substring(md5('epoch7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+           AS shuffle_key
+  FROM documents
+), s AS (
+  SELECT doc_id, shuffle_key,
+         CAST(strpos('0123456789abcdef', substring(shuffle_key, 1, 1)) - 1
+              AS INTEGER) AS shard
+  FROM k
+)
+SELECT doc_id, shuffle_key, shard,
+       CAST(ROW_NUMBER() OVER (
+              PARTITION BY shard ORDER BY shuffle_key, doc_id) - 1
+            AS BIGINT) AS pos
+FROM s
+"""
+
+
 QUERIES = {
     "q106_decontaminate": q106_decontaminate,
     "q107_hash_sample": q107_hash_sample,
@@ -431,6 +598,12 @@ QUERIES = {
     "q117_bm25_search": q117_bm25_search,
     "q118_unigram_nll": q118_unigram_nll,
     "q119_dedup_collapse": q119_dedup_collapse,
+    "q120_span_dedup": q120_span_dedup,
+    "q121_semdedup": q121_semdedup,
+    "q122_source_mixture": q122_source_mixture,
+    "q123_quality_classifier": q123_quality_classifier,
+    "q124_fingerprint_overlap": q124_fingerprint_overlap,
+    "q125_epoch_shuffle": q125_epoch_shuffle,
 }
 
 ORACLE = {
@@ -448,4 +621,10 @@ ORACLE = {
     "q117_bm25_search": Q117_SQL,
     "q118_unigram_nll": Q118_SQL,
     "q119_dedup_collapse": Q119_SQL,
+    "q120_span_dedup": Q120_SQL,
+    "q121_semdedup": Q121_SQL,
+    "q122_source_mixture": Q122_SQL,
+    "q123_quality_classifier": Q123_SQL,
+    "q124_fingerprint_overlap": Q124_SQL,
+    "q125_epoch_shuffle": Q125_SQL,
 }

@@ -275,3 +275,29 @@ def test_simhash_packed_matches_bitstring(spark):
         for r in simhash_fingerprints_long(docs, n_bits=32).collect()
     }
     assert packed == {d: int(s, 2) for d, s in strings.items()} and packed
+
+
+def test_fingerprint_overlap_detects_shared_substring(spark):
+    shared = "zqxwvutsrqponmlkjihgfedcba" * 3  # 78 chars, distinctive
+    df = spark.createDataFrame(
+        [
+            (1, shared + " tail one unique"),
+            (2, "head two unique " + shared),
+            (3, "completely different text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.llmops import (
+        fingerprint_overlap_pairs,
+    )
+    pairs = fingerprint_overlap_pairs(
+        df, p=3, max_df=10, min_shared=2
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert not any(3 in pr for pr in got)
+    # boilerplate guard: max_df=1 kills every shared fingerprint
+    assert (
+        fingerprint_overlap_pairs(df, p=3, max_df=1, min_shared=1).count()
+        == 0
+    )

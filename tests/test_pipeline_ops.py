@@ -8,6 +8,7 @@ the semantics are pinned independently of the DuckDB oracle twins
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pytest
 from pyspark.sql import functions as F
@@ -16,12 +17,17 @@ from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipel
     decontaminate,
     dedup_clusters,
     embedding_centroids,
+    epoch_shuffle,
     hash_sample,
     pack_shards,
+    quality_classifier_score,
     repetition_stats,
     chunk_documents,
     quantize_embeddings,
     scrub_pii,
+    semdedup,
+    source_mixture_sample,
+    span_dedup_stats,
     split_assign,
     stratified_sample,
 )
@@ -272,3 +278,87 @@ def test_collapse_clusters_keep_list(spark):
         4: (4, 1),
         5: (5, 1),
     }
+
+
+def test_span_dedup_flags_mirrored_doc(spark):
+    # docs 1 and 2 are token-identical (all spans shared); doc 3 unique
+    base = " ".join(f"tok{i}" for i in range(16))  # 16 tokens = 2 spans
+    df = _docs(spark, [(1, base), (2, base), (3, "only unique words live here")])
+    out = {
+        r["doc_id"]: (
+            r["n_spans"], r["n_dup_spans"], r["dup_span_frac"], r["flagged"]
+        )
+        for r in span_dedup_stats(df, span_tokens=8).collect()
+    }
+    assert out[1] == (2, 2, 1.0, 1)
+    assert out[2] == (2, 2, 1.0, 1)
+    assert out[3] == (1, 0, 0.0, 0)
+
+
+def test_semdedup_keeps_first_of_duplicate_chain(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0]),
+            (1, 0, [1.0, 0.0]),   # duplicate of vec 0 (cos = 1)
+            (2, 0, [0.0, 1.0]),   # orthogonal -> kept
+            (3, 1, [1.0, 0.0]),   # alone in its cluster -> kept
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["n_close_earlier"], r["max_cos_earlier"], r["is_kept"])
+        for r in semdedup(emb, threshold=0.9).collect()
+    }
+    assert out[0] == (0, None, 1)      # first member: no earlier
+    assert out[1] == (1, 1.0, 0)      # dup of 0 -> dropped
+    assert out[2][0] == 0 and out[2][2] == 1
+    assert out[3] == (0, None, 1)
+
+
+def test_source_mixture_matches_hand_formula(spark):
+    rows = [(i, f"text number {i}", "alpha" if i < 8 else "beta")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in source_mixture_sample(df).collect()}
+
+    hexd = "0123456789abcdef"
+    w = {s: hexd.index(hashlib.md5(s.encode()).hexdigest()[0]) + 1
+         for s in ("alpha", "beta")}
+    n = {"alpha": 8, "beta": 2}
+    wt, nt = sum(w.values()), 10
+    for i, text, src in rows:
+        frac = min(1.0, (w[src] / wt) * (nt / n[src]))
+        assert out[i]["sample_frac"] == round(frac, 4)
+        key = hashlib.md5(text.encode()).hexdigest()[:8]
+        want = 1 if frac >= 1.0 or key < format(int(frac * 2**32), "08x") else 0
+        assert out[i]["is_kept"] == want, (i, src, frac, key)
+
+
+def test_quality_classifier_single_token_doc(spark):
+    df = _docs(spark, [(1, "hello hello hello")])
+    [r] = quality_classifier_score(df).collect()
+    i = int(hashlib.md5(b"hello").hexdigest()[:2], 16)
+    w = ((i * 37) % 101 - 50) / 64.0
+    assert r["n_tokens"] == 3
+    assert r["score"] == round(w, 4)
+    assert r["prob"] == round(1.0 / (1.0 + math.exp(-w)), 4)
+    assert r["label"] == (1 if w > 0 else 0)
+
+
+def test_epoch_shuffle_is_a_deterministic_permutation(spark):
+    df = _docs(spark, [(i, f"doc {i}") for i in range(64)])
+    a = epoch_shuffle(df, epoch=7).collect()
+    b = epoch_shuffle(df, epoch=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    assert sorted(r["doc_id"] for r in a) == list(range(64))  # permutation
+    # positions dense per shard
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # a different epoch produces a different order
+    c = epoch_shuffle(df, epoch=8).collect()
+    key_a = {r["doc_id"]: r["shuffle_key"] for r in a}
+    key_c = {r["doc_id"]: r["shuffle_key"] for r in c}
+    assert key_a != key_c

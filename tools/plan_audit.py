@@ -36,6 +36,7 @@ NON_EQUI_OK = {
     "q103_embedding_near_dup",  # bounded all-pairs baseline (scale: LSH/IVF)
     "q117_bm25_search",         # 1-row N/avgdl scalar crossJoin
     "q118_unigram_nll",         # 1-row LM-total scalar crossJoin
+    "q122_source_mixture",      # 1-row corpus-totals scalar crossJoin
 }
 # queries whose purpose is the row-Python UDF surface
 PY_UDF_OK = {"q80_python_udf"}
