@@ -543,12 +543,14 @@ GROUP BY doc_id
 
 
 # --- q124: MOSS-style fingerprint-overlap pair detection --------------------
-# Char-level near-dup candidates: docs sharing >= 18 mod-7-sampled gram
-# fingerprints.  At this operating point the pair list is 24 rows, 22 of
-# which are q91's token-level verified near-dups — high precision from a
-# detector that shares no machinery with the shingle/MinHash/SimHash
-# family.
-_FPOV = dict(p=7, max_df=100, min_shared=18)
+# Char-level near-dup candidates: docs sharing >= 2 mod-7-sampled 24-gram
+# fingerprints.  k=24 spans ~4 words of the synthetic vocabulary, so gram
+# doc-frequency stays single-digit at every SF (the k=8 operating point
+# collapsed at sf0.1: every 8-gram was corpus-boilerplate with df in the
+# hundreds, and the max_df guard correctly dropped them all — leaving an
+# empty result).  Detector shares no machinery with the token-level
+# shingle/MinHash/SimHash family.
+_FPOV = dict(k=24, p=7, max_df=50, min_shared=2)
 
 
 def q124_fingerprint_overlap(spark, sf):

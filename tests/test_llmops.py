@@ -301,3 +301,39 @@ def test_fingerprint_overlap_detects_shared_substring(spark):
         fingerprint_overlap_pairs(df, p=3, max_df=1, min_shared=1).count()
         == 0
     )
+
+
+def test_gram_select_fast_matches_expression_twin(spark):
+    """The numpy mapInPandas selection stage must agree row-for-row with
+    the expression formulation — including NULL text, sub-k text, and
+    non-ASCII codepoints (UTF-32 decode vs Spark ascii())."""
+    import pyspark.sql.functions as F
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.llmops import (
+        _gram_select_fast,
+        gram_hash_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, None),
+            (3, "shrt"),
+            (4, "naïve café résumé — über größe straße açaí jalapeño piñata"),
+            (5, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+        ],
+        "doc_id long, text string",
+    )
+    for k, p in [(8, 3), (24, 2)]:
+        fast = _gram_select_fast(
+            df, "doc_id", "text", k=k, base=31, mod=1_000_000_007, p=p
+        )
+        hs = F.expr(gram_hash_expr("text", k=k))
+        expr = df.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(
+                F.array_distinct(F.filter(hs, lambda h: h % p == 0))
+            ).alias("fp"),
+        )
+        got = {(r["doc"], r["fp"]) for r in fast.collect()}
+        want = {(r["doc"], r["fp"]) for r in expr.collect()}
+        assert got == want and got, (k, p)
