@@ -600,17 +600,21 @@ def span_dedup_stats(
     duplicated spans.  Span granularity generalizes line/paragraph
     dedup to text without newline structure.
 
-    100 TB: span frequencies are a two-level hash agg keyed by span
-    text (partial map-side count-distinct per span, then merge) — the
-    heavy-hitter span IS the interesting output, and the per-doc join
-    back is keyed by span with the doc list bounded per span by its
-    doc frequency.  One explode (~n_tokens/span_tokens rows per doc),
-    two shuffles total.
+    100 TB: single-lineage plan — the chunking map stage runs ONCE
+    (an fp-keyed join shape would recompute it per join leg): explode
+    (~n_tokens/span_tokens rows per doc), pre-aggregate per
+    (span, doc) so each later stage sees one row per doc-span pair,
+    count docs per span with a window (a running count, no unbounded
+    buffer — the heavy-hitter span costs a counter, not a collect),
+    then roll up per doc.  Three shuffles over strictly shrinking
+    rows, no join, no recompute.
 
     Output: (doc_id, n_spans, n_dup_spans, dup_span_frac ROUND 4,
     flagged) — ``n_dup_spans`` counts span POSITIONS whose text occurs
     in >= 2 distinct docs.
     """
+    from pyspark.sql import Window
+
     spans = chunk_documents(
         df,
         chunk_tokens=span_tokens,
@@ -618,25 +622,24 @@ def span_dedup_stats(
         id_col=id_col,
         text_col=text_col,
     ).select(F.col(id_col), F.col("chunk_text").alias("span"))
-    freq = spans.groupBy("span").agg(
-        F.countDistinct(id_col).alias("span_df")
+    # one row per (span, doc); n_pos = how many positions in the doc
+    # hold this span text.  count(*) per span on THIS frame == distinct
+    # doc frequency, so no countDistinct is needed downstream.
+    per_doc_span = spans.groupBy("span", id_col).agg(
+        F.count("*").alias("n_pos")
     )
-    frac = F.round(
-        F.sum(F.when(F.col("span_df") >= 2, 1).otherwise(0))
-        / F.count("*"),
-        4,
+    with_df = per_doc_span.withColumn(
+        "span_df", F.count("*").over(Window.partitionBy("span"))
     )
-    return (
-        spans.join(freq, "span")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("span_df") >= 2, 1).otherwise(0))
-            .cast("long")
-            .alias("n_dup_spans"),
-            frac.alias("dup_span_frac"),
-            (frac >= flag_frac).cast("int").alias("flagged"),
-        )
+    dup_pos = F.sum(
+        F.when(F.col("span_df") >= 2, F.col("n_pos")).otherwise(0)
+    )
+    frac = F.round(dup_pos / F.sum("n_pos"), 4)
+    return with_df.groupBy(id_col).agg(
+        F.sum("n_pos").cast("long").alias("n_spans"),
+        dup_pos.cast("long").alias("n_dup_spans"),
+        frac.alias("dup_span_frac"),
+        (frac >= flag_frac).cast("int").alias("flagged"),
     )
 
 
