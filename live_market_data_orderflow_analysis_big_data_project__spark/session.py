@@ -19,15 +19,22 @@ from pyspark.sql import SparkSession
 # Runtime-settable confs the engine depends on.  Notes:
 # - session.timeZone=UTC: fixture timestamps are naive UTC; DuckDB oracle
 #   agrees only under UTC (SURVEY.md section 7.3 "Timestamp semantics").
-# - nanosAsLong: events.parquet carries TIMESTAMP(NANOS) which Spark's
+# - nanosAsLong: older fixture builds carried TIMESTAMP(NANOS) which Spark's
 #   vectorized reader rejects; we read the raw int64 and convert to
 #   microseconds ourselves (sources/tables.py), matching DuckDB's ns->us
-#   truncation.
+#   truncation.  Harmless when the fixture is already microseconds.
+# - inferTimestampNTZ off: current fixtures store naive TIMESTAMP(MICROS)
+#   (isAdjustedToUTC=false), which Spark 4 would otherwise surface as
+#   TIMESTAMP_NTZ — a type withWatermark rejects and DuckDB doesn't model.
+#   Reading it as session-tz TIMESTAMP under the enforced UTC zone preserves
+#   the wall-clock values exactly (sources/tables.py also casts any stray
+#   NTZ column defensively).
 # - AQE on: runtime partition coalescing + skew-join splitting instead of
 #   hand-tuned shuffle partition counts.
 ENGINE_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -40,6 +47,7 @@ ENGINE_CONFS: dict[str, str] = {
 _CORRECTNESS_CRITICAL = (
     "spark.sql.session.timeZone",
     "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
 )
 
 

@@ -25,7 +25,7 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from ..sources.tables import load_table
 
@@ -74,8 +74,18 @@ def stream_events_dir(
 
 
 def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize the event-time column to session-tz TIMESTAMP.
+
+    Handles both fixture encodings: int64 nanoseconds (legacy nanos read)
+    and TIMESTAMP_NTZ (naive micros under Spark 4's NTZ inference, which
+    ``withWatermark`` rejects).  Cast is wall-clock-exact under the
+    enforced UTC session zone.
+    """
     if "ts" in df.columns and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
