@@ -822,14 +822,17 @@ def rolling_fingerprint_sql(
     """DuckDB twin of :func:`rolling_fingerprint` (same BIGINT math)."""
     pows = "[" + ",".join(str(base ** (k - 1 - j)) for j in range(k)) + "]"
     lower = f"lower({text_col})"
+    # CAST to BIGINT: DuckDB's list_sum over integers yields HUGEINT, which
+    # the driver's pandas comparator sees as float64 and hash-fails against
+    # Spark's int64 fingerprints despite identical values.
     return f"""
 WITH g AS (
   SELECT {id_col},
     list_transform(
       list_transform(range(1, greatest(len({lower}) - {k - 1}, 0) + 1),
                      i -> substring({lower}, i, {k})),
-      g -> list_sum(list_transform(range(1, {k + 1}),
-           j -> ascii(substring(g, j, 1)) * ({pows})[j])) % {mod}
+      g -> CAST(list_sum(list_transform(range(1, {k + 1}),
+           j -> ascii(substring(g, j, 1)) * ({pows})[j])) % {mod} AS BIGINT)
     ) AS hs
   FROM {table}
 )

@@ -959,7 +959,11 @@ WITH per_cust AS (
 )
 SELECT c_mktsegment,
        count(*) AS n_cust,
-       SUM(COALESCE(n_orders, 0)) AS total_orders,
+       -- BIGINT, not HUGEINT: DuckDB's integer SUM default reaches the
+       -- driver's pandas comparator as float64 and hash-fails against
+       -- Spark's int64 (the real round-2/3 q72 divergence; total_spend's
+       -- decimal path was already exact).
+       CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS total_orders,
        CAST(SUM(COALESCE(spend, CAST(0 AS DECIMAL(28,6)))) AS DOUBLE)
          AS total_spend
 FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey

@@ -276,7 +276,10 @@ def q97_lang_source_agg(spark, sf):
 
 Q97_SQL = """
 SELECT lang, source, count(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       -- BIGINT, not DuckDB's HUGEINT sum default: the driver compares
+       -- through pandas, where HUGEINT lands as float64 ("3059.0" vs
+       -- Spark's int64 "3059") and hash-fails on identical values.
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
        min(n_chars) AS min_chars,
        max(n_chars) AS max_chars

@@ -325,9 +325,17 @@ FROM c
 
 # --- q116: int8 embedding quantization --------------------------------------
 # Per-vector symmetric scale; codes are hash-exact (IEEE double divide +
-# round on both engines), not approximate.
+# round on both engines), not approximate.  The gate entry serializes the
+# code array to one space-joined string: the driver's comparator sorts
+# result rows through pandas, where array cells (numpy arrays) are
+# unhashable and crash sort_values — the operator itself
+# (operators/pipeline.py quantize_embeddings) still returns the real
+# array<int> column for API use.
 def q116_quantize_embeddings(spark, sf):
-    return quantize_embeddings(load_table(spark, sf, "embeddings"))
+    qdf = quantize_embeddings(load_table(spark, sf, "embeddings"))
+    return qdf.select(
+        "vec_id", "scale", F.array_join("q", " ").alias("q_codes")
+    )
 
 
 Q116_SQL = """
@@ -339,8 +347,8 @@ WITH s AS (
 )
 SELECT vec_id,
        ROUND(sc, 6) AS scale,
-       list_transform(embedding,
-         x -> CAST(round(CAST(x AS DOUBLE) / sc, 0) AS INTEGER)) AS q
+       array_to_string(list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) / sc, 0) AS INTEGER)), ' ') AS q_codes
 FROM s
 """
 

@@ -6,6 +6,15 @@ row count, sorted column names, and an order-insensitive value hash
 (cells normalized: floats by exact repr, timestamps/dates by str, arrays
 recursively; rows sorted lexicographically before hashing).
 
+Both result sets are pulled through **pandas** (``toPandas()`` /
+``.df()``) because that is how the driver's comparator materializes them
+(its q116 crash traceback shows ``DataFrame.sort_values``).  fetchall/
+collect hid a whole divergence class for three rounds: DuckDB HUGEINT and
+DECIMAL reach pandas as float64, so a value that stringifies as "3059"
+from ``fetchall`` stringifies as "3059.0" from ``.df()`` and hash-fails
+against Spark's int64 — see tools/dtype_audit.py for the structural
+check over all hash-gated entries.
+
 Usage: python tools/check_oracle.py [sf_dir] [query_key ...]
 """
 
@@ -19,6 +28,7 @@ import traceback
 from datetime import date, datetime
 
 import duckdb
+import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
@@ -29,6 +39,10 @@ TABLES = (
 
 
 def norm_cell(v):
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -84,8 +98,9 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf)
-            srows = sdf.collect()
-            scols = sdf.columns
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = list(spdf.itertuples(index=False, name=None))
         except Exception:
             print(f"FAIL {key}: SPARK ERROR")
             traceback.print_exc(limit=3)
@@ -96,9 +111,9 @@ def main():
             n_rows_only += 1
             continue
         try:
-            res = con.execute(osql[key])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(osql[key]).df()
+            dcols = list(dpdf.columns)
+            drows = list(dpdf.itertuples(index=False, name=None))
         except Exception:
             print(f"FAIL {key}: DUCKDB ERROR")
             traceback.print_exc(limit=3)

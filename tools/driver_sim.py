@@ -63,8 +63,9 @@ def main() -> None:
         t0 = time.time()
         try:
             sdf = fn(spark, sf)
-            srows = sdf.collect()
-            scols = sdf.columns
+            spdf = sdf.toPandas()  # pandas path: same as the driver
+            scols = list(spdf.columns)
+            srows = list(spdf.itertuples(index=False, name=None))
         except Exception:
             print(f"FAIL {key}: SPARK ERROR (vanilla session)")
             traceback.print_exc(limit=3)
@@ -75,9 +76,9 @@ def main() -> None:
             n_rows_only += 1
             continue
         try:
-            res = con.execute(osql[key])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(osql[key]).df()  # pandas path: as the driver
+            dcols = list(dpdf.columns)
+            drows = list(dpdf.itertuples(index=False, name=None))
         except Exception:
             print(f"FAIL {key}: DUCKDB ERROR")
             traceback.print_exc(limit=3)
