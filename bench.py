@@ -52,11 +52,16 @@ def main() -> None:
             print(f"bench: {key} failed: {exc}", file=sys.stderr)
             timings[key] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    n_failed = sum(1 for t in timings.values() if t < 0)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
         "metric": "query_suite_wall_seconds",
         "value": total,
         "unit": "sec",
+        # value sums only succeeding queries, so a refreshed total can't
+        # silently hide failures: n_failed must be 0 for totals to compare.
+        "n_queries": len(timings),
+        "n_failed": n_failed,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
