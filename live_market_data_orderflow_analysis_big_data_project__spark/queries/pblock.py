@@ -14,8 +14,12 @@ operators/pipeline.py.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from ..operators.llmops import (
     fingerprint_overlap_pairs,
@@ -44,6 +48,14 @@ from ..operators.pipeline import (
     split_assign,
     stratified_sample,
     unigram_nll_score,
+)
+from ..sources.formats import (
+    read_csv_pinned,
+    read_jsonl,
+    read_orc,
+    write_csv,
+    write_jsonl,
+    write_orc,
 )
 from ..sources.tables import load_table
 from .lblock import _Q91_BOUND, Q91_SQL, _DUCK_TOKS
@@ -593,6 +605,117 @@ FROM s
 """
 
 
+# --- q126-q128: corpus-format IO round-trips --------------------------------
+# The other at-rest formats a curation pipeline meets besides parquet
+# (sources/formats.py): JSONL (corpus interchange), CSV (tabular drops),
+# ORC (nested columnar).  Each entry writes a fixture table out in the
+# format, reads it back with a PINNED schema (no inference pass), and
+# aggregates content checksums; the oracle computes the same checksums
+# straight from the parquet — so a hash-pass proves the round-trip is
+# byte-lossless, not just that the files reappeared.  Checksums avoid
+# float-order pitfalls: counts, integer sums, md5-distinct counts, and
+# decimal-backed money sums only.
+
+
+def q126_jsonl_roundtrip(spark, sf):
+    docs = _docs(spark, sf)
+    path = os.path.join(tempfile.mkdtemp(prefix="q126_"), "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, docs.schema, bad_records="fail")
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_text"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+Q126_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       count(DISTINCT md5(text)) AS n_distinct_text,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+"""
+
+
+_Q127_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_Q127_SCHEMA = (
+    "event_id BIGINT, ts_s STRING, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def q127_csv_roundtrip(spark, sf):
+    e = load_table(spark, sf, "events").select(
+        "event_id",
+        F.date_format("ts", _Q127_TS_FMT).alias("ts_s"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="q127_"), "events_csv")
+    write_csv(e, path)
+    back = read_csv_pinned(
+        spark, path, StructType.fromDDL(_Q127_SCHEMA), bad_records="fail"
+    )
+    # n_distinct_props checks CSV quote/escape fidelity of the embedded
+    # JSON column; total_value checks double -> text -> double exactness
+    # (Spark writes round-trip-safe shortest reprs).
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.md5("props")).alias("n_distinct_props"),
+        F.min("ts_s").alias("min_ts"),
+        F.max("ts_s").alias("max_ts"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+
+
+Q127_SQL = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT md5(props)) AS n_distinct_props,
+       min(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS min_ts,
+       max(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS max_ts,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def q128_orc_roundtrip(spark, sf):
+    em = load_table(spark, sf, "embeddings")
+    path = os.path.join(tempfile.mkdtemp(prefix="q128_"), "embeddings_orc")
+    write_orc(em, path)
+    back = read_orc(spark, path)
+    # Array fidelity via integer-exact probes (length sum, positive-element
+    # count): float32 values survive ORC bit-for-bit, and sign tests stay
+    # exact under the float->double widening on the oracle side.
+    return back.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.size("embedding")).alias("total_dims"),
+        F.sum(F.size(F.filter("embedding", lambda x: x > 0))).alias("n_pos"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )
+
+
+Q128_SQL = """
+SELECT label, count(*) AS n_vecs,
+       CAST(SUM(len(embedding)) AS BIGINT) AS total_dims,
+       CAST(SUM(len(list_filter(embedding, x -> x > 0))) AS BIGINT) AS n_pos,
+       min(vec_id) AS min_vec, max(vec_id) AS max_vec
+FROM embeddings
+GROUP BY label
+"""
+
+
 QUERIES = {
     "q106_decontaminate": q106_decontaminate,
     "q107_hash_sample": q107_hash_sample,
@@ -614,6 +737,9 @@ QUERIES = {
     "q123_quality_classifier": q123_quality_classifier,
     "q124_fingerprint_overlap": q124_fingerprint_overlap,
     "q125_epoch_shuffle": q125_epoch_shuffle,
+    "q126_jsonl_roundtrip": q126_jsonl_roundtrip,
+    "q127_csv_roundtrip": q127_csv_roundtrip,
+    "q128_orc_roundtrip": q128_orc_roundtrip,
 }
 
 ORACLE = {
@@ -637,4 +763,7 @@ ORACLE = {
     "q123_quality_classifier": Q123_SQL,
     "q124_fingerprint_overlap": Q124_SQL,
     "q125_epoch_shuffle": Q125_SQL,
+    "q126_jsonl_roundtrip": Q126_SQL,
+    "q127_csv_roundtrip": Q127_SQL,
+    "q128_orc_roundtrip": Q128_SQL,
 }
