@@ -40,6 +40,12 @@ def main() -> None:
 
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+    # Warm the Python-worker path too: the first Arrow stage in a session
+    # pays ~2.5 s of worker fork + numpy/pandas import (measured), which
+    # otherwise lands on whichever mapInPandas query happens to run first.
+    spark.range(64).repartition(8).mapInPandas(
+        lambda batches: batches, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for key, fn in ent.queries().items():
