@@ -51,8 +51,8 @@ _PRIORITY = (
         "q31_cube",
         "q32_grouping_sets",
         "q33_distinct",
-        "q34_approx_distinct",
-        "q35_having",
+        "q129_variant_json",                  # new this round: VARIANT
+        "q130_python_datasource",             # new this round: DataSource API
     ]
 )
 assert len(_PRIORITY) <= 50, "driver gate only checks the first 50 entries"

@@ -1091,6 +1091,87 @@ WINDOW w AS (PARTITION BY user_id)
 """
 
 
+# --- q129: VARIANT semi-structured type (Spark 4) ---------------------------
+# The open-typed twin of q64's schema-directed JSON path: props parses to
+# a VARIANT once, fields come out via typed variant_get paths, and
+# try_variant_get returns NULL (not an error) for absent paths — the
+# shredding-free way to keep 100 TB of heterogeneous JSON queryable
+# without committing to a struct schema at write time.  VARIANT itself
+# never reaches the result (the comparator can't hash it); only the
+# extracted scalars do.
+def q129_variant_json(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias(
+            "k_val"
+        ),
+        F.expr("variant_get(parse_json(props), '$.k', 'string')").alias(
+            "k_str"
+        ),
+        F.expr("try_variant_get(parse_json(props), '$.nope', 'bigint')").alias(
+            "k_missing"
+        ),
+    )
+
+
+Q129_SQL = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(NULL AS BIGINT) AS k_missing
+FROM events
+"""
+
+
+# --- q130: custom Python data source (Spark 4 DataSource API) ---------------
+# sources/pydatasource.py: the synthetic tick tape arrives through
+# spark.read.format("tick_synth") — planner-integrated, partitioned,
+# executor-side generation.  The stream is closed-form per tick id, so
+# the oracle rebuilds it exactly from range(): a hash-pass proves the
+# custom-source path (schema, partitioning, row conversion) end to end.
+def q130_python_datasource(spark, sf):
+    from ..sources.pydatasource import register
+
+    register(spark)
+    t = (
+        spark.read.format("tick_synth")
+        .option("n", 5000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return t.groupBy("instrument").agg(
+        F.count("*").alias("n_ticks"),
+        F.sum("qty").alias("total_qty"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+
+
+# Price math is forced through identical IEEE double ops on both sides
+# (CAST AS DOUBLE before the divide); decimal-literal arithmetic would
+# re-round differently in the last ulp.
+Q130_SQL = """
+WITH t AS (
+  SELECT i AS tick_id,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 1 SECOND AS ts,
+         'INS' || CAST(i % 97 AS VARCHAR) AS instrument,
+         CAST(100 AS DOUBLE)
+           + CAST((i * 2654435761) % 1000 AS DOUBLE) / CAST(100 AS DOUBLE)
+           AS price,
+         i % 50 + 1 AS qty
+  FROM range(5000) r(i)
+)
+SELECT instrument, count(*) AS n_ticks,
+       CAST(SUM(qty) AS BIGINT) AS total_qty,
+       min(price) AS min_price, max(price) AS max_price,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+FROM t
+GROUP BY instrument
+"""
+
+
 QUERIES = {
     "q20_join_inner": q20_join_inner,
     "q21_join_broadcast": q21_join_broadcast,
@@ -1130,6 +1211,8 @@ QUERIES = {
     "q80_python_udf": q80_python_udf,
     "q81_pandas_udf": q81_pandas_udf,
     "q82_grouped_map": q82_grouped_map,
+    "q129_variant_json": q129_variant_json,
+    "q130_python_datasource": q130_python_datasource,
 }
 
 ORACLE = {
@@ -1171,4 +1254,6 @@ ORACLE = {
     "q80_python_udf": Q80_SQL,
     "q81_pandas_udf": Q81_SQL,
     "q82_grouped_map": Q82_SQL,
+    "q129_variant_json": Q129_SQL,
+    "q130_python_datasource": Q130_SQL,
 }

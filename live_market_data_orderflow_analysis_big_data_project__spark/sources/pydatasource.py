@@ -1,0 +1,85 @@
+"""Custom Python data source (Spark 4 ``pyspark.sql.datasource`` API).
+
+The reference ingests from a single hard-wired source family (Upstox
+WebSocket -> Kafka -> Spark, data_streamer.py:83-120 ->
+data_processor.py:65-69).  This module shows the engine-native way to
+add a NEW source format to Spark itself: a ``DataSource`` subclass that
+the planner treats like any built-in format — schema known up front,
+reads split into ``InputPartition`` units that execute in parallel on
+executors, no driver-side materialization.
+
+``TickSynthDataSource`` generates a deterministic synthetic tick tape
+(closed-form per tick id, no RNG state), so it doubles as a correctness
+fixture: the exact same stream is expressible as a SQL ``range()``
+query, giving the custom-source path a hash-exact DuckDB oracle
+(queries/eblock.py::q130_python_datasource).
+
+100 TB posture: generation is pure per-partition compute — N partitions
+scale out with no shuffle, no skew (uniform slices), and the same
+pattern (partition list built on the driver, rows yielded on executors)
+is how a real connector would split a remote store's shards.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# Closed-form tick model: every field is a pure function of tick_id, so
+# any engine can reproduce the stream exactly (see Q130_SQL).
+PRICE_MULT = 2654435761  # Knuth multiplicative constant
+N_INSTRUMENTS = 97
+BASE_TS = datetime(2024, 1, 1, 0, 0, 0)
+
+TICK_SCHEMA = (
+    "tick_id bigint, ts timestamp, instrument string, "
+    "price double, qty bigint"
+)
+
+
+class _Slice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class TickSynthReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 10_000))
+        self.num_partitions = int(options.get("numpartitions", 8))
+
+    def partitions(self):
+        per = max(1, -(-self.n // self.num_partitions))  # ceil-div
+        return [
+            _Slice(lo, min(lo + per, self.n))
+            for lo in range(0, self.n, per)
+        ]
+
+    def read(self, partition: _Slice):
+        for i in range(partition.start, partition.end):
+            yield (
+                i,
+                BASE_TS + timedelta(seconds=i),
+                f"INS{i % N_INSTRUMENTS}",
+                100.0 + ((i * PRICE_MULT) % 1000) / 100.0,
+                i % 50 + 1,
+            )
+
+
+class TickSynthDataSource(DataSource):
+    """``spark.read.format("tick_synth").option("n", 5000).load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tick_synth"
+
+    def schema(self) -> str:
+        return TICK_SCHEMA
+
+    def reader(self, schema) -> TickSynthReader:
+        return TickSynthReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the engine's Python data sources."""
+    spark.dataSource.register(TickSynthDataSource)

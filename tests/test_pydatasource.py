@@ -1,0 +1,54 @@
+"""Custom Python data source (sources/pydatasource.py): planner
+integration, partitioned parallel reads, closed-form determinism."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from live_market_data_orderflow_analysis_big_data_project__spark.sources.pydatasource import (
+    BASE_TS,
+    N_INSTRUMENTS,
+    PRICE_MULT,
+    register,
+)
+
+
+def _load(spark, n, parts):
+    register(spark)
+    return (
+        spark.read.format("tick_synth")
+        .option("n", n)
+        .option("numPartitions", parts)
+        .load()
+    )
+
+
+def test_row_count_and_uniqueness(spark):
+    df = _load(spark, 100, 7)
+    assert df.count() == 100
+    assert df.select("tick_id").distinct().count() == 100
+
+
+def test_reads_are_partitioned(spark):
+    df = _load(spark, 100, 7)
+    assert df.rdd.getNumPartitions() == 7
+    # Uneven split: ceil(100/7)=15 per slice -> last slice short, none empty.
+    sizes = df.rdd.glom().map(len).collect()
+    assert sum(sizes) == 100 and all(s > 0 for s in sizes)
+
+
+def test_closed_form_values(spark):
+    rows = {r.tick_id: r for r in _load(spark, 50, 3).collect()}
+    for i in (0, 7, 49):
+        r = rows[i]
+        assert r.instrument == f"INS{i % N_INSTRUMENTS}"
+        assert r.price == 100.0 + ((i * PRICE_MULT) % 1000) / 100.0
+        assert r.qty == i % 50 + 1
+        assert isinstance(r.ts, datetime)
+        assert (r.ts - BASE_TS).total_seconds() == i
+
+
+def test_deterministic_across_reads(spark):
+    a = sorted(map(tuple, _load(spark, 200, 4).collect()))
+    b = sorted(map(tuple, _load(spark, 200, 8).collect()))
+    assert a == b  # partition count must not change content
