@@ -50,11 +50,12 @@ _PRIORITY = (
         "q30_rollup",
         "q31_cube",
         "q32_grouping_sets",
-        "q33_distinct",
         "q129_variant_json",                  # new this round: VARIANT
         "q130_python_datasource",             # new this round: DataSource API
     ]
 )
+# (s11, the streaming custom source, rides in via the S-block slice and
+# is hash-gated against q130's oracle; q33-q35 keep their r02 rows.)
 assert len(_PRIORITY) <= 50, "driver gate only checks the first 50 entries"
 
 _ALL_Q = {}

@@ -298,6 +298,35 @@ def s10_sources(spark, sf):
     )
 
 
+# --- s11: custom Python streaming data source (Spark 4 DataSource API) ------
+# sources/pydatasource.py's stream reader: offsets advance rowsPerBatch
+# per poll (the queue-consumer availability protocol), partitions()
+# covers each committed range exactly, rows generate executor-side.  The
+# tape is the same closed form as batch q130, so this STREAMING entry is
+# hash-gated against the same SQL range() oracle — the batch and
+# streaming paths of the custom source must agree to the last bit.
+def s11_python_stream_source(spark, sf):
+    from ..sources.pydatasource import register
+    from ..streaming.core import run_paced_to_memory
+
+    register(spark)
+    sdf = (
+        spark.readStream.format("tick_synth")
+        .option("maxTicks", 5000)
+        .option("rowsPerBatch", 1000)
+        .option("numPartitions", 4)
+        .load()
+    )
+    out = run_paced_to_memory(sdf, "s11_ticks", expected_rows=5000)
+    return out.groupBy("instrument").agg(
+        F.count("*").alias("n_ticks"),
+        F.sum("qty").alias("total_qty"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+    )
+
+
 QUERIES = {
     "s01_tumbling_candles": s01_tumbling_candles,
     "s02_sliding_window": s02_sliding_window,
@@ -309,7 +338,19 @@ QUERIES = {
     "s08_stateful_custom": s08_stateful_custom,
     "s09_sinks": s09_sinks,
     "s10_sources": s10_sources,
+    "s11_python_stream_source": s11_python_stream_source,
 }
 
-# Streaming semantics are not SQL-expressible: rows-only by design.
+# Streaming semantics are not SQL-expressible: rows-only by design —
+# except s11, whose deterministic synthetic tape shares batch q130's
+# closed-form oracle (imported lazily to avoid a circular import).
 ORACLE = {k: None for k in QUERIES}
+
+
+def _s11_oracle() -> str:
+    from .eblock import Q130_SQL
+
+    return Q130_SQL
+
+
+ORACLE["s11_python_stream_source"] = _s11_oracle()

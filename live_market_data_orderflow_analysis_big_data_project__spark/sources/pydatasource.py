@@ -24,7 +24,12 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 # Closed-form tick model: every field is a pure function of tick_id, so
 # any engine can reproduce the stream exactly (see Q130_SQL).
@@ -66,8 +71,55 @@ class TickSynthReader(DataSourceReader):
             )
 
 
+class TickSynthStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over the same closed-form tape.
+
+    Offsets are plain tick counts; each micro-batch covers
+    ``rowsPerBatch`` ticks, split into ``numPartitions`` executor-side
+    slices — the offset/partition protocol a real connector (e.g. a
+    queue consumer) implements, minus the network.  ``maxTicks`` bounds
+    ``latestOffset`` so Trigger.AvailableNow drains to a finite,
+    deterministic tape (which is what makes the streaming entry
+    hash-checkable against a SQL ``range()`` oracle).
+    """
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rowsperbatch", 1000))
+        self.max_ticks = int(options.get("maxticks", 10_000))
+        self.num_partitions = int(options.get("numpartitions", 4))
+        self._available = 0  # ticks "arrived" so far (advances per poll)
+
+    def initialOffset(self) -> dict:
+        return {"tick": 0}
+
+    def latestOffset(self) -> dict:
+        # Each poll reveals one more micro-batch of the tape, up to the
+        # cap — offsets-as-availability, the queue-consumer protocol.
+        self._available = min(
+            self._available + self.rows_per_batch, self.max_ticks
+        )
+        return {"tick": self._available}
+
+    def partitions(self, start: dict, end: dict):
+        # MUST cover [start, end) exactly: the engine records `end` in
+        # the offset log, so emitting fewer rows would silently lose
+        # data on restart.  Rate limiting happens in latestOffset only.
+        lo, hi = start["tick"], end["tick"]
+        per = max(1, -(-(hi - lo) // self.num_partitions))
+        return [
+            _Slice(a, min(a + per, hi)) for a in range(lo, hi, per)
+        ] or [_Slice(lo, lo)]
+
+    def read(self, partition: _Slice):
+        yield from TickSynthReader.read(self, partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to acknowledge for a synthetic tape
+
+
 class TickSynthDataSource(DataSource):
-    """``spark.read.format("tick_synth").option("n", 5000).load()``"""
+    """``spark.read.format("tick_synth").option("n", 5000).load()`` or
+    ``spark.readStream.format("tick_synth").option("maxTicks", ...)``."""
 
     @classmethod
     def name(cls) -> str:
@@ -78,6 +130,9 @@ class TickSynthDataSource(DataSource):
 
     def reader(self, schema) -> TickSynthReader:
         return TickSynthReader(self.options)
+
+    def streamReader(self, schema) -> TickSynthStreamReader:
+        return TickSynthStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -169,6 +169,43 @@ def run_to_memory(
     return spark.table(qname)
 
 
+def run_paced_to_memory(
+    sdf: DataFrame,
+    name: str,
+    expected_rows: int,
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Run a paced streaming source to a memory sink until it has
+    delivered ``expected_rows``, then stop.
+
+    For sources that reveal data incrementally through ``latestOffset``
+    (sources/pydatasource.py's stream reader): AvailableNow would drain
+    only to the FIRST poll's offset, so this uses a continuous
+    processing-time trigger and watches the sink — exercising real
+    multi-micro-batch offset progression (poll -> plan -> commit per
+    batch), which is the point of the paced source.
+    """
+    import time as _time
+
+    qname = f"{name}_{next(_qid)}"
+    spark = sdf.sparkSession
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _time.time() + timeout_s
+    while _time.time() < deadline:
+        if spark.table(qname).count() >= expected_rows:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(30)
+    return spark.table(qname)
+
+
 def parquet_sink(
     sdf: DataFrame,
     path: str,

@@ -52,3 +52,49 @@ def test_deterministic_across_reads(spark):
     a = sorted(map(tuple, _load(spark, 200, 4).collect()))
     b = sorted(map(tuple, _load(spark, 200, 8).collect()))
     assert a == b  # partition count must not change content
+
+
+def test_stream_reader_multi_batch_exactly_once(spark):
+    register(spark)
+    sdf = (
+        spark.readStream.format("tick_synth")
+        .option("maxTicks", 3000)
+        .option("rowsPerBatch", 1000)
+        .option("numPartitions", 4)
+        .load()
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
+        run_paced_to_memory,
+    )
+
+    out = run_paced_to_memory(sdf, "t_stream_src", expected_rows=3000)
+    ids = [r.tick_id for r in out.select("tick_id").collect()]
+    # Exactly-once across micro-batches: every tick once, none lost or
+    # duplicated at the batch boundaries (offsets cover [0, n) exactly).
+    assert len(ids) == 3000 and len(set(ids)) == 3000
+    assert min(ids) == 0 and max(ids) == 2999
+
+
+def test_stream_matches_batch(spark):
+    register(spark)
+    batch = (
+        spark.read.format("tick_synth")
+        .option("n", 2000)
+        .option("numPartitions", 4)
+        .load()
+    )
+    sdf = (
+        spark.readStream.format("tick_synth")
+        .option("maxTicks", 2000)
+        .option("rowsPerBatch", 700)
+        .option("numPartitions", 3)
+        .load()
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
+        run_paced_to_memory,
+    )
+
+    stream = run_paced_to_memory(sdf, "t_stream_parity", expected_rows=2000)
+    assert sorted(map(tuple, stream.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
