@@ -358,6 +358,95 @@ def running_vwap(df: DataFrame, timeout_s: int | None = None) -> DataFrame:
     )
 
 
+def order_flow_state(df: DataFrame) -> DataFrame:
+    """Custom per-key state via ``transformWithStateInPandas`` (Spark 4's
+    arbitrary-stateful API, successor to ``applyInPandasWithState``):
+    running per-user event counts split by type — the order-flow
+    imbalance counter, integer-only so the final state is hash-exact
+    against a batch SQL twin.
+
+    Differences from the older API that matter at 100 TB: state lives in
+    named typed handles (``ValueState`` here; List/MapState for larger
+    shapes) backed by the RocksDB provider (required by this API — and
+    the right provider for 10^8-key state anyway), with TTL support and
+    timers available on the same handle.  Output (update mode): one row
+    per key per micro-batch with the running totals.
+
+    ENVIRONMENT GATE: the transformWithState worker protocol needs
+    ``google.protobuf``, which this container lacks (pip installs are
+    not possible).  The plan builds fine; STARTING the stream raises
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE here.  The runnable
+    stateful path in this environment stays :func:`running_vwap`
+    (applyInPandasWithState, gate query s08);
+    tests/test_streaming.py::test_order_flow_state_api skips unless
+    protobuf is importable and documents exactly this boundary.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = "user_id long, n_events long, n_buy long, n_sell long"
+
+    class FlowCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState(
+                "acc", "n long, n_buy long, n_sell long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, n_buy, n_sell = (
+                tuple(self._acc.get()) if self._acc.exists() else (0, 0, 0)
+            )
+            for pdf in rows:
+                et = pdf["event_type"]
+                n += len(et)
+                n_buy += int((et == "purchase").sum())
+                n_sell += int((et == "view").sum())
+            self._acc.update((n, n_buy, n_sell))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_buy": [n_buy],
+                    "n_sell": [n_sell],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        df.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            FlowCounter(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+@contextmanager
+def rocksdb_state(spark: SparkSession):
+    """Temporarily switch the streaming state store to RocksDB (required
+    by transformWithState; the 100 TB-posture provider regardless) for
+    queries STARTED inside the context."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 # ---------------------------------------------------------------------------
 # Replay helpers (multi-batch fixtures)
 # ---------------------------------------------------------------------------
