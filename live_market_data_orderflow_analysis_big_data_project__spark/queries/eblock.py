@@ -1091,6 +1091,68 @@ WINDOW w AS (PARTITION BY user_id)
 """
 
 
+# --- q83: mapInArrow — the Arrow-native batch UDF surface -------------------
+# Completes the Python-integration matrix (q80 row UDF, q81 pandas UDF,
+# q82 grouped map): RecordBatch-level compute with pyarrow kernels, no
+# pandas materialization — the lowest-overhead Python path.  Same IEEE
+# double ops as the SQL twin, so it is hash-exact.
+def q83_arrow_map(spark, sf):
+    def rescale(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in batches:
+            v = b.column("value")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("event_id"),
+                    v,
+                    pc.subtract(pc.multiply(v, pa.scalar(0.5)), pa.scalar(10.0)),
+                ],
+                names=["event_id", "value", "rescaled"],
+            )
+
+    e = _t(spark, sf, "events").select("event_id", "value")
+    return e.mapInArrow(rescale, "event_id long, value double, rescaled double")
+
+
+Q83_SQL = """
+SELECT event_id, value, value * 0.5 - 10.0 AS rescaled
+FROM events
+"""
+
+
+# --- q84: Python UDTF — table-valued function surface -----------------------
+# Like q80, an API-surface proof (row-at-a-time Python, never the hot
+# path — q115's expression chunker is the scale formulation of row
+# explosion).  Bounded input slice; DuckDB twin pairs unnest with
+# generate_subscripts.
+def q84_udtf(spark, sf):
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="word string, pos int")
+    class SplitWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, w in enumerate(text.split(" ")):
+                yield w, i + 1
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return d.lateralJoin(
+        SplitWords(F.col("text").outer())
+    ).select("doc_id", "word", "pos")
+
+
+Q84_SQL = """
+SELECT doc_id,
+       unnest(string_split(text, ' ')) AS word,
+       CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos
+FROM documents
+WHERE doc_id < 50
+"""
+
+
 # --- q129: VARIANT semi-structured type (Spark 4) ---------------------------
 # The open-typed twin of q64's schema-directed JSON path: props parses to
 # a VARIANT once, fields come out via typed variant_get paths, and
@@ -1211,6 +1273,8 @@ QUERIES = {
     "q80_python_udf": q80_python_udf,
     "q81_pandas_udf": q81_pandas_udf,
     "q82_grouped_map": q82_grouped_map,
+    "q83_arrow_map": q83_arrow_map,
+    "q84_udtf": q84_udtf,
     "q129_variant_json": q129_variant_json,
     "q130_python_datasource": q130_python_datasource,
 }
@@ -1254,6 +1318,8 @@ ORACLE = {
     "q80_python_udf": Q80_SQL,
     "q81_pandas_udf": Q81_SQL,
     "q82_grouped_map": Q82_SQL,
+    "q83_arrow_map": Q83_SQL,
+    "q84_udtf": Q84_SQL,
     "q129_variant_json": Q129_SQL,
     "q130_python_datasource": Q130_SQL,
 }
