@@ -39,7 +39,9 @@ NON_EQUI_OK = {
     "q122_source_mixture",      # 1-row corpus-totals scalar crossJoin
 }
 # queries whose purpose is the row-Python UDF surface
-PY_UDF_OK = {"q80_python_udf"}
+# Declared row-Python API-surface proofs (never-hot-path documented):
+# q80's scalar UDF and q84's UDTF (BatchEvalPythonUDTF in the plan).
+PY_UDF_OK = {"q80_python_udf", "q84_udtf"}
 
 
 def main() -> None:
