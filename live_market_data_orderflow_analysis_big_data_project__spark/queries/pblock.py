@@ -482,19 +482,28 @@ GROUP BY doc_id
 # Within each label (standing in for the k-means cell a production run
 # gets from q113/q92b), a vector is a semantic duplicate if an earlier
 # member sits within cosine 0.35; each duplicate chain keeps its first.
+# Oversized clusters split into id-ordered stripes of <= 512 (a no-op at
+# every fixture scale — max cluster is 218 at sf0.1 — but it caps the
+# pair join at |corpus| * 512 when cluster sizes grow with the corpus;
+# the 16x scale probe caught the uncapped quadratic at ratio 51.8).
 def q121_semdedup(spark, sf):
-    return semdedup(load_table(spark, sf, "embeddings"), threshold=0.35)
+    return semdedup(
+        load_table(spark, sf, "embeddings"), threshold=0.35, max_cluster=512
+    )
 
 
 Q121_SQL = """
 WITH n AS (
   SELECT vec_id, label,
+         CAST((ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) - 1)
+              // 512 AS INTEGER) AS sub,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), p AS (
   SELECT b.vec_id AS id_b,
          ROUND(list_cosine_similarity(a.v, b.v), 4) AS sim
-  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM n a JOIN n b
+    ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
 ), s AS (
   SELECT id_b,
          CAST(SUM(CASE WHEN sim >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)

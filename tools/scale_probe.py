@@ -50,6 +50,10 @@ PROBE_QUERIES = [
     ("q111_dedup_clusters", "linear star edges + CC loop over bounded near-dup slice"),
     ("q115_chunk_documents", "narrow row-exploding chunker, zero shuffle"),
     ("q91d_simhash_pairs", "bounded banded SimHash pairs (constant slice BY DESIGN: expect ~1x)"),
+    ("q120_span_dedup", "span explode + first-seen window, single lineage"),
+    ("q121_semdedup", "cluster-bounded cosine pair join (SemDeDup bound)"),
+    ("q124_fingerprint_overlap", "mod-p sampled gram fingerprints, df-suppressed bounded pair fan-out"),
+    ("q126_jsonl_roundtrip", "format IO: JSONL write + pinned-schema read + checksum agg"),
 ]
 
 
