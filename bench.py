@@ -46,6 +46,14 @@ def main() -> None:
     spark.range(64).repartition(8).mapInPandas(
         lambda batches: batches, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # ...and the shuffle/agg machinery (first exchange in a session pays
+    # codegen + shuffle-system init that otherwise lands on the first
+    # grouped query).
+    from pyspark.sql import functions as _F
+
+    spark.range(10_000).groupBy((_F.col("id") % 16).alias("k")).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for key, fn in ent.queries().items():
