@@ -129,3 +129,89 @@ def test_orc_roundtrip_preserves_arrays(spark, tmp_path):
     assert sorted(back.collect()) == sorted(df.collect())
     files = [f for f in os.listdir(path) if f.startswith("part-")]
     assert files, "expected at least one ORC part file"
+
+
+def test_jsonl_roundtrip_property(spark, tmp_path):
+    """Hypothesis: JSONL round-trip is lossless for arbitrary unicode
+    text (quotes, newlines, control chars, surrogate-adjacent)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("body", StringType())]
+    )
+    case = {"n": 0}
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        texts=st.lists(
+            st.text(
+                alphabet=st.characters(
+                    exclude_categories=("Cs",)  # no lone surrogates
+                ),
+                max_size=80,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def roundtrip(texts):
+        case["n"] += 1
+        df = spark.createDataFrame(
+            [Row(id=i, body=t) for i, t in enumerate(texts)], schema=schema
+        )
+        path = str(tmp_path / f"jl{case['n']}")
+        write_jsonl(df, path)
+        back = read_jsonl(spark, path, schema, bad_records="fail")
+        assert sorted(back.collect()) == sorted(df.collect())
+
+    roundtrip()
+
+
+def test_csv_roundtrip_property(spark, tmp_path):
+    """Hypothesis: CSV (multiLine) round-trip is lossless for non-empty
+    printable text including quotes, commas, and newlines."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("body", StringType())]
+    )
+    case = {"n": 0}
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        texts=st.lists(
+            st.text(
+                alphabet=st.characters(
+                    exclude_categories=("Cs", "Cc"),
+                    include_characters='",\n',
+                ),
+                min_size=1,
+                max_size=60,
+            ).filter(lambda s: s.strip() != ""),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def roundtrip(texts):
+        case["n"] += 1
+        df = spark.createDataFrame(
+            [Row(id=i, body=t) for i, t in enumerate(texts)], schema=schema
+        )
+        path = str(tmp_path / f"cs{case['n']}")
+        write_csv(df, path)
+        back = read_csv_pinned(
+            spark, path, schema, bad_records="fail", multi_line=True
+        )
+        assert sorted(back.collect()) == sorted(df.collect())
+
+    roundtrip()
