@@ -101,6 +101,11 @@ def read_csv_pinned(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .option("header", header)
         .option("multiLine", multi_line)
+        # Spark trims cell whitespace by default on BOTH read and write —
+        # silent corruption for text data (found by the hypothesis
+        # round-trip test: '0 ' came back as '0').  Preserve bytes.
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
         .csv(path)
     )
 
@@ -122,6 +127,9 @@ def write_csv(
         df.write.mode(mode)
         .option("header", header)
         .option("maxRecordsPerFile", max_records_per_file)
+        # Preserve cell whitespace (writer also trims by default).
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
         .csv(path)
     )
 
