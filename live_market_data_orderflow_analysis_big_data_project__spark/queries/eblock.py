@@ -1091,6 +1091,64 @@ WINDOW w AS (PARTITION BY user_id)
 """
 
 
+# --- q74: unpivot/melt — the inverse of q73's pivot -------------------------
+# Wide metric columns to long (key, metric, value) rows; values widen to
+# a common DOUBLE.  The long layout is what keyed aggregation and
+# storage partitioning want at scale (narrow rows, one shuffle key).
+def q74_unpivot(spark, sf):
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+    )
+    return o.unpivot(
+        "o_orderkey",
+        ["o_totalprice", "o_custkey"],
+        "metric",
+        "val",
+    )
+
+
+Q74_SQL = """
+SELECT o_orderkey, 'o_totalprice' AS metric,
+       CAST(o_totalprice AS DOUBLE) AS val FROM orders
+UNION ALL
+SELECT o_orderkey, 'o_custkey' AS metric,
+       CAST(o_custkey AS DOUBLE) AS val FROM orders
+"""
+
+
+# --- q75: null-handling surface (na.fill / na.replace / coalesce) -----------
+# The DataFrameNaFunctions API over a deterministically nulled column
+# (fixtures carry no nulls; NULLIF manufactures them identically on both
+# engines), plus a drop-count twin via the same predicate.
+def q75_null_handling(spark, sf):
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    out = e.na.fill({"v": -1.0}).na.replace(
+        {"error": "ERR"}, subset=["event_type"]
+    )
+    return out.select(
+        "event_id",
+        F.col("event_type").alias("et"),
+        F.col("v").alias("v_filled"),
+    )
+
+
+Q75_SQL = """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN 'ERR' ELSE event_type END AS et,
+       COALESCE(NULLIF(CASE WHEN event_type = 'error' THEN NULL
+                            ELSE value END, NULL), -1.0) AS v_filled
+FROM events
+"""
+
+
 # --- q83: mapInArrow — the Arrow-native batch UDF surface -------------------
 # Completes the Python-integration matrix (q80 row UDF, q81 pandas UDF,
 # q82 grouped map): RecordBatch-level compute with pyarrow kernels, no
@@ -1273,6 +1331,8 @@ QUERIES = {
     "q80_python_udf": q80_python_udf,
     "q81_pandas_udf": q81_pandas_udf,
     "q82_grouped_map": q82_grouped_map,
+    "q74_unpivot": q74_unpivot,
+    "q75_null_handling": q75_null_handling,
     "q83_arrow_map": q83_arrow_map,
     "q84_udtf": q84_udtf,
     "q129_variant_json": q129_variant_json,
@@ -1318,6 +1378,8 @@ ORACLE = {
     "q80_python_udf": Q80_SQL,
     "q81_pandas_udf": Q81_SQL,
     "q82_grouped_map": Q82_SQL,
+    "q74_unpivot": Q74_SQL,
+    "q75_null_handling": Q75_SQL,
     "q83_arrow_map": Q83_SQL,
     "q84_udtf": Q84_SQL,
     "q129_variant_json": Q129_SQL,
