@@ -1186,7 +1186,7 @@ FROM events
 # explosion).  Bounded input slice; DuckDB twin pairs unnest with
 # generate_subscripts.
 def q84_udtf(spark, sf):
-    from pyspark.sql.functions import lit, udtf
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType="word string, pos int")
     class SplitWords:
