@@ -88,6 +88,16 @@ class TickSynthStreamReader(DataSourceStreamReader):
         self.max_ticks = int(options.get("maxticks", 10_000))
         self.num_partitions = int(options.get("numpartitions", 4))
         self._available = 0  # ticks "arrived" so far (advances per poll)
+        # Restart-safety high-water mark.  The engine compares offsets by
+        # INEQUALITY (any latest != committed plans a batch), and a
+        # rebuilt reader loses its pacing state — so after a restart a
+        # lagging latestOffset would plan a BACKWARDS batch, rewind the
+        # offset log, and re-emit already-sunk rows.  _hwm tracks the
+        # highest offset this process has seen via partitions()/commit();
+        # availability fast-forwards over it and emission clamps to it,
+        # which makes restarts exactly-once (pinned by
+        # tests/test_pydatasource.py::test_stream_checkpoint_restart_...).
+        self._hwm = 0
 
     def initialOffset(self) -> dict:
         return {"tick": 0}
@@ -96,25 +106,33 @@ class TickSynthStreamReader(DataSourceStreamReader):
         # Each poll reveals one more micro-batch of the tape, up to the
         # cap — offsets-as-availability, the queue-consumer protocol.
         self._available = min(
-            self._available + self.rows_per_batch, self.max_ticks
+            max(self._available, self._hwm) + self.rows_per_batch,
+            self.max_ticks,
         )
         return {"tick": self._available}
 
     def partitions(self, start: dict, end: dict):
-        # MUST cover [start, end) exactly: the engine records `end` in
-        # the offset log, so emitting fewer rows would silently lose
-        # data on restart.  Rate limiting happens in latestOffset only.
+        # MUST cover [start, end) exactly (minus what this process knows
+        # is already sunk): the engine records `end` in the offset log,
+        # so under-emitting loses data and re-emitting duplicates it.
         lo, hi = start["tick"], end["tick"]
-        per = max(1, -(-(hi - lo) // self.num_partitions))
+        emit_lo = max(lo, self._hwm)  # clamp re-covered ranges (restart)
+        self._available = max(self._available, lo, hi)
+        self._hwm = max(self._hwm, hi, lo)
+        if hi <= emit_lo:
+            return [_Slice(emit_lo, emit_lo)]  # empty batch
+        per = max(1, -(-(hi - emit_lo) // self.num_partitions))
         return [
-            _Slice(a, min(a + per, hi)) for a in range(lo, hi, per)
-        ] or [_Slice(lo, lo)]
+            _Slice(a, min(a + per, hi)) for a in range(emit_lo, hi, per)
+        ]
 
     def read(self, partition: _Slice):
         yield from TickSynthReader.read(self, partition)
 
     def commit(self, end: dict) -> None:
-        pass  # nothing external to acknowledge for a synthetic tape
+        # Nothing external to acknowledge for a synthetic tape, but the
+        # committed offset feeds the restart high-water mark.
+        self._hwm = max(self._hwm, end["tick"])
 
 
 class TickSynthDataSource(DataSource):

@@ -98,3 +98,65 @@ def test_stream_matches_batch(spark):
     assert sorted(map(tuple, stream.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill the paced stream mid-tape, restart from the checkpoint, and
+    verify the parquet sink holds every tick exactly once — the offset
+    log + partitions-cover-[start,end) contract under restart.
+
+    Note the reader instance is rebuilt on restart, so its paced
+    availability counter restarts from 0; the engine resumes from the
+    COMMITTED offset and simply waits out polls until availability
+    passes it — no rows lost, none duplicated.
+    """
+    import time
+
+    register(spark)
+    out_dir, ckpt = str(tmp_path / "data"), str(tmp_path / "ckpt")
+
+    def start():
+        sdf = (
+            spark.readStream.format("tick_synth")
+            .option("maxTicks", 3000)
+            .option("rowsPerBatch", 500)
+            .option("numPartitions", 3)
+            .load()
+        )
+        return (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out_dir).count() >= 1000:
+                break
+        except Exception:
+            pass  # sink dir not created yet
+        time.sleep(0.2)
+    q.stop()  # mid-tape kill
+    q.awaitTermination(30)
+    n_mid = spark.read.parquet(out_dir).count()
+    assert 500 <= n_mid < 3000, f"expected a mid-tape stop, got {n_mid}"
+
+    q2 = start()
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if spark.read.parquet(out_dir).count() >= 3000:
+            break
+        time.sleep(0.2)
+    q2.stop()
+    q2.awaitTermination(30)
+
+    back = spark.read.parquet(out_dir)
+    ids = [r.tick_id for r in back.select("tick_id").collect()]
+    assert len(ids) == 3000, f"got {len(ids)} rows"
+    assert len(set(ids)) == 3000
+    assert min(ids) == 0 and max(ids) == 2999
