@@ -88,15 +88,27 @@ class TickSynthStreamReader(DataSourceStreamReader):
         self.max_ticks = int(options.get("maxticks", 10_000))
         self.num_partitions = int(options.get("numpartitions", 4))
         self._available = 0  # ticks "arrived" so far (advances per poll)
-        # Restart-safety high-water mark.  The engine compares offsets by
-        # INEQUALITY (any latest != committed plans a batch), and a
-        # rebuilt reader loses its pacing state — so after a restart a
-        # lagging latestOffset would plan a BACKWARDS batch, rewind the
-        # offset log, and re-emit already-sunk rows.  _hwm tracks the
-        # highest offset this process has seen via partitions()/commit();
-        # availability fast-forwards over it and emission clamps to it,
-        # which makes restarts exactly-once (pinned by
-        # tests/test_pydatasource.py::test_stream_checkpoint_restart_...).
+        # Restart-safety high-water mark = highest offset known to be IN
+        # THE SINK.  Restarts need it because the engine compares
+        # offsets by INEQUALITY (any latest != committed plans a batch):
+        # a reader whose pacing state lags the offset WAL plans a
+        # BACKWARDS batch, rewinds the WAL, and the following forward
+        # batches would re-emit already-sunk rows.  Emission clamps to
+        # _hwm and availability fast-forwards over it.
+        #
+        # What may advance it (learned from tracing the engine across
+        # stop/restart — tests/test_pydatasource.py pins all of this):
+        #  - commit(end): called only after the sink committed the batch;
+        #  - a real batch's START offset: the engine constructs batch
+        #    N+1 only after sinking batch N, and the restart replay's
+        #    start equals the sink-committed offset;
+        #  - NEVER a planned END (planning is not sinking — the reader
+        #    instance survives in-session restarts, and advancing on
+        #    ends made the replay of a sink-uncommitted batch emit
+        #    nothing: 500 rows lost);
+        #  - NEVER the start==end recovery probe the engine issues right
+        #    after a restart: its offsets come from the WAL, which can
+        #    run AHEAD of the sink.
         self._hwm = 0
 
     def initialOffset(self) -> dict:
@@ -112,15 +124,23 @@ class TickSynthStreamReader(DataSourceStreamReader):
         return {"tick": self._available}
 
     def partitions(self, start: dict, end: dict):
-        # MUST cover [start, end) exactly (minus what this process knows
-        # is already sunk): the engine records `end` in the offset log,
-        # so under-emitting loses data and re-emitting duplicates it.
+        # MUST cover [start, end) exactly, minus what is provably in the
+        # sink already: the engine records `end` in the offset WAL, so
+        # under-emitting loses data and re-emitting duplicates it.
         lo, hi = start["tick"], end["tick"]
-        emit_lo = max(lo, self._hwm)  # clamp re-covered ranges (restart)
+        if lo == hi:
+            # Restart recovery probe (offsets from the WAL, possibly
+            # ahead of the sink): no rows, no state updates.
+            return [_Slice(lo, lo)]
+        emit_lo = max(lo, self._hwm)
         self._available = max(self._available, lo, hi)
-        self._hwm = max(self._hwm, hi, lo)
+        self._hwm = max(self._hwm, lo)
         if hi <= emit_lo:
-            return [_Slice(emit_lo, emit_lo)]  # empty batch
+            # Backwards batch (lagging latestOffset after restart): the
+            # WAL rewinds but nothing re-emits; `lo` here equals the
+            # sink-committed offset, so the clamp holds for the forward
+            # batches that follow.
+            return [_Slice(emit_lo, emit_lo)]
         per = max(1, -(-(hi - emit_lo) // self.num_partitions))
         return [
             _Slice(a, min(a + per, hi)) for a in range(emit_lo, hi, per)
