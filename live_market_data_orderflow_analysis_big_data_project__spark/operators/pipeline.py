@@ -676,9 +676,20 @@ def semdedup(
     corpora grew each cluster 16x and the pair join went quadratic
     (ratio 51.8 vs the linear <= 16 bar; capped it probes linear).
 
-    100 TB: one window pass for the stripe id (same shuffle key as the
-    join), one equi-join keyed by (cluster, stripe) with norms
-    projected once per side, one groupBy keyed by vector id.
+    100 TB: the pair join is pinned sort-merge (``hint("merge")``) —
+    Catalyst's pruned size estimates broadcast the full corpus leg at
+    small SF, which is driver-fatal at scale (the q20/q26 trap, caught
+    round 5 in the physical plan).  Exchange accounting (verified
+    against the AQE final plan): each join leg pays the label-window
+    shuffle plus a (cluster, stripe) exchange — Spark's co-partition
+    check requires ALL cluster keys by default
+    (``requireAllClusterKeysForCoPartition``), so label-only
+    partitioning does not satisfy the join, and the two legs'
+    window subtrees canonicalize differently post-pruning so
+    ReuseExchange cannot dedupe them.  All four exchanges are linear
+    in the corpus and parallel; the quadratic term stays bounded by
+    ``max_cluster`` inside each stripe.  Then one groupBy keyed by
+    vector id and one left join back to the corpus.
 
     Output: (vec_id, label, n_close_earlier, max_cos_earlier ROUND 4 —
     NULL for each stripe's first member, is_kept).  Threshold compares
@@ -709,8 +720,16 @@ def semdedup(
     sim = F.round(
         dot("va", "vb") / (F.col("na") * F.col("nb")), 4
     ).alias("sim")
+    # hint("merge"): both legs are the full corpus — Catalyst's
+    # column-pruned size estimate broadcasts leg b at small SF, which is
+    # driver-fatal at 100 TB (the q20/q26 fact-broadcast trap).  Pinning
+    # sort-merge keeps the join stripe-local: HashPartitioning(__lbl)
+    # from the window's exchange satisfies the (__lbl, __sub) join's
+    # ClusteredDistribution (subset rule), so each leg reuses the window
+    # shuffle and the SMJ adds only an in-partition sort — one logical
+    # exchange for window + join, not three.
     pairs = (
-        a.join(b, ["__lbl", "__sub"])
+        a.join(b.hint("merge"), ["__lbl", "__sub"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_b", sim)
     )
