@@ -624,11 +624,22 @@ FROM s
 # byte-lossless, not just that the files reappeared.  Checksums avoid
 # float-order pitfalls: counts, integer sums, md5-distinct counts, and
 # decimal-backed money sums only.
+#
+# Round-trip output goes to FIXED per-query paths (writers default to
+# mode=overwrite), not mkdtemp: repeated bench/gate/scale-probe runs
+# replace the previous copy instead of accumulating an unbounded pile of
+# 16x-replicated corpora under /tmp.
+
+
+def _roundtrip_path(name: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_roundtrip", name
+    )
 
 
 def q126_jsonl_roundtrip(spark, sf):
     docs = _docs(spark, sf)
-    path = os.path.join(tempfile.mkdtemp(prefix="q126_"), "docs_jsonl")
+    path = _roundtrip_path("q126_docs_jsonl")
     write_jsonl(docs, path)
     back = read_jsonl(spark, path, docs.schema, bad_records="fail")
     return back.groupBy("lang").agg(
@@ -666,7 +677,7 @@ def q127_csv_roundtrip(spark, sf):
         "value",
         "props",
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="q127_"), "events_csv")
+    path = _roundtrip_path("q127_events_csv")
     write_csv(e, path)
     back = read_csv_pinned(
         spark, path, StructType.fromDDL(_Q127_SCHEMA), bad_records="fail"
@@ -700,7 +711,7 @@ GROUP BY event_type
 
 def q128_orc_roundtrip(spark, sf):
     em = load_table(spark, sf, "embeddings")
-    path = os.path.join(tempfile.mkdtemp(prefix="q128_"), "embeddings_orc")
+    path = _roundtrip_path("q128_embeddings_orc")
     write_orc(em, path)
     back = read_orc(spark, path)
     # Array fidelity via integer-exact probes (length sum, positive-element

@@ -343,14 +343,12 @@ QUERIES = {
 
 # Streaming semantics are not SQL-expressible: rows-only by design —
 # except s11, whose deterministic synthetic tape shares batch q130's
-# closed-form oracle (imported lazily to avoid a circular import).
+# closed-form oracle.  The import runs at module-import time; that is
+# safe because the dependency is strictly one-way (eblock never imports
+# sblock) — if sblock semantics ever need to flow into eblock, move
+# this into an oracle-lookup-time resolver instead of importing eblock
+# from there.
+from .eblock import Q130_SQL as _S11_ORACLE_SQL  # noqa: E402
+
 ORACLE = {k: None for k in QUERIES}
-
-
-def _s11_oracle() -> str:
-    from .eblock import Q130_SQL
-
-    return Q130_SQL
-
-
-ORACLE["s11_python_stream_source"] = _s11_oracle()
+ORACLE["s11_python_stream_source"] = _S11_ORACLE_SQL

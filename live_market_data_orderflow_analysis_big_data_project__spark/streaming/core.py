@@ -203,6 +203,15 @@ def run_paced_to_memory(
         _time.sleep(0.2)
     q.stop()
     q.awaitTermination(30)
+    delivered = spark.table(qname).count()
+    if delivered < expected_rows:
+        # A silent partial table would surface later as an opaque hash
+        # mismatch in the correctness gate; fail here with the real cause
+        # (pacing/environment under-delivery) instead.
+        raise TimeoutError(
+            f"{qname}: stream delivered {delivered}/{expected_rows} rows "
+            f"within {timeout_s}s — under-delivery, not a result mismatch"
+        )
     return spark.table(qname)
 
 

@@ -89,6 +89,39 @@ def main() -> None:
     def pct(p: float) -> float:
         return batch_ms[min(len(batch_ms) - 1, int(p * len(batch_ms)))] if batch_ms else -1
 
+    # --- Kafka wire-shape path (reference data_processor.py:177-183) -----
+    # Same replay through candles -> serialize_json -> kafka_sink_capture:
+    # the exact (key, value) frame the Kafka writer would get, through the
+    # checkpointed idempotent foreachBatch sink.  This measures the
+    # serialize+sink cost the parquet-path number leaves out.
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
+        kafka_sink_capture,
+    )
+
+    wire_out = tempfile.mkdtemp(prefix="streambench_wire_")
+    wire_ck = tempfile.mkdtemp(prefix="streambench_wireck_")
+    ticks2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            F.col("user_id").cast("string").alias("instrument"),
+            F.col("ts").alias("event_time"),
+            F.col("value").alias("ltp"),
+            F.lit(1).cast("long").alias("ltq"),
+        )
+        .withColumn(
+            "side", aggressor_side(F.col("ltp"), F.lit(50.0), F.lit(150.0))
+        )
+    )
+    candles2 = ohlc_candles(ticks2, window="1 minute", watermark="5 minutes")
+    t1 = time.time()
+    q2 = kafka_sink_capture(
+        candles2, wire_out, wire_ck, key_col="instrument"
+    )
+    q2.awaitTermination(600)
+    kafka_wall = time.time() - t1
+
     print(
         json.dumps(
             {
@@ -100,6 +133,13 @@ def main() -> None:
                 "n_micro_batches": len(batch_ms),
                 "micro_batch_ms_p50": pct(0.5),
                 "micro_batch_ms_max": batch_ms[-1] if batch_ms else -1,
+                "kafka_shape": {
+                    "events_per_sec": round(n_events / kafka_wall, 1),
+                    "wall_sec": round(kafka_wall, 2),
+                    "sink": "serialize_json + checkpointed idempotent "
+                            "foreachBatch (wire-frame capture; no broker "
+                            "in env)",
+                },
                 "baseline_ref": {
                     "ingest_events_per_sec": 50,
                     "micro_batch_sec": "1-2",

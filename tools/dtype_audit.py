@@ -80,8 +80,12 @@ def main() -> None:
                 if kinds == {"i", "f"} or kinds == {"u", "f"}:
                     problems.append(f"{c}: spark={sdt} duck={ddt}")
                 for side, pd_df in (("spark", spd), ("duck", dpd)):
-                    if len(pd_df):
-                        v = pd_df[c].iloc[0]
+                    # probe the first NON-NULL cell: a leading NULL/NaN
+                    # row would otherwise hide arrays/Decimals further
+                    # down the column (ADVICE r4).
+                    non_null = pd_df[c].dropna() if len(pd_df) else pd_df[c]
+                    if len(non_null):
+                        v = non_null.iloc[0]
                         if isinstance(v, (np.ndarray, list)):
                             problems.append(
                                 f"{c}: ARRAY-typed on {side} "
