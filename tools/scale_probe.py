@@ -52,6 +52,7 @@ PROBE_QUERIES = [
     ("q91d_simhash_pairs", "bounded banded SimHash pairs (constant slice BY DESIGN: expect ~1x)"),
     ("q120_span_dedup", "span explode + first-seen window, single lineage"),
     ("q121_semdedup", "cluster-bounded cosine pair join (SemDeDup bound)"),
+    ("q131_skew_salted_join", "salted equi-join under a 90%-hot key (skew path)"),
     ("q124_fingerprint_overlap", "mod-p sampled gram fingerprints, df-suppressed bounded pair fan-out"),
     ("q126_jsonl_roundtrip", "format IO: JSONL write + pinned-schema read + checksum agg"),
 ]
@@ -214,6 +215,13 @@ def main() -> None:
         "   i.e. the Arrow crossing itself is not the bottleneck term;",
         "   per-row Python (the banned pattern) would already be",
         "   super-linear here.",
+        "",
+        "4. Single bench samples are noise at this host: round 4's q120",
+        "   \"regression\" (1.5 s -> 5.4 s, no code change) was the driver-",
+        "   window reorder making q120 the FIRST suite query, which absorbs",
+        "   ~4 s of residual session cold-start (measured 5.7/2.2/1.9/1.7 s",
+        "   over 4 repeats).  bench.py records median-of-3 per batch query",
+        "   since round 5 (BENCH_full.json `query_samples`).",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
