@@ -1060,6 +1060,14 @@ FROM events
 """
 
 
+# API-surface proof for groupBy().applyInPandas (the grouped-map Arrow
+# path).  Scale posture: this exact computation is window-expressible
+# (the oracle IS the window formulation), so at 100 TB you'd run the
+# JVM window plan; grouped-map is for per-group logic Spark expressions
+# genuinely can't state (model scoring, per-entity solvers).  Its bench
+# cost (~4 s at sf0.1, the suite's slowest batch entry) is per-group
+# pandas overhead over ~10k small groups — inherent to the API shape
+# being proven, not a plan defect.
 def q82_grouped_map(spark, sf):
     import numpy as np
     import pandas as pd
