@@ -24,12 +24,17 @@ _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 #      (q74/q75/q83/q84, added late in round 4) plus q131, new this round;
 #   2. the 24 r2-era E-block entries whose rows predate the fixture
 #      regeneration (q33..q80);
-#   3. refresh slots: q34/q81/q82 (r3-era E-block) and the hash-gated
-#      r3-era L/P cores (dedup clusters, decontaminate, BM25, ANN exact
-#      twins ...) whose rows also predate the last regeneration.
-# Everything left out (R-block, S-block, q20-q32, q120-q130, and the
-# remaining r3-era L/P entries) holds an r3/r4 driver row and stays pinned
-# by the local full gate (tools/check_oracle.py, tools/driver_sim.py).
+#   3. the s-block, whose entries gained DuckDB hash oracles this round
+#      (previously rows-only "by design"; queries/sblock.py documents why
+#      the drained output is deterministic) — the driver must see the
+#      hash gates, not just row counts;
+#   4. refresh slots: q34/q81/q82 (r3-era E-block) and hash-gated r3-era
+#      P cores (dedup clusters, decontaminate, BM25 ...) whose rows
+#      predate the last regeneration.
+# Everything left out (R-block, q20-q32, q120-q130, the L-block exact
+# twins q90-q103, and P-block q107/q108/q112-q114) holds an r3/r4 driver
+# hash-pass row, passed the local r5 vanilla full gate, and stays pinned
+# by tools/check_oracle.py + tools/driver_sim.py.
 _PRIORITY = (
     [
         "q74_unpivot",                        # 5: never driver-verified
@@ -70,29 +75,29 @@ _PRIORITY = (
         "q82_grouped_map",
     ]
     + [
-        "q106_decontaminate",                 # 13: r3-era P-block refresh
-        "q107_hash_sample",
-        "q108_shard_pack",
+        "s01_tumbling_candles",               # 10: newly hash-gated
+        "s02_sliding_window",                 #     streaming entries
+        "s03_session_window",                 #     (oracles added r5)
+        "s04_late_data_drop",
+        "s05_stream_static_join",
+        "s06_stream_stream_join",
+        "s07_stream_dedup",
+        "s08_stateful_custom",
+        "s09_sinks",
+        "s10_sources",
+    ]
+    + [
+        "q106_decontaminate",                 # 8: r3-era P-block refresh
         "q109_repetition_stats",
         "q110_pii_scrub",
         "q111_dedup_clusters",
-        "q112_stratified_sample",
-        "q113_embedding_centroids",
-        "q114_split_assign",
         "q115_chunk_documents",
         "q117_bm25_search",
         "q118_unigram_nll",
         "q119_dedup_collapse",
     ]
-    + [
-        "q90_exact_dedup",                    # 5: r3-era L-block refresh
-        "q91_near_dedup_jaccard",             #    (hash-gated exact twins)
-        "q92_cosine_topk",
-        "q93_knn_join",
-        "q103_embedding_near_dup",
-    ]
 )
-_EXPECTED_WINDOW = 5 + 24 + 3 + 13 + 5
+_EXPECTED_WINDOW = 5 + 24 + 3 + 10 + 8
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

@@ -1,14 +1,28 @@
-"""S-block — streaming queries s01-s10 (SURVEY.md section 2.3).
+"""S-block — streaming queries s01-s11 (SURVEY.md section 2.3).
 
 Each entry REALLY runs Structured Streaming: a file-source replay of the
 events fixture through the micro-batch engine (offset log, watermark
 state, stateful operators, checkpointed sinks), drained with an
 AvailableNow trigger into a memory/parquet sink, and returned as the
-collected batch DataFrame so the driver's rows-only check can record it.
-No DuckDB oracle by design — watermark/session/state semantics are not
-SQL-expressible; the dedicated pytest suite (tests/test_streaming.py)
-asserts them with hand-computed expectations instead (SURVEY.md
-section 5.2.3).
+collected batch DataFrame.
+
+Every entry is HASH-GATED against a DuckDB oracle (round 5; previously
+rows-only).  What makes the drained output SQL-expressible: the fixture
+is ONE parquet file, so the file source delivers exactly one data
+micro-batch, and AvailableNow then runs the final no-data batch that
+commits the watermark at ``max(ts) - delay`` and flushes every window
+closed under it.  The deterministic final output is therefore
+
+  - unwindowed/append operators (sinks, dedup, joins): the full batch
+    result (all inputs were in state together);
+  - watermarked window aggs in append mode: the batch windows with
+    ``window_end <= max(ts) - delay`` (the still-open tail is withheld);
+  - update-mode stateful ops: the final state per key == the batch agg.
+
+The oracles below encode exactly that closure rule.  Progressive
+multi-batch semantics (what emits WHEN, what is dropped mid-stream) are
+not SQL-expressible and stay pinned by tests/test_streaming.py with
+hand-computed expectations (SURVEY.md section 5.2.3).
 """
 
 from __future__ import annotations
@@ -222,13 +236,24 @@ def s08_stateful_custom(spark, sf):
         vwap, "s08_vwap", output_mode="update", n_state_partitions=8
     )
     # One output row per key per micro-batch: keep each user's final state.
+    # The 4-dp VWAP is derived from the integer tick sum with integer
+    # half-up rounding (ticks are cents, so the denominator is 100 * n):
+    # ROUND(double, 4) is NOT portable across engines at half boundaries,
+    # integer DIV is.
     return (
         out.groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.max_by("vwap", "n_events").alias("vwap"),
+            F.max_by("sum_pv_ticks", "n_events").alias("sum_pv_ticks"),
         )
-        .withColumn("vwap", F.round("vwap", 4))
+        .withColumn(
+            "vwap",
+            F.expr(
+                "CAST((sum_pv_ticks * 20000 + 100 * n_events) "
+                "DIV (200 * n_events) AS DOUBLE) / 10000"
+            ),
+        )
+        .drop("sum_pv_ticks")
     )
 
 
@@ -341,14 +366,190 @@ QUERIES = {
     "s11_python_stream_source": s11_python_stream_source,
 }
 
-# Streaming semantics are not SQL-expressible: rows-only by design —
-# except s11, whose deterministic synthetic tape shares batch q130's
-# closed-form oracle.  The import runs at module-import time; that is
-# safe because the dependency is strictly one-way (eblock never imports
-# sblock) — if sblock semantics ever need to flow into eblock, move
-# this into an oracle-lookup-time resolver instead of importing eblock
-# from there.
+# DuckDB twins of the drained streaming output (see module docstring for
+# why the final output is deterministic and SQL-expressible).  Numeric
+# conventions per SURVEY section 2.3: integer aggregates CAST to BIGINT
+# (DuckDB SUM is HUGEINT, which pandas floats), floats ROUND(...,4) when
+# accumulated incrementally on the Spark side.  Window flooring uses
+# integer epoch_ms — CAST(epoch(ts) AS BIGINT) ROUNDS in DuckDB and
+# shifts boundary events into the wrong pane.
+
+# s01: 1-minute OHLC candles; append emits windows closed by the final
+# watermark (max ts - 5 min).  Side rule inlined from
+# operators/ticks.py::aggressor_side with the constant 50/150 book.
+S01_SQL = """
+WITH t AS (
+  SELECT date_trunc('minute', ts) AS wstart,
+         CAST(user_id AS VARCHAR) AS instrument,
+         ts, value,
+         CASE WHEN abs(value - 150.0) <= abs(value - 50.0)
+              THEN 'buy' ELSE 'sell' END AS side
+  FROM events
+), wm AS (SELECT max(ts) - INTERVAL 5 MINUTE AS w FROM events)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS window_start,
+       instrument,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close,
+       CAST(SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END) AS BIGINT)
+         AS buy_volume,
+       CAST(SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END) AS BIGINT)
+         AS sell_volume,
+       CAST(count(*) AS BIGINT) AS total_volume,
+       CAST(SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END)
+            - SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END) AS BIGINT)
+         AS delta
+FROM t, wm
+WHERE wstart + INTERVAL 1 MINUTE <= wm.w
+GROUP BY 1, 2
+"""
+
+# s02: each event lands in two 10-min/5-min panes; watermark closure as
+# in s01 (delay 10 min).
+S02_SQL = """
+WITH panes AS (
+  SELECT make_timestamp((epoch_ms(ts) // 300000) * 300000 * 1000) AS wstart,
+         event_type FROM events
+  UNION ALL
+  SELECT make_timestamp((epoch_ms(ts) // 300000) * 300000 * 1000)
+           - INTERVAL 5 MINUTE,
+         event_type FROM events
+), wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS window_start,
+       strftime(wstart + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M') AS window_end,
+       event_type, count(*) AS n
+FROM panes, wm
+WHERE wstart + INTERVAL 10 MINUTE <= wm.w
+GROUP BY 1, 2, 3
+"""
+
+# s03: gaps-and-islands sessionization.  A new session starts when the
+# gap to the previous event is >= 5 min (Spark session windows are
+# half-open: an event exactly at last_ts + gap opens a NEW session);
+# session_end = last_ts + gap; sessions close when end <= watermark.
+S03_SQL = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       user_id, count(*) AS n_events
+FROM s, wm
+GROUP BY user_id, sid, wm.w
+HAVING max(ts) + INTERVAL 5 MINUTE <= wm.w
+"""
+
+# s04: run 1 drains `recent` and emits its day-windows closed under the
+# committed watermark (max recent ts - 1h); run 2's late rows are all
+# dropped by the recovered watermark.  Dropped-partials = distinct late
+# day-windows (the late slice is one coalesced file -> one map-side
+# partial per day-window reaches the state store).
+S04_SQL = """
+WITH recent AS (SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-10'),
+     late AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-05'),
+     wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM recent),
+     emitted AS (
+       SELECT date_trunc('day', ts) AS d, count(*) AS n FROM recent, wm
+       WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm.w GROUP BY 1
+     )
+SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_rows_emitted,
+       CAST(count(*) AS BIGINT) AS n_days_emitted,
+       (SELECT count(DISTINCT date_trunc('day', ts)) FROM late)
+         AS n_late_windows_dropped,
+       (SELECT count(*) FROM late) AS n_late_input
+FROM emitted
+"""
+
+# s05: stream x broadcast dim join into day-window counts; closure rule
+# as in s01 (delay 10 min).
+S05_SQL = """
+WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+SELECT strftime(date_trunc('day', e.ts), '%Y-%m-%d') AS day,
+       c.c_mktsegment,
+       count(*) AS n
+FROM events e JOIN customer c ON e.user_id = c.c_custkey, wm
+WHERE date_trunc('day', e.ts) + INTERVAL 1 DAY <= wm.w
+GROUP BY 1, 2
+"""
+
+# s06: interval-bounded stream-stream inner join.  Single-batch drain
+# means no state was evicted before any match arrived, so the emitted
+# set is the full relational join.
+S06_SQL = """
+SELECT b.event_id AS buy_id, c.event_id AS click_id, b.user_id
+FROM events b JOIN events c
+  ON b.user_id = c.user_id
+ AND c.ts >= b.ts - INTERVAL 5 MINUTE
+ AND c.ts <= b.ts
+WHERE b.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+# s07: the self-unioned stream deduped by event_id collapses back to the
+# original table (both copies share the single micro-batch, so dedup
+# state always sees the duplicate).
+S07_SQL = """
+SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+# s08: the final applyInPandasWithState VWAP state after a full drain is
+# the batch VWAP (qty == 1 per tick).  The operator accumulates integer
+# cents (streaming/core.py::running_vwap), so the twin sums
+# round(value*100) as BIGINT and applies the SAME integer half-up
+# 4-dp rounding — float sums and ROUND(double) both diverge across
+# engines (pairwise vs streaming summation; half-boundary semantics).
+S08_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST((sum(CAST(round(value * 100) AS BIGINT)) * 20000
+             + 100 * count(*))
+            // (200 * count(*)) AS DOUBLE) / 10000 AS vwap
+FROM events GROUP BY user_id
+"""
+
+# s09: exactly-once partitioned parquet sink: reading the sink back
+# reproduces the source per-day counts bit-for-bit.
+S09_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       count(*) AS n,
+       count(DISTINCT event_id) AS n_distinct
+FROM events GROUP BY 1
+"""
+
+# s10: source-zoo success flags — constants when both sources deliver.
+S10_SQL = """
+SELECT * FROM (VALUES ('rate', true), ('file_json', true)) AS t(source, ok)
+"""
+
+# s11's deterministic synthetic tape shares batch q130's closed-form
+# oracle.  The import runs at module-import time; that is safe because
+# the dependency is strictly one-way (eblock never imports sblock) — if
+# sblock semantics ever need to flow into eblock, move this into an
+# oracle-lookup-time resolver instead of importing eblock from there.
 from .eblock import Q130_SQL as _S11_ORACLE_SQL  # noqa: E402
 
-ORACLE = {k: None for k in QUERIES}
-ORACLE["s11_python_stream_source"] = _S11_ORACLE_SQL
+ORACLE = {
+    "s01_tumbling_candles": S01_SQL,
+    "s02_sliding_window": S02_SQL,
+    "s03_session_window": S03_SQL,
+    "s04_late_data_drop": S04_SQL,
+    "s05_stream_static_join": S05_SQL,
+    "s06_stream_stream_join": S06_SQL,
+    "s07_stream_dedup": S07_SQL,
+    "s08_stateful_custom": S08_SQL,
+    "s09_sinks": S09_SQL,
+    "s10_sources": S10_SQL,
+    "s11_python_stream_source": _S11_ORACLE_SQL,
+}

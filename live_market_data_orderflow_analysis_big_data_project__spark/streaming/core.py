@@ -331,31 +331,53 @@ def dedup_within_watermark(
     return df.dropDuplicates(list(keys))
 
 
-def running_vwap(df: DataFrame, timeout_s: int | None = None) -> DataFrame:
+def running_vwap(
+    df: DataFrame, timeout_s: int | None = None, price_scale: int = 100
+) -> DataFrame:
     """Custom per-key state: running VWAP per user via
     ``applyInPandasWithState`` (price=value, qty=1).
 
     Output (update mode): one row per key per micro-batch with the running
     (n_events, vwap).  State is three scalars per key — constant-size
     per-key state, safe at any scale.
+
+    The price sum accumulates in INTEGER ticks (``round(value *
+    price_scale)`` — market prices are discrete multiples of the tick
+    size, cents here), not floats: float accumulation is
+    summation-order-dependent (pandas pairwise vs streaming), so the
+    final state would drift with micro-batch boundaries and could not be
+    hash-gated against a batch oracle.  Integer sums are exact and
+    batching-independent up to 2^53 ticks (~9e13 dollars of notional per
+    key at cents) — overflow at 100 TB means a single key's notional
+    exceeded that, at which point widen the state to a decimal string.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = "user_id long, n_events long, vwap double"
-    state_schema = "n long, sum_pv double, sum_q double"
+    out_schema = "user_id long, n_events long, sum_pv_ticks long, vwap double"
+    state_schema = "n long, sum_pv_ticks long, sum_q long"
 
     def update(key, pdf_iter, state: GroupState):
-        n, sum_pv, sum_q = state.get if state.exists else (0, 0.0, 0.0)
+        n, sum_pv_ticks, sum_q = state.get if state.exists else (0, 0, 0)
         for pdf in pdf_iter:
             v = pdf["value"].astype("float64")
             n += len(v)
-            sum_pv += float(v.sum())  # qty == 1 per tick
-            sum_q += float(len(v))
-        state.update((n, sum_pv, sum_q))
-        vwap = sum_pv / sum_q if sum_q else None
+            sum_pv_ticks += int(np.rint(v * price_scale).sum())  # qty == 1
+            sum_q += len(v)
+        state.update((n, sum_pv_ticks, sum_q))
+        # sum_pv_ticks rides along so consumers needing a hash-exact
+        # rounded VWAP can derive it in integer arithmetic (sblock s08)
+        # instead of ROUND()ing the quotient — ROUND-on-double semantics
+        # differ across engines at shortest-repr half boundaries.
+        vwap = sum_pv_ticks / (price_scale * sum_q) if sum_q else None
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "vwap": [vwap]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_pv_ticks": [sum_pv_ticks],
+                "vwap": [vwap],
+            }
         )
 
     return df.select("user_id", "value").groupBy("user_id").applyInPandasWithState(

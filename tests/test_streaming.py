@@ -458,3 +458,60 @@ def test_order_flow_state_api(spark):
         out = run_to_memory(flow, "t_flow_state", output_mode="update")
     agg = out.groupBy("user_id").agg(F.max("n_events").alias("n"))
     assert agg.count() > 0
+
+
+def test_running_vwap_exact_across_batch_boundaries(spark):
+    """running_vwap's integer-cent accumulation is micro-batch-order
+    independent: draining the same rows as ONE batch and as THREE batches
+    (maxFilesPerTrigger=1 over three files) yields bit-identical final
+    state — the property that lets s08 be hash-gated against a batch
+    oracle.  Float accumulation would drift here (pairwise vs streaming
+    summation order)."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
+        running_vwap,
+        stream_events_dir,
+    )
+
+    rows = [
+        (uid, _ts(m, s), round(0.01 * ((uid * 7919 + m * 131 + s) % 29999), 2))
+        for uid in (1, 2)
+        for m in range(3)
+        for s in range(0, 60, 7)
+    ]
+    schema = "user_id long, ts timestamp, value double"
+    tmp = tempfile.mkdtemp(prefix="vwap_batches_")
+    df = spark.createDataFrame(rows, schema)
+    # three files -> three micro-batches under maxFilesPerTrigger=1
+    for i, m in enumerate(range(3)):
+        df.filter(F.minute("ts") == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(tmp)
+
+    def final_state(max_files):
+        sdf = stream_events_dir(
+            spark, tmp, df.schema, max_files_per_trigger=max_files
+        )
+        out = run_to_memory(
+            running_vwap(sdf), f"t_vwap_{max_files}", output_mode="update"
+        )
+        return {
+            (r.user_id, r.n_events, r.sum_pv_ticks, r.vwap)
+            for r in out.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max_by("sum_pv_ticks", "n_events").alias("sum_pv_ticks"),
+                F.max_by("vwap", "n_events").alias("vwap"),
+            )
+            .collect()
+        }
+
+    one_batch, three_batches = final_state(None), final_state(1)
+    assert one_batch == three_batches
+    # and the tick sum equals the exact integer sum of cents
+    expect = {}
+    for uid, _, v in rows:
+        n, cents = expect.get(uid, (0, 0))
+        expect[uid] = (n + 1, cents + round(v * 100))
+    for uid, n_events, ticks, vwap in one_batch:
+        assert (n_events, ticks) == expect[uid]
+        assert vwap == ticks / (100 * n_events)
