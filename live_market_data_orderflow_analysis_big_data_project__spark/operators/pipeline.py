@@ -48,6 +48,7 @@ __all__ = [
     "bm25_search",
     "unigram_nll_score",
     "collapse_clusters",
+    "rrf_fuse",
 ]
 
 
@@ -926,4 +927,70 @@ def epoch_shuffle(
             F.col("shard"),
             (F.row_number().over(win) - 1).cast("long").alias("pos"),
         )
+    )
+
+
+def rrf_fuse(
+    ranked: list[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    names: tuple[str, ...] | None = None,
+    c: int = 60,
+    top_k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of bounded ranked lists (hybrid retrieval).
+
+    The standard RAG hybrid-search combiner (Cormack et al., SIGIR'09):
+    each retrieval system contributes ``1 / (c + rank)`` for every doc it
+    returned; systems that missed a doc contribute 0.  Rank-based fusion
+    sidesteps score-scale mismatch between lexical (BM25, unbounded) and
+    semantic (cosine, [-1, 1]) retrievers, which is why it beats naive
+    score averaging without per-system calibration.
+
+    ``ranked``: sequence of ``(df, score_col)`` pairs, each df a BOUNDED
+    top-k list carrying ``(id_col, score_col)``.  Ranks are assigned by
+    ``row_number`` over (score desc, id asc) — fully deterministic given
+    the tie-break.
+
+    100 TB posture: the inputs are already top-k lists (hundreds of rows
+    — the expensive distributed work lives in the retrievers themselves:
+    bm25_search's TakeOrderedAndProject, cosine_topk / ann_ivf's pruned
+    scans), so the unpartitioned rank windows and full-outer joins here
+    run on driver-scale data by construction; fusing full corpora would
+    instead rank inside Window.partitionBy(query_id).
+
+    Output: (id_col, <name>_rank ... [0 = not retrieved by that system],
+    rrf_score) ordered by rrf_score desc with id tie-break, limit top_k.
+    The rrf_score is a fixed-order sum of exact IEEE divisions of
+    bit-identical operands, hence hash-stable unrounded.
+    """
+    if names is None:
+        names = tuple(f"sys{i}" for i in range(len(ranked)))
+    fused: DataFrame | None = None
+    for (df, score_col), name in zip(ranked, names):
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        r = df.select(
+            F.col(id_col),
+            F.row_number().over(w).cast("long").alias(f"{name}_rank"),
+        )
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+    assert fused is not None, "rrf_fuse needs at least one ranked list"
+    score = None
+    for name in names:
+        term = F.when(F.col(f"{name}_rank").isNull(), F.lit(0.0)).otherwise(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"{name}_rank"))
+        )
+        score = term if score is None else score + term
+    return (
+        fused.select(
+            F.col(id_col),
+            *[
+                F.coalesce(F.col(f"{n}_rank"), F.lit(0).cast("long")).alias(
+                    f"{n}_rank"
+                )
+                for n in names
+            ],
+            score.alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(top_k)
     )

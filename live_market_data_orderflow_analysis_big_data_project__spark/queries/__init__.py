@@ -21,7 +21,9 @@ _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 # Round 5 spends the window on what still lacks fresh driver evidence, in
 # order:
 #   1. the 4 entries that have NEVER been in any driver window
-#      (q74/q75/q83/q84, added late in round 4) plus q131, new this round;
+#      (q74/q75/q83/q84, added late in round 4) plus the 4 new this round
+#      (q131 skew gate, q132 bucketed join, q133 partition pruning,
+#      q134 hybrid RRF);
 #   2. the 24 r2-era E-block entries whose rows predate the fixture
 #      regeneration (q33..q80);
 #   3. the s-block, whose entries gained DuckDB hash oracles this round
@@ -32,16 +34,22 @@ _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 #      P cores (dedup clusters, decontaminate, BM25 ...) whose rows
 #      predate the last regeneration.
 # Everything left out (R-block, q20-q32, q120-q130, the L-block exact
-# twins q90-q103, and P-block q107/q108/q112-q114) holds an r3/r4 driver
-# hash-pass row, passed the local r5 vanilla full gate, and stays pinned
-# by tools/check_oracle.py + tools/driver_sim.py.
+# twins q90-q103, and P-block q107-q110/q112-q114/q118) holds an r3/r4
+# driver hash-pass row, passed the local r5 vanilla full gate, and stays
+# pinned by tools/check_oracle.py + tools/driver_sim.py.  (q109/q110/
+# q118 were EXPLICITLY evicted from the refresh slots to make room for
+# q132-q134 — they are narrow zero-/one-shuffle plans with r3 hash rows,
+# the least-regression-risk entries in the window.)
 _PRIORITY = (
     [
-        "q74_unpivot",                        # 5: never driver-verified
+        "q74_unpivot",                        # 8: never driver-verified
         "q75_null_handling",
         "q83_arrow_map",
         "q84_udtf",
-        "q131_skew_salted_join",              # new this round: skew gate
+        "q131_skew_salted_join",              # new r5: skew gate
+        "q132_bucketed_join",                 # new r5: co-located join gate
+        "q133_partition_prune",               # new r5: partition pruning gate
+        "q134_hybrid_rrf",                    # new r5: hybrid retrieval gate
     ]
     + [
         "q33_distinct",                       # 24: r2-era E-block refresh
@@ -87,17 +95,14 @@ _PRIORITY = (
         "s10_sources",
     ]
     + [
-        "q106_decontaminate",                 # 8: r3-era P-block refresh
-        "q109_repetition_stats",
-        "q110_pii_scrub",
+        "q106_decontaminate",                 # 5: r3-era P-block refresh
         "q111_dedup_clusters",
         "q115_chunk_documents",
         "q117_bm25_search",
-        "q118_unigram_nll",
         "q119_dedup_collapse",
     ]
 )
-_EXPECTED_WINDOW = 5 + 24 + 3 + 10 + 8
+_EXPECTED_WINDOW = 8 + 24 + 3 + 10 + 5
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

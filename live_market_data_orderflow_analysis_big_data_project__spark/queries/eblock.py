@@ -18,12 +18,16 @@ generalization to a full relational surface.  Scale posture per query:
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dsum, fmt_date, fmt_minute, fmt_ts, round4
 from ..operators.asof import asof_join
 from ..operators.candles import rollup_ohlc
+from ..sources.bucketed import read_bucketed, write_bucketed
 from ..sources.tables import load_table, register_views
 
 _DEC = "decimal(28,6)"
@@ -1343,6 +1347,60 @@ GROUP BY c_mktsegment
 """
 
 
+# --- q132: bucketed co-located fact-fact join (sources/bucketed.py) ---------
+# The 100-TB join story's gate query: both fact tables are persisted
+# bucketed by the join key (same bucket count), so the bucketing-aware
+# scan feeds the sort-merge join with NO Exchange on either input — the
+# shuffle is paid once at write time and amortized over every subsequent
+# join (tests/test_bucketed.py asserts the exchange-free plan; this entry
+# hash-verifies that the co-located plan returns the same rows as the
+# oracle's plain join).  hint("merge") pins SMJ so the plan exercised is
+# the bucketed one even where the dim side would fit a broadcast.
+# Bucket files land under a FIXED tempdir path (mode=overwrite), same
+# hygiene as the q126-q128 round-trip paths.
+def q132_bucketed_join(spark, sf):
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_buckets")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(
+        o,
+        "q132_orders_b",
+        ("o_orderkey",),
+        8,
+        path=os.path.join(root, "q132_orders"),
+        sort_cols=("o_orderkey",),
+    )
+    write_bucketed(
+        li,
+        "q132_lineitem_b",
+        ("l_orderkey",),
+        8,
+        path=os.path.join(root, "q132_lineitem"),
+        sort_cols=("l_orderkey",),
+    )
+    ob = read_bucketed(spark, "q132_orders_b")
+    lb = read_bucketed(spark, "q132_lineitem_b")
+    j = lb.join(ob.hint("merge"), lb.l_orderkey == ob.o_orderkey, "inner")
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        dsum("l_quantity", "total_qty"),
+        dsum("l_extendedprice", "total_price"),
+    )
+
+
+Q132_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+         AS total_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q20_join_inner": q20_join_inner,
     "q21_join_broadcast": q21_join_broadcast,
@@ -1389,6 +1447,7 @@ QUERIES = {
     "q129_variant_json": q129_variant_json,
     "q130_python_datasource": q130_python_datasource,
     "q131_skew_salted_join": q131_skew_salted_join,
+    "q132_bucketed_join": q132_bucketed_join,
 }
 
 ORACLE = {
@@ -1437,4 +1496,5 @@ ORACLE = {
     "q129_variant_json": Q129_SQL,
     "q130_python_datasource": Q130_SQL,
     "q131_skew_salted_join": Q131_SQL,
+    "q132_bucketed_join": Q132_SQL,
 }

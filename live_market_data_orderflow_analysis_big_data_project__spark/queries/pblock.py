@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..operators.llmops import (
+    cosine_topk,
     fingerprint_overlap_pairs,
     fingerprint_overlap_sql,
     jaccard_pairs,
@@ -41,6 +42,7 @@ from ..operators.pipeline import (
     quality_classifier_score,
     quantize_embeddings,
     repetition_stats,
+    rrf_fuse,
     scrub_pii,
     semdedup,
     source_mixture_sample,
@@ -736,6 +738,126 @@ GROUP BY label
 """
 
 
+# --- q133: date-partitioned write -> partition-pruned read-back -------------
+# The at-rest layout story's gate query (reference parity:
+# tick_to_hdfs.py:62-71 date-partitions its parquet; README.md:386-391
+# reads a single date= dir back).  Writes events hive-partitioned by
+# event_date, reads back with a date-range filter that the scan turns
+# into PartitionFilters (directory pruning — zero IO for out-of-range
+# days; tests/test_sinks.py asserts the pruned file set), and aggregates
+# the surviving partitions.  The oracle computes the same slice straight
+# from the unpartitioned fixture — a hash-pass proves the partitioned
+# round-trip is lossless AND the pruned read saw exactly the right rows.
+_Q133_LO, _Q133_HI = "2024-01-05", "2024-01-09"
+
+
+def q133_partition_prune(spark, sf):
+    e = load_table(spark, sf, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = _roundtrip_path("q133_events_bydate")
+    e.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    back = spark.read.parquet(path).filter(
+        (F.col("event_date") >= F.lit(_Q133_LO))
+        & (F.col("event_date") <= F.lit(_Q133_HI))
+    )
+    return back.groupBy(
+        F.date_format("event_date", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+
+
+Q133_SQL = f"""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{_Q133_LO}' AND DATE '{_Q133_HI}'
+GROUP BY 1, 2
+"""
+
+
+# --- q134: hybrid retrieval via reciprocal-rank fusion ----------------------
+# The RAG-stack capstone over the engine's two retrievers: BM25 lexical
+# top-50 (q117's machinery) fused with cosine-semantic top-50 against
+# probe vector 0 (q92's machinery) by RRF (1/(60+rank) per system).
+# doc_id and vec_id key the same corpus rows (TESTDATA.md: both 0..N-1),
+# so the fusion join is id-aligned.  Rank-based fusion sidesteps the
+# score-scale mismatch between the two systems; operator + 100 TB notes
+# in operators/pipeline.py rrf_fuse.
+def q134_hybrid_rrf(spark, sf):
+    lex = bm25_search(_docs(spark, sf), _BM25_TERMS, top_k=50)
+    sem = cosine_topk(
+        load_table(spark, sf, "embeddings"), probe_id=0, k=50
+    ).select(F.col("vec_id").alias("doc_id"), "sim")
+    return rrf_fuse(
+        [(lex, "score"), (sem, "sim")],
+        id_col="doc_id",
+        names=("lex", "sem"),
+        c=60,
+        top_k=20,
+    )
+
+
+Q134_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, len({_DUCK_TOKS}) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, tok AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+  WHERE tok IN ({_BM25_IN})
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS term_df FROM tf GROUP BY 1
+), lex AS (
+  SELECT doc_id,
+         ROUND(SUM(ln(1.0 + (n_docs - term_df + 0.5) / (term_df + 0.5))
+               * (tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))),
+               4) AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+  GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC
+  LIMIT 50
+), lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+  FROM lex
+), p AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS probe
+  FROM embeddings WHERE vec_id = 0
+), sem AS (
+  SELECT vec_id AS doc_id,
+         ROUND(list_cosine_similarity(
+           list_transform(embedding, x -> CAST(x AS DOUBLE)), probe), 4) AS sim
+  FROM embeddings, p
+  ORDER BY sim DESC, vec_id ASC
+  LIMIT 50
+), semr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS sem_rank
+  FROM sem
+)
+SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       COALESCE(lex_rank, 0) AS lex_rank,
+       COALESCE(sem_rank, 0) AS sem_rank,
+       (CASE WHEN lex_rank IS NULL THEN 0.0
+             ELSE 1.0 / (60.0 + lex_rank) END)
+       + (CASE WHEN sem_rank IS NULL THEN 0.0
+               ELSE 1.0 / (60.0 + sem_rank) END) AS rrf_score
+FROM lexr l FULL JOIN semr s ON l.doc_id = s.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q106_decontaminate": q106_decontaminate,
     "q107_hash_sample": q107_hash_sample,
@@ -760,6 +882,8 @@ QUERIES = {
     "q126_jsonl_roundtrip": q126_jsonl_roundtrip,
     "q127_csv_roundtrip": q127_csv_roundtrip,
     "q128_orc_roundtrip": q128_orc_roundtrip,
+    "q133_partition_prune": q133_partition_prune,
+    "q134_hybrid_rrf": q134_hybrid_rrf,
 }
 
 ORACLE = {
@@ -786,4 +910,6 @@ ORACLE = {
     "q126_jsonl_roundtrip": Q126_SQL,
     "q127_csv_roundtrip": Q127_SQL,
     "q128_orc_roundtrip": Q128_SQL,
+    "q133_partition_prune": Q133_SQL,
+    "q134_hybrid_rrf": Q134_SQL,
 }

@@ -61,3 +61,20 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q132_gate_query_join_is_exchange_free(spark):
+    """The q132 gate query's fact-fact join must not shuffle: the ONLY
+    Exchange in its plan is the final groupBy's (bucketed scan feeds the
+    SMJ directly)."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.eblock import (
+        q132_bucketed_join,
+    )
+
+    df = q132_bucketed_join(spark, SF0001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, (
+        f"expected only the aggregation exchange, got {n_exchanges}:\n{plan}"
+    )

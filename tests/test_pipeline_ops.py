@@ -362,3 +362,42 @@ def test_epoch_shuffle_is_a_deterministic_permutation(spark):
     key_a = {r["doc_id"]: r["shuffle_key"] for r in a}
     key_c = {r["doc_id"]: r["shuffle_key"] for r in c}
     assert key_a != key_c
+
+
+def test_rrf_fuse_ranks_and_scores(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipeline import (
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame(
+        [(1, 3.0), (2, 2.0), (3, 1.0)], "doc_id long, score double"
+    )
+    sem = spark.createDataFrame(
+        [(2, 9.0), (4, 1.0)], "doc_id long, sim double"
+    )
+    out = rrf_fuse(
+        [(lex, "score"), (sem, "sim")], names=("lex", "sem"), c=60, top_k=10
+    ).collect()
+    rows = {r.doc_id: r for r in out}
+    # ranks: missing system contributes rank 0 / score 0
+    assert (rows[1].lex_rank, rows[1].sem_rank) == (1, 0)
+    assert (rows[2].lex_rank, rows[2].sem_rank) == (2, 1)
+    assert (rows[3].lex_rank, rows[3].sem_rank) == (3, 0)
+    assert (rows[4].lex_rank, rows[4].sem_rank) == (0, 2)
+    assert rows[2].rrf_score == 1.0 / 62 + 1.0 / 61
+    assert rows[1].rrf_score == 1.0 / 61
+    # fusion order: doc in both systems outranks any single-system doc here
+    assert [r.doc_id for r in out] == [2, 1, 4, 3]
+
+
+def test_rrf_fuse_tie_break_is_id_order(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipeline import (
+        rrf_fuse,
+    )
+
+    # equal scores: rank must follow doc_id ascending (deterministic)
+    lex = spark.createDataFrame(
+        [(7, 5.0), (3, 5.0), (5, 5.0)], "doc_id long, score double"
+    )
+    out = rrf_fuse([(lex, "score")], names=("lex",), top_k=3).collect()
+    assert [(r.doc_id, r.lex_rank) for r in out] == [(3, 1), (5, 2), (7, 3)]

@@ -114,3 +114,33 @@ def test_kafka_sink_wire_shape(spark):
     ).select("d.*")
     assert back.filter(F.col("event_id").isNull()).count() == 0
     assert back.count() == batch.count()
+
+
+def test_partition_prune_reads_only_matching_files(spark):
+    """q133's claim: a date-range filter over a hive-partitioned layout
+    prunes to exactly the in-range day directories (zero IO elsewhere)."""
+    e = load_table(spark, SF0001, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_prune_"), "bydate")
+    e.write.mode("overwrite").partitionBy("event_date").parquet(out)
+    n_days = e.select("event_date").distinct().count()
+    back = spark.read.parquet(out)
+    pruned = back.filter(
+        (F.col("event_date") >= "2024-01-05")
+        & (F.col("event_date") <= "2024-01-09")
+    )
+    pruned.collect()
+
+    def scan_num_files(df):
+        # inputFiles() reports the relation's FULL listing (pre-pruning),
+        # so read the executed FileSourceScan's numFiles metric instead.
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        scan = leaves.apply(0)
+        return scan.metrics().apply("numFiles").value()
+
+    n_pruned = scan_num_files(pruned)
+    assert n_pruned == 5, f"expected 5 day-partitions read, got {n_pruned}"
+    full = spark.read.parquet(out)
+    full.collect()
+    assert scan_num_files(full) >= n_days, "unpruned scan must read all days"
