@@ -21,9 +21,9 @@ _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 # Round 5 spends the window on what still lacks fresh driver evidence, in
 # order:
 #   1. the 4 entries that have NEVER been in any driver window
-#      (q74/q75/q83/q84, added late in round 4) plus the 4 new this round
+#      (q74/q75/q83/q84, added late in round 4) plus the 5 new this round
 #      (q131 skew gate, q132 bucketed join, q133 partition pruning,
-#      q134 hybrid RRF);
+#      q134 hybrid RRF, q135 small-file compaction);
 #   2. the 24 r2-era E-block entries whose rows predate the fixture
 #      regeneration (q33..q80);
 #   3. the s-block, whose entries gained DuckDB hash oracles this round
@@ -34,15 +34,15 @@ _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 #      P cores (dedup clusters, decontaminate, BM25 ...) whose rows
 #      predate the last regeneration.
 # Everything left out (R-block, q20-q32, q120-q130, the L-block exact
-# twins q90-q103, and P-block q107-q110/q112-q114/q118) holds an r3/r4
+# twins q90-q103, and P-block q107-q110/q112-q115/q118) holds an r3/r4
 # driver hash-pass row, passed the local r5 vanilla full gate, and stays
 # pinned by tools/check_oracle.py + tools/driver_sim.py.  (q109/q110/
-# q118 were EXPLICITLY evicted from the refresh slots to make room for
-# q132-q134 — they are narrow zero-/one-shuffle plans with r3 hash rows,
-# the least-regression-risk entries in the window.)
+# q115/q118 were EXPLICITLY evicted from the refresh slots to make room
+# for q132-q135 — narrow zero-/one-shuffle plans with r3 hash rows, the
+# least-regression-risk entries in the window.)
 _PRIORITY = (
     [
-        "q74_unpivot",                        # 8: never driver-verified
+        "q74_unpivot",                        # 9: never driver-verified
         "q75_null_handling",
         "q83_arrow_map",
         "q84_udtf",
@@ -50,6 +50,7 @@ _PRIORITY = (
         "q132_bucketed_join",                 # new r5: co-located join gate
         "q133_partition_prune",               # new r5: partition pruning gate
         "q134_hybrid_rrf",                    # new r5: hybrid retrieval gate
+        "q135_compact_small_files",           # new r5: compaction gate
     ]
     + [
         "q33_distinct",                       # 24: r2-era E-block refresh
@@ -95,14 +96,13 @@ _PRIORITY = (
         "s10_sources",
     ]
     + [
-        "q106_decontaminate",                 # 5: r3-era P-block refresh
+        "q106_decontaminate",                 # 4: r3-era P-block refresh
         "q111_dedup_clusters",
-        "q115_chunk_documents",
         "q117_bm25_search",
         "q119_dedup_collapse",
     ]
 )
-_EXPECTED_WINDOW = 8 + 24 + 3 + 10 + 5
+_EXPECTED_WINDOW = 9 + 24 + 3 + 10 + 4
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

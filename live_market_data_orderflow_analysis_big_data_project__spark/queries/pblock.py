@@ -51,6 +51,7 @@ from ..operators.pipeline import (
     stratified_sample,
     unigram_nll_score,
 )
+from ..sources.compact import compact_partitioned
 from ..sources.formats import (
     read_csv_pinned,
     read_jsonl,
@@ -858,6 +859,54 @@ LIMIT 20
 """
 
 
+# --- q135: small-file compaction --------------------------------------------
+# The streaming-ingest maintenance op: frequent triggers write one file
+# per micro-batch per `date=` dir (reference tick_to_hdfs.py:70 — 10 s
+# cadence); at 100 TB that is millions of tiny files and listing/footer
+# IO dominates scans.  This entry fragments events into ~16 files per
+# day dir (the ingest shape), compacts to one file per dir
+# (sources/compact.py), and hash-verifies the compacted dataset's
+# checksums against the ORIGINAL fixture — a pass proves the rewrite is
+# lossless.  tests/test_sinks.py asserts the file-count collapse and
+# the maxRecordsPerFile re-split for oversized partitions.
+def q135_compact_small_files(spark, sf):
+    e = load_table(spark, sf, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    frag = _roundtrip_path("q135_frag")
+    e.repartition(16).write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(frag)
+    back = compact_partitioned(
+        spark,
+        frag,
+        _roundtrip_path("q135_compact"),
+        "event_date",
+        max_records_per_file=5_000_000,
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+        F.countDistinct(F.md5("props")).alias("n_distinct_props"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+
+
+Q135_SQL = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       min(event_id) AS min_event, max(event_id) AS max_event,
+       count(DISTINCT md5(props)) AS n_distinct_props,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q106_decontaminate": q106_decontaminate,
     "q107_hash_sample": q107_hash_sample,
@@ -884,6 +933,7 @@ QUERIES = {
     "q128_orc_roundtrip": q128_orc_roundtrip,
     "q133_partition_prune": q133_partition_prune,
     "q134_hybrid_rrf": q134_hybrid_rrf,
+    "q135_compact_small_files": q135_compact_small_files,
 }
 
 ORACLE = {
@@ -912,4 +962,5 @@ ORACLE = {
     "q128_orc_roundtrip": Q128_SQL,
     "q133_partition_prune": Q133_SQL,
     "q134_hybrid_rrf": Q134_SQL,
+    "q135_compact_small_files": Q135_SQL,
 }

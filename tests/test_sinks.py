@@ -144,3 +144,83 @@ def test_partition_prune_reads_only_matching_files(spark):
     full = spark.read.parquet(out)
     full.collect()
     assert scan_num_files(full) >= n_days, "unpruned scan must read all days"
+
+
+def test_compaction_collapses_small_files_and_resplits(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.compact import (
+        compact_partitioned,
+    )
+
+    e = load_table(spark, SF0001, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    base = tempfile.mkdtemp(prefix="compact_")
+    frag = os.path.join(base, "frag")
+    # the streaming-ingest shape: many micro-batch files per day dir
+    e.repartition(8).write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(frag)
+
+    def files_per_dir(root):
+        out = {}
+        for d in glob.glob(os.path.join(root, "event_date=*")):
+            out[os.path.basename(d)] = len(
+                glob.glob(os.path.join(d, "*.parquet"))
+            )
+        return out
+
+    frag_counts = files_per_dir(frag)
+    assert max(frag_counts.values()) > 1, "fixture failed to fragment"
+
+    dst = os.path.join(base, "compact")
+    back = compact_partitioned(spark, frag, dst, "event_date")
+    assert files_per_dir(dst) == {d: 1 for d in frag_counts}, (
+        "compaction must leave exactly one file per partition dir"
+    )
+    assert back.count() == e.count()
+
+    # oversized partitions re-split at the row bound
+    dst2 = os.path.join(base, "compact_split")
+    compact_partitioned(
+        spark, frag, dst2, "event_date", max_records_per_file=10
+    )
+    counts2 = files_per_dir(dst2)
+    rows_per_day = dict(
+        e.groupBy(F.col("event_date").cast("string")).count().collect()
+    )
+    for d, n in counts2.items():
+        day = d.split("=", 1)[1]
+        expected = -(-rows_per_day[day] // 10)  # ceil
+        assert n == expected, f"{d}: {n} files, expected {expected}"
+
+
+def test_compaction_salted_split_is_deterministic(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.compact import (
+        compact_partitioned,
+    )
+
+    e = load_table(spark, SF0001, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    base = tempfile.mkdtemp(prefix="compact_salt_")
+    frag = os.path.join(base, "frag")
+    e.repartition(4).write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(frag)
+    dst = os.path.join(base, "out")
+    back = compact_partitioned(
+        spark, frag, dst, "event_date",
+        tasks_per_partition=4, salt_col="event_id",
+    )
+    assert back.count() == e.count()
+    assert "__salt" not in back.columns
+    for d in glob.glob(os.path.join(dst, "event_date=*")):
+        n = len(glob.glob(os.path.join(d, "*.parquet")))
+        assert 1 <= n <= 4, f"{d}: {n} writer files, salt split broken"
+    import pytest
+
+    with pytest.raises(ValueError):
+        compact_partitioned(
+            spark, frag, os.path.join(base, "bad"), "event_date",
+            tasks_per_partition=2,
+        )
