@@ -36,13 +36,14 @@ _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 # Everything left out (R-block, q20-q32, q120-q130, the L-block exact
 # twins q90-q103, and P-block q107-q110/q112-q115/q118) holds an r3/r4
 # driver hash-pass row, passed the local r5 vanilla full gate, and stays
-# pinned by tools/check_oracle.py + tools/driver_sim.py.  (q109/q110/
-# q115/q118 were EXPLICITLY evicted from the refresh slots to make room
-# for q132-q135 — narrow zero-/one-shuffle plans with r3 hash rows, the
-# least-regression-risk entries in the window.)
+# pinned by tools/check_oracle.py + tools/driver_sim.py.  (q106/q109/
+# q110/q115/q118 were EXPLICITLY evicted from the refresh slots to make
+# room for q132-q135 and the upgraded q99b — plans with r3 hash rows,
+# the least-regression-risk entries in the window.)
 _PRIORITY = (
     [
-        "q74_unpivot",                        # 9: never driver-verified
+        "q74_unpivot",                        # 10: never driver-verified /
+                                              #     contract-changed
         "q75_null_handling",
         "q83_arrow_map",
         "q84_udtf",
@@ -51,7 +52,8 @@ _PRIORITY = (
         "q133_partition_prune",               # new r5: partition pruning gate
         "q134_hybrid_rrf",                    # new r5: hybrid retrieval gate
         "q135_compact_small_files",           # new r5: compaction gate
-    ]
+        "q99b_length_percentiles_approx",     # contract upgraded r5:
+    ]                                         # rows-only -> envelope hash
     + [
         "q33_distinct",                       # 24: r2-era E-block refresh
         "q35_having",
@@ -96,13 +98,12 @@ _PRIORITY = (
         "s10_sources",
     ]
     + [
-        "q106_decontaminate",                 # 4: r3-era P-block refresh
-        "q111_dedup_clusters",
+        "q111_dedup_clusters",                # 3: r3-era P-block refresh
         "q117_bm25_search",
         "q119_dedup_collapse",
     ]
 )
-_EXPECTED_WINDOW = 9 + 24 + 3 + 10 + 4
+_EXPECTED_WINDOW = 10 + 24 + 3 + 10 + 3
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

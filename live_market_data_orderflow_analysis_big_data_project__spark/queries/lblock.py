@@ -348,16 +348,46 @@ GROUP BY lang
 # --- q99b: approx percentiles (the at-scale twin of q99) ---------------------
 # Exact percentile is a full sort-within-group; percentile_approx streams a
 # bounded sketch (Greenwald-Khanna) through the same partial+final agg, the
-# right trade at 100 TB.  Sketch outputs differ across engines -> rows-only
-# (the q33/q34 exact-vs-approx pattern).
+# right trade at 100 TB.  Sketch outputs differ across engines, so the gate
+# formulation HASH-GATES THE ENVELOPE instead (the q34 HLL pattern,
+# upgraded from rows-only in round 5): it computes the exact twin
+# alongside and emits exact values + booleans asserting the sketch landed
+# within 10% — the oracle emits literal TRUE, so a hash-pass PROVES the
+# sketch accuracy rather than just running it.  The scale path itself is
+# the approx agg alone; the exact columns exist only to judge it.
 def q99b_length_percentiles_approx(spark, sf):
     d = _t(spark, sf, "documents")
     n = F.col("n_chars")
+    tol = 0.10
+
+    def _ok(approx, exact):
+        return (
+            F.abs(approx.cast("double") - exact)
+            <= F.lit(tol) * exact
+        )
+
+    ex50 = F.percentile(n, F.lit(0.5))
+    ex95 = F.percentile(n, F.lit(0.95))
+    ap50 = F.percentile_approx(n, F.lit(0.5), F.lit(1000))
+    ap95 = F.percentile_approx(n, F.lit(0.95), F.lit(1000))
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.percentile_approx(n, F.lit(0.5), F.lit(1000)).alias("p50_approx"),
-        F.percentile_approx(n, F.lit(0.95), F.lit(1000)).alias("p95_approx"),
+        ex50.alias("p50_exact"),
+        ex95.alias("p95_exact"),
+        _ok(ap50, ex50).alias("p50_approx_ok"),
+        _ok(ap95, ex95).alias("p95_approx_ok"),
     )
+
+
+Q99B_SQL = """
+SELECT lang, count(*) AS n_docs,
+       quantile_cont(n_chars, 0.5)  AS p50_exact,
+       quantile_cont(n_chars, 0.95) AS p95_exact,
+       TRUE AS p50_approx_ok,
+       TRUE AS p95_approx_ok
+FROM documents
+GROUP BY lang
+"""
 
 
 # --- q91c: SimHash document fingerprints ------------------------------------
@@ -617,5 +647,5 @@ ORACLE = {
     "q97_lang_source_agg": Q97_SQL,
     "q98_regex_extract": Q98_SQL,
     "q99_length_percentiles": Q99_SQL,
-    "q99b_length_percentiles_approx": None,  # GK sketch estimates; rows-only
+    "q99b_length_percentiles_approx": Q99B_SQL,  # envelope gate (q34 pattern)
 }

@@ -55,6 +55,10 @@ PROBE_QUERIES = [
     ("q131_skew_salted_join", "salted equi-join under a 90%-hot key (skew path)"),
     ("q124_fingerprint_overlap", "mod-p sampled gram fingerprints, df-suppressed bounded pair fan-out"),
     ("q126_jsonl_roundtrip", "format IO: JSONL write + pinned-schema read + checksum agg"),
+    ("q132_bucketed_join", "bucketed write + exchange-free co-located SMJ"),
+    ("q133_partition_prune", "partitioned write + pruned read-back (5 of 30 day dirs)"),
+    ("q134_hybrid_rrf", "retrieval fusion over bounded top-k lists (BM25 side scales; fuse is flat)"),
+    ("q135_compact_small_files", "fragmented partitioned write + compaction rewrite"),
 ]
 
 
