@@ -42,7 +42,7 @@ _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 # the least-regression-risk entries in the window.)
 _PRIORITY = (
     [
-        "q74_unpivot",                        # 10: never driver-verified /
+        "q74_unpivot",                        # 11: never driver-verified /
                                               #     contract-changed
         "q75_null_handling",
         "q83_arrow_map",
@@ -53,7 +53,9 @@ _PRIORITY = (
         "q134_hybrid_rrf",                    # new r5: hybrid retrieval gate
         "q135_compact_small_files",           # new r5: compaction gate
         "q99b_length_percentiles_approx",     # contract upgraded r5:
-    ]                                         # rows-only -> envelope hash
+                                              # rows-only -> envelope hash
+        "q136_ann_recall_gate",               # new r5: driver-visible ANN
+    ]                                         # recall envelope
     + [
         "q33_distinct",                       # 24: r2-era E-block refresh
         "q35_having",
@@ -98,12 +100,11 @@ _PRIORITY = (
         "s10_sources",
     ]
     + [
-        "q111_dedup_clusters",                # 3: r3-era P-block refresh
-        "q117_bm25_search",
-        "q119_dedup_collapse",
-    ]
+        "q111_dedup_clusters",                # 2: r3-era P-block refresh
+        "q119_dedup_collapse",                # (q117 evicted: q134 exercises
+    ]                                         #  the same BM25 machinery)
 )
-_EXPECTED_WINDOW = 10 + 24 + 3 + 10 + 3
+_EXPECTED_WINDOW = 11 + 24 + 3 + 10 + 2
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

@@ -600,6 +600,76 @@ def q104_rolling_fingerprint(spark, sf):
 Q104_SQL = rolling_fingerprint_sql()
 
 
+# --- q136: ANN recall gate (driver-visible envelope for the rows-only paths)
+# The three probabilistic pair-set paths (q91b MinHash banding, q92b IVF,
+# q93b random-projection LSH) cannot be value-hashed — which candidates
+# survive depends on hash banding / KMeans cells.  What CAN be gated is
+# their RECALL against the exact twins: this entry computes both paths
+# per family on the bounded slices, measures recall as distributed
+# count aggregates (only the three summary scalars reach the driver),
+# and emits (path, n_exact, recall_ok) where the oracle's n_exact comes
+# from the exact twins' SQL and recall_ok is literal TRUE — the same
+# envelope pattern as q34/q99b.  Floors are the measured values from
+# tests/test_llmops.py minus margin: 0.9 / 0.6 / 0.9 (measured at
+# sf0.001|0.01|0.1: q91b 1.0 everywhere, q92b 0.7|1.0|0.9 for probe 0,
+# q93b 1.0|0.993|0.96).
+_Q136_FLOORS = {
+    "q91b_vs_q91": 0.9,
+    "q92b_vs_q92": 0.6,
+    "q93b_vs_q93": 0.9,
+}
+
+
+def q136_ann_recall_gate(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < _Q91_BOUND)
+    emb = _t(spark, sf, "embeddings")
+    emb50 = emb.filter(F.col("vec_id") < 50)
+    fams = {
+        "q91b_vs_q91": (
+            jaccard_pairs(docs, threshold=0.5, ngram=3).select(
+                "doc_a", "doc_b"
+            ),
+            minhash_lsh_pairs(docs, threshold=0.5, ngram=3).select(
+                "doc_a", "doc_b"
+            ),
+            ["doc_a", "doc_b"],
+        ),
+        "q92b_vs_q92": (
+            cosine_topk(emb, probe_id=0, k=10).select("vec_id"),
+            ann_ivf(
+                emb, probe_id=0, k=10, n_clusters=16, n_probe=8
+            ).select("vec_id"),
+            ["vec_id"],
+        ),
+        "q93b_vs_q93": (
+            knn_join(emb50, k=3).select("left_id", "right_id"),
+            knn_join_lsh(emb50, k=3).select("left_id", "right_id"),
+            ["left_id", "right_id"],
+        ),
+    }
+    rows = []
+    for path, (exact, approx, on) in fams.items():
+        n_exact = exact.count()
+        n_hit = exact.join(approx, on, "inner").count()
+        rows.append(
+            (path, n_exact, n_hit >= _Q136_FLOORS[path] * n_exact)
+        )
+    return spark.createDataFrame(
+        rows, "path string, n_exact long, recall_ok boolean"
+    )
+
+
+Q136_SQL = f"""
+SELECT 'q91b_vs_q91' AS path,
+       (SELECT count(*) FROM ({Q91_SQL}) t) AS n_exact,
+       TRUE AS recall_ok
+UNION ALL
+SELECT 'q92b_vs_q92', (SELECT count(*) FROM ({Q92_SQL}) t), TRUE
+UNION ALL
+SELECT 'q93b_vs_q93', (SELECT count(*) FROM ({Q93_SQL}) t), TRUE
+"""
+
+
 QUERIES = {
     "q90_exact_dedup": q90_exact_dedup,
     "q91_near_dedup_jaccard": q91_near_dedup_jaccard,
@@ -623,6 +693,7 @@ QUERIES = {
     "q98_regex_extract": q98_regex_extract,
     "q99_length_percentiles": q99_length_percentiles,
     "q99b_length_percentiles_approx": q99b_length_percentiles_approx,
+    "q136_ann_recall_gate": q136_ann_recall_gate,
 }
 
 ORACLE = {
@@ -648,4 +719,5 @@ ORACLE = {
     "q98_regex_extract": Q98_SQL,
     "q99_length_percentiles": Q99_SQL,
     "q99b_length_percentiles_approx": Q99B_SQL,  # envelope gate (q34 pattern)
+    "q136_ann_recall_gate": Q136_SQL,  # recall envelope for the rows-only paths
 }
