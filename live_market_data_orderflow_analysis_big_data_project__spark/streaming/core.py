@@ -197,6 +197,10 @@ def run_paced_to_memory(
         .start()
     )
     deadline = _time.time() + timeout_s
+    # Driver-side sink polling is fine HERE because this is the test/demo
+    # harness for the paced source (memory sink is driver-resident by
+    # definition); production paths drain via checkpointed file/kafka
+    # sinks and never poll counts on the driver.
     while _time.time() < deadline:
         if spark.table(qname).count() >= expected_rows:
             break
