@@ -1088,8 +1088,17 @@ def q82_grouped_map(spark, sf):
         )
 
     e = _t(spark, sf, "events").select("event_id", "user_id", "value")
-    return e.groupBy("user_id").applyInPandas(
-        zscore, "event_id long, user_id long, z double"
+    # Explicit key repartition at cluster width: AQE sizes the grouped-map
+    # exchange by shuffle BYTES and coalesces this small frame to ONE
+    # partition, which serializes every group through a single Python
+    # worker (measured 4.4 s; worker-per-core 0.9 s at sf0.1).  Arrow
+    # grouped-map cost is per-worker Python time, not shuffle bytes, so
+    # the parallelism decision must be explicit (docs/SCALING.md).
+    width = spark.sparkContext.defaultParallelism
+    return (
+        e.repartition(width, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(zscore, "event_id long, user_id long, z double")
     )
 
 
