@@ -963,8 +963,17 @@ def rrf_fuse(
     The rrf_score is a fixed-order sum of exact IEEE divisions of
     bit-identical operands, hence hash-stable unrounded.
     """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     if names is None:
         names = tuple(f"sys{i}" for i in range(len(ranked)))
+    if len(names) != len(ranked):
+        # zip would silently drop systems (or later fail on a missing
+        # rank column) — make the mismatch loud instead.
+        raise ValueError(
+            f"rrf_fuse got {len(ranked)} ranked lists but "
+            f"{len(names)} names"
+        )
     fused: DataFrame | None = None
     for (df, score_col), name in zip(ranked, names):
         w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
@@ -973,7 +982,6 @@ def rrf_fuse(
             F.row_number().over(w).cast("long").alias(f"{name}_rank"),
         )
         fused = r if fused is None else fused.join(r, id_col, "full_outer")
-    assert fused is not None, "rrf_fuse needs at least one ranked list"
     score = None
     for name in names:
         term = F.when(F.col(f"{name}_rank").isNull(), F.lit(0.0)).otherwise(

@@ -20,10 +20,12 @@ _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 # (CORRECTNESS_r04: 40 hash-pass, 10 rows-only streaming, 0 failures).
 # Round 5 spends the window on what still lacks fresh driver evidence, in
 # order:
-#   1. the 4 entries that have NEVER been in any driver window
-#      (q74/q75/q83/q84, added late in round 4) plus the 5 new this round
-#      (q131 skew gate, q132 bucketed join, q133 partition pruning,
-#      q134 hybrid RRF, q135 small-file compaction);
+#   1. the 11 entries with no (or stale-contract) driver evidence: the 4
+#      never in any window (q74/q75/q83/q84, added late in round 4), the
+#      6 new this round (q131 skew gate, q132 bucketed join, q133
+#      partition pruning, q134 hybrid RRF, q135 small-file compaction,
+#      q136 ANN recall envelope), and q99b whose contract changed this
+#      round (rows-only -> envelope hash);
 #   2. the 24 r2-era E-block entries whose rows predate the fixture
 #      regeneration (q33..q80);
 #   3. the s-block, whose entries gained DuckDB hash oracles this round
@@ -34,12 +36,13 @@ _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 #      P cores (dedup clusters, decontaminate, BM25 ...) whose rows
 #      predate the last regeneration.
 # Everything left out (R-block, q20-q32, q120-q130, the L-block exact
-# twins q90-q103, and P-block q107-q110/q112-q115/q118) holds an r3/r4
+# twins q90-q103, and P-block q106-q110/q112-q118) holds an r3/r4
 # driver hash-pass row, passed the local r5 vanilla full gate, and stays
 # pinned by tools/check_oracle.py + tools/driver_sim.py.  (q106/q109/
-# q110/q115/q118 were EXPLICITLY evicted from the refresh slots to make
-# room for q132-q135 and the upgraded q99b — plans with r3 hash rows,
-# the least-regression-risk entries in the window.)
+# q110/q115/q117/q118 were EXPLICITLY evicted from the refresh slots to
+# make room for q132-q136 and the upgraded q99b — plans with r3 hash
+# rows and, for q117, machinery q134 re-exercises in-window — the
+# least-regression-risk entries.)
 _PRIORITY = (
     [
         "q74_unpivot",                        # 11: never driver-verified /

@@ -649,10 +649,22 @@ def q136_ann_recall_gate(spark, sf):
     }
     rows = []
     for path, (exact, approx, on) in fams.items():
-        n_exact = exact.count()
-        n_hit = exact.join(approx, on, "inner").count()
+        # One action per family: left-join the approx side with a hit
+        # marker so n_exact and n_hit come from a single pass (the exact
+        # pair-sets are the expensive part; computing them twice doubled
+        # the gate's cost).
+        hit = exact.join(
+            approx.withColumn("__hit", F.lit(1)), on, "left"
+        ).agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hit"),
+        ).collect()[0]
         rows.append(
-            (path, n_exact, n_hit >= _Q136_FLOORS[path] * n_exact)
+            (
+                path,
+                hit["n_exact"],
+                hit["n_hit"] >= _Q136_FLOORS[path] * hit["n_exact"],
+            )
         )
     return spark.createDataFrame(
         rows, "path string, n_exact long, recall_ok boolean"

@@ -52,6 +52,7 @@ from ..operators.pipeline import (
     unigram_nll_score,
 )
 from ..sources.compact import compact_partitioned
+from ..sources.sinks import write_partitioned_parquet
 from ..sources.formats import (
     read_csv_pinned,
     read_jsonl,
@@ -757,7 +758,9 @@ def q133_partition_prune(spark, sf):
         "event_date", F.to_date("ts")
     )
     path = _roundtrip_path("q133_events_bydate")
-    e.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    write_partitioned_parquet(
+        e, path, partition_cols=("event_date",), mode="overwrite"
+    )
     back = spark.read.parquet(path).filter(
         (F.col("event_date") >= F.lit(_Q133_LO))
         & (F.col("event_date") <= F.lit(_Q133_HI))
@@ -874,9 +877,12 @@ def q135_compact_small_files(spark, sf):
         "event_date", F.to_date("ts")
     )
     frag = _roundtrip_path("q135_frag")
-    e.repartition(16).write.mode("overwrite").partitionBy(
-        "event_date"
-    ).parquet(frag)
+    # repartition(16) BEFORE the partitioned write is what fragments:
+    # 16 source partitions -> up to 16 files per day dir.
+    write_partitioned_parquet(
+        e.repartition(16), frag, partition_cols=("event_date",),
+        mode="overwrite",
+    )
     back = compact_partitioned(
         spark,
         frag,

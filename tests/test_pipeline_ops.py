@@ -401,3 +401,17 @@ def test_rrf_fuse_tie_break_is_id_order(spark):
     )
     out = rrf_fuse([(lex, "score")], names=("lex",), top_k=3).collect()
     assert [(r.doc_id, r.lex_rank) for r in out] == [(3, 1), (5, 2), (7, 3)]
+
+
+def test_rrf_fuse_rejects_bad_inputs(spark):
+    import pytest
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipeline import (
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="names"):
+        rrf_fuse([(lex, "score"), (lex, "score")], names=("only_one",))
