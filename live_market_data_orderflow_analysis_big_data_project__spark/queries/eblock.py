@@ -37,6 +37,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _sf_token(sf_dir: str) -> str:
+    """Catalog/path-safe token derived from the sf dir (``sf0.1`` →
+    ``sf0_1``) so per-sf artifacts can't collide."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return "".join(c if c.isalnum() else "_" for c in base) or "sf"
+
+
 def _revenue() -> F.Column:
     """Exact decimal revenue l_extendedprice * (1 - l_discount) (q04 twin)."""
     ep = F.col("l_extendedprice").cast("decimal(12,4)")
@@ -1365,17 +1372,23 @@ GROUP BY c_mktsegment
 # hash-verifies that the co-located plan returns the same rows as the
 # oracle's plain join).  hint("merge") pins SMJ so the plan exercised is
 # the bucketed one even where the dim side would fit a broadcast.
-# Bucket files land under a FIXED tempdir path (mode=overwrite), same
-# hygiene as the q126-q128 round-trip paths.
+# Bucket files + catalog names are suffixed with the sf AND a per-process
+# token: a fixed shared path/table would let a concurrent run at another
+# sf (pytest at sf0.001 racing the driver at sf0.1) overwrite bucket
+# files and catalog entries mid-read, or a partway-failed write silently
+# serve the wrong sf's table on the next run.
 def q132_bucketed_join(spark, sf):
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_buckets")
+    tok = f"{_sf_token(sf)}_{os.getpid()}"
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_buckets_{tok}")
+    orders_tbl = f"q132_orders_b_{tok}"
+    lineitem_tbl = f"q132_lineitem_b_{tok}"
     o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
     li = _t(spark, sf, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice"
     )
     write_bucketed(
         o,
-        "q132_orders_b",
+        orders_tbl,
         ("o_orderkey",),
         8,
         path=os.path.join(root, "q132_orders"),
@@ -1383,14 +1396,14 @@ def q132_bucketed_join(spark, sf):
     )
     write_bucketed(
         li,
-        "q132_lineitem_b",
+        lineitem_tbl,
         ("l_orderkey",),
         8,
         path=os.path.join(root, "q132_lineitem"),
         sort_cols=("l_orderkey",),
     )
-    ob = read_bucketed(spark, "q132_orders_b")
-    lb = read_bucketed(spark, "q132_lineitem_b")
+    ob = read_bucketed(spark, orders_tbl)
+    lb = read_bucketed(spark, lineitem_tbl)
     j = lb.join(ob.hint("merge"), lb.l_orderkey == ob.o_orderkey, "inner")
     return j.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),

@@ -11,8 +11,12 @@ design notes.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 from ..operators.llmops import (
     LANG_MARKERS,
@@ -370,10 +374,14 @@ def q99b_length_percentiles_approx(spark, sf):
     ex95 = F.percentile(n, F.lit(0.95))
     ap50 = F.percentile_approx(n, F.lit(0.5), F.lit(1000))
     ap95 = F.percentile_approx(n, F.lit(0.95), F.lit(1000))
+    # p95's interpolation weight is NON-dyadic: engines may compute
+    # lower+(upper-lower)*g vs (1-g)*lower+g*upper and diverge in the last
+    # ulp, so the exact columns are ROUND(...,4) on BOTH sides (the repo's
+    # float convention) — the hash gate must not compare raw float repr.
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        ex50.alias("p50_exact"),
-        ex95.alias("p95_exact"),
+        F.round(ex50, 4).alias("p50_exact"),
+        F.round(ex95, 4).alias("p95_exact"),
         _ok(ap50, ex50).alias("p50_approx_ok"),
         _ok(ap95, ex95).alias("p95_approx_ok"),
     )
@@ -381,8 +389,8 @@ def q99b_length_percentiles_approx(spark, sf):
 
 Q99B_SQL = """
 SELECT lang, count(*) AS n_docs,
-       quantile_cont(n_chars, 0.5)  AS p50_exact,
-       quantile_cont(n_chars, 0.95) AS p95_exact,
+       ROUND(quantile_cont(n_chars, 0.5), 4)  AS p50_exact,
+       ROUND(quantile_cont(n_chars, 0.95), 4) AS p95_exact,
        TRUE AS p50_approx_ok,
        TRUE AS p95_approx_ok
 FROM documents
@@ -613,11 +621,27 @@ Q104_SQL = rolling_fingerprint_sql()
 # tests/test_llmops.py minus margin: 0.9 / 0.6 / 0.9 (measured at
 # sf0.001|0.01|0.1: q91b 1.0 everywhere, q92b 0.7|1.0|0.9 for probe 0,
 # q93b 1.0|0.993|0.96).
+#
+# SPARK-VERSION PIN: the q92b floor (0.6, vs a measured min of 0.7 on the
+# uniform-sphere fixture — IVF's adversarial case) depends on pyspark
+# 4.1.x KMeans initialization (seeded k-means||); a Spark upgrade that
+# changes initialization can shift which cells the true neighbours land
+# in and flip recall_ok with nothing pointing at the seed drift.  The
+# measured magnitudes are therefore recorded in ``Q136_LAST_RECALLS``
+# (and logged) on every run — on a gate failure, compare those against
+# the measured-min table above FIRST: values just under the floor with an
+# unchanged fixture mean seed/version drift, not an algorithm regression.
 _Q136_FLOORS = {
     "q91b_vs_q91": 0.9,
     "q92b_vs_q92": 0.6,
     "q93b_vs_q93": 0.9,
 }
+
+# Diagnostic side-channel (VERDICT r5 item 7): measured recall magnitudes
+# from the latest q136 run, keyed like _Q136_FLOORS.  The gated output
+# stays oracle-reproducible (booleans); drift below the floor is visible
+# here before it flips the gate.
+Q136_LAST_RECALLS: dict[str, float] = {}
 
 
 def q136_ann_recall_gate(spark, sf):
@@ -659,6 +683,14 @@ def q136_ann_recall_gate(spark, sf):
             F.count(F.lit(1)).alias("n_exact"),
             F.count("__hit").alias("n_hit"),
         ).collect()[0]
+        recall = (
+            round(hit["n_hit"] / hit["n_exact"], 4) if hit["n_exact"] else 1.0
+        )
+        Q136_LAST_RECALLS[path] = recall
+        _LOG.info(
+            "q136 recall %s = %.4f (floor %.2f, n_exact %d)",
+            path, recall, _Q136_FLOORS[path], hit["n_exact"],
+        )
         rows.append(
             (
                 path,
