@@ -1,0 +1,112 @@
+"""tools/stale_check.py: the changed-code-must-re-enter-the-window gate.
+
+Three claims: (1) the repo is currently clean (every out-of-window entry
+AST-unchanged since its last driver row); (2) the closure walker reaches
+across modules (a query function's package-internal helpers are in its
+closure); (3) a synthetic mutation of an out-of-window entry's code IS
+detected — the tool is a tripwire, not a formality.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+spec = importlib.util.spec_from_file_location(
+    "stale_check", os.path.join(REPO, "tools", "stale_check.py")
+)
+stale_check = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(stale_check)
+
+
+def test_repo_is_not_stale():
+    """The invariant the driver relies on: all out-of-window entries are
+    unchanged since their last driver row."""
+    assert stale_check.main([]) == 0
+
+
+def test_closure_crosses_modules():
+    """q90's closure must include the llmops helper it calls, not just
+    the lblock wrapper."""
+    points = stale_check.entry_points()
+    mod, fn, extra = points["q90_exact_dedup"]
+    walker = stale_check._ClosureWalker(stale_check._read_worktree)
+    members = walker.closure(mod, fn)
+    mods = {m for m, _ in members}
+    assert any(m.endswith("operators/llmops.py") for m in mods), members
+
+
+@pytest.mark.parametrize("kind", ["body_edit", "helper_edit", "missing"])
+def test_synthetic_mutation_detected(kind):
+    """Mutating a closure member between 'old' and 'now' must surface as
+    a diff; comment-only edits must NOT."""
+    points = stale_check.entry_points()
+    mod, fn, extra = points["q90_exact_dedup"]
+    walker = stale_check._ClosureWalker(stale_check._read_worktree)
+    members = sorted(walker.closure(mod, fn))
+    # pick a cross-module helper to mutate for helper_edit
+    helper = next(
+        (m for m in members if m[0].endswith("operators/llmops.py")),
+        members[0],
+    )
+
+    def old_source_of(relpath: str):
+        src = stale_check._read_worktree(relpath)
+        if src is None:
+            return None
+        if kind == "body_edit" and relpath == mod:
+            return _mutate_fn(src, fn)
+        if kind == "helper_edit" and relpath == helper[0]:
+            return _mutate_fn(src, helper[1])
+        if kind == "missing" and relpath == mod:
+            return "# module existed but had no defs at the old commit\n"
+        return src
+
+    diffs = stale_check.changed_members(
+        "q90_exact_dedup", mod, fn, extra, old_source_of
+    )
+    assert diffs, f"mutation kind={kind} not detected"
+
+
+def _mutate_fn(src: str, name: str) -> str:
+    """Rewrite ``def name(...)`` to have a semantically different body."""
+    import ast
+
+    tree = ast.parse(src)
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name == name:
+            node.body = [ast.Return(value=ast.Constant(value=None))]
+            ast.fix_missing_locations(node)
+            return ast.unparse(tree)
+    # name is an Assign (SQL constant etc.): flip it to a sentinel
+    for node in tree.body:
+        if isinstance(node, ast.Assign) and any(
+            isinstance(t, ast.Name) and t.id == name for t in node.targets
+        ):
+            node.value = ast.Constant(value="__mutated__")
+            ast.fix_missing_locations(node)
+            return ast.unparse(tree)
+    return src
+
+
+def test_comment_only_edit_not_flagged():
+    points = stale_check.entry_points()
+    mod, fn, extra = points["q90_exact_dedup"]
+
+    def old_source_of(relpath: str):
+        src = stale_check._read_worktree(relpath)
+        if src is None:
+            return None
+        if relpath == mod:
+            return "# a comment that was not there before\n" + src
+        return src
+
+    diffs = stale_check.changed_members(
+        "q90_exact_dedup", mod, fn, extra, old_source_of
+    )
+    assert not diffs, diffs
