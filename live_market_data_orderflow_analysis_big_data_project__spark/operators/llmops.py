@@ -884,14 +884,24 @@ def fingerprint_overlap_pairs(
       two join legs, and each key fans out to <= max_df^2/2 pairs —
       linear in corpus size with a constant cap per key.
     - The selection stage (hash + mod-p sample) is a pure map stage
-      computed twice (df-count pass, pair pass).  At 100 TB re-running
-      a map stage is the right trade vs. materializing an
-      inverted-index cache; with ``use_fast`` it is a numpy Horner in
-      ``mapInPandas`` (same values as the expression twin — parity is
-      pinned by tests), ~10x the interpreted-HOF throughput.
+      with TWO consumers (df-count pass, pair pass), so it is
+      persisted (memory-then-disk) rather than recomputed: the Horner
+      hash touches every character of the corpus and dominates the
+      operator's cost (tools/probe_q124_terms.py: every downstream
+      cardinality is <= ~17x at 16x data, i.e. linear — the wall is
+      this map stage), while the materialized selection is only
+      ~n_grams/p rows of (id, int64) — at 100 TB text and p=61 a ~2%
+      spill vs a full second corpus scan + rehash.  ``p`` is the
+      sizing knob: selectivity, materialization size, and downstream
+      shuffle all scale as 1/p, at the cost of only detecting shared
+      runs >= ~k+p chars.  With ``use_fast`` the hash is a numpy
+      Horner in ``mapInPandas`` (same values as the expression twin —
+      parity is pinned by tests), ~10x the interpreted-HOF throughput.
 
     Output: (doc_a, doc_b, n_shared_fp) with doc_a < doc_b.
     """
+    from pyspark import StorageLevel
+
     if use_fast:
         sel = _gram_select_fast(
             df, id_col, text_col, k=k, base=base, mod=mod, p=p
@@ -904,6 +914,10 @@ def fingerprint_overlap_pairs(
                 F.array_distinct(F.filter(hs, lambda h: h % p == 0))
             ).alias("fp"),
         )
+    # Diamond dependency: both the drop-list and the kept-rows branch
+    # consume `sel`.  Persist lifetime is the query's; LRU eviction
+    # reclaims it under pressure (the entry is small by construction).
+    sel = sel.persist(StorageLevel.MEMORY_AND_DISK)
     # (doc, fp) is distinct by construction, so count(*) == doc-frequency.
     drop = (
         sel.groupBy("fp")

@@ -1377,7 +1377,11 @@ GROUP BY c_mktsegment
 # sf (pytest at sf0.001 racing the driver at sf0.1) overwrite bucket
 # files and catalog entries mid-read, or a partway-failed write silently
 # serve the wrong sf's table on the next run.
-def q132_bucketed_join(spark, sf):
+def q132_write_tables(spark, sf) -> tuple[str, str]:
+    """The amortized half of q132: persist orders/lineitem bucketed by
+    the join key (eager saveAsTable).  Returns the catalog names.
+    Split out so tools/scale_probe.py can time write and join
+    separately — the 'shuffle paid once' claim needs its own number."""
     tok = f"{_sf_token(sf)}_{os.getpid()}"
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_buckets_{tok}")
     orders_tbl = f"q132_orders_b_{tok}"
@@ -1402,6 +1406,12 @@ def q132_bucketed_join(spark, sf):
         path=os.path.join(root, "q132_lineitem"),
         sort_cols=("l_orderkey",),
     )
+    return orders_tbl, lineitem_tbl
+
+
+def q132_join_tables(spark, orders_tbl: str, lineitem_tbl: str):
+    """The per-query half of q132: exchange-free co-located SMJ over
+    already-bucketed tables."""
     ob = read_bucketed(spark, orders_tbl)
     lb = read_bucketed(spark, lineitem_tbl)
     j = lb.join(ob.hint("merge"), lb.l_orderkey == ob.o_orderkey, "inner")
@@ -1410,6 +1420,11 @@ def q132_bucketed_join(spark, sf):
         dsum("l_quantity", "total_qty"),
         dsum("l_extendedprice", "total_price"),
     )
+
+
+def q132_bucketed_join(spark, sf):
+    orders_tbl, lineitem_tbl = q132_write_tables(spark, sf)
+    return q132_join_tables(spark, orders_tbl, lineitem_tbl)
 
 
 Q132_SQL = """

@@ -434,7 +434,18 @@ def test_order_flow_state_api(spark):
     """transformWithStateInPandas operator (streaming/core.py
     order_flow_state): plan construction always works; execution needs
     google.protobuf for the state-server protocol, absent in this
-    container — skip the run (not the build) when it is missing."""
+    container — skip the run (not the build) when it is missing.
+
+    Environment block, verified round 6: the exact failing import is
+    ``pyspark/sql/streaming/proto/StateMessage_pb2.py:23`` (``from
+    google.protobuf import descriptor``) -> ``ModuleNotFoundError: No
+    module named 'google'``.  The generated stub also imports
+    ``google.protobuf.runtime_version``, i.e. it needs ``protobuf>=
+    5.27`` specifically.  No protobuf wheel (pure-Python or compiled)
+    exists anywhere on disk — pip's http cache has none, site-packages
+    has no vendored copy (only .pyi stubs) — and the container has no
+    network, so the skip cannot be closed in-env.  Runnable stateful
+    parity is held by s08's applyInPandasWithState (hash-gated)."""
     import pytest
 
     from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
