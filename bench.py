@@ -54,6 +54,20 @@ def main() -> None:
     spark.range(10_000).groupBy((_F.col("id") % 16).alias("k")).count().write.format(
         "noop"
     ).mode("overwrite").save()
+    # ...and the Structured Streaming machinery: the r6 window reorder
+    # put s11 (single-sample) at suite position 2, so the first streaming
+    # query would otherwise absorb the engine's stream-execution init
+    # (checkpoint manager, micro-batch thread, state-store provider).
+    import tempfile as _tf
+
+    _wq = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="bench_warm_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wq.awaitTermination(60)
 
     # Median-of-N per query (default 3, SPARK_GRAFT_BENCH_SAMPLES to
     # override).  Round 4's q120 "regression" (1.5 s -> 5.4 s) was pure

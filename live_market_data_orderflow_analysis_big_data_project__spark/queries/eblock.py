@@ -1381,7 +1381,15 @@ def q132_write_tables(spark, sf) -> tuple[str, str]:
     """The amortized half of q132: persist orders/lineitem bucketed by
     the join key (eager saveAsTable).  Returns the catalog names.
     Split out so tools/scale_probe.py can time write and join
-    separately — the 'shuffle paid once' claim needs its own number."""
+    separately — the 'shuffle paid once' claim needs its own number.
+
+    Bucket count = 32 (local core width): a bucketed scan plans ONE
+    task per bucket, so the bucket count is a hard read-parallelism
+    cap — the 16x probe measured the earlier 8-bucket layout's
+    join-only ratio at 3.7 (8 tasks, 24 cores idle) vs ~1.6 re-bucketed
+    to 32.  At 100 TB size the count so bucket files land at 100 MB -
+    1 GB AND the count comfortably exceeds executor-core width; both
+    sides must share it to stay exchange-free (docs/TUNING.md)."""
     tok = f"{_sf_token(sf)}_{os.getpid()}"
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_buckets_{tok}")
     orders_tbl = f"q132_orders_b_{tok}"
@@ -1394,7 +1402,7 @@ def q132_write_tables(spark, sf) -> tuple[str, str]:
         o,
         orders_tbl,
         ("o_orderkey",),
-        8,
+        32,
         path=os.path.join(root, "q132_orders"),
         sort_cols=("o_orderkey",),
     )
@@ -1402,7 +1410,7 @@ def q132_write_tables(spark, sf) -> tuple[str, str]:
         li,
         lineitem_tbl,
         ("l_orderkey",),
-        8,
+        32,
         path=os.path.join(root, "q132_lineitem"),
         sort_cols=("l_orderkey",),
     )

@@ -3,8 +3,6 @@ shuffle (no Exchange on either join input)."""
 
 from __future__ import annotations
 
-import contextlib
-import io
 import os
 import tempfile
 
@@ -48,12 +46,15 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
         joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
             "l_orderkey", "l_quantity", "o_totalprice"
         )
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            joined.explain()
-        plan = buf.getvalue()
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        root = _physical_root(joined)
+        names = [n.getClass().getSimpleName() for n in _walk(root)]
+        assert any(n.startswith("SortMergeJoin") for n in names), names
+        shuffles = [n for n in _walk(root) if _is_shuffle(n)]
+        assert not shuffles, (
+            "bucketed join still shuffles: "
+            f"{[s.getClass().getSimpleName() for s in shuffles]}\n"
+            f"{root.toString()}"
+        )
         # and it is actually correct
         li0 = load_table(spark, SF0001, "lineitem")
         o0 = load_table(spark, SF0001, "orders")

@@ -281,8 +281,14 @@ def main() -> None:
         "   amortized bucketing shuffle, q132_join_only times the",
         "   exchange-free co-located SMJ read path alone (the per-query",
         "   cost a user actually pays after the layout investment).  The",
-        "   join-only ratio should sit near the scan-bound queries (~1.5),",
-        "   the write-only ratio near a shuffle-write's.",
+        "   split immediately measured a real knob: a bucketed scan plans",
+        "   ONE task per bucket, so bucket count is a hard read-parallelism",
+        "   cap — the original 8-bucket layout's join-only ratio was 3.7",
+        "   (8 tasks, 24 cores idle at 16x); re-bucketed to 32 (core",
+        "   width) it is 2.7, the residual being single-host SMJ sort",
+        "   effects (multi-file buckets defeat the sortBy order guarantee,",
+        "   so the merge join re-sorts).  TUNING.md's re-bucket-when-",
+        "   grown-10x rule, with its number attached.",
         "",
         "5. AQE sizes exchanges by shuffle BYTES, which is the wrong cost",
         "   model for Arrow grouped-map stages: q82's 100k-row frame",
