@@ -49,6 +49,7 @@ __all__ = [
     "unigram_nll_score",
     "collapse_clusters",
     "rrf_fuse",
+    "incremental_dedup",
 ]
 
 
@@ -1001,4 +1002,62 @@ def rrf_fuse(
         )
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(top_k)
+    )
+
+
+def incremental_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Index-and-merge (delta) exact dedup: dedup an incoming shard
+    against an EXISTING corpus without reprocessing the corpus.
+
+    A 100 TB training pipeline never re-dedups the whole corpus per
+    ingest; it keeps a content-hash INDEX (the md5 set of every
+    already-accepted text — the ``exact_dedup`` output persisted
+    content-addressed) and processes only the delta: (1) anti-join the
+    shard's hashes against the index, (2) first-wins dedup WITHIN the
+    shard.  Output is one row per genuinely new text: (text_hash,
+    kept_id, n_copies_in_shard).
+
+    Fixture framing (what makes the gate EXERCISE the drop path): docs
+    with ``id < max*4 div 5`` are the indexed corpus; the incoming
+    shard is everything from ``max*3 div 5`` up — i.e. the 60-80% id
+    band was RE-SCRAPED (its texts are already in the index, the
+    standard re-crawl situation) and the 80-100% band is new.  The
+    anti-join must drop the entire re-scraped band and keep the new
+    one; with all fixture texts globally distinct, a disjoint split
+    would make the anti-join vacuous.  Both bounds are exact integer
+    arithmetic, so both engines draw identical lines; the two split
+    scalars ride one broadcast cross-join (never a driver collect).
+
+    Scale posture: the index side is huge and must NEVER be broadcast —
+    ``hint("merge")`` pins SMJ the same way the q20/q26 fact joins do
+    (Catalyst's pruned-size estimate would broadcast it at fixture
+    scale, the plan that OOMs at 100 TB).  In deployment the index is a
+    bucketed table keyed by text_hash (sources/bucketed.py): the
+    anti-join then shuffles only the incoming shard — per-ingest cost
+    is O(shard), not O(corpus), which is the point of the pattern.
+    """
+    splits = df.agg(
+        F.expr(f"(max({id_col}) * 4) div 5").alias("__idx_hi"),
+        F.expr(f"(max({id_col}) * 3) div 5").alias("__shard_lo"),
+    )
+    d = df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col).cast("binary")).alias("text_hash"),
+    ).crossJoin(F.broadcast(splits))
+    index = (
+        d.filter(F.col(id_col) < F.col("__idx_hi"))
+        .select("text_hash")
+        .distinct()
+    )
+    shard = d.filter(F.col(id_col) >= F.col("__shard_lo")).select(
+        id_col, "text_hash"
+    )
+    fresh = shard.join(index.hint("merge"), "text_hash", "left_anti")
+    return fresh.groupBy("text_hash").agg(
+        F.min(id_col).alias("kept_id"),
+        F.count("*").alias("n_copies_in_shard"),
     )

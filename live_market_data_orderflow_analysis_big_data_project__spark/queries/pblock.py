@@ -38,6 +38,7 @@ from ..operators.pipeline import (
     embedding_centroids,
     epoch_shuffle,
     hash_sample,
+    incremental_dedup,
     pack_shards,
     quality_classifier_score,
     quantize_embeddings,
@@ -913,6 +914,41 @@ GROUP BY event_type
 """
 
 
+# --- q137: incremental (index-and-merge) dedup ------------------------------
+# The delta-processing pattern a 100 TB pipeline actually runs per
+# ingest: docs below max(doc_id)*4 div 5 stand in for the EXISTING
+# corpus — represented only by its content-hash index — and the
+# incoming shard is everything from max*3 div 5 up, so the 60-80% id
+# band is a RE-SCRAPE (already indexed; the anti-join must drop it all)
+# and the 80-100% band is new.  Output: one row per genuinely new text
+# (text_hash, kept_id, n_copies_in_shard).
+# operators/pipeline.py::incremental_dedup documents the scale posture
+# (merge-hinted anti-join so the index is never broadcast; bucketed
+# index => per-ingest cost O(shard), not O(corpus)).
+def q137_incremental_dedup(spark, sf):
+    return incremental_dedup(_docs(spark, sf))
+
+
+Q137_SQL = """
+WITH s AS (SELECT (max(doc_id) * 4) // 5 AS idx_hi,
+                  (max(doc_id) * 3) // 5 AS shard_lo
+           FROM documents),
+idx AS (
+  SELECT DISTINCT md5(text) AS text_hash
+  FROM documents, s WHERE doc_id < idx_hi
+),
+shard AS (
+  SELECT doc_id, md5(text) AS text_hash
+  FROM documents, s WHERE doc_id >= shard_lo
+)
+SELECT text_hash, min(doc_id) AS kept_id,
+       count(*) AS n_copies_in_shard
+FROM shard
+WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.text_hash = shard.text_hash)
+GROUP BY text_hash
+"""
+
+
 QUERIES = {
     "q106_decontaminate": q106_decontaminate,
     "q107_hash_sample": q107_hash_sample,
@@ -940,6 +976,7 @@ QUERIES = {
     "q133_partition_prune": q133_partition_prune,
     "q134_hybrid_rrf": q134_hybrid_rrf,
     "q135_compact_small_files": q135_compact_small_files,
+    "q137_incremental_dedup": q137_incremental_dedup,
 }
 
 ORACLE = {
@@ -969,4 +1006,5 @@ ORACLE = {
     "q133_partition_prune": Q133_SQL,
     "q134_hybrid_rrf": Q134_SQL,
     "q135_compact_small_files": Q135_SQL,
+    "q137_incremental_dedup": Q137_SQL,
 }

@@ -415,3 +415,40 @@ def test_rrf_fuse_rejects_bad_inputs(spark):
         rrf_fuse([])
     with pytest.raises(ValueError, match="names"):
         rrf_fuse([(lex, "score"), (lex, "score")], names=("only_one",))
+
+
+def test_incremental_dedup_drops_rescrape_and_intra_shard_copies(spark):
+    """max(id)=10 -> index = ids < 8, shard = ids >= 6.  ids 6-7 are
+    re-scrapes of indexed texts (dropped by the anti-join); id 9 and 10
+    are copies of each other (first-wins within the shard); id 8 is a
+    fresh singleton."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipeline import (
+        incremental_dedup,
+    )
+
+    rows = [
+        (0, "alpha"), (1, "beta"), (2, "gamma"), (3, "delta"),
+        (4, "epsilon"), (5, "zeta"), (6, "alpha"), (7, "zeta"),
+        (8, "fresh one"), (9, "fresh two"), (10, "fresh two"),
+    ]
+    out = {
+        r.kept_id: r.n_copies_in_shard
+        for r in incremental_dedup(_docs(spark, rows)).collect()
+    }
+    assert out == {8: 1, 9: 2}
+
+
+def test_incremental_dedup_hash_matches_md5(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipeline import (
+        incremental_dedup,
+    )
+
+    rows = [(i, f"text {i}") for i in range(11)]
+    got = {
+        r.kept_id: r.text_hash
+        for r in incremental_dedup(_docs(spark, rows)).collect()
+    }
+    # shard_lo = 30 div 5 = 6, idx_hi = 40 div 5 = 8: survivors are 8..10
+    assert set(got) == {8, 9, 10}
+    for i, h in got.items():
+        assert h == hashlib.md5(f"text {i}".encode()).hexdigest()
