@@ -56,7 +56,9 @@ _PRIORITY = (
         "q136_ann_recall_gate",               # changed r6: recall diagnostics
         "q124_fingerprint_overlap",           # changed r6: persisted selection
         "q137_incremental_dedup",             # NEW r6: index-and-merge delta
-    ]                                         #   dedup — needs first row
+                                              #   dedup — needs first row
+        "s12_incremental_dedup",              # NEW r6: its streaming twin
+    ]                                         #   (stream-static anti join)
     + [
         "q106_decontaminate",                 # 6: evicted from r5 window,
         "q109_repetition_stats",              #    r3-era rows, unchanged
@@ -100,15 +102,16 @@ _PRIORITY = (
         "q97_lang_source_agg",
         "q104_rolling_fingerprint",
         "q116_quantize_embeddings",
-        "q25_join_asof",                      # (q24 evicted for q137: its r4
-                                              #  row + unchanged code stand,
-                                              #  enforced by stale_check.py)
+                                              # (q24/q25 evicted for q137/s12:
+                                              #  their r4 rows + unchanged code
+                                              #  stand, enforced by
+                                              #  stale_check.py)
         "q91b_near_dedup_minhash_lsh",        # rows-only trio: r3-era rows
         "q92b_cosine_topk_ivf",               # AND stale closures (shared
         "q93b_knn_lsh",                       # infra + q92b n_probe changed
     ]                                         # since r3) per stale_check.py
 )
-_EXPECTED_WINDOW = 10 + 6 + 16 + 5 + 13
+_EXPECTED_WINDOW = 11 + 6 + 16 + 5 + 12
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

@@ -1,4 +1,4 @@
-"""S-block — streaming queries s01-s11 (SURVEY.md section 2.3).
+"""S-block — streaming queries s01-s12 (SURVEY.md section 2.3).
 
 Each entry REALLY runs Structured Streaming: a file-source replay of the
 events fixture through the micro-batch engine (offset log, watermark
@@ -352,6 +352,49 @@ def s11_python_stream_source(spark, sf):
     )
 
 
+# --- s12: streaming incremental dedup (stream-static ANTI join) -------------
+# The streaming twin of q137's index-and-merge pattern: the incoming
+# event stream is (1) LEFT ANTI joined per micro-batch against the
+# static "already-ingested" index — events with event_id below the
+# derived split, the re-delivery/backfill situation — and (2) deduped
+# WITHIN the stream by event_id under the watermark (the self-union
+# plants in-stream duplicates, as s07 does).  left_anti is the one
+# stream-static join type no other s-entry exercises.
+#
+# Scale posture: the anti-join is stateless per micro-batch; Spark
+# broadcasts the index when it fits (here) and shuffle-joins otherwise —
+# at 100 TB the index side lives bucketed by the key
+# (sources/bucketed.py) so each micro-batch shuffles only itself, the
+# same O(batch)-not-O(corpus) economics as q137.  The dedup state holds
+# only keys inside the watermark delay.
+def s12_incremental_dedup(spark, sf):
+    ev = load_table(spark, sf, "events")
+    splits = ev.agg(
+        F.expr("(max(event_id) * 4) div 5").alias("__split")
+    )
+    index = (
+        ev.crossJoin(F.broadcast(splits))
+        .filter(F.col("event_id") < F.col("__split"))
+        .select("event_id")
+    )
+    doubled = stream_events(spark, sf).unionByName(stream_events(spark, sf))
+    fresh = doubled.join(index, "event_id", "left_anti")
+    deduped = dedup_within_watermark(
+        fresh, keys=("event_id",), watermark="10 minutes"
+    )
+    out = run_to_memory(
+        deduped.select("event_id", "event_type"),
+        "s12_incr_dedup",
+        n_state_partitions=8,
+    )
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("n_distinct"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
 QUERIES = {
     "s01_tumbling_candles": s01_tumbling_candles,
     "s02_sliding_window": s02_sliding_window,
@@ -364,6 +407,7 @@ QUERIES = {
     "s09_sinks": s09_sinks,
     "s10_sources": s10_sources,
     "s11_python_stream_source": s11_python_stream_source,
+    "s12_incremental_dedup": s12_incremental_dedup,
 }
 
 # DuckDB twins of the drained streaming output (see module docstring for
@@ -540,6 +584,19 @@ SELECT * FROM (VALUES ('rate', true), ('file_json', true)) AS t(source, ok)
 # oracle-lookup-time resolver instead of importing eblock from there.
 from .eblock import Q130_SQL as _S11_ORACLE_SQL  # noqa: E402
 
+# s12: the anti-join drops every already-indexed event (event_id <
+# split); the self-unioned duplicates collapse under the in-stream
+# dedup (single micro-batch, state always sees the twin), so the
+# drained output is the plain per-type summary of the new-id band.
+S12_SQL = """
+WITH s AS (SELECT (max(event_id) * 4) // 5 AS split FROM events)
+SELECT event_type, count(*) AS n,
+       count(DISTINCT event_id) AS n_distinct,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events, s WHERE event_id >= split
+GROUP BY event_type
+"""
+
 ORACLE = {
     "s01_tumbling_candles": S01_SQL,
     "s02_sliding_window": S02_SQL,
@@ -552,4 +609,5 @@ ORACLE = {
     "s09_sinks": S09_SQL,
     "s10_sources": S10_SQL,
     "s11_python_stream_source": _S11_ORACLE_SQL,
+    "s12_incremental_dedup": S12_SQL,
 }

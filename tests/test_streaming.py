@@ -526,3 +526,36 @@ def test_running_vwap_exact_across_batch_boundaries(spark):
     for uid, n_events, ticks, vwap in one_batch:
         assert (n_events, ticks) == expect[uid]
         assert vwap == ticks / (100 * n_events)
+
+
+def test_s12_anti_join_drops_indexed_ids_in_every_batch(spark):
+    """s12's core property under PROGRESSIVE delivery: already-indexed
+    event ids are dropped in EVERY micro-batch (the anti-join is
+    stateless per batch), and in-stream duplicates collapse ACROSS
+    batches while their key is inside the watermark."""
+    import tempfile as _tf
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
+        dedup_within_watermark,
+        stream_events_dir,
+    )
+
+    # ids 0..5; index = {0, 1, 2}.  Batch 1 delivers 0,1,3,4; batch 2
+    # re-delivers 3 (in-stream dup), plus 2 (indexed) and 5 (new).
+    schema = "event_id long, ts timestamp"
+    b1 = [(0, _ts(0, 1)), (1, _ts(0, 2)), (3, _ts(0, 3)), (4, _ts(0, 4))]
+    b2 = [(3, _ts(1, 1)), (2, _ts(1, 2)), (5, _ts(1, 3))]
+    tmp = _tf.mkdtemp(prefix="s12_batches_")
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(tmp)
+
+    index = spark.createDataFrame([(0,), (1,), (2,)], "event_id long")
+    sdf = stream_events_dir(spark, tmp, schema, max_files_per_trigger=1)
+    fresh = sdf.join(index, "event_id", "left_anti")
+    deduped = dedup_within_watermark(
+        fresh, keys=("event_id",), watermark="10 minutes"
+    )
+    out = run_to_memory(deduped.select("event_id"), "t_s12_batches")
+    assert sorted(r.event_id for r in out.collect()) == [3, 4, 5]

@@ -61,6 +61,7 @@ PROBE_QUERIES = [
     ("q133_partition_prune", "partitioned write + pruned read-back (5 of 30 day dirs)"),
     ("q134_hybrid_rrf", "retrieval fusion over bounded top-k lists (BM25 side scales; fuse is flat)"),
     ("q135_compact_small_files", "fragmented partitioned write + compaction rewrite"),
+    ("q137_incremental_dedup", "index-and-merge delta dedup (merge-hinted anti-join, O(shard) per ingest)"),
 ]
 
 
