@@ -68,6 +68,27 @@ def main() -> None:
         .start()
     )
     _wq.awaitTermination(60)
+    # ...and the Python streaming DataSource path (s11 is single-sample at
+    # suite position 2: its first-in-session run was measured at ~3x its
+    # steady state — the cold cost is the per-partition Python stream-
+    # reader workers, which the JVM rate source above does not touch).
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.pydatasource import (  # noqa: E501
+        register as _register_pyds,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (  # noqa: E501
+        run_paced_to_memory as _paced,
+    )
+
+    _register_pyds(spark)
+    _paced(
+        spark.readStream.format("tick_synth")
+        .option("maxTicks", 64)
+        .option("rowsPerBatch", 64)
+        .option("numPartitions", 4)
+        .load(),
+        "bench_warm_pyds",
+        expected_rows=64,
+    )
 
     # Median-of-N per query (default 3, SPARK_GRAFT_BENCH_SAMPLES to
     # override).  Round 4's q120 "regression" (1.5 s -> 5.4 s) was pure
