@@ -38,6 +38,7 @@ NON_EQUI_OK = {
     "q118_unigram_nll",         # 1-row LM-total scalar crossJoin
     "q122_source_mixture",      # 1-row corpus-totals scalar crossJoin
     "q134_hybrid_rrf",          # embeds q117's + q92's 1-row scalar crossJoins
+    "q137_incremental_dedup",   # 1-row split-scalar crossJoin (q117 pattern)
 }
 # queries whose purpose is the row-Python UDF surface
 # Declared row-Python API-surface proofs (never-hot-path documented):
