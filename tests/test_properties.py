@@ -204,3 +204,49 @@ def test_quantize_embeddings_matches_reference_model(spark, vecs):
     got = {r["vec_id"]: r["q"] for r in quantize_embeddings(df).collect()}
     assert got == {i: _ref_quantize(v) for i, v in enumerate(vecs)}
     assert all(-127 <= c <= 127 for q in got.values() for c in q)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=6),
+        min_size=5,
+        max_size=12,
+    )
+)
+def test_incremental_dedup_is_equivalent_to_global_dedup(spark, texts):
+    """The index-merge invariant: (already-indexed hashes) UNION
+    (incremental survivors) == the global exact-dedup hash set, and the
+    survivors' hashes never intersect the index.  Tiny alphabet forces
+    genuine collisions both across the split and within the shard."""
+    import hashlib
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipeline import (
+        incremental_dedup,
+    )
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = incremental_dedup(df).collect()
+
+    mx = len(texts) - 1
+    idx_hi, shard_lo = (mx * 4) // 5, (mx * 3) // 5
+    index = {hashlib.md5(t.encode()).hexdigest()
+             for i, t in rows if i < idx_hi}
+    shard = [(i, hashlib.md5(t.encode()).hexdigest())
+             for i, t in rows if i >= shard_lo]
+    expect = {}
+    for i, h in shard:
+        if h in index:
+            continue
+        if h not in expect:
+            expect[h] = [i, 0]
+        expect[h][0] = min(expect[h][0], i)
+        expect[h][1] += 1
+    got = {r.text_hash: [r.kept_id, r.n_copies_in_shard] for r in out}
+    assert got == expect
+    assert not (set(got) & index)
+    # union property: index + survivors covers every distinct text that
+    # exists in corpus-or-shard
+    all_hashes = index | {h for _, h in shard}
+    assert index | set(got) == all_hashes
