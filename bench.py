@@ -111,6 +111,12 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 runs.append(round(time.time() - t0, 3))
+                # Queries that persist() a diamond dependency (q124's
+                # selection stage) would otherwise have samples 2/3
+                # served from the CacheManager (identical analyzed plan
+                # => cache substitution), turning the median into a
+                # warm-cache read instead of the operator's cost.
+                spark.catalog.clearCache()
             runs.sort()
             samples[key] = runs
             timings[key] = runs[len(runs) // 2]  # median

@@ -915,8 +915,15 @@ def fingerprint_overlap_pairs(
             ).alias("fp"),
         )
     # Diamond dependency: both the drop-list and the kept-rows branch
-    # consume `sel`.  Persist lifetime is the query's; LRU eviction
-    # reclaims it under pressure (the entry is small by construction).
+    # consume `sel`; within one action the drop-list stage populates the
+    # cache and the anti-join stage reads it, halving the dominant
+    # Horner map cost.  The cache entry OUTLIVES the query (DataFrame
+    # persist has no query-scoped lifetime; CacheManager also
+    # substitutes it into any later identical plan) — callers that
+    # re-execute the operator and want cold measurements must
+    # `spark.catalog.clearCache()` between runs (bench.py does), and
+    # long-lived sessions reclaim it via clearCache/unpersist; repeated
+    # calls dedupe to ONE entry per distinct input plan.
     sel = sel.persist(StorageLevel.MEMORY_AND_DISK)
     # (doc, fp) is distinct by construction, so count(*) == doc-frequency.
     drop = (

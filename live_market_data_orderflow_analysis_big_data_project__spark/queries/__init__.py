@@ -93,7 +93,7 @@ _PRIORITY = (
         "q114_split_assign",
     ]
     + [
-        "q120_span_dedup",                    # 14: oldest r4 rows — curation
+        "q120_span_dedup",                    # 12: oldest r4 rows — curation
         "q122_source_mixture",                #     chain, format IO, and the
         "q123_quality_classifier",            #     highest-risk join/agg ops
         "q125_epoch_shuffle",

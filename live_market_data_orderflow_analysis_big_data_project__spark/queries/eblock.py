@@ -1389,7 +1389,13 @@ def q132_write_tables(spark, sf) -> tuple[str, str]:
     join-only ratio at 3.7 (8 tasks, 24 cores idle) vs ~1.6 re-bucketed
     to 32.  At 100 TB size the count so bucket files land at 100 MB -
     1 GB AND the count comfortably exceeds executor-core width; both
-    sides must share it to stay exchange-free (docs/TUNING.md)."""
+    sides must share it to stay exchange-free (docs/TUNING.md).
+
+    The per-(sf, pid) paths that make concurrent runs safe would leak
+    a full bucketed copy of orders+lineitem per process (bench, pytest,
+    driver, and each scale-probe subprocess) — an atexit hook drops the
+    catalog entries and removes the directory when the writing process
+    exits."""
     tok = f"{_sf_token(sf)}_{os.getpid()}"
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_buckets_{tok}")
     orders_tbl = f"q132_orders_b_{tok}"
@@ -1414,7 +1420,34 @@ def q132_write_tables(spark, sf) -> tuple[str, str]:
         path=os.path.join(root, "q132_lineitem"),
         sort_cols=("l_orderkey",),
     )
+    _register_bucket_cleanup(spark, root, (orders_tbl, lineitem_tbl))
     return orders_tbl, lineitem_tbl
+
+
+_BUCKET_CLEANUPS: set[str] = set()
+
+
+def _register_bucket_cleanup(
+    spark, root: str, tables: tuple[str, ...]
+) -> None:
+    """Drop the q132 bucket tables + directory when this process exits
+    (once per root; overwrite mode already bounds reuse WITHIN a
+    process)."""
+    if root in _BUCKET_CLEANUPS:
+        return
+    _BUCKET_CLEANUPS.add(root)
+    import atexit
+    import shutil
+
+    def _cleanup() -> None:
+        try:
+            for t in tables:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+        except Exception:
+            pass  # session may already be stopped; files still removed
+        shutil.rmtree(root, ignore_errors=True)
+
+    atexit.register(_cleanup)
 
 
 def q132_join_tables(spark, orders_tbl: str, lineitem_tbl: str):

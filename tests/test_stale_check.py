@@ -110,3 +110,33 @@ def test_comment_only_edit_not_flagged():
         "q90_exact_dedup", mod, fn, extra, old_source_of
     )
     assert not diffs, diffs
+
+
+def test_is_driver_row_rejects_hash_fail_shapes():
+    """hash_match=False with rows present (the real r02/r03 shape for
+    then-failing entries) must NOT count as driver evidence; hash-pass
+    and declared rows-only (err='no_oracle') must."""
+    ok = stale_check._is_driver_row
+    assert ok({"hash_match": True, "spark_rows": 5, "err": None})
+    assert ok({"hash_match": None, "spark_rows": 25, "err": "no_oracle"})
+    assert not ok({"hash_match": False, "spark_rows": 123, "err": None})
+    assert not ok({"hash_match": None, "spark_rows": 10, "err": "boom"})
+    assert not ok({"hash_match": None, "spark_rows": None,
+                   "err": "no_oracle"})
+
+
+def test_history_baselines_are_all_passes():
+    """No entry's recorded last-pass round may correspond to a
+    hash-fail record (regression guard for the _is_driver_row hole)."""
+    import glob as _glob
+    import json as _json
+
+    history = stale_check.last_pass_commits()
+    by_round = {}
+    for path in sorted(_glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        by_round[rnd] = _json.load(open(path))
+    for key, (rnd, _commit) in history.items():
+        rec = by_round[rnd][key]
+        assert stale_check._is_driver_row(rec), (key, rnd, rec)
+        assert rec.get("hash_match") is not False, (key, rnd, rec)

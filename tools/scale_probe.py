@@ -120,13 +120,32 @@ def replicate(mult: int) -> str:
                 # their doc-frequency then grew 16x, tripping q124's
                 # heavy-hitter suppression and deflating its legitimate
                 # pair structure — see probe_q124_terms.py.)
+                # Pure rotation admits at most 26 pairwise-distinct
+                # letter maps: at i % 26 == 0 the map is the identity
+                # and verbatim duplicates (the 109x artifact) silently
+                # return.  Hard-assert the bound rather than wrap.
+                assert mult <= 26, (
+                    f"replica disjointness is only guaranteed for "
+                    f"mult <= 26 (got {mult}): copy i%26==0 would be "
+                    "byte-identical to copy 0"
+                )
                 lo = "abcdefghijklmnopqrstuvwxyz"
-                up = lo.upper()
-                rot = lo[i % 26:] + lo[: i % 26]
+                dg = "0123456789"
+                rot = lo[i:] + lo[:i]
+                # digits rotate too (shift 1..9, never identity for
+                # i>0) so digit-heavy k-grams also differ vs copy 0;
+                # residual: copies i and i+9 share the digit map, so
+                # PURE-digit 8-grams could still collide between
+                # non-zero copies — no such runs exist in the fixture
+                # text.
+                dshift = 1 + (i - 1) % 9
+                drot = dg[dshift:] + dg[:dshift]
                 c = c.withColumn(
                     "text",
                     F.translate(
-                        F.col("text"), lo + up, rot + rot.upper()
+                        F.col("text"),
+                        lo + lo.upper() + dg,
+                        rot + rot.upper() + drot,
                     ),
                 )
             copies.append(c)

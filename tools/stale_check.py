@@ -45,11 +45,21 @@ sys.path.insert(0, REPO)
 # --------------------------------------------------------------------------
 
 def _is_driver_row(rec: dict) -> bool:
-    """A usable driver row: hash-pass, or a declared rows-only check."""
+    """A usable driver row: hash-PASS, or a declared rows-only check
+    (``err == 'no_oracle'``, hash never attempted).
+
+    ``hash_match is False`` is a FAILED gate and must never count as
+    evidence — CORRECTNESS_r02/r03 contain exactly that shape
+    (hash_match=False, spark_rows set, err=None) for then-failing
+    entries; treating it as a pass would let a known-failing entry
+    escape the staleness gate once it leaves the window.
+    """
     if rec.get("hash_match") is True:
         return True
-    return rec.get("spark_rows") is not None and rec.get("err") in (
-        "no_oracle", None
+    return (
+        rec.get("hash_match") is None
+        and rec.get("spark_rows") is not None
+        and rec.get("err") == "no_oracle"
     )
 
 
