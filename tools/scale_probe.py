@@ -305,7 +305,7 @@ def main() -> None:
         "   ONE task per bucket, so bucket count is a hard read-parallelism",
         "   cap — the original 8-bucket layout's join-only ratio was 3.7",
         "   (8 tasks, 24 cores idle at 16x); re-bucketed to 32 (core",
-        "   width) it is 2.7, the residual being single-host SMJ sort",
+        "   width) it is ~2.8 (stable across runs), the residual being single-host SMJ sort",
         "   effects (multi-file buckets defeat the sortBy order guarantee,",
         "   so the merge join re-sorts).  TUNING.md's re-bucket-when-",
         "   grown-10x rule, with its number attached.",
