@@ -170,21 +170,43 @@ def repetition_stats(
     100 TB: explode -> two keyed aggregations ((doc, token) then doc).
     Both keys are high-cardinality and uniform — partial aggregation
     does most of the work map-side; no skew, no Python.
+
+    Cross-engine exactness: both ratios are rationals k/n, and
+    ROUND(double, 4) diverges between engines exactly when k/n lands
+    on a half boundary (Spark HALF_UP vs DuckDB half-even — the
+    boundary class the sf0.1 sweep caught live on q123).  The 4-dp
+    half-up rounding is therefore integer arithmetic:
+    (k*20000 + n) div (2n), exact for any n, positive operands so
+    Spark's `div` (truncate) and DuckDB's `//` (floor) agree.
     """
     per_tok = (
         df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("cnt"))
     )
-    n_tokens = F.sum("cnt")
-    return per_tok.groupBy(id_col).agg(
-        n_tokens.alias("n_tokens"),
+    agg = per_tok.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
         F.count("*").alias("n_types"),
-        F.round(F.max("cnt") / n_tokens, 4).alias("top_token_frac"),
-        F.round(1 - F.count("*") / n_tokens, 4).alias("dup_ratio"),
-        (F.round(1 - F.count("*") / n_tokens, 4) > dup_ratio_flag)
-        .cast("int")
-        .alias("repetitive"),
+        F.max("cnt").alias("max_cnt"),
+    )
+
+    def _ratio4(num_expr: str) -> F.Column:
+        # round(num/n_tokens, 4) with exact integer half-up
+        return (
+            F.expr(
+                f"(({num_expr}) * 20000 + n_tokens) div (2 * n_tokens)"
+            ).cast("double")
+            / 10000
+        )
+
+    dup = _ratio4("n_tokens - n_types")
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("n_types"),
+        _ratio4("max_cnt").alias("top_token_frac"),
+        dup.alias("dup_ratio"),
+        (dup > dup_ratio_flag).cast("int").alias("repetitive"),
     )
 
 
@@ -839,9 +861,21 @@ def quality_classifier_score(
 
     Tokens hash to ``n_buckets`` buckets (two md5 hex chars); a
     256-row weight table (deterministic surrogate for learned weights,
-    dyadic values i -> ((i*37) % 101 - 50)/64 so sums are EXACT in
-    IEEE double regardless of aggregation order) joins in broadcast;
-    the doc score is the mean bucket weight squashed by a sigmoid.
+    INTEGER values w64 = (i*37) % 101 - 50, i.e. the dyadic weight
+    w64/64) joins in broadcast; the doc score is the mean bucket
+    weight squashed by a sigmoid.
+
+    Cross-engine exactness: the weight sum S is an exact BIGINT, and
+    ``score`` (4-dp half-up mean) is computed with INTEGER arithmetic
+    on |S| — sign * ((|S|*10^4 + 32n) div (64n)) / 10^4 — because
+    ROUND(double, 4) is engine-divergent exactly when the rational
+    S/(64n) lands on a half boundary (Spark HALF_UP vs DuckDB
+    half-even; sf0.1 has two docs with S/(64n) = k/1600 on the
+    boundary, caught by the cross-sf oracle sweep in round 6).  The
+    abs/sign split keeps the integer division on POSITIVE operands,
+    where Spark's `div` (truncate) and DuckDB's `//` (floor) agree.
+    ``prob`` stays ROUND(sigmoid, 4): one IEEE division for the raw
+    mean plus libm exp — identical across engines at every fixture sf.
 
     100 TB: the weight table is model-sized (constant) — broadcast
     hash join against the exploded token frame, then one groupBy keyed
@@ -854,7 +888,7 @@ def quality_classifier_score(
     i = F.col("id").cast("int")
     weights = spark.range(n_buckets).select(
         F.format_string("%02x", i).alias("bucket"),
-        (((i * 37) % 101 - 50) / F.lit(64.0)).alias("w"),
+        ((i * 37) % 101 - 50).cast("long").alias("w64"),
     )
     tk = df.select(
         F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
@@ -865,17 +899,21 @@ def quality_classifier_score(
         ),
     )
     scored = tk.join(F.broadcast(weights), "bucket")
-    raw = F.sum("w") / F.count("*")
-    return (
-        scored.groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(raw, 4).alias("score"),
-            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 4).alias(
-                "prob"
-            ),
-            (raw > 0).cast("int").alias("label"),
-        )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("w64").alias("s64"),
+    )
+    raw = F.col("s64").cast("double") / (64.0 * F.col("n_tokens"))
+    half_up = F.expr(
+        "CASE WHEN s64 < 0 THEN -1 ELSE 1 END"
+        " * ((abs(s64) * 10000 + 32 * n_tokens) div (64 * n_tokens))"
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (half_up.cast("double") / 10000).alias("score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 4).alias("prob"),
+        (F.col("s64") > 0).cast("int").alias("label"),
     )
 
 

@@ -143,21 +143,30 @@ def q109_repetition_stats(spark, sf):
     return repetition_stats(_docs(spark, sf), dup_ratio_flag=0.6)
 
 
+# ratios use (k*20000 + n) // (2n) integer half-up (positive operands:
+# DuckDB // floor == Spark div truncate) — ROUND(double,4) diverges at
+# half boundaries (see repetition_stats / quality_classifier_score).
 Q109_SQL = f"""
 WITH pt AS (
   SELECT doc_id, tok, count(*) AS cnt
   FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
   GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_types,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM pt GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-       COUNT(*) AS n_types,
-       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top_token_frac,
-       ROUND(1 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 4) AS dup_ratio,
-       CAST(ROUND(1 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 4) > 0.6
+SELECT doc_id, n_tokens, n_types,
+       CAST((max_cnt * 20000 + n_tokens) // (2 * n_tokens) AS DOUBLE)
+         / 10000 AS top_token_frac,
+       CAST(((n_tokens - n_types) * 20000 + n_tokens) // (2 * n_tokens)
+            AS DOUBLE) / 10000 AS dup_ratio,
+       CAST(CAST(((n_tokens - n_types) * 20000 + n_tokens)
+                 // (2 * n_tokens) AS DOUBLE) / 10000 > 0.6
             AS INTEGER) AS repetitive
-FROM pt
-GROUP BY doc_id
+FROM agg
 """
 
 
@@ -559,20 +568,32 @@ def q123_quality_classifier(spark, sf):
     return quality_classifier_score(_docs(spark, sf))
 
 
+# score uses integer half-up arithmetic (|S|*10^4 + 32n) // (64n) on
+# POSITIVE operands, where DuckDB's // (floor) matches Spark's div
+# (truncate) — ROUND(double, 4) diverges between engines exactly on
+# half boundaries, which sf0.1 hits (see quality_classifier_score).
 Q123_SQL = f"""
 WITH wt AS (
-  SELECT printf('%02x', i) AS bucket, ((i * 37) % 101 - 50) / 64.0 AS w
+  SELECT printf('%02x', i) AS bucket,
+         CAST((i * 37) % 101 - 50 AS BIGINT) AS w64
   FROM (SELECT unnest(range(0, 256)) AS i)
 ), tk AS (
   SELECT doc_id, substring(md5(tok), 1, 2) AS bucket
   FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+), agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         CAST(SUM(w64) AS BIGINT) AS s64
+  FROM tk JOIN wt USING (bucket)
+  GROUP BY doc_id
 )
-SELECT doc_id, count(*) AS n_tokens,
-       ROUND(SUM(w) / count(*), 4) AS score,
-       ROUND(1.0 / (1.0 + exp(-(SUM(w) / count(*)))), 4) AS prob,
-       CAST(SUM(w) / count(*) > 0 AS INTEGER) AS label
-FROM tk JOIN wt USING (bucket)
-GROUP BY doc_id
+SELECT doc_id, n_tokens,
+       CAST((CASE WHEN s64 < 0 THEN -1 ELSE 1 END)
+            * ((abs(s64) * 10000 + 32 * n_tokens) // (64 * n_tokens))
+            AS DOUBLE) / 10000 AS score,
+       ROUND(1.0 / (1.0 + exp(-(CAST(s64 AS DOUBLE) / (64.0 * n_tokens)))), 4)
+         AS prob,
+       CAST(s64 > 0 AS INTEGER) AS label
+FROM agg
 """
 
 
