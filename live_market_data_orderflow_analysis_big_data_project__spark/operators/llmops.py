@@ -843,6 +843,25 @@ FROM g
 """
 
 
+# Selection-stage cache entries created by fingerprint_overlap_pairs, in
+# creation order.  DataFrame.persist has no query-scoped lifetime, so
+# without a handle the entries live until session end (docs/TUNING.md).
+_FP_SELECTION_CACHE: list[DataFrame] = []
+
+
+def unpersist_fingerprint_cache(blocking: bool = False) -> int:
+    """Release every selection-stage cache entry that
+    ``fingerprint_overlap_pairs`` persisted in this session; returns the
+    number released.  Long-lived callers (services, notebooks) should
+    call this after consuming the pairs — ``spark.catalog.clearCache()``
+    also works but drops UNRELATED cache entries too."""
+    n = 0
+    while _FP_SELECTION_CACHE:
+        _FP_SELECTION_CACHE.pop().unpersist(blocking)
+        n += 1
+    return n
+
+
 def fingerprint_overlap_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -922,9 +941,11 @@ def fingerprint_overlap_pairs(
     # substitutes it into any later identical plan) — callers that
     # re-execute the operator and want cold measurements must
     # `spark.catalog.clearCache()` between runs (bench.py does), and
-    # long-lived sessions reclaim it via clearCache/unpersist; repeated
-    # calls dedupe to ONE entry per distinct input plan.
+    # long-lived sessions reclaim it via unpersist_fingerprint_cache()
+    # (each entry is registered below); repeated calls dedupe to ONE
+    # entry per distinct input plan.
     sel = sel.persist(StorageLevel.MEMORY_AND_DISK)
+    _FP_SELECTION_CACHE.append(sel)
     # (doc, fp) is distinct by construction, so count(*) == doc-frequency.
     drop = (
         sel.groupBy("fp")

@@ -147,8 +147,12 @@ LIMIT 10
 # n_probe DOWN against a recall target; the fixture number is the floor,
 # not the ceiling.
 def q92b_cosine_topk_ivf(spark, sf):
+    # seed pinned EXPLICITLY (not via ann_ivf's default) so the q136
+    # recall floors' provenance is visible at the call site: the floors
+    # were measured with this exact (seed, k, n_probe) configuration.
     return ann_ivf(
-        _t(spark, sf, "embeddings"), probe_id=0, k=10, n_clusters=16, n_probe=8
+        _t(spark, sf, "embeddings"), probe_id=0, k=10, n_clusters=16,
+        n_probe=8, seed=42,
     )
 
 
@@ -618,22 +622,26 @@ Q104_SQL = rolling_fingerprint_sql()
 # and emits (path, n_exact, recall_ok) where the oracle's n_exact comes
 # from the exact twins' SQL and recall_ok is literal TRUE — the same
 # envelope pattern as q34/q99b.  Floors are the measured values from
-# tests/test_llmops.py minus margin: 0.9 / 0.6 / 0.9 (measured at
+# tests/test_llmops.py minus margin: 0.9 / 0.65 / 0.9 (measured at
 # sf0.001|0.01|0.1: q91b 1.0 everywhere, q92b 0.7|1.0|0.9 for probe 0,
 # q93b 1.0|0.993|0.96).
 #
-# SPARK-VERSION PIN: the q92b floor (0.6, vs a measured min of 0.7 on the
-# uniform-sphere fixture — IVF's adversarial case) depends on pyspark
-# 4.1.x KMeans initialization (seeded k-means||); a Spark upgrade that
-# changes initialization can shift which cells the true neighbours land
-# in and flip recall_ok with nothing pointing at the seed drift.  The
-# measured magnitudes are therefore recorded in ``Q136_LAST_RECALLS``
-# (and logged) on every run — on a gate failure, compare those against
-# the measured-min table above FIRST: values just under the floor with an
+# SPARK-VERSION PIN: the q92b floor depends on KMeans initialization
+# (seeded k-means||); a Spark upgrade that changes initialization can
+# shift which cells the true neighbours land in and flip recall_ok with
+# nothing pointing at the seed drift.  Floor provenance: measured on
+# **pyspark 4.1.2** with seed=42 pinned explicitly at both ann_ivf call
+# sites (q92b wrapper + the fams table below); measured min across
+# sf0.001|0.01|0.1 for probe 0 is 0.7 (uniform-sphere fixture — IVF's
+# adversarial case), so the floor is 0.65 = measured min minus margin
+# (was 0.6 before the seed pin; raised per VERDICT r6 item 5).  The
+# measured magnitudes are recorded in ``Q136_LAST_RECALLS`` (and logged)
+# on every run — on a gate failure, compare those against the
+# measured-min table above FIRST: values just under the floor with an
 # unchanged fixture mean seed/version drift, not an algorithm regression.
 _Q136_FLOORS = {
     "q91b_vs_q91": 0.9,
-    "q92b_vs_q92": 0.6,
+    "q92b_vs_q92": 0.65,
     "q93b_vs_q93": 0.9,
 }
 
@@ -661,7 +669,7 @@ def q136_ann_recall_gate(spark, sf):
         "q92b_vs_q92": (
             cosine_topk(emb, probe_id=0, k=10).select("vec_id"),
             ann_ivf(
-                emb, probe_id=0, k=10, n_clusters=16, n_probe=8
+                emb, probe_id=0, k=10, n_clusters=16, n_probe=8, seed=42
             ).select("vec_id"),
             ["vec_id"],
         ),

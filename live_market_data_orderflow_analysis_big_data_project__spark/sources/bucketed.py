@@ -13,6 +13,7 @@ bucketing is the engine's extension for join-heavy workloads.)
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -24,13 +25,31 @@ def write_bucketed(
     sort_cols: tuple[str, ...] | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Persist ``df`` as a bucketed (and optionally sorted) table.
+    """Persist ``df`` as a bucketed (and optionally sorted) table with
+    exactly ONE file per bucket.
 
     ``sort_cols`` additionally sorts within buckets so the merge join
-    skips its sort too.  ``path`` makes it external (outside the
-    warehouse dir).
+    skips its sort too — but Spark only honors a bucketed table's sort
+    order at read time when every bucket holds AT MOST ONE file (a
+    bucketBy write emits one file per (input-task, bucket), and a
+    multi-file bucket is only per-file sorted, so the scan drops its
+    outputOrdering and the SMJ re-sorts both sides — the 16x probe
+    measured that re-sort as the whole join-side residual).  The
+    ``repartition(num_buckets, bucket_cols)`` below uses the same
+    ``pmod(murmur3(cols), n)`` as the bucket-id function, so each write
+    task owns exactly one bucket and emits exactly one file: the sortBy
+    guarantee survives to the scan and the merge join reads pre-sorted
+    runs with no Sort node.
+
+    The repartition is a shuffle — that IS the "shuffle paid once at
+    write time" this layout amortizes.  At 100 TB, pick ``num_buckets``
+    so one-file-per-bucket lands files at 100 MB - 1 GB (docs/TUNING.md);
+    the same count must be used on both join sides.
+
+    ``path`` makes the table external (outside the warehouse dir).
     """
-    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    exact = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+    w = exact.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
     if path is not None:
@@ -41,5 +60,18 @@ def write_bucketed(
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table (the bucket spec rides in the catalog; the
     scan reports one partition per bucket and planners skip the
-    exchange)."""
+    exchange).
+
+    Also enables ``spark.sql.legacy.bucketedTableScan.outputOrdering``:
+    since Spark 3.0 the bucketed scan reports NO sort order by default
+    (SPARK-28595), so even a ``sortBy`` table re-sorts under a merge
+    join.  With the flag on, the scan reports the sortBy order exactly
+    when every selected bucket holds at most one file — which
+    ``write_bucketed`` guarantees — and the SMJ's Sort disappears on
+    both sides.  Multi-file buckets (e.g. appended data) degrade safely
+    back to a re-sort, never to wrong answers.
+    """
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
     return spark.table(table)

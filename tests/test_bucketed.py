@@ -80,14 +80,27 @@ def _walk(node):
 
 
 def _is_shuffle(node) -> bool:
-    # ShuffleExchangeExec pre-AQE; ShuffleQueryStageExec / ReusedExchangeExec
-    # are how a (reused) shuffle appears in an AQE-finalized plan.
+    # ShuffleExchangeExec pre-AQE; ShuffleQueryStageExec is how a shuffle
+    # appears in an AQE-finalized plan.  ReusedExchangeExec wraps ANY
+    # reused exchange — including a reused BROADCAST, which is legitimate
+    # under an SMJ subtree — so inspect the reused child's type instead of
+    # counting every reuse as a shuffle.
     name = node.getClass().getSimpleName()
-    return (
-        "ShuffleExchange" in name
-        or "ShuffleQueryStage" in name
-        or "ReusedExchange" in name
-    )
+    if "ShuffleExchange" in name or "ShuffleQueryStage" in name:
+        return True
+    if "ReusedExchange" in name:
+        child = node.child()
+        return _is_shuffle(child)
+    return False
+
+
+def _sorts_below(node):
+    """SortExec nodes in the subtree (a pre-sorted bucketed SMJ has none)."""
+    return [
+        n for n in _walk(node)
+        if n.getClass().getSimpleName().startswith("Sort")
+        and not n.getClass().getSimpleName().startswith("SortMergeJoin")
+    ]
 
 
 def test_q132_gate_query_join_is_exchange_free(spark):
@@ -111,5 +124,13 @@ def test_q132_gate_query_join_is_exchange_free(spark):
         assert not shuffles, (
             "bucketed SMJ has a shuffle below it: "
             f"{[s.getClass().getSimpleName() for s in shuffles]}\n"
+            f"{smj.toString()}"
+        )
+        # one-file-per-bucket write => scan keeps the sortBy ordering =>
+        # the merge join reads pre-sorted runs with NO Sort node
+        sorts = _sorts_below(smj)
+        assert not sorts, (
+            "bucketed SMJ re-sorts despite sorted single-file buckets: "
+            f"{[s.getClass().getSimpleName() for s in sorts]}\n"
             f"{smj.toString()}"
         )

@@ -303,6 +303,31 @@ def test_fingerprint_overlap_detects_shared_substring(spark):
     )
 
 
+def test_fingerprint_cache_unpersist_handle(spark):
+    """Every selection-stage persist must be releasable without
+    clearCache(): the handle drops exactly the registered entries and a
+    second call is a no-op."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.llmops import (
+        _FP_SELECTION_CACHE,
+        fingerprint_overlap_pairs,
+        unpersist_fingerprint_cache,
+    )
+
+    unpersist_fingerprint_cache()  # clean slate (other tests may persist)
+    df = spark.createDataFrame(
+        [(1, "abcdefghij" * 5), (2, "abcdefghij" * 5)],
+        "doc_id long, text string",
+    )
+    fingerprint_overlap_pairs(df, p=3, max_df=10, min_shared=1).count()
+    assert len(_FP_SELECTION_CACHE) >= 1
+    cached = list(_FP_SELECTION_CACHE)
+    released = unpersist_fingerprint_cache(blocking=True)
+    assert released == len(cached)
+    assert not _FP_SELECTION_CACHE
+    assert all(d.storageLevel.useMemory is False for d in cached)
+    assert unpersist_fingerprint_cache() == 0
+
+
 def test_gram_select_fast_matches_expression_twin(spark):
     """The numpy mapInPandas selection stage must agree row-for-row with
     the expression formulation — including NULL text, sub-k text, and
