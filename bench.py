@@ -58,16 +58,23 @@ def main() -> None:
     # put s11 (single-sample) at suite position 2, so the first streaming
     # query would otherwise absorb the engine's stream-execution init
     # (checkpoint manager, micro-batch thread, state-store provider).
+    import shutil as _sh
     import tempfile as _tf
 
+    _warm_ckpt = _tf.mkdtemp(prefix="bench_warm_ckpt_")
     _wq = (
         spark.readStream.format("rate").option("rowsPerSecond", "1").load()
         .writeStream.format("noop")
-        .option("checkpointLocation", _tf.mkdtemp(prefix="bench_warm_ckpt_"))
+        .option("checkpointLocation", _warm_ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    _wq.awaitTermination(60)
+    # awaitTermination returns False on timeout with the query still
+    # RUNNING — it would then compete with the timed samples below; stop
+    # it explicitly before entering the timed loop.
+    if not _wq.awaitTermination(60):
+        _wq.stop()
+    _sh.rmtree(_warm_ckpt, ignore_errors=True)
     # ...and the Python streaming DataSource path (s11 is single-sample at
     # suite position 2: its first-in-session run was measured at ~3x its
     # steady state — the cold cost is the per-partition Python stream-

@@ -126,6 +126,52 @@ def jaccard_pairs(
     )
 
 
+def minhash_band_stages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_rows: int = 1,
+    ngram: int = 1,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The candidate-generation stages of MinHash LSH, exposed so
+    diagnostics (tools/probe_q91b_terms.py) measure EXACTLY the
+    production stages: returns ``(toks, sizes, bands)`` where ``toks``
+    is the distinct (doc, tok) feature relation, ``sizes`` the per-doc
+    token counts, and ``bands`` the (doc, band, bkey) banding relation
+    whose per-(band, bkey) group sizes drive the bucket self-join
+    fan-out."""
+    if n_hashes % band_rows:
+        raise ValueError("n_hashes must be a multiple of band_rows")
+    feature = tokens_col(text_col) if ngram == 1 else shingles_col(text_col, ngram)
+    toks = (
+        df.select(F.col(id_col).alias("doc"), F.explode(feature).alias("tok"))
+        .distinct()
+    )
+    sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
+    # one aggregation pass computes the whole signature (no per-hash scans)
+    sigs = toks.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    n_bands = n_hashes // band_rows
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{j * band_rows + t}") for t in range(band_rows)]
+            ).alias("bkey"),
+        )
+        for j in range(n_bands)
+    ]
+    bands = sigs.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    return toks, sizes, bands
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float,
@@ -162,34 +208,9 @@ def minhash_lsh_pairs(
     the hash-checked baseline (q91); this path can drop a borderline pair
     with small probability by construction.
     """
-    if n_hashes % band_rows:
-        raise ValueError("n_hashes must be a multiple of band_rows")
-    feature = tokens_col(text_col) if ngram == 1 else shingles_col(text_col, ngram)
-    toks = (
-        df.select(F.col(id_col).alias("doc"), F.explode(feature).alias("tok"))
-        .distinct()
+    toks, sizes, bands = minhash_band_stages(
+        df, id_col, text_col, n_hashes, band_rows, ngram
     )
-    sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
-    # one aggregation pass computes the whole signature (no per-hash scans)
-    sigs = toks.groupBy("doc").agg(
-        *[
-            F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
-    )
-    n_bands = n_hashes // band_rows
-    band_structs = [
-        F.struct(
-            F.lit(j).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{j * band_rows + t}") for t in range(band_rows)]
-            ).alias("bkey"),
-        )
-        for j in range(n_bands)
-    ]
-    bands = sigs.select(
-        "doc", F.explode(F.array(*band_structs)).alias("bs")
-    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(

@@ -436,7 +436,9 @@ def test_order_flow_state_api(spark):
     google.protobuf for the state-server protocol, absent in this
     container — skip the run (not the build) when it is missing.
 
-    Environment block, verified round 6: the exact failing import is
+    Environment block, verified round 6, re-verified round 7 (disk
+    re-searched for wheels/vendored copies: still none, still no
+    network): the exact failing import is
     ``pyspark/sql/streaming/proto/StateMessage_pb2.py:23`` (``from
     google.protobuf import descriptor``) -> ``ModuleNotFoundError: No
     module named 'google'``.  The generated stub also imports

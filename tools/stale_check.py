@@ -71,8 +71,13 @@ def last_pass_commits() -> dict[str, tuple[int, str]]:
             continue
         rnd = int(m.group(1))
         rel = os.path.basename(path)
+        # NEWEST commit that touched the artifact — not the one that ADDED
+        # it: a correctness artifact regenerated in place in a later commit
+        # (as BENCH_full.json was in r6) carries a re-verification on that
+        # later tree, and diffing against the original add-commit would
+        # silently anchor the gate to the wrong code state.
         commit = subprocess.run(
-            ["git", "log", "--diff-filter=A", "--format=%H", "--", rel],
+            ["git", "log", "--format=%H", "--", rel],
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.split()
         if not commit:
