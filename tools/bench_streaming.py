@@ -10,6 +10,20 @@ latency percentiles from the query's own progress metrics.
 
 Usage: python tools/bench_streaming.py [sf_dir] [n_chunks]
 Prints ONE JSON line; the driver-facing wall number is events/sec.
+
+Stress mode (VERDICT r6 item 7):
+
+    python tools/bench_streaming.py --stress [sf_dir] [mult] [n_chunks]
+
+replays MULT x the events fixture (default 10 -> 1M events) with
+PER-COPY KEY OFFSETS (key cardinality scales with the data, 15k
+instruments at 10x) through the same pipeline, with chunks split by
+EVENT TIME and written sequentially so the file source delivers them in
+order — the watermark then advances realistically batch over batch and
+must EVICT closed windows.  Reports p50/p95/max micro-batch latency plus
+the state-store numbers that make the watermark-bounded-state claim
+measurable: max/last stateOperators numRowsTotal across batches (bounded
+=> state does not grow with total events) and max memoryUsedBytes.
 """
 
 from __future__ import annotations
@@ -23,7 +37,135 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def stress(sf_dir: str, mult: int, n_chunks: int) -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from live_market_data_orderflow_analysis_big_data_project__spark import get_spark
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.candles import (
+        ohlc_candles,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.ticks import (
+        aggressor_side,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (
+        load_table,
+    )
+
+    spark = get_spark("stream-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    events = load_table(spark, sf_dir, "events")
+    # MULT copies with offset keys: cardinality scales with the data (the
+    # honest formulation, same rule as tools/scale_probe.py replicas);
+    # event times are unchanged so per-window key density scales too.
+    copies = spark.range(mult).select(F.col("id").alias("copy"))
+    big = events.crossJoin(F.broadcast(copies)).select(
+        (F.col("user_id") + F.col("copy") * 10_000).alias("user_id"),
+        "ts",
+        "value",
+    )
+    n_events = big.count()
+    n_keys = big.select("user_id").distinct().count()
+
+    # Time-ordered arrival: chunk by event-time ntile and write each chunk
+    # as its own file IN ORDER (the file stream source picks files up by
+    # modification time, so the watermark advances monotonically and closed
+    # windows are evicted batch over batch — random chunk order would mark
+    # most data late instead).
+    src = tempfile.mkdtemp(prefix="streamstress_")
+    chunked = big.withColumn(
+        "chunk", F.ntile(n_chunks).over(Window.orderBy("ts")) - 1
+    ).cache()
+    chunked.count()
+    for i in range(n_chunks):
+        chunked.filter(F.col("chunk") == i).drop("chunk").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    chunked.unpersist()
+
+    schema = big.schema
+    ticks = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            F.col("user_id").cast("string").alias("instrument"),
+            F.col("ts").alias("event_time"),
+            F.col("value").alias("ltp"),
+            F.lit(1).cast("long").alias("ltq"),
+        )
+        .withColumn(
+            "side", aggressor_side(F.col("ltp"), F.lit(50.0), F.lit(150.0))
+        )
+    )
+    candles = ohlc_candles(ticks, window="1 minute", watermark="5 minutes")
+
+    t0 = time.time()
+    q = (
+        candles.writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(1800)
+    wall = time.time() - t0
+
+    progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    batch_ms = sorted(
+        p["durationMs"].get("triggerExecution", 0) for p in progresses
+    )
+
+    def pct(p: float) -> float:
+        return (
+            batch_ms[min(len(batch_ms) - 1, int(p * len(batch_ms)))]
+            if batch_ms
+            else -1
+        )
+
+    state_rows = [
+        s["numRowsTotal"]
+        for p in progresses
+        for s in p.get("stateOperators", [])
+    ]
+    state_mem = [
+        s.get("memoryUsedBytes", 0)
+        for p in progresses
+        for s in p.get("stateOperators", [])
+    ]
+    print(
+        json.dumps(
+            {
+                "metric": "stream_stress_events_per_sec",
+                "value": round(n_events / wall, 1),
+                "unit": "events/sec",
+                "mult": mult,
+                "n_events": n_events,
+                "n_keys": n_keys,
+                "wall_sec": round(wall, 2),
+                "n_micro_batches": len(batch_ms),
+                "micro_batch_ms_p50": pct(0.5),
+                "micro_batch_ms_p95": pct(0.95),
+                "micro_batch_ms_max": batch_ms[-1] if batch_ms else -1,
+                "state_rows_max": max(state_rows, default=-1),
+                "state_rows_last": state_rows[-1] if state_rows else -1,
+                "state_memory_bytes_max": max(state_mem, default=-1),
+                "arrival": "event-time-ordered chunks (watermark evicts)",
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--stress":
+        stress(
+            sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1",
+            int(sys.argv[3]) if len(sys.argv) > 3 else 10,
+            int(sys.argv[4]) if len(sys.argv) > 4 else 32,
+        )
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
