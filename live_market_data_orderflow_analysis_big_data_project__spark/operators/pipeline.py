@@ -37,7 +37,9 @@ __all__ = [
     "decontaminate",
     "hash_sample",
     "pack_shards",
+    "pack_sequences",
     "repetition_stats",
+    "dup_ngram_stats",
     "scrub_pii",
     "dedup_clusters",
     "stratified_sample",
@@ -153,6 +155,93 @@ def pack_shards(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 256,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing (per-sequence stats).
+
+    ``pack_shards`` assigns each WHOLE document to a shard; the other
+    packing a pretraining pipeline runs is concat-and-chunk: within a
+    shard, documents are concatenated in a deterministic order and the
+    token stream is cut at exactly ``capacity`` tokens, documents
+    straddling cut points (the GPT-2/Pile data layout — no padding,
+    every sequence full except a shard's last).  This operator computes
+    the resulting sequence map without materializing per-token rows:
+    per doc, the token span ``[start, end)`` comes from a prefix sum,
+    and the doc contributes one row per sequence it overlaps
+    (``explode(sequence(start div C, (end-1) div C))`` — fan-out
+    n_docs + n_tokens/C, NOT n_tokens).
+
+    Per (shard, seq_id): ``n_docs`` contributing, ``n_tokens`` (== C
+    except the shard's last), ``carry_in`` (starts mid-document — a
+    doc straddles the left cut), ``n_starts`` (docs beginning here —
+    attention-mask reset points in packed training).
+
+    Order is ``md5('pack:' || doc_id)`` — deterministic, engine-
+    portable, and decorrelated from ingest order (packing wants
+    shuffled docs; correlated neighbors inflate same-doc batches).
+
+    100 TB: the window partitions by ``part_col`` (shards are
+    independent — this is why pipelines pack per shard), so the prefix
+    sum is one shuffle wide; the seq_id regroup is a second.  All
+    integer arithmetic -> hash-exact against the oracle.
+    """
+    n_tok = F.size(tokens_col(text_col))
+    key = F.md5(F.concat(F.lit("pack:"), F.col(id_col).cast("string")))
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy("_pack_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        df.select(
+            F.col(id_col),
+            F.col(part_col),
+            n_tok.alias("_n_tok"),
+            key.alias("_pack_key"),
+        )
+        .filter(F.col("_n_tok") > 0)
+        .select(
+            F.col(part_col),
+            F.coalesce(F.sum("_n_tok").over(w), F.lit(0).cast("long")).alias(
+                "_start"
+            ),
+            F.col("_n_tok"),
+        )
+        .select(
+            F.col(part_col),
+            "_start",
+            (F.col("_start") + F.col("_n_tok")).alias("_end"),
+        )
+    )
+    per_seq = spans.select(
+        F.col(part_col),
+        "_start",
+        "_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"_start div {capacity}"),
+                F.expr(f"(_end - 1) div {capacity}"),
+            )
+        ).alias("seq_id"),
+    )
+    c = F.lit(capacity).cast("long")
+    lo = F.col("seq_id") * c
+    hi = lo + c
+    return per_seq.groupBy(part_col, "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.least(F.col("_end"), hi) - F.greatest(F.col("_start"), lo)
+        ).alias("n_tokens"),
+        F.max((F.col("_start") < lo).cast("int")).alias("carry_in"),
+        F.sum((F.col("_start") >= lo).cast("long")).alias("n_starts"),
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     dup_ratio_flag: float = 0.6,
@@ -207,6 +296,66 @@ def repetition_stats(
         _ratio4("max_cnt").alias("top_token_frac"),
         dup.alias("dup_ratio"),
         (dup > dup_ratio_flag).cast("int").alias("repetitive"),
+    )
+
+
+def dup_ngram_stats(
+    df: DataFrame,
+    n: int = 2,
+    flag_num: int = 1,
+    flag_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style duplicate n-gram fraction (A1.1's n-gram family).
+
+    ``repetition_stats`` measures UNIGRAM repetition (type/token ratio,
+    top-token share) — blind to looped PHRASES, where every token is
+    common but the same n-gram cycles.  Per doc and n-gram: ``n_grams``
+    (total occurrences), ``dup_gram_frac`` (fraction of occurrences
+    whose gram appears more than once in the doc — Gopher's "duplicate
+    n-gram fraction"), ``top_gram_frac`` (most frequent gram's share),
+    and ``flagged`` when dup_gram_frac > flag_num/flag_den — the
+    comparison is exact integer cross-multiplication, so the flag
+    never rides on float rounding.
+
+    100 TB: explode n-grams -> two keyed aggregations ((doc, gram),
+    then doc) — high-cardinality uniform keys, partial-agg friendly,
+    no Python.  Ratios use the same exact integer half-up 4-dp
+    arithmetic as repetition_stats (Spark HALF_UP vs DuckDB half-even
+    diverges exactly on half boundaries otherwise).
+    """
+    per_gram = (
+        df.select(
+            F.col(id_col), F.explode(shingles_col(text_col, n)).alias("gram")
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+            "_dup_occ"
+        ),
+        F.max("cnt").alias("_max_cnt"),
+    )
+
+    def _ratio4(num_expr: str) -> F.Column:
+        return (
+            F.expr(
+                f"(({num_expr}) * 20000 + n_grams) div (2 * n_grams)"
+            ).cast("double")
+            / 10000
+        )
+
+    return agg.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        _ratio4("_dup_occ").alias("dup_gram_frac"),
+        _ratio4("_max_cnt").alias("top_gram_frac"),
+        (
+            F.col("_dup_occ") * flag_den > F.col("n_grams") * flag_num
+        ).cast("int").alias("flagged"),
     )
 
 

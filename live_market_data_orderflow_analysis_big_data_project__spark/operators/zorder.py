@@ -1,0 +1,135 @@
+"""Z-order (Morton-curve) multi-dimensional clustering layout.
+
+A date-partitioned or single-column-sorted layout (q133/q135) skips
+files for predicates on THE sort column only; a selective predicate on
+a second column still touches every file.  Z-ordering interleaves the
+bits of two (rank- or value-normalized) columns so rows close in BOTH
+dimensions land in the same files — the data-skipping layout Delta
+Lake's `OPTIMIZE ZORDER BY` and Iceberg's z-order rewrite use for
+multi-dimensional filter workloads.
+
+Design (all integer arithmetic, engine-portable to the DuckDB oracle):
+
+- ``tile``: value-normalized ``(v - mn) * 2^bits div span`` in
+  ``[0, 2^bits)``.  Value normalization (vs ntile ranks) keeps the
+  plan shuffle-free: the only global state is one min/max aggregate
+  broadcast back into the scan, where an ntile rank would force a
+  single-partition global window — the exact thing a 100 TB layout
+  rewrite cannot do.  Skewed columns would prefer rank tiles; at
+  cluster scale that is approx_percentile bucket edges, still a
+  scalar broadcast, not a global sort.
+- ``z``: classic bit interleave, a-bits on odd positions, b on even.
+- ``file_id``: equal-width cut of z-space into ``n_files`` ranges.
+  Equal-width (not equal-rows) keeps assignment a pure per-row
+  function — no global row_number.  At deployment scale the same
+  expression feeds ``repartitionByRange(zval)`` + per-range writers;
+  file row-count balance then comes from range sampling.
+
+The write itself is one hash ``repartition(file_id)`` + partitioned
+write — one file per ``file_id=`` dir (each dir's rows live in exactly
+one task, the bucketed-write trick from sources/bucketed.py), linear,
+no Python.
+
+100 TB: one pass to compute 4 scalars, one shuffle to co-locate each
+output file's rows, one write.  Reads then prune by parquet footer
+min/max: a box predicate on BOTH dimensions touches ~(box area /
+z-range per file) files instead of the ~(box width) a single-column
+sort gives.  q140 measures exactly that, deterministically, from the
+written files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "z_interleave",
+    "zorder_file_assign",
+    "linear_file_assign",
+    "write_layout",
+]
+
+
+def z_interleave(tile_a: Column, tile_b: Column, bits: int) -> Column:
+    """Morton interleave: bit i of a -> position 2i+1, of b -> 2i."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(tile_a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(tile_b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def zorder_file_assign(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = 8,
+    n_files: int = 64,
+) -> DataFrame:
+    """Add ``tile_a``/``tile_b``/``zval``/``file_id`` columns.
+
+    ``file_id = zval * n_files div 2^(2*bits)`` — equal-width z-range
+    per file.  The min/max scalars come from one aggregate broadcast
+    into the row expressions (no global window, no collect).
+    """
+    stats = df.agg(
+        F.min(col_a).cast("long").alias("_mn_a"),
+        F.max(col_a).cast("long").alias("_mx_a"),
+        F.min(col_b).cast("long").alias("_mn_b"),
+        F.max(col_b).cast("long").alias("_mx_b"),
+    )
+    j = df.crossJoin(F.broadcast(stats))
+    # Spark `div` truncates, DuckDB `//` floors — identical on the
+    # non-negative operands here (v >= mn, span >= 1).
+    ta = F.expr(
+        f"(CAST({col_a} AS BIGINT) - _mn_a) * {1 << bits} div "
+        f"(_mx_a - _mn_a + 1)"
+    ).alias("tile_a")
+    tb = F.expr(
+        f"(CAST({col_b} AS BIGINT) - _mn_b) * {1 << bits} div "
+        f"(_mx_b - _mn_b + 1)"
+    ).alias("tile_b")
+    out = j.select(*df.columns, ta, tb)
+    out = out.withColumn(
+        "zval", z_interleave(F.col("tile_a"), F.col("tile_b"), bits)
+    )
+    return out.withColumn(
+        "file_id",
+        F.expr(f"zval * {n_files} div {1 << (2 * bits)}").cast("int"),
+    )
+
+
+def linear_file_assign(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = 8,
+    n_files: int = 64,
+) -> DataFrame:
+    """Single-column (col_a) sorted layout baseline: the SAME tile
+    normalization, but ``file_id`` cuts tile_a space only — what a
+    plain ``sortBy(col_a)`` table gives a reader.  tile_b is carried
+    so q140's box math is layout-symmetric."""
+    assigned = zorder_file_assign(df, col_a, col_b, bits=bits, n_files=n_files)
+    return assigned.withColumn(
+        "file_id",
+        F.expr(f"tile_a * {n_files} div {1 << bits}").cast("int"),
+    )
+
+
+def write_layout(df: DataFrame, path: str) -> None:
+    """Materialize a file assignment: one parquet file per ``file_id=``
+    dir.  ``repartition(file_id)`` puts each dir's rows in exactly one
+    task, so each dir gets exactly one file (footer min/max = the
+    layout's skipping contract; tests/test_zorder.py verifies the
+    footers)."""
+    (
+        df.repartition("file_id")
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .parquet(path)
+    )

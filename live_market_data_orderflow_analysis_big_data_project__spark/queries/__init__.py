@@ -82,6 +82,11 @@ _PRIORITY = (
         "q91b_near_dedup_minhash_lsh",        #    unpersist handle; probe
     ]                                         #    instrumentation
     + [
+        "q138_pack_sequences",                # 3: NEW this round (no driver
+        "q139_dup_bigram_stats",              #    row exists yet) — concat-
+        "q140_zorder_layout",                 #    and-chunk packing, dup-
+    ]                                         #    bigram filter, z-order
+    + [
         "s01_tumbling_candles",               # 20: oldest r5 rows — the
         "s02_sliding_window",                 #     full streaming block
         "s03_session_window",                 #     (env-sensitive; 10x
@@ -92,11 +97,12 @@ _PRIORITY = (
         "s08_stateful_custom",
         "s09_sinks",
         "s10_sources",
-        "q80_python_udf",                     # Python-boundary block
-        "q81_pandas_udf",
-        "q82_grouped_map",
-        "q83_arrow_map",
-        "q84_udtf",
+        "q82_grouped_map",                    # Python-boundary block: q82
+        "q84_udtf",                           # (AQE repartition fix) + q84
+                                              # (Spark-4 UDTF); q80/q81/q83
+                                              # ceded their refresh slots to
+                                              # the three NEW entries above
+                                              # (r5 rows + stale-check hold)
         "q131_skew_salted_join",              # physical-layout trio
         "q133_partition_prune",
         "q135_compact_small_files",
@@ -104,7 +110,7 @@ _PRIORITY = (
         "q119_dedup_collapse",                # algorithmic risk in batch
     ]
 )
-_EXPECTED_WINDOW = 25 + 5 + 20
+_EXPECTED_WINDOW = 25 + 5 + 3 + 17
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

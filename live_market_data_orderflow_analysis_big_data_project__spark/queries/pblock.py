@@ -35,10 +35,12 @@ from ..operators.pipeline import (
     collapse_clusters,
     decontaminate,
     dedup_clusters,
+    dup_ngram_stats,
     embedding_centroids,
     epoch_shuffle,
     hash_sample,
     incremental_dedup,
+    pack_sequences,
     pack_shards,
     quality_classifier_score,
     quantize_embeddings,
@@ -61,6 +63,11 @@ from ..sources.formats import (
     write_csv,
     write_jsonl,
     write_orc,
+)
+from ..operators.zorder import (
+    linear_file_assign,
+    write_layout,
+    zorder_file_assign,
 )
 from ..sources.tables import load_table
 from .lblock import _Q91_BOUND, Q91_SQL, _DUCK_TOKS
@@ -970,6 +977,217 @@ GROUP BY text_hash
 """
 
 
+# --- q138: concat-and-chunk sequence packing --------------------------------
+# q108 assigns whole docs to shards; q138 is the OTHER packing step —
+# the GPT-2/Pile concat-and-chunk layout where the per-shard token
+# stream is cut at exactly `capacity` tokens and docs straddle cuts.
+# Per (shard, sequence): contributing docs, token fill, carry_in
+# (starts mid-doc), n_starts (attention-reset points).  Fan-out is
+# n_docs + n_tokens/capacity rows, never per-token.
+_Q138_CAP = 256
+
+
+def q138_pack_sequences(spark, sf):
+    return pack_sequences(_docs(spark, sf), capacity=_Q138_CAP)
+
+
+Q138_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, len({_DUCK_TOKS}) AS n_tok,
+         md5('pack:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+), o AS (
+  SELECT source, n_tok,
+         COALESCE(SUM(n_tok) OVER (
+             PARTITION BY source ORDER BY k, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM t WHERE n_tok > 0
+), sp AS (
+  SELECT source, s, s + n_tok AS e,
+         unnest(range(CAST(s // {_Q138_CAP} AS BIGINT),
+                      CAST((s + n_tok - 1) // {_Q138_CAP} + 1 AS BIGINT)))
+           AS seq_id
+  FROM o
+)
+SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST(e, (seq_id + 1) * {_Q138_CAP})
+                - GREATEST(s, seq_id * {_Q138_CAP})) AS BIGINT) AS n_tokens,
+       CAST(MAX(CASE WHEN s < seq_id * {_Q138_CAP} THEN 1 ELSE 0 END)
+            AS INTEGER) AS carry_in,
+       CAST(SUM(CASE WHEN s >= seq_id * {_Q138_CAP} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_starts
+FROM sp
+GROUP BY source, seq_id
+"""
+
+
+# --- q139: duplicate-bigram fraction (Gopher A1.1 n-gram family) -------------
+# q109 is unigram repetition (type/token ratio); q139 catches looped
+# PHRASES — every token common, the same bigram cycling.  flagged uses
+# exact integer cross-multiplication (dup share > 1/5), never float.
+def q139_dup_bigram_stats(spark, sf):
+    return dup_ngram_stats(_docs(spark, sf), n=2, flag_num=1, flag_den=5)
+
+
+Q139_SQL = f"""
+WITH g AS (
+  SELECT doc_id, array_to_string(arr[i:i+1], ' ') AS gram
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS arr FROM documents),
+       unnest(range(1, len(arr))) AS t(i)
+), per AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS dup_occ,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM per GROUP BY 1
+)
+SELECT doc_id, n_grams,
+       CAST((dup_occ * 20000 + n_grams) // (2 * n_grams) AS DOUBLE) / 10000
+         AS dup_gram_frac,
+       CAST((max_cnt * 20000 + n_grams) // (2 * n_grams) AS DOUBLE) / 10000
+         AS top_gram_frac,
+       CAST(dup_occ * 5 > n_grams AS INTEGER) AS flagged
+FROM agg
+"""
+
+
+# --- q140: z-order layout vs single-column sort — data-skipping math ---------
+# The multi-dimensional completion of the physical-layout block
+# (q131 skew / q132 bucketed / q133 partition-pruned / q135 compacted):
+# lineitem written twice — Morton-interleaved on (l_partkey, l_suppkey)
+# and sorted on l_partkey alone — one file per file_id= dir, then the
+# per-file tile min/max (what a reader's footer pruning sees) measured
+# against a box predicate selective on BOTH dims.  The assignment is a
+# pure per-row integer function (operators/zorder.py), so DuckDB
+# recomputes the layout exactly from the fixture: a hash pass proves
+# both the losslessness of the write AND the skipping contract.
+# rows_in_box and n_rows are layout-invariant (equal across the two
+# rows); files_touched is the payoff: the z layout bounds BOTH tile
+# ranges per file, the linear layout only tile_a's.
+_Z140 = dict(bits=8, n_files=64)
+_Z140_BOX = (32, 63)  # [1/8, 1/4) of each dim, in tile space
+_Z140_COLS = (
+    "l_orderkey",
+    "l_linenumber",
+    "l_partkey",
+    "l_suppkey",
+    "tile_a",
+    "tile_b",
+    "file_id",
+)
+
+
+def q140_zorder_layout(spark, sf):
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    zpath = _roundtrip_path("q140_zorder")
+    lpath = _roundtrip_path("q140_linear")
+    write_layout(
+        zorder_file_assign(li, "l_partkey", "l_suppkey", **_Z140).select(
+            *_Z140_COLS
+        ),
+        zpath,
+    )
+    write_layout(
+        linear_file_assign(li, "l_partkey", "l_suppkey", **_Z140).select(
+            *_Z140_COLS
+        ),
+        lpath,
+    )
+    back = (
+        spark.read.parquet(zpath)
+        .withColumn("layout", F.lit("zorder"))
+        .unionByName(
+            spark.read.parquet(lpath).withColumn("layout", F.lit("linear"))
+        )
+    )
+    lo, hi = _Z140_BOX
+    in_box = (
+        F.col("tile_a").between(lo, hi) & F.col("tile_b").between(lo, hi)
+    )
+    per_file = back.groupBy("layout", "file_id").agg(
+        F.min("tile_a").alias("mn_a"),
+        F.max("tile_a").alias("mx_a"),
+        F.min("tile_b").alias("mn_b"),
+        F.max("tile_b").alias("mx_b"),
+        F.count("*").alias("n_rows"),
+        F.sum(in_box.cast("long")).alias("rows_in_box"),
+    )
+    touched = (
+        (F.col("mn_a") <= hi)
+        & (F.col("mx_a") >= lo)
+        & (F.col("mn_b") <= hi)
+        & (F.col("mx_b") >= lo)
+    )
+    return per_file.groupBy("layout").agg(
+        F.count("*").alias("n_files_nonempty"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum(touched.cast("long")).alias("files_touched"),
+        F.sum("rows_in_box").alias("rows_in_box"),
+    )
+
+
+def _z140_interleave_sql(a: str, b: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+Q140_SQL = f"""
+WITH s AS (
+  SELECT CAST(min(l_partkey) AS BIGINT) AS mn_a,
+         CAST(max(l_partkey) AS BIGINT) AS mx_a,
+         CAST(min(l_suppkey) AS BIGINT) AS mn_b,
+         CAST(max(l_suppkey) AS BIGINT) AS mx_b
+  FROM lineitem
+), t AS (
+  SELECT ((CAST(l_partkey AS BIGINT) - mn_a) * {1 << _Z140["bits"]})
+           // (mx_a - mn_a + 1) AS tile_a,
+         ((CAST(l_suppkey AS BIGINT) - mn_b) * {1 << _Z140["bits"]})
+           // (mx_b - mn_b + 1) AS tile_b
+  FROM lineitem, s
+), z AS (
+  SELECT tile_a, tile_b,
+         {_z140_interleave_sql("tile_a", "tile_b", _Z140["bits"])} AS zval
+  FROM t
+), layouts AS (
+  SELECT 'zorder' AS layout,
+         (zval * {_Z140["n_files"]}) // {1 << (2 * _Z140["bits"])}
+           AS file_id,
+         tile_a, tile_b
+  FROM z
+  UNION ALL
+  SELECT 'linear' AS layout,
+         (tile_a * {_Z140["n_files"]}) // {1 << _Z140["bits"]} AS file_id,
+         tile_a, tile_b
+  FROM z
+), pf AS (
+  SELECT layout, file_id,
+         min(tile_a) AS mn_a, max(tile_a) AS mx_a,
+         min(tile_b) AS mn_b, max(tile_b) AS mx_b,
+         count(*) AS n_rows,
+         SUM(CASE WHEN tile_a BETWEEN {_Z140_BOX[0]} AND {_Z140_BOX[1]}
+                   AND tile_b BETWEEN {_Z140_BOX[0]} AND {_Z140_BOX[1]}
+                  THEN 1 ELSE 0 END) AS rows_in_box
+  FROM layouts GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files_nonempty,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN mn_a <= {_Z140_BOX[1]} AND mx_a >= {_Z140_BOX[0]}
+                      AND mn_b <= {_Z140_BOX[1]} AND mx_b >= {_Z140_BOX[0]}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+       CAST(SUM(rows_in_box) AS BIGINT) AS rows_in_box
+FROM pf GROUP BY layout
+"""
+
+
 QUERIES = {
     "q106_decontaminate": q106_decontaminate,
     "q107_hash_sample": q107_hash_sample,
@@ -998,6 +1216,9 @@ QUERIES = {
     "q134_hybrid_rrf": q134_hybrid_rrf,
     "q135_compact_small_files": q135_compact_small_files,
     "q137_incremental_dedup": q137_incremental_dedup,
+    "q138_pack_sequences": q138_pack_sequences,
+    "q139_dup_bigram_stats": q139_dup_bigram_stats,
+    "q140_zorder_layout": q140_zorder_layout,
 }
 
 ORACLE = {
@@ -1028,4 +1249,7 @@ ORACLE = {
     "q134_hybrid_rrf": Q134_SQL,
     "q135_compact_small_files": Q135_SQL,
     "q137_incremental_dedup": Q137_SQL,
+    "q138_pack_sequences": Q138_SQL,
+    "q139_dup_bigram_stats": Q139_SQL,
+    "q140_zorder_layout": Q140_SQL,
 }

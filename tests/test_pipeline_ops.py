@@ -452,3 +452,83 @@ def test_incremental_dedup_hash_matches_md5(spark):
     assert set(got) == {8, 9, 10}
     for i, h in got.items():
         assert h == hashlib.md5(f"text {i}".encode()).hexdigest()
+
+
+def _docs_src(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipeline import (
+        pack_sequences,
+    )
+
+    # one shard, 3 docs of 3/4/2 tokens, capacity 4.  Whatever the
+    # md5 order, the concatenated 9-token stream cuts into sequences
+    # of 4/4/1 tokens; exactly one doc straddles each interior cut.
+    rows = [
+        (0, "s", "a b c"),
+        (1, "s", "d e f g"),
+        (2, "s", "h i"),
+    ]
+    out = {
+        r["seq_id"]: r
+        for r in pack_sequences(_docs_src(spark, rows), capacity=4).collect()
+    }
+    assert sorted(out) == [0, 1, 2]
+    assert [out[i]["n_tokens"] for i in (0, 1, 2)] == [4, 4, 1]
+    assert out[0]["carry_in"] == 0  # nothing precedes the first cut
+    # totals are layout-invariant: every token lands in exactly one seq
+    assert sum(r["n_tokens"] for r in out.values()) == 9
+    # doc-start count across sequences == number of docs
+    assert sum(r["n_starts"] for r in out.values()) == 3
+
+
+def test_pack_sequences_full_except_last_per_shard(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipeline import (
+        pack_sequences,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (
+        load_table,
+    )
+
+    cap = 256
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    seqs = pack_sequences(docs, capacity=cap).collect()
+    last = {}
+    for r in seqs:
+        last[r["source"]] = max(last.get(r["source"], -1), r["seq_id"])
+    for r in seqs:
+        if r["seq_id"] < last[r["source"]]:
+            assert r["n_tokens"] == cap, r
+        else:
+            assert 1 <= r["n_tokens"] <= cap, r
+        assert r["n_docs"] >= 1
+        # carry_in consistency: a sequence with no doc starting in it
+        # must be wholly inside one straddling doc
+        if r["n_starts"] == 0:
+            assert r["carry_in"] == 1 and r["n_docs"] == 1
+
+
+def test_dup_ngram_stats_hand_computed(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipeline import (
+        dup_ngram_stats,
+    )
+
+    rows = [
+        (0, "a b a b a b"),   # bigrams: ab ba ab ba ab -> 5 occ, all dup
+        (1, "a b c d"),       # 3 distinct bigrams, none repeated
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dup_ngram_stats(
+            _docs(spark, rows), n=2, flag_num=1, flag_den=5
+        ).collect()
+    }
+    assert out[0]["n_grams"] == 5
+    assert out[0]["dup_gram_frac"] == 1.0
+    assert out[0]["top_gram_frac"] == 0.6  # 'a b' x3 of 5
+    assert out[0]["flagged"] == 1
+    assert out[1]["n_grams"] == 3
+    assert out[1]["dup_gram_frac"] == 0.0
+    assert out[1]["flagged"] == 0

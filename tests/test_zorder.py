@@ -1,0 +1,124 @@
+"""Z-order layout (operators/zorder.py + q140): the written files must
+physically carry the skipping contract the query computes — one file per
+``file_id=`` dir, parquet footer min/max per file equal to the
+assignment's per-file tile bounds, and the both-dims box touching no
+more z-ordered files than single-column-sorted files."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from live_market_data_orderflow_analysis_big_data_project__spark.operators.zorder import (
+    linear_file_assign,
+    write_layout,
+    zorder_file_assign,
+)
+from live_market_data_orderflow_analysis_big_data_project__spark.queries.pblock import (
+    q140_zorder_layout,
+)
+from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (
+    load_table,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def z_written(spark):
+    li = load_table(spark, SF0001, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    assigned = zorder_file_assign(
+        li, "l_partkey", "l_suppkey", bits=8, n_files=64
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="zorder_"), "z")
+    write_layout(assigned, path)
+    return assigned, path
+
+
+def test_one_file_per_bucket_dir(z_written):
+    _, path = z_written
+    dirs = glob.glob(os.path.join(path, "file_id=*"))
+    assert len(dirs) > 0
+    for d in dirs:
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        assert len(files) == 1, f"{d}: expected exactly one file"
+
+
+def test_footer_minmax_matches_assignment(z_written):
+    """Parquet footer stats per file == the assignment's per-file tile
+    bounds — what a pruning reader actually sees is exactly what q140's
+    oracle-verified math claims."""
+    assigned, path = z_written
+    expected = {
+        row["file_id"]: row
+        for row in assigned.groupBy("file_id")
+        .agg(
+            F.min("tile_a").alias("mn_a"),
+            F.max("tile_a").alias("mx_a"),
+            F.min("tile_b").alias("mn_b"),
+            F.max("tile_b").alias("mx_b"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    seen = 0
+    for d in glob.glob(os.path.join(path, "file_id=*")):
+        fid = int(d.rsplit("=", 1)[1])
+        f = glob.glob(os.path.join(d, "*.parquet"))[0]
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        mins = {"tile_a": None, "tile_b": None}
+        maxs = {"tile_a": None, "tile_b": None}
+        nrows = 0
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            nrows += g.num_rows
+            for c in ("tile_a", "tile_b"):
+                st = g.column(cols[c]).statistics
+                assert st is not None and st.has_min_max
+                mins[c] = (
+                    st.min if mins[c] is None else min(mins[c], st.min)
+                )
+                maxs[c] = (
+                    st.max if maxs[c] is None else max(maxs[c], st.max)
+                )
+        e = expected[fid]
+        assert (mins["tile_a"], maxs["tile_a"]) == (e["mn_a"], e["mx_a"])
+        assert (mins["tile_b"], maxs["tile_b"]) == (e["mn_b"], e["mx_b"])
+        assert nrows == e["n"]
+        seen += 1
+    assert seen == len(expected)
+
+
+def test_zorder_skips_at_least_as_well_as_linear(spark):
+    res = {
+        r["layout"]: r for r in q140_zorder_layout(spark, SF0001).collect()
+    }
+    z, lin = res["zorder"], res["linear"]
+    assert z["n_rows"] == lin["n_rows"]
+    assert z["rows_in_box"] == lin["rows_in_box"]
+    assert z["files_touched"] <= lin["files_touched"]
+    # the box is selective on both dims — the z layout must actually
+    # prune, not merely tie (1 vs 8 on every fixture sf, pinned loosely)
+    assert z["files_touched"] < lin["files_touched"]
+
+
+def test_linear_assignment_cuts_tile_a_only(spark):
+    li = load_table(spark, SF0001, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    lin = linear_file_assign(li, "l_partkey", "l_suppkey", bits=8, n_files=64)
+    bad = lin.groupBy("file_id").agg(
+        (F.max("tile_a") - F.min("tile_a")).alias("spread")
+    )
+    # equal-width cut of 256 tiles into 64 files -> 4-tile spread max
+    assert bad.filter(F.col("spread") >= 4).count() == 0
