@@ -1,0 +1,79 @@
+"""Warehouse-maintenance operators: SCD2 dimension merge (upsert).
+
+Spark-on-parquet has no transactional ``MERGE INTO`` (that is Delta/
+Iceberg's ACID layer), but the MERGE's *relational core* — close out the
+matched current rows, append new versions, carry the unmatched — is one
+equi-join plus a union, and that is the part that must scale.  This
+module implements the slowly-changing-dimension type-2 shape: a current
+dimension snapshot merged with an update batch keyed by the dimension
+key, emitting full version history (``valid_from`` / ``valid_to`` /
+``is_current``).
+
+100 TB design: ONE shuffle join on the dimension key + a union of two
+projections over the SAME join output (Spark plans the join once; the
+union branches are projections, not a second join).  In deployment the
+dimension table is bucketed by the key (sources/bucketed.py), so only
+the — typically far smaller — update batch shuffles; when the batch fits
+the broadcast threshold, hint it broadcast and the dimension is never
+shuffled at all.  The physical file replace that makes this atomic is
+the lakehouse layer's job; pair with write_partitioned_parquet /
+compact_partitioned for the rewrite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["scd2_merge"]
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    changes: Mapping[str, Column],
+    eff_col: str,
+    lo_date: str = "1992-01-01",
+    hi_date: str = "9999-12-31",
+) -> DataFrame:
+    """SCD2 merge: version-history output of dim ⟕ updates.
+
+    - ``updates`` carries ``key``, ``eff_col`` (effective date of the
+      change) and whatever columns the ``changes`` expressions read.
+    - ``changes`` maps dim column name -> its post-merge value
+      expression (evaluated over the joined row).
+    - Matched keys emit TWO rows: the closed-out old version
+      (``valid_to = eff``, ``is_current = 0``) and the new current
+      version (``valid_from = eff``, changed attrs, ``is_current=1``).
+      Unmatched keys emit their single current row unchanged.
+
+    Dates are emitted as formatted strings (the engine's cross-engine
+    hash convention).
+    """
+    matched = F.col(eff_col).isNotNull()
+    j = dim.join(updates, key, "left")
+    dim_cols = [c for c in dim.columns if c != key]
+
+    def version(frame: DataFrame, attrs: Mapping[str, Column], vf: Column,
+                vt: Column, cur: int) -> DataFrame:
+        return frame.select(
+            F.col(key),
+            *[attrs.get(c, F.col(c)).alias(c) for c in dim_cols],
+            vf.alias("valid_from"),
+            vt.alias("valid_to"),
+            F.lit(cur).alias("is_current"),
+        )
+
+    eff_str = F.date_format(F.col(eff_col), "yyyy-MM-dd")
+    current = version(
+        j,
+        {c: F.when(matched, e).otherwise(F.col(c)) for c, e in changes.items()},
+        F.when(matched, eff_str).otherwise(F.lit(lo_date)),
+        F.lit(hi_date),
+        1,
+    )
+    closed = version(j.filter(matched), {}, F.lit(lo_date), eff_str, 0)
+    return current.unionByName(closed)

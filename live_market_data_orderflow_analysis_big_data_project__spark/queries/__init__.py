@@ -82,10 +82,11 @@ _PRIORITY = (
         "q91b_near_dedup_minhash_lsh",        #    unpersist handle; probe
     ]                                         #    instrumentation
     + [
-        "q138_pack_sequences",                # 3: NEW this round (no driver
+        "q138_pack_sequences",                # 4: NEW this round (no driver
         "q139_dup_bigram_stats",              #    row exists yet) — concat-
         "q140_zorder_layout",                 #    and-chunk packing, dup-
-    ]                                         #    bigram filter, z-order
+        "q76_scd2_merge",                     #    bigram filter, z-order,
+    ]                                         #    SCD2 dimension merge
     + [
         "s01_tumbling_candles",               # 20: oldest r5 rows — the
         "s02_sliding_window",                 #     full streaming block
@@ -97,12 +98,13 @@ _PRIORITY = (
         "s08_stateful_custom",
         "s09_sinks",
         "s10_sources",
-        "q82_grouped_map",                    # Python-boundary block: q82
-        "q84_udtf",                           # (AQE repartition fix) + q84
-                                              # (Spark-4 UDTF); q80/q81/q83
-                                              # ceded their refresh slots to
-                                              # the three NEW entries above
-                                              # (r5 rows + stale-check hold)
+        "q84_udtf",                           # Python-boundary block: q84
+                                              # (Spark-4 UDTF) keeps a slot;
+                                              # q80/q81/q82/q83 ceded theirs
+                                              # to the four NEW entries above
+                                              # (each holds an r5 hash row
+                                              # and stale-check proves the
+                                              # code unchanged since)
         "q131_skew_salted_join",              # physical-layout trio
         "q133_partition_prune",
         "q135_compact_small_files",
@@ -110,7 +112,7 @@ _PRIORITY = (
         "q119_dedup_collapse",                # algorithmic risk in batch
     ]
 )
-_EXPECTED_WINDOW = 25 + 5 + 3 + 17
+_EXPECTED_WINDOW = 25 + 5 + 4 + 16
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

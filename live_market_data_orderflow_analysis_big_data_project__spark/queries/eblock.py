@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..functions import dsum, fmt_date, fmt_minute, fmt_ts, round4
 from ..operators.asof import asof_join
 from ..operators.candles import rollup_ohlc
+from ..operators.warehouse import scd2_merge
 from ..sources.bucketed import read_bucketed, write_bucketed
 from ..sources.tables import load_table, register_views
 
@@ -1177,6 +1178,73 @@ FROM events
 """
 
 
+# --- q76: SCD2 dimension merge (the MERGE-INTO relational core) -------------
+# Upsert/dimension maintenance was the one relational capability class
+# the E-block lacked: customer is the current dimension snapshot, the
+# per-customer order aggregate is the update batch (eff = latest order
+# date, acctbal += decimal order spend), and the output is full SCD2
+# version history — matched keys close out the old row (valid_to = eff,
+# is_current=0) and append the new current one; unmatched keys carry
+# through.  operators/warehouse.py::scd2_merge: ONE equi-join planned
+# once + union of two projections; money stays decimal end-to-end.
+def q76_scd2_merge(spark, sf):
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(28,6)").alias("acctbal"),
+    )
+    upd = (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("eff_date"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias(
+                "spend"
+            ),
+        )
+    )
+    out = scd2_merge(
+        cust,
+        upd,
+        "c_custkey",
+        {"acctbal": F.col("acctbal") + F.col("spend")},
+        "eff_date",
+    )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("acctbal").cast("double").alias("acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+Q76_SQL = """
+WITH upd AS (
+  SELECT o_custkey AS c_custkey, max(o_orderdate) AS eff,
+         SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS spend
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CAST(c.c_acctbal AS DECIMAL(28,6)) AS acctbal, u.eff, u.spend
+  FROM customer c LEFT JOIN upd u USING (c_custkey)
+)
+SELECT c_custkey, c_mktsegment,
+       CAST(CASE WHEN eff IS NOT NULL THEN acctbal + spend
+                 ELSE acctbal END AS DOUBLE) AS acctbal,
+       CASE WHEN eff IS NOT NULL THEN strftime(eff, '%Y-%m-%d')
+            ELSE '1992-01-01' END AS valid_from,
+       '9999-12-31' AS valid_to, 1 AS is_current
+FROM j
+UNION ALL
+SELECT c_custkey, c_mktsegment, CAST(acctbal AS DOUBLE) AS acctbal,
+       '1992-01-01' AS valid_from, strftime(eff, '%Y-%m-%d') AS valid_to,
+       0 AS is_current
+FROM j WHERE eff IS NOT NULL
+"""
+
+
 # --- q83: mapInArrow — the Arrow-native batch UDF surface -------------------
 # Completes the Python-integration matrix (q80 row UDF, q81 pandas UDF,
 # q82 grouped map): RecordBatch-level compute with pyarrow kernels, no
@@ -1520,6 +1588,7 @@ QUERIES = {
     "q82_grouped_map": q82_grouped_map,
     "q74_unpivot": q74_unpivot,
     "q75_null_handling": q75_null_handling,
+    "q76_scd2_merge": q76_scd2_merge,
     "q83_arrow_map": q83_arrow_map,
     "q84_udtf": q84_udtf,
     "q129_variant_json": q129_variant_json,
@@ -1569,6 +1638,7 @@ ORACLE = {
     "q82_grouped_map": Q82_SQL,
     "q74_unpivot": Q74_SQL,
     "q75_null_handling": Q75_SQL,
+    "q76_scd2_merge": Q76_SQL,
     "q83_arrow_map": Q83_SQL,
     "q84_udtf": Q84_SQL,
     "q129_variant_json": Q129_SQL,

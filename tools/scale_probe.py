@@ -62,6 +62,9 @@ PROBE_QUERIES = [
     ("q134_hybrid_rrf", "retrieval fusion over bounded top-k lists (BM25 side scales; fuse is flat)"),
     ("q135_compact_small_files", "fragmented partitioned write + compaction rewrite"),
     ("q137_incremental_dedup", "index-and-merge delta dedup (merge-hinted anti-join, O(shard) per ingest)"),
+    ("q138_pack_sequences", "per-shard prefix-sum window + bounded sequence explode"),
+    ("q139_dup_bigram_stats", "bigram explode + two keyed aggs (the n-gram twin of q109)"),
+    ("q140_zorder_layout", "two layout writes + per-file tile bounds (scan-and-write bound)"),
 ]
 
 
