@@ -82,11 +82,12 @@ _PRIORITY = (
         "q91b_near_dedup_minhash_lsh",        #    unpersist handle; probe
     ]                                         #    instrumentation
     + [
-        "q138_pack_sequences",                # 4: NEW this round (no driver
+        "q138_pack_sequences",                # 5: NEW this round (no driver
         "q139_dup_bigram_stats",              #    row exists yet) — concat-
         "q140_zorder_layout",                 #    and-chunk packing, dup-
         "q76_scd2_merge",                     #    bigram filter, z-order,
-    ]                                         #    SCD2 dimension merge
+        "s13_scd2_stream_apply",              #    SCD2 merge + its streaming
+    ]                                         #    foreachBatch-apply twin
     + [
         "s01_tumbling_candles",               # 20: oldest r5 rows — the
         "s02_sliding_window",                 #     full streaming block
@@ -105,14 +106,16 @@ _PRIORITY = (
                                               # (each holds an r5 hash row
                                               # and stale-check proves the
                                               # code unchanged since)
-        "q131_skew_salted_join",              # physical-layout trio
-        "q133_partition_prune",
-        "q135_compact_small_files",
+        "q131_skew_salted_join",              # physical-layout refresh pair
+        "q135_compact_small_files",           # (q133 ceded its slot to s13;
+                                              # r5 row + stale-check hold,
+                                              # pruning also test-pinned in
+                                              # tests/test_sinks.py)
         "q111_dedup_clusters",                # Pregel CC pair — highest
         "q119_dedup_collapse",                # algorithmic risk in batch
     ]
 )
-_EXPECTED_WINDOW = 25 + 5 + 4 + 16
+_EXPECTED_WINDOW = 25 + 5 + 5 + 15
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

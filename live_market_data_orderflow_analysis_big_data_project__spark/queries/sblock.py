@@ -38,13 +38,16 @@ from ..operators.ticks import aggressor_side
 from ..sources.tables import load_table
 from ..streaming.core import (
     dedup_within_watermark,
+    foreach_batch_sink,
     parquet_sink,
     run_to_memory,
     running_vwap,
     session_counts,
     sliding_counts,
     stream_events,
+    stream_events_dir,
 )
+from ..operators.warehouse import scd2_merge
 
 
 def _fmt(col: str, alias: str) -> F.Column:
@@ -395,6 +398,96 @@ def s12_incremental_dedup(spark, sf):
     )
 
 
+# --- s13: streaming SCD2 upsert apply (foreachBatch merge) ------------------
+# The streaming twin of q76, the way a warehouse actually consumes it:
+# update batches arrive as a stream and each micro-batch is MERGE-applied
+# against the static dimension inside ``foreachBatch`` (the Structured
+# Streaming upsert idiom — stream-side MERGE is not expressible as a
+# plain streaming plan), appending the version-history delta (closed-out
+# old row + new current row per matched key) to the history table.  The
+# update feed has exactly one row per key (a per-customer order
+# aggregate), so keys never straddle micro-batches and the drained
+# history equals the batch merge restricted to matched keys — hash-exact
+# regardless of batch order or count.  100 TB: per batch one broadcast
+# semi-join prunes the dim to the batch's keys, then q76's
+# one-join-plus-union merge; the dim is never shuffled.
+def s13_scd2_stream_apply(spark, sf):
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(28,6)").alias("acctbal"),
+    )
+    upd = (
+        load_table(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("eff_date"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias(
+                "spend"
+            ),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="s13_")
+    updpath = os.path.join(base, "updates")
+    outpath = os.path.join(base, "history")
+    upd.repartition(4).write.mode("overwrite").parquet(updpath)
+    sdf = stream_events_dir(
+        spark,
+        updpath,
+        spark.read.parquet(updpath).schema,
+        max_files_per_trigger=1,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # AvailableNow's final no-data batch
+        dim_b = cust.join(
+            F.broadcast(batch_df.select("c_custkey")), "c_custkey", "semi"
+        )
+        delta = scd2_merge(
+            dim_b,
+            batch_df,
+            "c_custkey",
+            {"acctbal": F.col("acctbal") + F.col("spend")},
+            "eff_date",
+        )
+        delta.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.col("acctbal").cast("double").alias("acctbal"),
+            "valid_from",
+            "valid_to",
+            "is_current",
+        ).write.mode("append").parquet(outpath)
+
+    q = foreach_batch_sink(sdf, apply_batch, os.path.join(base, "ckpt"))
+    q.awaitTermination(300)
+    return spark.read.parquet(outpath)
+
+
+S13_SQL = """
+WITH upd AS (
+  SELECT o_custkey AS c_custkey, max(o_orderdate) AS eff,
+         SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS spend
+  FROM orders GROUP BY 1
+), j AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CAST(c.c_acctbal AS DECIMAL(28,6)) AS acctbal, u.eff, u.spend
+  FROM customer c JOIN upd u USING (c_custkey)
+)
+SELECT c_custkey, c_mktsegment,
+       CAST(acctbal + spend AS DOUBLE) AS acctbal,
+       strftime(eff, '%Y-%m-%d') AS valid_from,
+       '9999-12-31' AS valid_to, 1 AS is_current
+FROM j
+UNION ALL
+SELECT c_custkey, c_mktsegment, CAST(acctbal AS DOUBLE) AS acctbal,
+       '1992-01-01' AS valid_from, strftime(eff, '%Y-%m-%d') AS valid_to,
+       0 AS is_current
+FROM j
+"""
+
+
 QUERIES = {
     "s01_tumbling_candles": s01_tumbling_candles,
     "s02_sliding_window": s02_sliding_window,
@@ -408,6 +501,7 @@ QUERIES = {
     "s10_sources": s10_sources,
     "s11_python_stream_source": s11_python_stream_source,
     "s12_incremental_dedup": s12_incremental_dedup,
+    "s13_scd2_stream_apply": s13_scd2_stream_apply,
 }
 
 # DuckDB twins of the drained streaming output (see module docstring for
@@ -610,4 +704,5 @@ ORACLE = {
     "s10_sources": S10_SQL,
     "s11_python_stream_source": _S11_ORACLE_SQL,
     "s12_incremental_dedup": S12_SQL,
+    "s13_scd2_stream_apply": S13_SQL,
 }

@@ -68,3 +68,59 @@ def test_scd2_merge_single_join_plan(spark):
     # broadcast, no more than one Exchange of the dim side; loosely pin
     # that the plan has no SortMergeJoin cascade (>2 joins = regression)
     assert plan.count("Join") <= 2
+
+
+def test_scd2_foreachbatch_apply_equals_batch_merge(spark):
+    """Streaming upsert idiom (s13): updates delivered across multiple
+    micro-batches, each MERGE-applied against the static dim, must drain
+    to exactly the batch merge restricted to matched keys — and must
+    actually run as multiple micro-batches."""
+    import os
+    import tempfile
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
+        foreach_batch_sink,
+        stream_events_dir,
+    )
+
+    dim = spark.createDataFrame(
+        [(i, float(i)) for i in range(12)], "k long, bal double"
+    )
+    upd = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, 1 + i), 100.0) for i in range(0, 12, 2)],
+        "k long, eff timestamp, delta double",
+    )
+    base = tempfile.mkdtemp(prefix="scd2_stream_")
+    updpath = os.path.join(base, "upd")
+    outpath = os.path.join(base, "hist")
+    upd.repartition(3).write.parquet(updpath)
+    batches = []
+
+    def apply_batch(b, bid):
+        if b.isEmpty():
+            return
+        batches.append(bid)
+        dim_b = dim.join(F.broadcast(b.select("k")), "k", "semi")
+        scd2_merge(
+            dim_b, b, "k", {"bal": F.col("bal") + F.col("delta")}, "eff"
+        ).write.mode("append").parquet(outpath)
+
+    q = foreach_batch_sink(
+        stream_events_dir(
+            spark, updpath, spark.read.parquet(updpath).schema,
+            max_files_per_trigger=1,
+        ),
+        apply_batch,
+        os.path.join(base, "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert len(batches) >= 2, "updates must span multiple micro-batches"
+
+    got = spark.read.parquet(outpath).collect()
+    want = scd2_merge(
+        dim.join(F.broadcast(upd.select("k")), "k", "semi"),
+        upd, "k", {"bal": F.col("bal") + F.col("delta")}, "eff",
+    ).collect()
+    key = lambda r: (r["k"], r["is_current"], r["bal"], r["valid_from"], r["valid_to"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert len(got) == 12  # 6 matched keys x 2 versions

@@ -65,6 +65,7 @@ PROBE_QUERIES = [
     ("q138_pack_sequences", "per-shard prefix-sum window + bounded sequence explode"),
     ("q139_dup_bigram_stats", "bigram explode + two keyed aggs (the n-gram twin of q109)"),
     ("q140_zorder_layout", "two layout writes + per-file tile bounds (scan-and-write bound)"),
+    ("q76_scd2_merge", "SCD2 upsert: one dim-key join + union of two projections"),
 ]
 
 
@@ -339,7 +340,23 @@ def main() -> None:
         "   decomposition exposed the token-suffix fixture artifact fixed",
         "   in finding 2.",
         "",
-        "7. Single bench samples are noise at this host: round 4's q120",
+        "7. q91b's wall ratio (4.2 at 16x) DECOMPOSES to all-linear terms",
+        "   (tools/probe_q91b_terms.py): every stage cardinality lands at",
+        "   15.8-16.1x, max_bucket constant at 22 docs — the wall ratio",
+        "   sits under the factor only because the 1x run is",
+        "   fixed-overhead-dominated.  Growth knob: band_rows (wider bands",
+        "   -> fewer candidates -> fewer verify_rows, recall compensated",
+        "   by n_hashes).",
+        "",
+        "8. Round-7 additions probed at 16x: q138_pack_sequences ratio",
+        "   1.1 (per-shard window + bounded sequence explode, linear),",
+        "   q139_dup_bigram_stats 1.2 (bigram explode + two keyed aggs),",
+        "   q140_zorder_layout 1.3 (two layout writes bound the cost;",
+        "   assignment is pure per-row integer expressions),",
+        "   q76_scd2_merge 1.6 (one dim-key shuffle join; bucketing the",
+        "   dim at deployment leaves only the update batch shuffling).",
+        "",
+        "9. Single bench samples are noise at this host: round 4's q120",
         "   \"regression\" (1.5 s -> 5.4 s, no code change) was the driver-",
         "   window reorder making q120 the FIRST suite query, which absorbs",
         "   ~4 s of residual session cold-start (measured 5.7/2.2/1.9/1.7 s",
