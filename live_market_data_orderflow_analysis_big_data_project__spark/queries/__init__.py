@@ -82,19 +82,22 @@ _PRIORITY = (
         "q91b_near_dedup_minhash_lsh",        #    unpersist handle; probe
     ]                                         #    instrumentation
     + [
-        "q138_pack_sequences",                # 5: NEW this round (no driver
+        "q138_pack_sequences",                # 6: NEW this round (no driver
         "q139_dup_bigram_stats",              #    row exists yet) — concat-
         "q140_zorder_layout",                 #    and-chunk packing, dup-
         "q76_scd2_merge",                     #    bigram filter, z-order,
         "s13_scd2_stream_apply",              #    SCD2 merge + its streaming
-    ]                                         #    foreachBatch-apply twin
+        "q77_funnel_cascade",                 #    twin, sequential funnel
+    ]
     + [
         "s01_tumbling_candles",               # 20: oldest r5 rows — the
         "s02_sliding_window",                 #     full streaming block
         "s03_session_window",                 #     (env-sensitive; 10x
         "s04_late_data_drop",                 #     stress this round),
-        "s05_stream_static_join",
-        "s06_stream_stream_join",
+        "s06_stream_stream_join",             # (s05 stream-static join ceded
+                                              # its slot to q77 — the class
+                                              # is exercised in-window by s12
+                                              # and s13; r5 row + stale-check)
         "s07_stream_dedup",
         "s08_stateful_custom",
         "s09_sinks",
@@ -115,7 +118,7 @@ _PRIORITY = (
         "q119_dedup_collapse",                # algorithmic risk in batch
     ]
 )
-_EXPECTED_WINDOW = 25 + 5 + 5 + 15
+_EXPECTED_WINDOW = 25 + 5 + 6 + 14
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

@@ -1245,6 +1245,92 @@ FROM j WHERE eff IS NOT NULL
 """
 
 
+# --- q77: sequential-pattern funnel (MATCH_RECOGNIZE class) -----------------
+# Behavioral funnel view -> click -> purchase per user: the ordered-
+# sequence capability (each stage's event must be strictly AFTER the
+# previous stage's) that plain aggregation can't express.  Formulated
+# as ONE shuffle: per-user events collected sorted, then a pure-
+# expression `aggregate` fold cascades the three stage timestamps —
+# state is O(1), no joins, no Python.  The fold is order-insensitive to
+# ties (a stage event at exactly the previous stage's ts fails strict
+# >, whatever the sort order), so it hash-matches the oracle's
+# cascaded-min formulation exactly.
+#
+# 100 TB: memory per user is that user's event list — fine for
+# bounded-entity histories (the funnel assumption); for unbounded
+# users use the cascade-join twin the oracle runs (3 keyed min-aggs,
+# each joined back: more shuffles, O(1) memory).
+def q77_funnel_cascade(spark, sf):
+    e = _t(spark, sf, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_type"))
+        ).alias("evs")
+    )
+    cascade = per_user.withColumn(
+        "st",
+        F.expr(
+            """
+            aggregate(
+              evs,
+              struct(CAST(NULL AS TIMESTAMP) AS t1,
+                     CAST(NULL AS TIMESTAMP) AS t2,
+                     CAST(NULL AS TIMESTAMP) AS t3),
+              (acc, e) -> struct(
+                CASE WHEN acc.t1 IS NULL AND e.event_type = 'view'
+                     THEN e.ts ELSE acc.t1 END AS t1,
+                CASE WHEN acc.t1 IS NOT NULL AND acc.t2 IS NULL
+                          AND e.event_type = 'click' AND e.ts > acc.t1
+                     THEN e.ts ELSE acc.t2 END AS t2,
+                CASE WHEN acc.t2 IS NOT NULL AND acc.t3 IS NULL
+                          AND e.event_type = 'purchase' AND e.ts > acc.t2
+                     THEN e.ts ELSE acc.t3 END AS t3))
+            """
+        ),
+    )
+    return cascade.select(
+        "user_id",
+        (
+            F.col("st.t1").isNotNull().cast("int")
+            + F.col("st.t2").isNotNull().cast("int")
+            + F.col("st.t3").isNotNull().cast("int")
+        ).alias("stage"),
+        F.date_format("st.t1", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("st.t2", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("st.t3", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+Q77_SQL = """
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+)
+SELECT u.user_id,
+       (CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+        + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS stage,
+       strftime(t1, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(t2, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(t3, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)
+"""
+
+
 # --- q83: mapInArrow — the Arrow-native batch UDF surface -------------------
 # Completes the Python-integration matrix (q80 row UDF, q81 pandas UDF,
 # q82 grouped map): RecordBatch-level compute with pyarrow kernels, no
@@ -1589,6 +1675,7 @@ QUERIES = {
     "q74_unpivot": q74_unpivot,
     "q75_null_handling": q75_null_handling,
     "q76_scd2_merge": q76_scd2_merge,
+    "q77_funnel_cascade": q77_funnel_cascade,
     "q83_arrow_map": q83_arrow_map,
     "q84_udtf": q84_udtf,
     "q129_variant_json": q129_variant_json,
@@ -1639,6 +1726,7 @@ ORACLE = {
     "q74_unpivot": Q74_SQL,
     "q75_null_handling": Q75_SQL,
     "q76_scd2_merge": Q76_SQL,
+    "q77_funnel_cascade": Q77_SQL,
     "q83_arrow_map": Q83_SQL,
     "q84_udtf": Q84_SQL,
     "q129_variant_json": Q129_SQL,

@@ -124,3 +124,50 @@ def test_scd2_foreachbatch_apply_equals_batch_merge(spark):
     key = lambda r: (r["k"], r["is_current"], r["bal"], r["valid_from"], r["valid_to"])
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert len(got) == 12  # 6 matched keys x 2 versions
+
+
+def test_funnel_cascade_strict_ordering(spark):
+    """q77's fold must require each stage strictly AFTER the previous
+    one — clicks before (or at) the first view don't count, and the
+    purchase must follow the counted click, not just any click."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.eblock import (
+        q77_funnel_cascade,
+    )
+    import os
+    import tempfile
+
+    t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t + datetime.timedelta(seconds=sec)
+    rows = [
+        # u1: full funnel in order
+        (1, s(0), 1, "view", 0.0, "{}"),
+        (2, s(10), 1, "click", 0.0, "{}"),
+        (3, s(20), 1, "purchase", 0.0, "{}"),
+        # u2: click BEFORE view, purchase after view -> stage 1 only
+        (4, s(0), 2, "click", 0.0, "{}"),
+        (5, s(10), 2, "view", 0.0, "{}"),
+        # u3: click at EXACTLY the view ts -> strict > fails, stage 1
+        (6, s(0), 3, "view", 0.0, "{}"),
+        (7, s(0), 3, "click", 0.0, "{}"),
+        # u4: purchase between view and click -> stage 2 (purchase
+        # must be after the click, not just after the view)
+        (8, s(0), 4, "view", 0.0, "{}"),
+        (9, s(5), 4, "purchase", 0.0, "{}"),
+        (10, s(10), 4, "click", 0.0, "{}"),
+        # u5: no view at all -> stage 0
+        (11, s(0), 5, "click", 0.0, "{}"),
+        (12, s(5), 5, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    base = tempfile.mkdtemp(prefix="funnel_")
+    df.write.parquet(os.path.join(base, "events.parquet"))
+    out = {r["user_id"]: r for r in q77_funnel_cascade(spark, base).collect()}
+    assert out[1]["stage"] == 3 and out[1]["purchase_ts"] is not None
+    assert out[2]["stage"] == 1 and out[2]["click_ts"] is None
+    assert out[3]["stage"] == 1
+    assert out[4]["stage"] == 2 and out[4]["purchase_ts"] is None
+    assert out[5]["stage"] == 0 and out[5]["view_ts"] is None

@@ -66,6 +66,7 @@ PROBE_QUERIES = [
     ("q139_dup_bigram_stats", "bigram explode + two keyed aggs (the n-gram twin of q109)"),
     ("q140_zorder_layout", "two layout writes + per-file tile bounds (scan-and-write bound)"),
     ("q76_scd2_merge", "SCD2 upsert: one dim-key join + union of two projections"),
+    ("q77_funnel_cascade", "per-user sorted-event fold (one shuffle, O(1) expression state)"),
 ]
 
 
