@@ -355,7 +355,8 @@ def main() -> None:
         "   q140_zorder_layout 1.3 (two layout writes bound the cost;",
         "   assignment is pure per-row integer expressions),",
         "   q76_scd2_merge 1.6 (one dim-key shuffle join; bucketing the",
-        "   dim at deployment leaves only the update batch shuffling).",
+        "   dim at deployment leaves only the update batch shuffling),",
+        "   q77_funnel_cascade 1.4 (one shuffle, per-user fold).",
         "",
         "9. Single bench samples are noise at this host: round 4's q120",
         "   \"regression\" (1.5 s -> 5.4 s, no code change) was the driver-",
