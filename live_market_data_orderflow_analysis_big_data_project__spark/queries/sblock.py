@@ -408,10 +408,15 @@ def s12_incremental_dedup(spark, sf):
 # update feed has exactly one row per key (a per-customer order
 # aggregate), so keys never straddle micro-batches and the drained
 # history equals the batch merge restricted to matched keys — hash-exact
-# regardless of batch order or count.  100 TB: per batch one broadcast
-# semi-join prunes the dim to the batch's keys, then q76's
-# one-join-plus-union merge; the dim is never shuffled.
-def s13_scd2_stream_apply(spark, sf):
+# regardless of batch order or count.  The sink is the checkpointed
+# batch_id=N overwrite pattern (streaming/core.py kafka wire capture):
+# a restarted query re-runs the SAME batch ids against the same dirs,
+# so replay is idempotent — effectively-once history, no dup versions
+# (tests/test_warehouse.py::test_s13_restart_is_idempotent).
+# 100 TB: per batch one broadcast semi-join prunes the dim to the
+# batch's keys, then q76's one-join-plus-union merge; the dim is never
+# shuffled.
+def s13_scd2_stream_apply(spark, sf, base: str | None = None):
     cust = load_table(spark, sf, "customer").select(
         "c_custkey",
         "c_mktsegment",
@@ -427,10 +432,12 @@ def s13_scd2_stream_apply(spark, sf):
             ),
         )
     )
-    base = tempfile.mkdtemp(prefix="s13_")
+    if base is None:
+        base = tempfile.mkdtemp(prefix="s13_")
     updpath = os.path.join(base, "updates")
     outpath = os.path.join(base, "history")
-    upd.repartition(4).write.mode("overwrite").parquet(updpath)
+    if not os.path.exists(updpath):
+        upd.repartition(4).write.parquet(updpath)
     sdf = stream_events_dir(
         spark,
         updpath,
@@ -458,11 +465,13 @@ def s13_scd2_stream_apply(spark, sf):
             "valid_from",
             "valid_to",
             "is_current",
-        ).write.mode("append").parquet(outpath)
+        ).write.mode("overwrite").parquet(
+            os.path.join(outpath, f"batch_id={batch_id}")
+        )
 
     q = foreach_batch_sink(sdf, apply_batch, os.path.join(base, "ckpt"))
     q.awaitTermination(300)
-    return spark.read.parquet(outpath)
+    return spark.read.parquet(outpath).drop("batch_id")
 
 
 S13_SQL = """

@@ -171,3 +171,27 @@ def test_funnel_cascade_strict_ordering(spark):
     assert out[3]["stage"] == 1
     assert out[4]["stage"] == 2 and out[4]["purchase_ts"] is None
     assert out[5]["stage"] == 0 and out[5]["view_ts"] is None
+
+
+def test_s13_restart_is_idempotent(spark):
+    """The s13 sink is the checkpointed batch_id=N overwrite pattern:
+    re-running the query against the same checkpoint and dirs must not
+    duplicate any history row (effectively-once, replay-safe)."""
+    import os
+    import tempfile
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.sblock import (
+        s13_scd2_stream_apply,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = tempfile.mkdtemp(prefix="s13_restart_")
+    first = s13_scd2_stream_apply(spark, sf, base=base).collect()
+    again = s13_scd2_stream_apply(spark, sf, base=base).collect()
+    assert len(first) > 0
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+    # every key has exactly one closed and one current version
+    from collections import Counter
+
+    counts = Counter((r["c_custkey"], r["is_current"]) for r in again)
+    assert set(counts.values()) == {1}

