@@ -9,15 +9,17 @@ dimension snapshot merged with an update batch keyed by the dimension
 key, emitting full version history (``valid_from`` / ``valid_to`` /
 ``is_current``).
 
-100 TB design: ONE shuffle join on the dimension key + a union of two
-projections over the SAME join output (Spark plans the join once; the
-union branches are projections, not a second join).  In deployment the
-dimension table is bucketed by the key (sources/bucketed.py), so only
-the — typically far smaller — update batch shuffles; when the batch fits
-the broadcast threshold, hint it broadcast and the dimension is never
-shuffled at all.  The physical file replace that makes this atomic is
-the lakehouse layer's job; pair with write_partitioned_parquet /
-compact_partitioned for the rewrite.
+100 TB design: ONE join on the dimension key, then the per-row version
+fan-out is an ``explode(array_compact(...))`` — a NARROW op, so the
+dimension is scanned once and joined once (a union-of-two-branches
+formulation re-scans and re-joins the dim per branch; the executed
+plan here has exactly one Join node, pinned in tests/test_warehouse).
+In deployment the dimension table is bucketed by the key
+(sources/bucketed.py), so only the — typically far smaller — update
+batch shuffles; when the batch fits the broadcast threshold, hint it
+broadcast and the dimension is never shuffled at all.  The physical
+file replace that makes this atomic is the lakehouse layer's job; pair
+with write_partitioned_parquet / compact_partitioned for the rewrite.
 """
 
 from __future__ import annotations
@@ -56,24 +58,32 @@ def scd2_merge(
     matched = F.col(eff_col).isNotNull()
     j = dim.join(updates, key, "left")
     dim_cols = [c for c in dim.columns if c != key]
+    eff_str = F.date_format(F.col(eff_col), "yyyy-MM-dd")
 
-    def version(frame: DataFrame, attrs: Mapping[str, Column], vf: Column,
-                vt: Column, cur: int) -> DataFrame:
-        return frame.select(
-            F.col(key),
+    def version(attrs: Mapping[str, Column], vf: Column, vt: Column,
+                cur: int) -> Column:
+        return F.struct(
             *[attrs.get(c, F.col(c)).alias(c) for c in dim_cols],
             vf.alias("valid_from"),
             vt.alias("valid_to"),
             F.lit(cur).alias("is_current"),
         )
 
-    eff_str = F.date_format(F.col(eff_col), "yyyy-MM-dd")
     current = version(
-        j,
         {c: F.when(matched, e).otherwise(F.col(c)) for c, e in changes.items()},
         F.when(matched, eff_str).otherwise(F.lit(lo_date)),
         F.lit(hi_date),
         1,
     )
-    closed = version(j.filter(matched), {}, F.lit(lo_date), eff_str, 0)
-    return current.unionByName(closed)
+    closed = F.when(matched, version({}, F.lit(lo_date), eff_str, 0))
+    exploded = j.select(
+        F.col(key),
+        F.explode(F.array_compact(F.array(current, closed))).alias("_v"),
+    )
+    return exploded.select(
+        key,
+        *[F.col(f"_v.{c}") for c in dim_cols],
+        "_v.valid_from",
+        "_v.valid_to",
+        "_v.is_current",
+    )

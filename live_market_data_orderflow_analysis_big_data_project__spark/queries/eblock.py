@@ -1186,7 +1186,8 @@ FROM events
 # version history — matched keys close out the old row (valid_to = eff,
 # is_current=0) and append the new current one; unmatched keys carry
 # through.  operators/warehouse.py::scd2_merge: ONE equi-join planned
-# once + union of two projections; money stays decimal end-to-end.
+# once + a narrow explode version fan-out (single dim scan); money
+# stays decimal end-to-end.
 def q76_scd2_merge(spark, sf):
     cust = _t(spark, sf, "customer").select(
         "c_custkey",

@@ -1,4 +1,4 @@
-"""S-block — streaming queries s01-s12 (SURVEY.md section 2.3).
+"""S-block — streaming queries s01-s13 (SURVEY.md section 2.3).
 
 Each entry REALLY runs Structured Streaming: a file-source replay of the
 events fixture through the micro-batch engine (offset log, watermark
@@ -414,7 +414,7 @@ def s12_incremental_dedup(spark, sf):
 # so replay is idempotent — effectively-once history, no dup versions
 # (tests/test_warehouse.py::test_s13_restart_is_idempotent).
 # 100 TB: per batch one broadcast semi-join prunes the dim to the
-# batch's keys, then q76's one-join-plus-union merge; the dim is never
+# batch's keys, then q76's one-join-plus-explode merge; the dim is never
 # shuffled.
 def s13_scd2_stream_apply(spark, sf, base: str | None = None):
     cust = load_table(spark, sf, "customer").select(

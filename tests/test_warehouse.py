@@ -64,10 +64,10 @@ def test_scd2_merge_single_join_plan(spark):
     )
     out = scd2_merge(dim, upd, "k", {"bal": F.col("delta")}, "eff")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # one join per branch of the union at most — and with AQE reuse or
-    # broadcast, no more than one Exchange of the dim side; loosely pin
-    # that the plan has no SortMergeJoin cascade (>2 joins = regression)
-    assert plan.count("Join") <= 2
+    # the version fan-out is a narrow explode over ONE join — a
+    # union-of-branches formulation would re-scan and re-join the dim
+    assert plan.count("Join") == 1
+    assert plan.count("FileScan") + plan.count("Scan ExistingRDD") <= 2
 
 
 def test_scd2_foreachbatch_apply_equals_batch_merge(spark):

@@ -65,7 +65,7 @@ PROBE_QUERIES = [
     ("q138_pack_sequences", "per-shard prefix-sum window + bounded sequence explode"),
     ("q139_dup_bigram_stats", "bigram explode + two keyed aggs (the n-gram twin of q109)"),
     ("q140_zorder_layout", "two layout writes + per-file tile bounds (scan-and-write bound)"),
-    ("q76_scd2_merge", "SCD2 upsert: one dim-key join + union of two projections"),
+    ("q76_scd2_merge", "SCD2 upsert: one dim-key join + narrow explode version fan-out"),
     ("q77_funnel_cascade", "per-user sorted-event fold (one shuffle, O(1) expression state)"),
 ]
 
