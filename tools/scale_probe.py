@@ -354,8 +354,8 @@ def main() -> None:
         "   q139_dup_bigram_stats 1.2 (bigram explode + two keyed aggs),",
         "   q140_zorder_layout 1.3 (two layout writes bound the cost;",
         "   assignment is pure per-row integer expressions),",
-        "   q76_scd2_merge 1.6 (one dim-key shuffle join; bucketing the",
-        "   dim at deployment leaves only the update batch shuffling),",
+        "   q76_scd2_merge 1.3 (single-join explode formulation; bucketing",
+        "   the dim at deployment leaves only the update batch shuffling),",
         "   q77_funnel_cascade 1.4 (one shuffle, per-user fold).",
         "",
         "9. Single bench samples are noise at this host: round 4's q120",
