@@ -55,6 +55,23 @@ __all__ = [
 ]
 
 
+def _ratio4(num_expr: str, den_col: str) -> Column:
+    """``round(num/den, 4)`` with EXACT integer half-up arithmetic:
+    ``(k*20000 + n) div (2n)`` on positive operands, where Spark's
+    ``div`` (truncate) and DuckDB's ``//`` (floor) agree — the one
+    rounding idiom shared by every rational-ratio operator
+    (repetition_stats, dup_ngram_stats, and the q123-class oracles).
+    ROUND(double, 4) instead diverges between engines exactly on half
+    boundaries (Spark HALF_UP vs DuckDB half-even), which sf0.1 hits.
+    """
+    return (
+        F.expr(
+            f"(({num_expr}) * 20000 + {den_col}) div (2 * {den_col})"
+        ).cast("double")
+        / 10000
+    )
+
+
 def _md5_key(col: Column | str) -> Column:
     """First 8 hex digits of md5 — a deterministic, engine-portable
     uniform key in [0, 16^8).  Compared lexicographically (hex digits
@@ -279,21 +296,12 @@ def repetition_stats(
         F.max("cnt").alias("max_cnt"),
     )
 
-    def _ratio4(num_expr: str) -> F.Column:
-        # round(num/n_tokens, 4) with exact integer half-up
-        return (
-            F.expr(
-                f"(({num_expr}) * 20000 + n_tokens) div (2 * n_tokens)"
-            ).cast("double")
-            / 10000
-        )
-
-    dup = _ratio4("n_tokens - n_types")
+    dup = _ratio4("n_tokens - n_types", "n_tokens")
     return agg.select(
         F.col(id_col),
         F.col("n_tokens"),
         F.col("n_types"),
-        _ratio4("max_cnt").alias("top_token_frac"),
+        _ratio4("max_cnt", "n_tokens").alias("top_token_frac"),
         dup.alias("dup_ratio"),
         (dup > dup_ratio_flag).cast("int").alias("repetitive"),
     )
@@ -340,19 +348,11 @@ def dup_ngram_stats(
         F.max("cnt").alias("_max_cnt"),
     )
 
-    def _ratio4(num_expr: str) -> F.Column:
-        return (
-            F.expr(
-                f"(({num_expr}) * 20000 + n_grams) div (2 * n_grams)"
-            ).cast("double")
-            / 10000
-        )
-
     return agg.select(
         F.col(id_col),
         F.col("n_grams"),
-        _ratio4("_dup_occ").alias("dup_gram_frac"),
-        _ratio4("_max_cnt").alias("top_gram_frac"),
+        _ratio4("_dup_occ", "n_grams").alias("dup_gram_frac"),
+        _ratio4("_max_cnt", "n_grams").alias("top_gram_frac"),
         (
             F.col("_dup_occ") * flag_den > F.col("n_grams") * flag_num
         ).cast("int").alias("flagged"),

@@ -52,12 +52,35 @@ def scd2_merge(
       version (``valid_from = eff``, changed attrs, ``is_current=1``).
       Unmatched keys emit their single current row unchanged.
 
+    Repeated maintenance: feed the PREVIOUS merge's current slice
+    (``is_current = 1`` rows, history columns kept) back in as ``dim``
+    — an existing ``valid_from`` column is carried through (the closed
+    row keeps its real effective-from date instead of ``lo_date``);
+    ``valid_to``/``is_current`` are recomputed and must not be passed
+    as tracked attributes.  ``dim`` without history columns is the
+    first-ever merge from a versionless snapshot.
+
     Dates are emitted as formatted strings (the engine's cross-engine
     hash convention).
     """
+    if set(changes) & {"valid_from", "valid_to", "is_current"}:
+        raise ValueError(
+            "valid_from/valid_to/is_current are maintained by the merge "
+            "and cannot be tracked attributes"
+        )
     matched = F.col(eff_col).isNotNull()
+    # Normalize dim for repeated maintenance: carry the prior version's
+    # valid_from; valid_to/is_current are recomputed below.
+    if "valid_from" in dim.columns:
+        dim = dim.withColumnRenamed("valid_from", "_prev_valid_from")
+    else:
+        dim = dim.withColumn("_prev_valid_from", F.lit(lo_date))
+    dim = dim.drop("valid_to", "is_current")
+    prev_from = F.col("_prev_valid_from")
     j = dim.join(updates, key, "left")
-    dim_cols = [c for c in dim.columns if c != key]
+    dim_cols = [
+        c for c in dim.columns if c not in (key, "_prev_valid_from")
+    ]
     eff_str = F.date_format(F.col(eff_col), "yyyy-MM-dd")
 
     def version(attrs: Mapping[str, Column], vf: Column, vt: Column,
@@ -71,11 +94,11 @@ def scd2_merge(
 
     current = version(
         {c: F.when(matched, e).otherwise(F.col(c)) for c, e in changes.items()},
-        F.when(matched, eff_str).otherwise(F.lit(lo_date)),
+        F.when(matched, eff_str).otherwise(prev_from),
         F.lit(hi_date),
         1,
     )
-    closed = F.when(matched, version({}, F.lit(lo_date), eff_str, 0))
+    closed = F.when(matched, version({}, prev_from, eff_str, 0))
     exploded = j.select(
         F.col(key),
         F.explode(F.array_compact(F.array(current, closed))).alias("_v"),

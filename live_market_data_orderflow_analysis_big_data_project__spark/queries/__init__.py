@@ -80,7 +80,8 @@ _PRIORITY = (
         "q92b_cosine_topk_ivf",               #    KMeans seed pin (ann_ivf
         "q124_fingerprint_overlap",           #    shared by q92b+q136);
         "q91b_near_dedup_minhash_lsh",        #    unpersist handle; probe
-    ]                                         #    instrumentation
+        "q109_repetition_stats",              #    instrumentation; _ratio4
+    ]                                         #    helper extraction
     + [
         "q138_pack_sequences",                # 6: NEW this round (no driver
         "q139_dup_bigram_stats",              #    row exists yet) — concat-
@@ -102,13 +103,12 @@ _PRIORITY = (
         "s08_stateful_custom",
         "s09_sinks",
         "s10_sources",
-        "q84_udtf",                           # Python-boundary block: q84
-                                              # (Spark-4 UDTF) keeps a slot;
-                                              # q80/q81/q82/q83 ceded theirs
-                                              # to the four NEW entries above
-                                              # (each holds an r5 hash row
-                                              # and stale-check proves the
-                                              # code unchanged since)
+                                              # Python-boundary block q80-q84
+                                              # fully ceded its refresh slots
+                                              # (new entries + q109 re-entry;
+                                              # each holds an r5 hash row and
+                                              # stale-check proves the code
+                                              # unchanged since)
         "q131_skew_salted_join",              # physical-layout refresh pair
         "q135_compact_small_files",           # (q133 ceded its slot to s13;
                                               # r5 row + stale-check hold,
@@ -118,7 +118,7 @@ _PRIORITY = (
         "q119_dedup_collapse",                # algorithmic risk in batch
     ]
 )
-_EXPECTED_WINDOW = 25 + 5 + 6 + 14
+_EXPECTED_WINDOW = 25 + 6 + 6 + 13
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

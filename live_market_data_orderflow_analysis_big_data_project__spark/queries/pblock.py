@@ -661,7 +661,11 @@ FROM s
 # Round-trip output goes to FIXED per-query paths (writers default to
 # mode=overwrite), not mkdtemp: repeated bench/gate/scale-probe runs
 # replace the previous copy instead of accumulating an unbounded pile of
-# 16x-replicated corpora under /tmp.
+# 16x-replicated corpora under /tmp.  Consequence: ONE harness at a
+# time — two concurrent PROCESSES running the same fixed-path entry
+# race each other's overwrites (FAILED_READ_FILE flakes).  The driver
+# gate, bench, and sweep all run entries serially within one process;
+# don't run two of those harnesses simultaneously on one host.
 
 
 def _roundtrip_path(name: str) -> str:

@@ -470,7 +470,13 @@ def s13_scd2_stream_apply(spark, sf, base: str | None = None):
         )
 
     q = foreach_batch_sink(sdf, apply_batch, os.path.join(base, "ckpt"))
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # still RUNNING on timeout: reading outpath now would race the
+        # in-flight batch writes, and the orphan query would contaminate
+        # every later entry — stop it and fail loudly (bench.py's
+        # warm-up learned the same lesson).
+        q.stop()
+        raise RuntimeError("s13 availableNow drain timed out after 300s")
     return spark.read.parquet(outpath).drop("batch_id")
 
 

@@ -70,6 +70,16 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     ``write_bucketed`` guarantees — and the SMJ's Sort disappears on
     both sides.  Multi-file buckets (e.g. appended data) degrade safely
     back to a re-sort, never to wrong answers.
+
+    NOTE the conf set below is session-scoped BY DESIGN, not restorable
+    around this call: the plan that needs the ordering is built LAZILY,
+    long after this function returns, so a set/restore here would be a
+    no-op for the join that matters.  The flag is safe to leave on for
+    the session's lifetime — it only influences bucketed-table scans,
+    and Spark applies the ordering only when every selected bucket holds
+    at most one file (anything else degrades to a re-sort, never a
+    wrong answer).  Callers wanting the posture up front can set it in
+    their session builder alongside session.py's ENGINE_CONFS.
     """
     spark.conf.set(
         "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"

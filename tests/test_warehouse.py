@@ -113,7 +113,9 @@ def test_scd2_foreachbatch_apply_equals_batch_merge(spark):
         apply_batch,
         os.path.join(base, "ckpt"),
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise AssertionError("availableNow drain timed out")
     assert len(batches) >= 2, "updates must span multiple micro-batches"
 
     got = spark.read.parquet(outpath).collect()
@@ -195,3 +197,42 @@ def test_s13_restart_is_idempotent(spark):
 
     counts = Counter((r["c_custkey"], r["is_current"]) for r in again)
     assert set(counts.values()) == {1}
+
+
+def test_scd2_merge_chained_rounds_preserve_valid_from(spark):
+    """Round 2 of maintenance feeds the previous merge's current slice
+    back in (history columns kept): the newly closed row must carry the
+    REAL prior effective-from date, not reset to lo_date, and the
+    reserved columns must not collide."""
+    dim = spark.createDataFrame([(1, 10.0)], "k long, bal double")
+    u1 = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 5.0)],
+        "k long, eff timestamp, delta double",
+    )
+    u2 = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 6, 1), 5.0)],
+        "k long, eff timestamp, delta double",
+    )
+    chg = {"bal": F.col("bal") + F.col("delta")}
+    r1 = scd2_merge(dim, u1, "k", chg, "eff")
+    current = r1.filter(F.col("is_current") == 1)
+    r2 = scd2_merge(current, u2, "k", chg, "eff")
+    rows = {r["is_current"]: r for r in r2.collect()}
+    closed, cur = rows[0], rows[1]
+    assert (closed["bal"], closed["valid_from"], closed["valid_to"]) == (
+        15.0, "2024-01-01", "2024-06-01",
+    )
+    assert (cur["bal"], cur["valid_from"], cur["valid_to"]) == (
+        20.0, "2024-06-01", "9999-12-31",
+    )
+
+
+def test_scd2_merge_rejects_reserved_change_cols(spark):
+    import pytest as _pytest
+
+    dim = spark.createDataFrame([(1, 1.0)], "k long, bal double")
+    upd = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1))], "k long, eff timestamp"
+    )
+    with _pytest.raises(ValueError):
+        scd2_merge(dim, upd, "k", {"is_current": F.lit(5)}, "eff")

@@ -29,6 +29,7 @@ measurable: max/last stateOperators numRowsTotal across batches (bounded
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import tempfile
@@ -52,7 +53,13 @@ def stress(sf_dir: str, mult: int, n_chunks: int) -> None:
         load_table,
     )
 
-    spark = get_spark("stream-stress")
+    spark = get_spark(
+        "stream-stress",
+        # default retention is 100 progress updates: a long stress run
+        # would silently compute state/latency stats over the TAIL only
+        # (hiding early-batch state spikes) — retain everything.
+        extra_conf={"spark.sql.streaming.numRecentProgressUpdates": "10000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     events = load_table(spark, sf_dir, "events")
@@ -108,7 +115,9 @@ def stress(sf_dir: str, mult: int, n_chunks: int) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(1800)
+    if not q.awaitTermination(1800):
+        q.stop()
+        raise RuntimeError("availableNow drain timed out after 1800s")
     wall = time.time() - t0
 
     progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
@@ -117,11 +126,12 @@ def stress(sf_dir: str, mult: int, n_chunks: int) -> None:
     )
 
     def pct(p: float) -> float:
-        return (
-            batch_ms[min(len(batch_ms) - 1, int(p * len(batch_ms)))]
-            if batch_ms
-            else -1
-        )
+        # nearest-rank percentile: ceil(p*n)-1 (int(p*n) overshoots to
+        # the max for small n, overstating p95)
+        if not batch_ms:
+            return -1
+        return batch_ms[max(0, min(len(batch_ms) - 1,
+                                   math.ceil(p * len(batch_ms)) - 1))]
 
     state_rows = [
         s["numRowsTotal"]
@@ -184,7 +194,10 @@ def main() -> None:
         load_table,
     )
 
-    spark = get_spark("stream-bench")
+    spark = get_spark(
+        "stream-bench",
+        extra_conf={"spark.sql.streaming.numRecentProgressUpdates": "10000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     events = load_table(spark, sf_dir, "events")
@@ -220,7 +233,9 @@ def main() -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("availableNow drain timed out after 600s")
     wall = time.time() - t0
 
     progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
@@ -229,7 +244,12 @@ def main() -> None:
     )
 
     def pct(p: float) -> float:
-        return batch_ms[min(len(batch_ms) - 1, int(p * len(batch_ms)))] if batch_ms else -1
+        # nearest-rank percentile: ceil(p*n)-1 (int(p*n) overshoots to
+        # the max for small n, overstating p95)
+        if not batch_ms:
+            return -1
+        return batch_ms[max(0, min(len(batch_ms) - 1,
+                                   math.ceil(p * len(batch_ms)) - 1))]
 
     # --- Kafka wire-shape path (reference data_processor.py:177-183) -----
     # Same replay through candles -> serialize_json -> kafka_sink_capture:
@@ -261,7 +281,9 @@ def main() -> None:
     q2 = kafka_sink_capture(
         candles2, wire_out, wire_ck, key_col="instrument"
     )
-    q2.awaitTermination(600)
+    if not q2.awaitTermination(600):
+        q2.stop()
+        raise RuntimeError("availableNow drain timed out after 600s")
     kafka_wall = time.time() - t1
 
     print(

@@ -71,17 +71,29 @@ def last_pass_commits() -> dict[str, tuple[int, str]]:
             continue
         rnd = int(m.group(1))
         rel = os.path.basename(path)
-        # NEWEST commit that touched the artifact — not the one that ADDED
-        # it: a correctness artifact regenerated in place in a later commit
-        # (as BENCH_full.json was in r6) carries a re-verification on that
-        # later tree, and diffing against the original add-commit would
-        # silently anchor the gate to the wrong code state.
+        # A driver artifact must have EXACTLY ONE touching commit (the
+        # driver writes it once per round).  A second commit would make
+        # the anchor ambiguous: anchoring to the newest would silently
+        # exempt every code change up to that commit (a lint/reformat
+        # touching the JSON vacates the gate exactly when it should
+        # fire), anchoring to the oldest mis-anchors a genuine
+        # regeneration.  Neither guess is safe — fail loudly and make a
+        # human adjudicate (split the hygiene commit, or re-run the
+        # driver gate).
         commit = subprocess.run(
             ["git", "log", "--format=%H", "--", rel],
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.split()
         if not commit:
             continue  # artifact not committed yet (current round, pre-commit)
+        if len(commit) > 1:
+            raise SystemExit(
+                f"STALE-CHECK INVARIANT BROKEN: {rel} was touched by "
+                f"{len(commit)} commits; driver artifacts must be "
+                "write-once.  Re-run the driver gate for this round or "
+                "revert the non-driver edit — the staleness anchor is "
+                "ambiguous until then."
+            )
         data = json.load(open(path))
         for key, rec in data.items():
             if _is_driver_row(rec):
