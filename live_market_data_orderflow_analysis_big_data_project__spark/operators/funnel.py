@@ -1,0 +1,108 @@
+"""Sequential-pattern funnel (MATCH_RECOGNIZE class) over event logs.
+
+Stage semantics: a user reaches stage i+1 at the EARLIEST event of that
+stage's type strictly AFTER their stage-i timestamp (cascaded mins).
+Two physically different formulations compute the identical result —
+``bounded=`` selects between them (documented in docs/TUNING.md):
+
+- ``bounded=True`` — ONE shuffle: per-user events collected sorted,
+  then a pure-expression ``aggregate`` fold cascades the stage
+  timestamps.  O(1) fold state, no joins, no Python — but executor
+  memory per user is that user's full event list, so it assumes
+  bounded-entity histories (the usual funnel case).
+- ``bounded=False`` — the cascade-join twin: one keyed min-aggregate
+  per stage, each joined back into the next stage's scan.  More
+  shuffles (one per stage) but O(1) memory per user — the scale-safe
+  path for unbounded histories (bots, firehose entities).  The
+  per-stage survivor frames shrink monotonically, so the stage joins
+  are broadcastable as the funnel narrows.
+
+Equivalence: with events sorted ascending, "first qualifying event in
+order" IS "min ts among qualifying events", and the strict ``>`` makes
+both sides tie-insensitive — property-pinned in tests/test_funnel.py
+and hash-gated by q77 (fold) and q77b (cascade) against the SAME
+cascaded-min oracle SQL.
+
+(Reference parity: the class of ordered-sequence analytics its
+consumer scripts approximate with per-batch pandas passes; neither
+formulation exists there — SURVEY.md §2.4.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_stages"]
+
+
+def _fold_expr(stages: Sequence[str], ts_col: str, type_col: str) -> str:
+    """n-stage cascade as one ``aggregate`` fold over sorted events."""
+    n = len(stages)
+    init = ", ".join(f"CAST(NULL AS TIMESTAMP) AS t{i}" for i in
+                     range(1, n + 1))
+    fields = []
+    for i, s in enumerate(stages, start=1):
+        lit = s.replace("'", "''")
+        if i == 1:
+            cond = f"acc.t1 IS NULL AND e.{type_col} = '{lit}'"
+        else:
+            cond = (
+                f"acc.t{i - 1} IS NOT NULL AND acc.t{i} IS NULL "
+                f"AND e.{type_col} = '{lit}' AND e.{ts_col} > acc.t{i - 1}"
+            )
+        fields.append(f"CASE WHEN {cond} THEN e.{ts_col} "
+                      f"ELSE acc.t{i} END AS t{i}")
+    return (
+        f"aggregate(evs, struct({init}), "
+        f"(acc, e) -> struct({', '.join(fields)}))"
+    )
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    bounded: bool = True,
+) -> DataFrame:
+    """Per-user funnel timestamps: one row per user having ANY stage
+    event, columns ``t1 .. tn`` (NULL from the first unreached stage
+    on).  ``bounded`` picks the fold vs cascade-join formulation — same
+    result, different scale envelope (module docstring)."""
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    base = events.filter(F.col(type_col).isin(list(stages)))
+    if bounded:
+        per_user = base.groupBy(user_col).agg(
+            F.sort_array(
+                F.collect_list(F.struct(ts_col, type_col))
+            ).alias("evs")
+        )
+        st = per_user.withColumn(
+            "st", F.expr(_fold_expr(stages, ts_col, type_col))
+        )
+        return st.select(
+            user_col,
+            *[F.col(f"st.t{i}").alias(f"t{i}")
+              for i in range(1, len(stages) + 1)],
+        )
+    users = base.select(user_col).distinct()
+    prev: DataFrame | None = None
+    stage_frames: list[DataFrame] = []
+    for i, s in enumerate(stages, start=1):
+        ev = base.filter(F.col(type_col) == s)
+        if prev is not None:
+            ev = ev.join(prev, user_col).filter(
+                F.col(ts_col) > F.col(f"t{i - 1}")
+            )
+        cur = ev.groupBy(user_col).agg(F.min(ts_col).alias(f"t{i}"))
+        stage_frames.append(cur)
+        prev = cur
+    out = users
+    for cur in stage_frames:
+        out = out.join(cur, user_col, "left")
+    return out

@@ -40,6 +40,7 @@ def scd2_merge(
     eff_col: str,
     lo_date: str = "1992-01-01",
     hi_date: str = "9999-12-31",
+    close_missing: str | None = None,
 ) -> DataFrame:
     """SCD2 merge: version-history output of dim ⟕ updates.
 
@@ -51,6 +52,14 @@ def scd2_merge(
       (``valid_to = eff``, ``is_current = 0``) and the new current
       version (``valid_from = eff``, changed attrs, ``is_current=1``).
       Unmatched keys emit their single current row unchanged.
+    - ``close_missing``: the ``WHEN NOT MATCHED BY SOURCE`` third of
+      MERGE INTO.  When ``updates`` is a FULL snapshot (every key still
+      alive appears in it), pass the snapshot's as-of date here and
+      dim keys ABSENT from the batch are closed out instead of carried:
+      they emit a single ``valid_to = close_missing, is_current = 0``
+      row and no new current version — the delete/churn path.  ``None``
+      (the default) is incremental-batch semantics: absence means "no
+      change", the row carries through current.
 
     Repeated maintenance: feed the PREVIOUS merge's current slice
     (``is_current = 1`` rows, history columns kept) back in as ``dim``
@@ -59,6 +68,13 @@ def scd2_merge(
     ``valid_to``/``is_current`` are recomputed and must not be passed
     as tracked attributes.  ``dim`` without history columns is the
     first-ever merge from a versionless snapshot.
+
+    The delete path adds NO join and NO extra scan: it only changes
+    which of the two per-row version structs are non-null before the
+    narrow ``explode(array_compact(...))`` fan-out, so the one-join
+    plan shape (pinned in tests/test_warehouse.py) is identical for
+    all three MERGE branches.  Reference-parity anchor: the candle
+    upsert shape, candle_to_hdfs.py:56-63.
 
     Dates are emitted as formatted strings (the engine's cross-engine
     hash convention).
@@ -99,6 +115,13 @@ def scd2_merge(
         1,
     )
     closed = F.when(matched, version({}, prev_from, eff_str, 0))
+    if close_missing is not None:
+        # full-snapshot semantics: unmatched keys are deletes — close
+        # them (single is_current=0 row), emit no current version.
+        current = F.when(matched, current)
+        closed = F.when(matched, version({}, prev_from, eff_str, 0)).otherwise(
+            version({}, prev_from, F.lit(close_missing), 0)
+        )
     exploded = j.select(
         F.col(key),
         F.explode(F.array_compact(F.array(current, closed))).alias("_v"),

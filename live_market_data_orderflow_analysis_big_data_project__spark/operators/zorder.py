@@ -40,12 +40,14 @@ written files.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "z_interleave",
     "zorder_file_assign",
+    "rank_tile_map",
+    "rank_zorder_file_assign",
     "linear_file_assign",
     "write_layout",
 ]
@@ -93,7 +95,12 @@ def zorder_file_assign(
         f"(CAST({col_b} AS BIGINT) - _mn_b) * {1 << bits} div "
         f"(_mx_b - _mn_b + 1)"
     ).alias("tile_b")
-    out = j.select(*df.columns, ta, tb)
+    return _finish_z(j.select(*df.columns, ta, tb), bits, n_files)
+
+
+def _finish_z(out: DataFrame, bits: int, n_files: int) -> DataFrame:
+    """tile_a/tile_b -> zval -> equal-width file_id (shared tail of the
+    value- and rank-tile assigners)."""
     out = out.withColumn(
         "zval", z_interleave(F.col("tile_a"), F.col("tile_b"), bits)
     )
@@ -101,6 +108,65 @@ def zorder_file_assign(
         "file_id",
         F.expr(f"zval * {n_files} div {1 << (2 * bits)}").cast("int"),
     )
+
+
+def rank_tile_map(df: DataFrame, col: str, bits: int = 8) -> DataFrame:
+    """Exact equal-FREQUENCY tile map ``(col, tile_<col>)`` over the
+    column's distinct-value domain: ``tile = rows_before * 2^bits div
+    total`` (rows_before = exact count of rows with a smaller value).
+
+    Value-width tiles (``zorder_file_assign``) lose resolution on
+    skewed columns — the dense region collapses into one tile, so a
+    box predicate there can't prune.  Rank tiles equalize ROWS per
+    tile, restoring pruning granularity exactly where the data is.
+
+    Scale envelope: the map is domain-sized, not corpus-sized — one
+    groupBy(col) shuffle, then ONE single-partition window over the
+    DISTINCT values to accumulate counts.  Fine for domains up to
+    ~1e8 distinct values; an unbounded-domain column would use
+    ``approx_percentile`` edges instead (same broadcast-map shape,
+    approximate cut points — not hash-gateable cross-engine, which is
+    why the gated operator is the exact map).  The map then broadcast-
+    joins into the corpus scan: the corpus itself never shuffles for
+    tiling."""
+    counts = df.groupBy(col).agg(F.count("*").alias("_n"))
+    w_prev = (
+        Window.orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.orderBy(col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return counts.select(
+        F.col(col),
+        F.coalesce(F.sum("_n").over(w_prev), F.lit(0)).alias("_cum"),
+        F.sum("_n").over(w_all).alias("_tot"),
+    ).select(
+        col,
+        F.expr(f"_cum * {1 << bits} div _tot").alias(f"tile_{col}"),
+    )
+
+
+def rank_zorder_file_assign(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = 8,
+    n_files: int = 64,
+) -> DataFrame:
+    """Rank-tile (equal-frequency) z-order: like ``zorder_file_assign``
+    but each dimension's tile is its exact data rank, so every tile
+    holds ~the same row count regardless of skew.  The two tile maps
+    are domain-sized scalars broadcast into the scan — the corpus pays
+    the same single co-location shuffle as the value-tile path."""
+    map_a = rank_tile_map(df, col_a, bits).withColumnRenamed(
+        f"tile_{col_a}", "tile_a"
+    )
+    map_b = rank_tile_map(df, col_b, bits).withColumnRenamed(
+        f"tile_{col_b}", "tile_b"
+    )
+    j = df.join(F.broadcast(map_a), col_a).join(F.broadcast(map_b), col_b)
+    return _finish_z(j.select(*df.columns, "tile_a", "tile_b"), bits, n_files)
 
 
 def linear_file_assign(

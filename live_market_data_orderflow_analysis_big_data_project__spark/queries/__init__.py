@@ -16,109 +16,103 @@ from . import rblock, eblock, lblock, pblock, sblock
 _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 
 # The driver's correctness gate checks the FIRST 50 ``queries()`` entries
-# only (observed in rounds 1-6).  Round 6 closed its window 47/47 hash +
-# 3 rows-only-by-design; the cross-round union covers all 122 entries
-# with zero standing failures.  Round 7 rotates per VERDICT r6 ("Next
-# round" items 1 and 8): no gate should hold evidence older than two
+# only (observed in rounds 1-7).  Round 7 closed its window 48/48 (2
+# rows-only by declared design); the cross-round union covers all 128
+# entries with zero standing failures.  Round 8 rotates per VERDICT r7
+# ("Next round" item 1): no gate should hold evidence older than two
 # rounds, and any entry whose code changes this round must re-enter.
 # In order:
-#   1. the 25 entries whose latest driver pass is r4 — the full R-block
-#      (q01-q16: the reference parse->classify->candle parity gates,
-#      SURVEY §2.1 O3-O21 map through these) and the early E-block joins
-#      / grouping sets (q20-q26, q30-q32, q72).  Code is
-#      stale-check-verified unchanged, but four driver rounds is long
-#      enough for env/fixture drift to rot a gate silently (the r6
-#      q123-at-sf0.1 lesson);
-#   2. entries whose IMPLEMENTING CODE changes THIS round: q132
-#      (one-file-per-bucket write kills the SMJ re-sort, VERDICT item 2),
-#      q136 + q92b (KMeans seed pin + floor provenance, item 5), q124
-#      (unpersist handle for the persisted selection, ADVICE), q91b
-#      (term-decomposition instrumentation, item 3);
-#   3. refresh slots for the oldest r5 rows: the full streaming block
-#      s01-s10 (environment-sensitive; this round also stresses the
-#      streaming path at 10x volume), the Python-boundary block
-#      q80-q84, the physical-layout trio q131/q133/q135, and the Pregel
-#      dedup pair q111/q119 (the highest-algorithmic-risk batch ops).
-# Everything left out holds an r5 or r6 driver hash-pass row with
+#   1. ALL 34 entries whose latest driver pass is r5 — the oldest
+#      evidence in the repo (computed from the CORRECTNESS_r*.json
+#      union, which names 34, a superset of the 28 the r7 comment
+#      predicted: q80-q84 and q133 also aged out when r7's window was
+#      re-cut around the new entries).  Covers the aggregate/window/
+#      set-op/function blocks (q33-q75), the Python-boundary block
+#      (q80-q84), hybrid RRF (q134), partition pruning (q133), and the
+#      stream-static join (s05);
+#   2. entries whose IMPLEMENTING CODE changes THIS round: the SCD2
+#      pair q76/s13 (delete-path extension of scd2_merge + the fixed
+#      roundtrip base dir, VERDICT item 3 + ADVICE), q77 (bounded=
+#      flag extracts the fold into a library operator with a cascade-
+#      join twin, item 8), q124 (fingerprint-cache handle dedupe,
+#      ADVICE), q132 (read_bucketed conf logging, ADVICE), q140
+#      (zorder rank-tile support, item 6), q111 (CC loop change-count
+#      fused into the checkpointed frame, item 2), q121 (SemDeDup
+#      decomposition, item 4);
+#   3. NEW entries this round (no driver row yet): q76b snapshot-sync
+#      SCD2 merge with the delete path, q77b cascade-join funnel (the
+#      unbounded-history twin), q140b rank-tile z-order on a skewed
+#      column;
+#   4. refresh slots for the oldest r6 rows, picking the highest-risk
+#      classes: the Python streaming source pair s11/s12
+#      (env-sensitive), incremental dedup q137 (algorithmic), the
+#      cross-sf lesson entry q123, and embedding near-dup q103.
+# Everything left out holds an r6 or r7 driver hash-pass row with
 # unchanged code — VERIFIED MECHANICALLY: tools/stale_check.py AST-diffs
 # every out-of-window entry's transitive closure against the commit of
 # its last driver row and fails if any changed (run by
 # tests/test_stale_check.py, so `pytest` enforces the invariant).
-# Left holding r5 rows after this rotation (next rotation's candidates):
-# q33-q35, q40-q48, q50-q53, q60-q64, q70/q71/q73/q74/q75, q134.
 _PRIORITY = (
     [
-        "q01_scan_project",                   # 25: latest pass r4 — oldest
-        "q02_filter_predicates",              #     evidence in the repo.
-        "q03_case_classification",            #     R-block = reference
-        "q04_arithmetic_projection",          #     operator parity gates
-        "q05_casts",                          #     (O3-O14, O18-O21, O29,
-        "q06_tumbling_ohlc",                  #     O30, O32 all map here)
-        "q07_first_last_deterministic",
-        "q08_group_sums",
-        "q09_explode_map",
-        "q10_array_transform",
-        "q11_array_minmax",
-        "q14_date_partition_agg",
-        "q15_sort_limit_topk",
-        "q16_global_stats",
-        "q20_join_inner",                     # early E-block: joins,
-        "q21_join_broadcast",                 # grouping sets, CTE
-        "q22_join_outer",
-        "q23_join_semi_anti",
-        "q24_join_range_theta",
-        "q25_join_asof",
-        "q26_multiway_join",
-        "q30_rollup",
-        "q31_cube",
-        "q32_grouping_sets",
-        "q72_cte",
+        "q33_distinct",                       # 34: latest pass r5 — oldest
+        "q34_approx_distinct",                #     evidence in the repo
+        "q35_having",
+        "q40_rank_window",                    # window-function block
+        "q41_lag_lead",
+        "q42_moving_agg",
+        "q43_ntile_dist",
+        "q44_range_frame",
+        "q45_topk_per_group",
+        "q46_sliding_window_batch",
+        "q47_session_window_batch",
+        "q48_candle_rollup",
+        "q50_union_all",                      # set-op block
+        "q51_union_distinct",
+        "q52_intersect",
+        "q53_except",
+        "q60_string_funcs",                   # function-library block
+        "q61_date_funcs",
+        "q62_math_funcs",
+        "q63_array_funcs",
+        "q64_json_funcs",
+        "q70_subquery_in",                    # subquery/pivot block
+        "q71_scalar_subquery",
+        "q73_pivot",
+        "q74_unpivot",
+        "q75_null_handling",
+        "q80_python_udf",                     # Python-boundary block
+        "q81_pandas_udf",
+        "q82_grouped_map",
+        "q83_arrow_map",
+        "q84_udtf",
+        "q133_partition_prune",               # layout + retrieval + stream
+        "q134_hybrid_rrf",
+        "s05_stream_static_join",
     ]
     + [
-        "q132_bucketed_join",                 # 5: code changes this round —
-        "q136_ann_recall_gate",               #    one-file-per-bucket write;
-        "q92b_cosine_topk_ivf",               #    KMeans seed pin (ann_ivf
-        "q124_fingerprint_overlap",           #    shared by q92b+q136);
-        "q91b_near_dedup_minhash_lsh",        #    unpersist handle; probe
-        "q109_repetition_stats",              #    instrumentation; _ratio4
-    ]                                         #    helper extraction
-    + [
-        "q138_pack_sequences",                # 6: NEW this round (no driver
-        "q139_dup_bigram_stats",              #    row exists yet) — concat-
-        "q140_zorder_layout",                 #    and-chunk packing, dup-
-        "q76_scd2_merge",                     #    bigram filter, z-order,
-        "s13_scd2_stream_apply",              #    SCD2 merge + its streaming
-        "q77_funnel_cascade",                 #    twin, sequential funnel
+        "q76_scd2_merge",                     # 8: code changes this round —
+        "s13_scd2_stream_apply",              #    scd2_merge delete path +
+        "q77_funnel_cascade",                 #    fixed s13 base dir;
+        "q124_fingerprint_overlap",           #    funnel bounded= flag;
+        "q132_bucketed_join",                 #    cache-handle dedupe;
+        "q140_zorder_layout",                 #    conf logging; rank tiles;
+        "q111_dedup_clusters",                #    fused CC change count;
+        "q121_semdedup",                      #    SemDeDup decomposition
     ]
     + [
-        "s01_tumbling_candles",               # 20: oldest r5 rows — the
-        "s02_sliding_window",                 #     full streaming block
-        "s03_session_window",                 #     (env-sensitive; 10x
-        "s04_late_data_drop",                 #     stress this round),
-        "s06_stream_stream_join",             # (s05 stream-static join ceded
-                                              # its slot to q77 — the class
-                                              # is exercised in-window by s12
-                                              # and s13; r5 row + stale-check)
-        "s07_stream_dedup",
-        "s08_stateful_custom",
-        "s09_sinks",
-        "s10_sources",
-                                              # Python-boundary block q80-q84
-                                              # fully ceded its refresh slots
-                                              # (new entries + q109 re-entry;
-                                              # each holds an r5 hash row and
-                                              # stale-check proves the code
-                                              # unchanged since)
-        "q131_skew_salted_join",              # physical-layout refresh pair
-        "q135_compact_small_files",           # (q133 ceded its slot to s13;
-                                              # r5 row + stale-check hold,
-                                              # pruning also test-pinned in
-                                              # tests/test_sinks.py)
-        "q111_dedup_clusters",                # Pregel CC pair — highest
-        "q119_dedup_collapse",                # algorithmic risk in batch
+        "q76b_scd2_snapshot_sync",            # 3: NEW this round — SCD2
+        "q77b_funnel_cascade_joins",          #    delete path, cascade-join
+        "q140b_zorder_rank_tiles",            #    funnel, rank-tile z-order
+    ]
+    + [
+        "s11_python_stream_source",           # 5: oldest r6 rows, highest
+        "s12_incremental_dedup",              #    risk first (env-sensitive
+        "q137_incremental_dedup",             #    streaming, algorithmic
+        "q123_quality_classifier",            #    dedup, the cross-sf lesson
+        "q103_embedding_near_dup",            #    entry, embedding near-dup)
     ]
 )
-_EXPECTED_WINDOW = 25 + 6 + 6 + 13
+_EXPECTED_WINDOW = 34 + 8 + 3 + 5
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

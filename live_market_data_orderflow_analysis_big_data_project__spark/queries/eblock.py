@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..functions import dsum, fmt_date, fmt_minute, fmt_ts, round4
 from ..operators.asof import asof_join
 from ..operators.candles import rollup_ohlc
+from ..operators.funnel import funnel_stages
 from ..operators.warehouse import scd2_merge
 from ..sources.bucketed import read_bucketed, write_bucketed
 from ..sources.tables import load_table, register_views
@@ -1246,6 +1247,74 @@ FROM j WHERE eff IS NOT NULL
 """
 
 
+# --- q76b: SCD2 full-snapshot sync — the MERGE delete path ------------------
+# Completes MERGE INTO's third branch (WHEN NOT MATCHED BY SOURCE): the
+# update batch is a FULL snapshot of still-active customers (those with
+# a 1997+ order), so dim keys absent from it are churned — closed out
+# at the snapshot's as-of date with no new current version.  Same
+# one-join-plus-narrow-explode core as q76 (scd2_merge close_missing=);
+# the three MERGE branches differ only in which per-row version structs
+# are non-null before the explode, so the plan shape is unchanged.
+def q76b_scd2_snapshot_sync(spark, sf):
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(28,6)").alias("acctbal"),
+    )
+    upd = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1997-01-01"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("eff_date"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias(
+                "spend"
+            ),
+        )
+    )
+    out = scd2_merge(
+        cust,
+        upd,
+        "c_custkey",
+        {"acctbal": F.col("acctbal") + F.col("spend")},
+        "eff_date",
+        close_missing="1998-12-31",
+    )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("acctbal").cast("double").alias("acctbal"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+Q76B_SQL = """
+WITH upd AS (
+  SELECT o_custkey AS c_custkey, max(o_orderdate) AS eff,
+         SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS spend
+  FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1
+), j AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         CAST(c.c_acctbal AS DECIMAL(28,6)) AS acctbal, u.eff, u.spend
+  FROM customer c LEFT JOIN upd u USING (c_custkey)
+)
+SELECT c_custkey, c_mktsegment,
+       CAST(acctbal + spend AS DOUBLE) AS acctbal,
+       strftime(eff, '%Y-%m-%d') AS valid_from,
+       '9999-12-31' AS valid_to, 1 AS is_current
+FROM j WHERE eff IS NOT NULL
+UNION ALL
+SELECT c_custkey, c_mktsegment, CAST(acctbal AS DOUBLE) AS acctbal,
+       '1992-01-01' AS valid_from,
+       CASE WHEN eff IS NOT NULL THEN strftime(eff, '%Y-%m-%d')
+            ELSE '1998-12-31' END AS valid_to,
+       0 AS is_current
+FROM j
+"""
+
+
 # --- q77: sequential-pattern funnel (MATCH_RECOGNIZE class) -----------------
 # Behavioral funnel view -> click -> purchase per user: the ordered-
 # sequence capability (each stage's event must be strictly AFTER the
@@ -1258,49 +1327,40 @@ FROM j WHERE eff IS NOT NULL
 # cascaded-min formulation exactly.
 #
 # 100 TB: memory per user is that user's event list — fine for
-# bounded-entity histories (the funnel assumption); for unbounded
-# users use the cascade-join twin the oracle runs (3 keyed min-aggs,
-# each joined back: more shuffles, O(1) memory).
-def q77_funnel_cascade(spark, sf):
-    e = _t(spark, sf, "events").filter(
-        F.col("event_type").isin("view", "click", "purchase")
-    )
-    per_user = e.groupBy("user_id").agg(
-        F.sort_array(
-            F.collect_list(F.struct("ts", "event_type"))
-        ).alias("evs")
-    )
-    cascade = per_user.withColumn(
-        "st",
-        F.expr(
-            """
-            aggregate(
-              evs,
-              struct(CAST(NULL AS TIMESTAMP) AS t1,
-                     CAST(NULL AS TIMESTAMP) AS t2,
-                     CAST(NULL AS TIMESTAMP) AS t3),
-              (acc, e) -> struct(
-                CASE WHEN acc.t1 IS NULL AND e.event_type = 'view'
-                     THEN e.ts ELSE acc.t1 END AS t1,
-                CASE WHEN acc.t1 IS NOT NULL AND acc.t2 IS NULL
-                          AND e.event_type = 'click' AND e.ts > acc.t1
-                     THEN e.ts ELSE acc.t2 END AS t2,
-                CASE WHEN acc.t2 IS NOT NULL AND acc.t3 IS NULL
-                          AND e.event_type = 'purchase' AND e.ts > acc.t2
-                     THEN e.ts ELSE acc.t3 END AS t3))
-            """
-        ),
-    )
-    return cascade.select(
+# bounded-entity histories (the funnel assumption); q77b runs the SAME
+# operator with bounded=False — the cascade-join twin (3 keyed
+# min-aggs, each joined back: more shuffles, O(1) memory) — against
+# the SAME oracle, so the scale-safe path is engine code, not just
+# oracle SQL (docs/TUNING.md documents the flag).
+def _q77_format(res):
+    return res.select(
         "user_id",
         (
-            F.col("st.t1").isNotNull().cast("int")
-            + F.col("st.t2").isNotNull().cast("int")
-            + F.col("st.t3").isNotNull().cast("int")
+            F.col("t1").isNotNull().cast("int")
+            + F.col("t2").isNotNull().cast("int")
+            + F.col("t3").isNotNull().cast("int")
         ).alias("stage"),
-        F.date_format("st.t1", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
-        F.date_format("st.t2", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
-        F.date_format("st.t3", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("t1", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("t2", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("t3", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+def q77_funnel_cascade(spark, sf):
+    e = _t(spark, sf, "events")
+    return _q77_format(
+        funnel_stages(e, ("view", "click", "purchase"), bounded=True)
+    )
+
+
+# --- q77b: the unbounded-history funnel twin (cascade joins) ----------------
+# Identical semantics and oracle as q77; the physical plan is the
+# per-stage min-agg + join chain — the formulation that holds when a
+# single user's history exceeds executor memory.
+def q77b_funnel_cascade_joins(spark, sf):
+    e = _t(spark, sf, "events")
+    return _q77_format(
+        funnel_stages(e, ("view", "click", "purchase"), bounded=False)
     )
 
 
@@ -1676,7 +1736,9 @@ QUERIES = {
     "q74_unpivot": q74_unpivot,
     "q75_null_handling": q75_null_handling,
     "q76_scd2_merge": q76_scd2_merge,
+    "q76b_scd2_snapshot_sync": q76b_scd2_snapshot_sync,
     "q77_funnel_cascade": q77_funnel_cascade,
+    "q77b_funnel_cascade_joins": q77b_funnel_cascade_joins,
     "q83_arrow_map": q83_arrow_map,
     "q84_udtf": q84_udtf,
     "q129_variant_json": q129_variant_json,
@@ -1727,7 +1789,9 @@ ORACLE = {
     "q74_unpivot": Q74_SQL,
     "q75_null_handling": Q75_SQL,
     "q76_scd2_merge": Q76_SQL,
+    "q76b_scd2_snapshot_sync": Q76B_SQL,
     "q77_funnel_cascade": Q77_SQL,
+    "q77b_funnel_cascade_joins": Q77_SQL,
     "q83_arrow_map": Q83_SQL,
     "q84_udtf": Q84_SQL,
     "q129_variant_json": Q129_SQL,

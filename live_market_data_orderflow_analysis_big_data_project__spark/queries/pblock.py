@@ -66,6 +66,7 @@ from ..sources.formats import (
 )
 from ..operators.zorder import (
     linear_file_assign,
+    rank_zorder_file_assign,
     write_layout,
     zorder_file_assign,
 )
@@ -1192,6 +1193,177 @@ FROM pf GROUP BY layout
 """
 
 
+# --- q140b: rank-tile z-order on a SKEWED column ----------------------------
+# q140's value tiles are equal-WIDTH: on events.value — heavy-tailed
+# (median ~35, p99 ~224, max ~490) — the dense region collapses into a
+# handful of tiles, so most rows land in a FEW FAT FILES.  Rank tiles
+# (operators/zorder.py::rank_zorder_file_assign) are equal-FREQUENCY:
+# the exact per-distinct-value rank map (domain-sized, broadcast into
+# the scan) spreads the dense region across the full tile range and
+# balances rows per file.  Both layouts are written one-file-per-dir
+# and measured against the SAME raw-value box predicate over the SAME
+# per-file raw min/max a parquet reader's footer pruning sees.  The
+# honest payoff metric under skew is ROWS SCANNED (rows in touched
+# files — IO volume), not files_touched: the value layout's dense
+# region is few fat files, so it can win the file COUNT while scanning
+# ~1.5x the rows (measured sf0.01: 3578 vs 2504; sf0.1: 19007 vs
+# 12545) — tests/test_zorder.py pins rank < value on rows_scanned.
+# The b box is a FRACTION of the user range ([20%, 40%)) because
+# user_id's domain scales with sf; both engines derive it from the
+# same max(b) aggregate.  The map is exact (not approx_percentile) so
+# DuckDB recomputes the full layout and the gate is a hash pass, not
+# rows-only.
+_Z140B = dict(bits=8, n_files=32)
+_Z140B_BOX_A = (1000, 4000)  # raw cents box over the dense region
+_Z140B_COLS = (
+    "event_id",
+    "v_cents",
+    "user_id",
+    "tile_a",
+    "tile_b",
+    "file_id",
+)
+
+
+def q140b_zorder_rank_tiles(spark, sf):
+    ev = load_table(spark, sf, "events").select(
+        "event_id",
+        # floor() BEFORE the bigint cast on BOTH engines: Spark's
+        # double->bigint CAST truncates where DuckDB's rounds.
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v_cents"),
+        "user_id",
+    )
+    vpath = _roundtrip_path("q140b_value")
+    rpath = _roundtrip_path("q140b_rank")
+    write_layout(
+        zorder_file_assign(ev, "v_cents", "user_id", **_Z140B).select(
+            *_Z140B_COLS
+        ),
+        vpath,
+    )
+    write_layout(
+        rank_zorder_file_assign(ev, "v_cents", "user_id", **_Z140B).select(
+            *_Z140B_COLS
+        ),
+        rpath,
+    )
+    back = (
+        spark.read.parquet(vpath)
+        .withColumn("layout", F.lit("value"))
+        .unionByName(
+            spark.read.parquet(rpath).withColumn("layout", F.lit("rank"))
+        )
+    )
+    bs = ev.agg(F.max("user_id").alias("_mxb"))
+    bb = (
+        back.crossJoin(F.broadcast(bs))
+        .withColumn("blo", F.expr("(_mxb + 1) * 2 div 10"))
+        .withColumn("bhi", F.expr("(_mxb + 1) * 4 div 10 - 1"))
+    )
+    alo, ahi = _Z140B_BOX_A
+    in_box = (
+        F.col("v_cents").between(alo, ahi)
+        & (F.col("user_id") >= F.col("blo"))
+        & (F.col("user_id") <= F.col("bhi"))
+    )
+    per_file = bb.groupBy("layout", "file_id").agg(
+        F.min("v_cents").alias("mn_a"),
+        F.max("v_cents").alias("mx_a"),
+        F.min("user_id").alias("mn_b"),
+        F.max("user_id").alias("mx_b"),
+        F.count("*").alias("n_rows"),
+        F.sum(in_box.cast("long")).alias("rows_in_box"),
+        F.min("blo").alias("blo"),
+        F.min("bhi").alias("bhi"),
+    )
+    touched = (
+        (F.col("mn_a") <= ahi)
+        & (F.col("mx_a") >= alo)
+        & (F.col("mn_b") <= F.col("bhi"))
+        & (F.col("mx_b") >= F.col("blo"))
+    )
+    return per_file.groupBy("layout").agg(
+        F.count("*").alias("n_files_nonempty"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum(touched.cast("long")).alias("files_touched"),
+        F.sum(F.when(touched, F.col("n_rows")).otherwise(F.lit(0))).alias(
+            "rows_scanned"
+        ),
+        F.sum("rows_in_box").alias("rows_in_box"),
+    )
+
+
+Q140B_SQL = f"""
+WITH e AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS a, user_id AS b
+  FROM events
+), box AS (
+  SELECT (max(b) + 1) * 2 // 10 AS blo,
+         (max(b) + 1) * 4 // 10 - 1 AS bhi
+  FROM e
+), s AS (
+  SELECT min(a) AS mn_a, max(a) AS mx_a,
+         min(b) AS mn_b, max(b) AS mx_b
+  FROM e
+), vt AS (
+  SELECT a, b,
+         ((a - mn_a) * {1 << _Z140B["bits"]}) // (mx_a - mn_a + 1)
+           AS tile_a,
+         ((b - mn_b) * {1 << _Z140B["bits"]}) // (mx_b - mn_b + 1)
+           AS tile_b
+  FROM e, s
+), ra AS (
+  SELECT a AS v,
+         CAST((COALESCE(SUM(n) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING), 0)
+               * {1 << _Z140B["bits"]}) // SUM(n) OVER () AS BIGINT)
+           AS tile
+  FROM (SELECT a, count(*) AS n FROM e GROUP BY 1)
+), rb AS (
+  SELECT b AS v,
+         CAST((COALESCE(SUM(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING), 0)
+               * {1 << _Z140B["bits"]}) // SUM(n) OVER () AS BIGINT)
+           AS tile
+  FROM (SELECT b, count(*) AS n FROM e GROUP BY 1)
+), rt AS (
+  SELECT e.a, e.b, ra.tile AS tile_a, rb.tile AS tile_b
+  FROM e JOIN ra ON e.a = ra.v JOIN rb ON e.b = rb.v
+), layouts AS (
+  SELECT 'value' AS layout, a, b, tile_a, tile_b FROM vt
+  UNION ALL
+  SELECT 'rank' AS layout, a, b, tile_a, tile_b FROM rt
+), f AS (
+  SELECT layout, a, b,
+         (({_z140_interleave_sql("tile_a", "tile_b", _Z140B["bits"])})
+          * {_Z140B["n_files"]}) // {1 << (2 * _Z140B["bits"])} AS file_id
+  FROM layouts
+), pf AS (
+  SELECT layout, file_id,
+         min(a) AS mn_a, max(a) AS mx_a,
+         min(b) AS mn_b, max(b) AS mx_b,
+         count(*) AS n_rows,
+         SUM(CASE WHEN a BETWEEN {_Z140B_BOX_A[0]} AND {_Z140B_BOX_A[1]}
+                   AND b BETWEEN blo AND bhi
+                  THEN 1 ELSE 0 END) AS rows_in_box
+  FROM f, box GROUP BY 1, 2
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files_nonempty,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN mn_a <= {_Z140B_BOX_A[1]}
+                      AND mx_a >= {_Z140B_BOX_A[0]}
+                      AND mn_b <= bhi AND mx_b >= blo
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+       CAST(SUM(CASE WHEN mn_a <= {_Z140B_BOX_A[1]}
+                      AND mx_a >= {_Z140B_BOX_A[0]}
+                      AND mn_b <= bhi AND mx_b >= blo
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(SUM(rows_in_box) AS BIGINT) AS rows_in_box
+FROM pf, box GROUP BY layout
+"""
+
+
 QUERIES = {
     "q106_decontaminate": q106_decontaminate,
     "q107_hash_sample": q107_hash_sample,
@@ -1223,6 +1395,7 @@ QUERIES = {
     "q138_pack_sequences": q138_pack_sequences,
     "q139_dup_bigram_stats": q139_dup_bigram_stats,
     "q140_zorder_layout": q140_zorder_layout,
+    "q140b_zorder_rank_tiles": q140b_zorder_rank_tiles,
 }
 
 ORACLE = {
@@ -1256,4 +1429,5 @@ ORACLE = {
     "q138_pack_sequences": Q138_SQL,
     "q139_dup_bigram_stats": Q139_SQL,
     "q140_zorder_layout": Q140_SQL,
+    "q140b_zorder_rank_tiles": Q140B_SQL,
 }

@@ -227,6 +227,86 @@ def test_scd2_merge_chained_rounds_preserve_valid_from(spark):
     )
 
 
+def test_scd2_merge_close_missing_deletes(spark):
+    """WHEN NOT MATCHED BY SOURCE (close_missing=): keys absent from a
+    full-snapshot batch are closed out at the as-of date with NO new
+    current version; matched keys behave exactly as the default path."""
+    dim = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, bal double"
+    )
+    upd = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 3, 5), 5.0)],
+        "k long, eff timestamp, delta double",
+    )
+    out = scd2_merge(
+        dim, upd, "k", {"bal": F.col("bal") + F.col("delta")}, "eff",
+        close_missing="2024-12-31",
+    ).collect()
+    rows = {(r["k"], r["is_current"]): r for r in out}
+    # matched key 1: close + new current (2 rows); missing keys 2, 3:
+    # one closed row each, no current
+    assert len(out) == 4
+    assert rows[(1, 1)]["bal"] == 15.0
+    assert rows[(1, 0)]["valid_to"] == "2024-03-05"
+    for k in (2, 3):
+        closed = rows[(k, 0)]
+        assert (k, 1) not in rows
+        assert (closed["valid_from"], closed["valid_to"]) == (
+            "1992-01-01", "2024-12-31",
+        )
+
+
+def test_scd2_close_missing_single_join_plan(spark):
+    """The delete path must not change the one-join plan shape — all
+    three MERGE branches ride the same narrow explode."""
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("bal")
+    )
+    upd = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.lit(datetime.datetime(2024, 1, 1)).alias("eff"),
+        F.lit(2.0).alias("delta"),
+    )
+    out = scd2_merge(
+        dim, upd, "k", {"bal": F.col("delta")}, "eff",
+        close_missing="2024-12-31",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") == 1
+    assert plan.count("FileScan") + plan.count("Scan ExistingRDD") <= 2
+
+
+def test_scd2_chained_maintenance_with_delete(spark):
+    """Chained rounds including the delete path: a key closed by a
+    snapshot sync stays closed (its current slice is empty), survivors
+    keep real valid_from dates through the next round."""
+    dim = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, bal double"
+    )
+    chg = {"bal": F.col("bal") + F.col("delta")}
+    u1 = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 5.0)],
+        "k long, eff timestamp, delta double",
+    )
+    # round 1: full snapshot containing only key 1 -> key 2 churned
+    r1 = scd2_merge(dim, u1, "k", chg, "eff", close_missing="2024-02-01")
+    hist1 = {(r["k"], r["is_current"]) for r in r1.collect()}
+    assert hist1 == {(1, 0), (1, 1), (2, 0)}
+    # round 2 feeds round 1's current slice (key 1 only) back in
+    u2 = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 6, 1), 5.0)],
+        "k long, eff timestamp, delta double",
+    )
+    current = r1.filter(F.col("is_current") == 1)
+    r2 = scd2_merge(current, u2, "k", chg, "eff",
+                    close_missing="2024-07-01")
+    rows = {r["is_current"]: r for r in r2.collect()}
+    assert (rows[0]["bal"], rows[0]["valid_from"], rows[0]["valid_to"]) == (
+        15.0, "2024-01-01", "2024-06-01",
+    )
+    assert (rows[1]["bal"], rows[1]["valid_from"]) == (20.0, "2024-06-01")
+
+
 def test_scd2_merge_rejects_reserved_change_cols(spark):
     import pytest as _pytest
 

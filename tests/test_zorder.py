@@ -16,11 +16,14 @@ from pyspark.sql import functions as F
 
 from live_market_data_orderflow_analysis_big_data_project__spark.operators.zorder import (
     linear_file_assign,
+    rank_tile_map,
+    rank_zorder_file_assign,
     write_layout,
     zorder_file_assign,
 )
 from live_market_data_orderflow_analysis_big_data_project__spark.queries.pblock import (
     q140_zorder_layout,
+    q140b_zorder_rank_tiles,
 )
 from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (
     load_table,
@@ -122,6 +125,53 @@ def test_linear_assignment_cuts_tile_a_only(spark):
     )
     # equal-width cut of 256 tiles into 64 files -> 4-tile spread max
     assert bad.filter(F.col("spread") >= 4).count() == 0
+
+
+def test_rank_tile_map_exact_ranks(spark):
+    """Equal-frequency tiles: tile = exact rows-before * 2^bits div
+    total, ties (equal values) share a tile, output is one row per
+    distinct value."""
+    df = spark.createDataFrame(
+        [(v,) for v in [1, 1, 1, 1, 5, 5, 9, 100]], "v long"
+    )
+    m = {r["v"]: r["tile_v"] for r in rank_tile_map(df, "v", bits=3).collect()}
+    # 8 rows, 2^3 tiles: rows_before 0,4,6,7 -> tiles 0,4,6,7
+    assert m == {1: 0, 5: 4, 9: 6, 100: 7}
+
+
+def test_rank_tiles_balance_rows_under_skew(spark):
+    """On the heavy-tailed events.value, every rank tile must hold a
+    near-equal row share, where value tiles concentrate most rows in
+    the low tiles."""
+    ev = load_table(spark, SF0001, "events").select(
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v"),
+        "user_id",
+    )
+    n = ev.count()
+    rk = rank_zorder_file_assign(ev, "v", "user_id", bits=4, n_files=16)
+    per_tile = rk.groupBy("tile_a").count().collect()
+    # 16 tiles over 1000 rows: every rank tile within 2x of the mean
+    assert all(abs(r["count"] - n / 16) < n / 16 for r in per_tile)
+    vt = zorder_file_assign(ev, "v", "user_id", bits=4, n_files=16)
+    top = vt.groupBy("tile_a").count().agg(F.max("count")).collect()[0][0]
+    # the value layout's fattest tile holds >3x the mean — the skew
+    # rank tiles are there to fix
+    assert top > 3 * n / 16
+
+
+def test_rank_layout_scans_fewer_rows_than_value(spark):
+    """q140b's payoff, pinned: under skew the rank layout reads fewer
+    ROWS for the same box (the value layout can win the file COUNT by
+    hiding the dense region in few fat files — rows_scanned is the IO
+    truth)."""
+    res = {
+        r["layout"]: r
+        for r in q140b_zorder_rank_tiles(spark, SF0001).collect()
+    }
+    rk, val = res["rank"], res["value"]
+    assert rk["n_rows"] == val["n_rows"]
+    assert rk["rows_in_box"] == val["rows_in_box"]
+    assert rk["rows_scanned"] < val["rows_scanned"]
 
 
 def test_filtered_read_touches_only_overlapping_files(spark, z_written):
