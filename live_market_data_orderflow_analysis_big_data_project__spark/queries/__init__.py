@@ -43,10 +43,12 @@ _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 #      SCD2 merge with the delete path, q77b cascade-join funnel (the
 #      unbounded-history twin), q140b rank-tile z-order on a skewed
 #      column;
-#   4. refresh slots for the oldest r6 rows, picking the highest-risk
-#      classes: the Python streaming source pair s11/s12
-#      (env-sensitive), incremental dedup q137 (algorithmic), the
-#      cross-sf lesson entry q123, and embedding near-dup q103.
+#   4. q119_dedup_collapse — its closure reaches dedup_clusters, which
+#      changes this round with q111 (fused convergence flag), so it
+#      must re-enter with it; then refresh slots for the oldest r6
+#      rows, picking the highest-risk classes: the Python streaming
+#      source pair s11/s12 (env-sensitive), incremental dedup q137
+#      (algorithmic), and the cross-sf lesson entry q123.
 # Everything left out holds an r6 or r7 driver hash-pass row with
 # unchanged code — VERIFIED MECHANICALLY: tools/stale_check.py AST-diffs
 # every out-of-window entry's transitive closure against the commit of
@@ -105,12 +107,12 @@ _PRIORITY = (
         "q140b_zorder_rank_tiles",            #    funnel, rank-tile z-order
     ]
     + [
-        "s11_python_stream_source",           # 5: oldest r6 rows, highest
-        "s12_incremental_dedup",              #    risk first (env-sensitive
-        "q137_incremental_dedup",             #    streaming, algorithmic
-        "q123_quality_classifier",            #    dedup, the cross-sf lesson
-        "q103_embedding_near_dup",            #    entry, embedding near-dup)
-    ]
+        "q119_dedup_collapse",                # 5: dedup_clusters re-entry
+        "s11_python_stream_source",           #    partner + oldest r6 rows,
+        "s12_incremental_dedup",              #    highest risk first (env-
+        "q137_incremental_dedup",             #    sensitive streaming,
+        "q123_quality_classifier",            #    algorithmic dedup, the
+    ]                                         #    cross-sf lesson entry
 )
 _EXPECTED_WINDOW = 34 + 8 + 3 + 5
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
