@@ -870,6 +870,23 @@ FROM g
 _FP_SELECTION_CACHE: list[DataFrame] = []
 
 
+def _register_fp_cache_handle(sel: DataFrame) -> None:
+    """Track one handle per DISTINCT persisted plan: ``persist()``
+    dedupes identical plans to one CacheManager entry, so appending a
+    handle per CALL would grow the list unboundedly in long-lived
+    sessions and overstate unpersist_fingerprint_cache's released
+    count.  Plan identity via ``sameResult`` on the analyzed plans
+    (the same check CacheManager itself uses)."""
+    new_plan = sel._jdf.queryExecution().analyzed()
+    for existing in _FP_SELECTION_CACHE:
+        try:
+            if existing._jdf.queryExecution().analyzed().sameResult(new_plan):
+                return
+        except Exception:  # defensive: a dead session's handle
+            continue
+    _FP_SELECTION_CACHE.append(sel)
+
+
 def unpersist_fingerprint_cache(blocking: bool = False) -> int:
     """Release every selection-stage cache entry that
     ``fingerprint_overlap_pairs`` persisted in this session; returns the
@@ -966,7 +983,7 @@ def fingerprint_overlap_pairs(
     # (each entry is registered below); repeated calls dedupe to ONE
     # entry per distinct input plan.
     sel = sel.persist(StorageLevel.MEMORY_AND_DISK)
-    _FP_SELECTION_CACHE.append(sel)
+    _register_fp_cache_handle(sel)
     # (doc, fp) is distinct by construction, so count(*) == doc-frequency.
     drop = (
         sel.groupBy("fp")

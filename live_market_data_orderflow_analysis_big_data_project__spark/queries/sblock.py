@@ -433,7 +433,20 @@ def s13_scd2_stream_apply(spark, sf, base: str | None = None):
         )
     )
     if base is None:
-        base = tempfile.mkdtemp(prefix="s13_")
+        # FIXED per-(entry, sf) path, not mkdtemp: repeated bench/gate/
+        # probe runs reuse the same dirs (the checkpointed batch_id=N
+        # overwrite sink makes re-runs idempotent —
+        # tests/test_warehouse.py::test_s13_restart_is_idempotent)
+        # instead of accumulating unbounded copies under /tmp.  Keyed
+        # by the sf dir name because the update batch's CONTENT differs
+        # per scale factor.  Same one-harness-at-a-time caveat as
+        # pblock's _roundtrip_path.
+        base = os.path.join(
+            tempfile.gettempdir(),
+            "spark_graft_roundtrip",
+            "s13_scd2_" + os.path.basename(os.path.normpath(sf)),
+        )
+        os.makedirs(base, exist_ok=True)
     updpath = os.path.join(base, "updates")
     outpath = os.path.join(base, "history")
     if not os.path.exists(updpath):

@@ -12,8 +12,13 @@ bucketing is the engine's extension for join-heavy workloads.)
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
+_ORDERING_FLAG = "spark.sql.legacy.bucketedTableScan.outputOrdering"
 
 
 def write_bucketed(
@@ -80,8 +85,18 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     at most one file (anything else degrades to a re-sort, never a
     wrong answer).  Callers wanting the posture up front can set it in
     their session builder alongside session.py's ENGINE_CONFS.
+
+    The session-wide change is LOGGED the first time this call
+    actually flips the conf, so the altered planning of later bucketed
+    scans is visible to callers rather than silent.
     """
-    spark.conf.set(
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
-    )
+    if spark.conf.get(_ORDERING_FLAG, "false") != "true":
+        _LOG.info(
+            "read_bucketed: enabling %s for this session — bucketed "
+            "sortBy tables now report their sort order to the planner "
+            "(single-file buckets only; multi-file buckets still "
+            "re-sort)",
+            _ORDERING_FLAG,
+        )
+        spark.conf.set(_ORDERING_FLAG, "true")
     return spark.table(table)

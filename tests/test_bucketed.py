@@ -95,11 +95,13 @@ def _is_shuffle(node) -> bool:
 
 
 def _sorts_below(node):
-    """SortExec nodes in the subtree (a pre-sorted bucketed SMJ has none)."""
+    """SortExec nodes in the subtree (a pre-sorted bucketed SMJ has
+    none).  Exact match — a prefix test would also catch e.g. a
+    SortAggregateExec under the subtree, which is not a join-side
+    re-sort."""
     return [
         n for n in _walk(node)
-        if n.getClass().getSimpleName().startswith("Sort")
-        and not n.getClass().getSimpleName().startswith("SortMergeJoin")
+        if n.getClass().getSimpleName() == "SortExec"
     ]
 
 

@@ -47,11 +47,11 @@ PROBE_QUERIES = [
     ("q105_frame_sample", "row-exploding mapInPandas (1 payload -> k frames)"),
     ("q106_decontaminate", "broadcast eval-set n-gram join (corpus side never pre-shuffled)"),
     ("q109_repetition_stats", "explode + two keyed aggs (map-side partials)"),
-    ("q111_dedup_clusters", "linear star edges + CC loop over bounded near-dup slice"),
+    ("q111_dedup_clusters", "linear star edges + CC loop over bounded near-dup slice (finding 10)"),
     ("q115_chunk_documents", "narrow row-exploding chunker, zero shuffle"),
     ("q91d_simhash_pairs", "bounded banded SimHash pairs (constant slice BY DESIGN: expect ~1x)"),
     ("q120_span_dedup", "span explode + first-seen window, single lineage"),
-    ("q121_semdedup", "cluster-bounded cosine pair join (SemDeDup bound)"),
+    ("q121_semdedup", "cluster-bounded cosine pair join (SemDeDup bound; finding 11)"),
     ("q131_skew_salted_join", "salted equi-join under a 90%-hot key (skew path)"),
     ("q124_fingerprint_overlap", "mod-p sampled gram fingerprints, df-suppressed bounded pair fan-out"),
     ("q126_jsonl_roundtrip", "format IO: JSONL write + pinned-schema read + checksum agg"),
@@ -67,6 +67,9 @@ PROBE_QUERIES = [
     ("q140_zorder_layout", "two layout writes + per-file tile bounds (scan-and-write bound)"),
     ("q76_scd2_merge", "SCD2 upsert: one dim-key join + narrow explode version fan-out"),
     ("q77_funnel_cascade", "per-user sorted-event fold (one shuffle, O(1) expression state)"),
+    ("q76b_scd2_snapshot_sync", "MERGE delete path: same one-join explode, three branches"),
+    ("q77b_funnel_cascade_joins", "cascade-join funnel twin (per-stage min-agg + join, O(1) memory)"),
+    ("q140b_zorder_rank_tiles", "rank-tile z-order: domain-sized tile maps broadcast + two layout writes"),
 ]
 
 
@@ -364,6 +367,28 @@ def main() -> None:
         "   ~4 s of residual session cold-start (measured 5.7/2.2/1.9/1.7 s",
         "   over 4 repeats).  bench.py records median-of-3 per batch query",
         "   since round 5 (BENCH_full.json `query_samples`).",
+        "",
+        "10. q111's r7 BENCH regression (1.80 -> 2.57 s at sf0.1, 16x ratio",
+        "    still 1.0) decomposed per-stage (tools/probe_q111_terms.py): the",
+        "    CC loop was ~1.2 s of the wall — 2 rounds x (label-update",
+        "    checkpoint ~0.4 s + a SECOND old-vs-new join ~0.2 s for the",
+        "    convergence count).  Round 8 fused the change flag into the",
+        "    label-update projection (counted off the already-checkpointed",
+        "    frame): one join and one action per round, measured wall back to",
+        "    ~1.9-2.0 s median.  The remaining term is the shared edge-finder",
+        "    pipeline (md5 star join + q91's jaccard verify), not the loop.",
+        "",
+        "11. q121_semdedup's 16x ratio (2.4) is the SemDeDup cap TRANSITION,",
+        "    not a defect (tools/probe_q121_terms.py): in-stripe pairs =",
+        "    n_vecs x min(|cluster|, max_cluster)/2.  At 1x the fixture's",
+        "    largest cluster is 218 — UNDER the 512 cap, ~100 comparisons/vec",
+        "    — while at 16x the cap binds (~250/vec ceiling): pairs grow 40x",
+        "    for 16x data (199,666 -> 7,994,240) and the wall tracks pairs",
+        "    linearly (fit ~0.7 us/pair + ~2.9 s fixed; probe wall ratio 2.69",
+        "    with a full-output action).  Past cap saturation growth is",
+        "    data-linear; the knob is `max_cluster` (halving it halves the",
+        "    pair term at the cost of cross-stripe misses) or scaling the",
+        "    upstream quantizer's k so |cluster| stays O(1).",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",

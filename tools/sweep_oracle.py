@@ -41,14 +41,23 @@ RECORD = os.path.join(REPO, "SWEEP.json")
 SFS = ("sf0.001", "sf0.01", "sf0.1")
 TESTDATA = "/root/testdata"
 _ROUND_RE = re.compile(r"\bROUND\s*\(", re.I)
+_DOUBLE_RE = re.compile(r"AS\s+DOUBLE", re.I)
 
 
 def eligible_keys() -> list[str]:
-    """Hash-gated entries whose oracle SQL rounds — the class where
-    Spark-vs-DuckDB divergence can be scale-dependent."""
+    """Hash-gated entries whose oracle SQL produces floats — ROUND(...)
+    formulations (the original q123 class) plus every decimal-ratio /
+    CAST(... AS DOUBLE) entry (widened per VERDICT r7 item 7: any
+    float-producing comparison can in principle diverge at one scale
+    only, so the three-sf record should be standing for the whole
+    class, not just the subclass that already bit)."""
     import __spark_entry__ as ent
 
-    return [k for k, v in ent.oracle_sql().items() if _ROUND_RE.search(v)]
+    return [
+        k
+        for k, v in ent.oracle_sql().items()
+        if _ROUND_RE.search(v) or _DOUBLE_RE.search(v)
+    ]
 
 
 def fingerprint(key: str) -> str:
