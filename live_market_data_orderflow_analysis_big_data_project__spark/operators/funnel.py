@@ -38,7 +38,12 @@ from pyspark.sql import functions as F
 __all__ = ["funnel_stages"]
 
 
-def _fold_expr(stages: Sequence[str], ts_col: str, type_col: str) -> str:
+def _fold_expr(
+    stages: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    max_gap_s: int | None = None,
+) -> str:
     """n-stage cascade as one ``aggregate`` fold over sorted events."""
     n = len(stages)
     init = ", ".join(f"CAST(NULL AS TIMESTAMP) AS t{i}" for i in
@@ -53,6 +58,11 @@ def _fold_expr(stages: Sequence[str], ts_col: str, type_col: str) -> str:
                 f"acc.t{i - 1} IS NOT NULL AND acc.t{i} IS NULL "
                 f"AND e.{type_col} = '{lit}' AND e.{ts_col} > acc.t{i - 1}"
             )
+            if max_gap_s is not None:
+                cond += (
+                    f" AND e.{ts_col} <= acc.t{i - 1} + "
+                    f"INTERVAL '{int(max_gap_s)}' SECOND"
+                )
         fields.append(f"CASE WHEN {cond} THEN e.{ts_col} "
                       f"ELSE acc.t{i} END AS t{i}")
     return (
@@ -68,11 +78,20 @@ def funnel_stages(
     ts_col: str = "ts",
     type_col: str = "event_type",
     bounded: bool = True,
+    max_gap_s: int | None = None,
 ) -> DataFrame:
     """Per-user funnel timestamps: one row per user having ANY stage
     event, columns ``t1 .. tn`` (NULL from the first unreached stage
     on).  ``bounded`` picks the fold vs cascade-join formulation — same
-    result, different scale envelope (module docstring)."""
+    result, different scale envelope (module docstring).
+
+    ``max_gap_s``: conversion-window constraint (the MATCH_RECOGNIZE
+    ``WITHIN`` clause) — stage i+1 must land within ``max_gap_s``
+    seconds of stage i's timestamp or it does not count (and later
+    events of that stage are even further out, so the user stalls
+    there).  ``None`` = unconstrained.  Both formulations honor it
+    identically: the fold adds the bound to its CASE condition; the
+    cascade adds it to the per-stage join filter."""
     if not stages:
         raise ValueError("stages must be non-empty")
     base = events.filter(F.col(type_col).isin(list(stages)))
@@ -83,7 +102,7 @@ def funnel_stages(
             ).alias("evs")
         )
         st = per_user.withColumn(
-            "st", F.expr(_fold_expr(stages, ts_col, type_col))
+            "st", F.expr(_fold_expr(stages, ts_col, type_col, max_gap_s))
         )
         return st.select(
             user_col,
@@ -99,6 +118,13 @@ def funnel_stages(
             ev = ev.join(prev, user_col).filter(
                 F.col(ts_col) > F.col(f"t{i - 1}")
             )
+            if max_gap_s is not None:
+                ev = ev.filter(
+                    F.col(ts_col)
+                    <= F.expr(
+                        f"t{i - 1} + INTERVAL '{int(max_gap_s)}' SECOND"
+                    )
+                )
         cur = ev.groupBy(user_col).agg(F.min(ts_col).alias(f"t{i}"))
         stage_frames.append(cur)
         prev = cur

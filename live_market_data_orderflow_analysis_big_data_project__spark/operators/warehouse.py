@@ -41,6 +41,7 @@ def scd2_merge(
     lo_date: str = "1992-01-01",
     hi_date: str = "9999-12-31",
     close_missing: str | None = None,
+    skip_unchanged: bool = False,
 ) -> DataFrame:
     """SCD2 merge: version-history output of dim ⟕ updates.
 
@@ -60,6 +61,13 @@ def scd2_merge(
       row and no new current version — the delete/churn path.  ``None``
       (the default) is incremental-batch semantics: absence means "no
       change", the row carries through current.
+    - ``skip_unchanged``: CDC no-op suppression.  When True, a matched
+      key whose ``changes`` expressions all evaluate null-safely equal
+      to the current attribute values emits NO new version — the row
+      carries through current exactly as if unmatched (and in
+      full-snapshot mode it is NOT churned: presence in the snapshot
+      keeps it alive).  Prevents re-delivered/idempotent update feeds
+      from growing version history with identical rows.
 
     Repeated maintenance: feed the PREVIOUS merge's current slice
     (``is_current = 1`` rows, history columns kept) back in as ``dim``
@@ -84,7 +92,7 @@ def scd2_merge(
             "valid_from/valid_to/is_current are maintained by the merge "
             "and cannot be tracked attributes"
         )
-    matched = F.col(eff_col).isNotNull()
+    present = F.col(eff_col).isNotNull()
     # Normalize dim for repeated maintenance: carry the prior version's
     # valid_from; valid_to/is_current are recomputed below.
     if "valid_from" in dim.columns:
@@ -108,19 +116,30 @@ def scd2_merge(
             F.lit(cur).alias("is_current"),
         )
 
+    if skip_unchanged:
+        # no-op suppression: version only when some tracked attribute
+        # actually changes (null-safe compare, so NULL->NULL is "same")
+        diff = F.lit(False)
+        for c, e in changes.items():
+            diff = diff | ~e.eqNullSafe(F.col(c))
+        apply = present & diff
+    else:
+        apply = present
     current = version(
-        {c: F.when(matched, e).otherwise(F.col(c)) for c, e in changes.items()},
-        F.when(matched, eff_str).otherwise(prev_from),
+        {c: F.when(apply, e).otherwise(F.col(c)) for c, e in changes.items()},
+        F.when(apply, eff_str).otherwise(prev_from),
         F.lit(hi_date),
         1,
     )
-    closed = F.when(matched, version({}, prev_from, eff_str, 0))
+    closed = F.when(apply, version({}, prev_from, eff_str, 0))
     if close_missing is not None:
-        # full-snapshot semantics: unmatched keys are deletes — close
-        # them (single is_current=0 row), emit no current version.
-        current = F.when(matched, current)
-        closed = F.when(matched, version({}, prev_from, eff_str, 0)).otherwise(
-            version({}, prev_from, F.lit(close_missing), 0)
+        # full-snapshot semantics: keys ABSENT from the snapshot are
+        # deletes — close them (single is_current=0 row), no current
+        # version.  Present-but-unchanged keys (skip_unchanged) stay
+        # alive: presence in the snapshot keeps them current.
+        current = F.when(present, current)
+        closed = F.when(apply, version({}, prev_from, eff_str, 0)).otherwise(
+            F.when(~present, version({}, prev_from, F.lit(close_missing), 0))
         )
     exploded = j.select(
         F.col(key),

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "z_interleave",
+    "z_interleave_n",
     "zorder_file_assign",
     "rank_tile_map",
     "rank_zorder_file_assign",
@@ -53,16 +54,35 @@ __all__ = [
 ]
 
 
-def z_interleave(tile_a: Column, tile_b: Column, bits: int) -> Column:
-    """Morton interleave: bit i of a -> position 2i+1, of b -> 2i."""
+def z_interleave_n(tiles: list[Column], bits: int) -> Column:
+    """n-dimensional Morton interleave: bit i of tiles[d] lands at
+    position ``i*n + (n-1-d)`` — earlier columns take the more
+    significant position within each bit group, so for n=2 this is
+    exactly the classic a-odd/b-even layout ``z_interleave`` documents.
+    The result needs ``bits * n`` bits; with a long target that bounds
+    ``bits * len(tiles) <= 63`` (8 bits x up to 7 dims), enforced here
+    rather than silently wrapping."""
+    n = len(tiles)
+    if n == 0:
+        raise ValueError("tiles must be non-empty")
+    if bits * n > 63:
+        raise ValueError(
+            f"bits*dims = {bits * n} exceeds a long's 63 usable bits"
+        )
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = (
-            z
-            + F.shiftleft(F.shiftright(tile_a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-            + F.shiftleft(F.shiftright(tile_b, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
+        for d, t in enumerate(tiles):
+            pos = i * n + (n - 1 - d)
+            z = z + F.shiftleft(
+                F.shiftright(t, i).bitwiseAND(F.lit(1)), pos
+            )
     return z
+
+
+def z_interleave(tile_a: Column, tile_b: Column, bits: int) -> Column:
+    """Morton interleave: bit i of a -> position 2i+1, of b -> 2i (the
+    2-dim case of ``z_interleave_n``)."""
+    return z_interleave_n([tile_a, tile_b], bits)
 
 
 def zorder_file_assign(

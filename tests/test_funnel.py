@@ -82,6 +82,46 @@ def test_cascade_semantics(spark):
     assert out[6]["t3"] == datetime.datetime(2024, 1, 1, 12, 0, 2)
 
 
+def test_max_gap_conversion_window(spark):
+    """WITHIN-clause semantics: a stage event beyond max_gap_s of the
+    previous stage's ts doesn't count (and later ones are further out,
+    so the user stalls) — identically in both formulations."""
+    t = datetime.datetime(2024, 1, 1)
+    s = lambda sec: t + datetime.timedelta(seconds=sec)
+    rows = [
+        # u1 converts inside the window
+        (1, s(0), 1, "view"), (2, s(30), 1, "click"),
+        (3, s(50), 1, "purchase"),
+        # u2's click is 2h after the view -> stalls at stage 1
+        (4, s(0), 2, "view"), (5, s(7200), 2, "click"),
+        # u3: first click beyond window, NO second click -> the
+        # unconstrained run would count the late click; windowed must not
+        (6, s(0), 3, "view"), (7, s(100), 3, "click"),
+        (8, s(120), 3, "purchase"),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string"
+    )
+    for bounded in (True, False):
+        out = {
+            r["user_id"]: r
+            for r in funnel_stages(
+                e, STAGES, bounded=bounded, max_gap_s=60
+            ).collect()
+        }
+        reached = lambda r: sum(r[f"t{i}"] is not None for i in (1, 2, 3))
+        assert reached(out[1]) == 3, bounded
+        assert reached(out[2]) == 1, bounded
+        assert reached(out[3]) == 1, bounded  # click at +100s > 60s gap
+    # and unconstrained still counts u3's click+purchase
+    un = {
+        r["user_id"]: r
+        for r in funnel_stages(e, STAGES, bounded=True).collect()
+    }
+    assert sum(un[3][f"t{i}"] is not None for i in (1, 2, 3)) == 3
+
+
 def test_n_stage_generalization(spark):
     """The fold builder must generalize beyond 3 stages."""
     t = datetime.datetime(2024, 1, 1)

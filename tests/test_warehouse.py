@@ -307,6 +307,41 @@ def test_scd2_chained_maintenance_with_delete(spark):
     assert (rows[1]["bal"], rows[1]["valid_from"]) == (20.0, "2024-06-01")
 
 
+def test_scd2_skip_unchanged_suppresses_noop_versions(spark):
+    """CDC no-op suppression: a matched key whose tracked attributes
+    compute to their current values emits NO new version — and in
+    full-snapshot mode its presence still keeps it alive (not churned)."""
+    dim = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, bal double"
+    )
+    # key 1: real change; key 2: no-op (delta 0); key 3: absent
+    upd = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 3, 5), 5.0),
+         (2, datetime.datetime(2024, 3, 5), 0.0)],
+        "k long, eff timestamp, delta double",
+    )
+    chg = {"bal": F.col("bal") + F.col("delta")}
+    # incremental mode: no-op carries through as one current row
+    out = scd2_merge(dim, upd, "k", chg, "eff", skip_unchanged=True)
+    rows = {(r["k"], r["is_current"]): r for r in out.collect()}
+    assert len(rows) == 4  # k1: 2 versions; k2, k3: 1 current each
+    assert rows[(2, 1)]["valid_from"] == "1992-01-01"
+    assert (2, 0) not in rows
+    # without suppression the same merge WOULD version the no-op
+    noisy = scd2_merge(dim, upd, "k", chg, "eff").collect()
+    assert len(noisy) == 5
+    # snapshot mode: no-op key is PRESENT -> kept current, not churned;
+    # absent key 3 is churned
+    snap = scd2_merge(
+        dim, upd, "k", chg, "eff",
+        close_missing="2024-12-31", skip_unchanged=True,
+    )
+    srows = {(r["k"], r["is_current"]): r for r in snap.collect()}
+    assert (2, 1) in srows and (2, 0) not in srows
+    assert (3, 0) in srows and (3, 1) not in srows
+    assert srows[(3, 0)]["valid_to"] == "2024-12-31"
+
+
 def test_scd2_merge_rejects_reserved_change_cols(spark):
     import pytest as _pytest
 

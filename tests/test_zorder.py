@@ -19,6 +19,8 @@ from live_market_data_orderflow_analysis_big_data_project__spark.operators.zorde
     rank_tile_map,
     rank_zorder_file_assign,
     write_layout,
+    z_interleave,
+    z_interleave_n,
     zorder_file_assign,
 )
 from live_market_data_orderflow_analysis_big_data_project__spark.queries.pblock import (
@@ -125,6 +127,37 @@ def test_linear_assignment_cuts_tile_a_only(spark):
     )
     # equal-width cut of 256 tiles into 64 files -> 4-tile spread max
     assert bad.filter(F.col("spread") >= 4).count() == 0
+
+
+def test_z_interleave_n_known_codes(spark):
+    """Hand-computed Morton codes: 2-dim must equal the classic layout
+    (and the z_interleave wrapper), 3-dim must place bit i of dim d at
+    position i*3 + (2-d)."""
+    df = spark.createDataFrame(
+        [(3, 5, 6)], "a long, b long, c long"
+    )
+    r = df.select(
+        z_interleave_n([F.col("a"), F.col("b")], 3).alias("z2"),
+        z_interleave(F.col("a"), F.col("b"), 3).alias("z2w"),
+        z_interleave_n([F.col("a"), F.col("b"), F.col("c")], 3).alias("z3"),
+    ).collect()[0]
+    # a=0b011, b=0b101 -> interleave a-odd/b-even: 0b001111 +
+    # check digit by digit: bits (a2 b2 a1 b1 a0 b0) = 0 1 1 0 1 1
+    assert r["z2"] == 0b011011
+    assert r["z2w"] == r["z2"]
+    # 3-dim: groups (a_i b_i c_i) from msb i=2: a=011 b=101 c=110
+    # i2: a0? a2=0 b2=1 c2=1 -> 011 ; i1: a1=1 b1=0 c1=1 -> 101
+    # i0: a0=1 b0=1 c0=0 -> 110  => 0b011101110
+    assert r["z3"] == 0b011101110
+
+
+def test_z_interleave_n_bounds():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        z_interleave_n([], 8)
+    with _pytest.raises(ValueError):
+        z_interleave_n([F.lit(1)] * 8, 8)  # 64 bits > 63
 
 
 def test_rank_tile_map_exact_ranks(spark):
