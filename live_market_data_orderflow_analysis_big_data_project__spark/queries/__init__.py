@@ -54,6 +54,11 @@ _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 # every out-of-window entry's transitive closure against the commit of
 # its last driver row and fails if any changed (run by
 # tests/test_stale_check.py, so `pytest` enforces the invariant).
+# Left holding r6 rows after this rotation (next rotation's candidates,
+# oldest-evidence-first for r9): the L-block q90-q99b (q91/q91c/q91d/
+# q92/q93/q93b/q94-q99b), the curation block q100-q108/q110/q112-q118/
+# q120/q122/q125, the format block q126-q130, and q103 (ceded its r8
+# refresh slot to q119's dedup_clusters re-entry).
 _PRIORITY = (
     [
         "q33_distinct",                       # 34: latest pass r5 — oldest

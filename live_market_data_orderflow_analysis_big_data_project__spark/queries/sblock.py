@@ -28,6 +28,7 @@ hand-computed expectations (SURVEY.md section 5.2.3).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -434,18 +435,23 @@ def s13_scd2_stream_apply(spark, sf, base: str | None = None):
     )
     if base is None:
         # FIXED per-(entry, sf) path, not mkdtemp: repeated bench/gate/
-        # probe runs reuse the same dirs (the checkpointed batch_id=N
-        # overwrite sink makes re-runs idempotent —
-        # tests/test_warehouse.py::test_s13_restart_is_idempotent)
-        # instead of accumulating unbounded copies under /tmp.  Keyed
-        # by the sf dir name because the update batch's CONTENT differs
-        # per scale factor.  Same one-harness-at-a-time caveat as
-        # pblock's _roundtrip_path.
+        # probe runs REPLACE the previous copy instead of accumulating
+        # unbounded dirs under /tmp.  The dir is RESET per invocation —
+        # a reused checkpoint would mark all input processed and drain
+        # instantly, making every re-measurement a no-op (the first
+        # fixed-path bench recorded s13 at 0.5 s vs its real ~2.8 s);
+        # restart-with-checkpoint idempotency is still covered
+        # explicitly via an external `base`
+        # (tests/test_warehouse.py::test_s13_restart_is_idempotent).
+        # Keyed by the sf dir name because the update batch's CONTENT
+        # differs per scale factor.  Same one-harness-at-a-time caveat
+        # as pblock's _roundtrip_path.
         base = os.path.join(
             tempfile.gettempdir(),
             "spark_graft_roundtrip",
             "s13_scd2_" + os.path.basename(os.path.normpath(sf)),
         )
+        shutil.rmtree(base, ignore_errors=True)
         os.makedirs(base, exist_ok=True)
     updpath = os.path.join(base, "updates")
     outpath = os.path.join(base, "history")

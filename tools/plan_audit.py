@@ -39,6 +39,9 @@ NON_EQUI_OK = {
     "q122_source_mixture",      # 1-row corpus-totals scalar crossJoin
     "q134_hybrid_rrf",          # embeds q117's + q92's 1-row scalar crossJoins
     "q137_incremental_dedup",   # 1-row split-scalar crossJoin (q117 pattern)
+    "q140b_zorder_rank_tiles",  # 1-row max(user_id) box-bounds crossJoin
+                                # (q140's layout crossJoins sit before its
+                                # write and never reach the returned plan)
 }
 # queries whose purpose is the row-Python UDF surface
 # Declared row-Python API-surface proofs (never-hot-path documented):
