@@ -1,0 +1,155 @@
+"""Expression-level Bloom filter for broadcast-prefiltered joins.
+
+The technique: build a Bloom bitmap over the small side's join keys as
+a ONE-ROW DataFrame (bit positions via k seeded ``xxhash64`` probes,
+words OR-combined with the ``bit_or`` aggregate, packed into a
+``map<bigint, bigint>`` of 64-bit words), broadcast that row, and
+pre-filter the big side with a pure-expression membership test —
+``element_at`` + mask AND per probe.  No UDF anywhere: build and probe
+are JVM codegen expressions end-to-end, so the probe rides inside the
+big side's scan stage.
+
+Why this exists next to the plain broadcast join (pipeline.py
+``decontaminate``): a broadcast hash join ships the small side's FULL
+distinct key set to every executor.  At 100 TB the "small" side can
+outgrow the broadcast threshold (a big benchmark-suite eval set, a
+billion-key dedup index shard) while its BLOOM — ~10 bits/key at 1%
+false positives, typically ~100x smaller than the string keys
+themselves — still broadcasts trivially.  The bloom pass keeps only
+(matches + ~fp_rate of the rest) of the big side, after which the
+exact confirm join (now over a tiny slice) removes the false
+positives; the result is IDENTICAL to the exact join, which is why
+q106b hash-gates against q106's own oracle.  False negatives are
+impossible by construction (every inserted key sets all k of its
+bits), so no match is lost in the pass — asserted by equivalence in
+tests/test_bloom.py.
+
+This is the manual, composable form of what Spark's runtime row-level
+filtering (``spark.sql.optimizer.runtime.bloomFilter.enabled``) does
+for shuffle joins — exposed as an operator so it also applies where
+the optimizer's version cannot reach: derived keys that only exist
+after an explode (n-gram shingles), pre-aggregation filtering, or a
+bloom persisted once and reused across many queries/batches (the
+bitmap row is a plain DataFrame — writable to parquet like the q141
+sketch rollup).
+
+Sizing: fp_rate ~= (1 - e^(-k*n/m))^k; the classic k = (m/n) ln 2.
+The bitmap costs one map entry (16 bytes) per SET 64-bit word, at
+most m/64; m = 2^20 (default) holds ~100k keys at ~1% fp in a ~1 MB
+broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bloom_build", "bloom_might_contain", "bloom_prefilter_join"]
+
+DEFAULT_M_BITS = 1 << 20
+DEFAULT_K = 5
+
+
+def _positions(col: Column, m_bits: int, k: int) -> list[Column]:
+    # k independent probes from seeded xxhash64: the seed literal is an
+    # extra hashed column, giving k decorrelated 64-bit hashes JVM-side.
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(k)
+    ]
+
+
+def _word(pos: Column) -> Column:
+    return F.shiftright(pos, 6)
+
+
+def _mask(pos: Column) -> Column:
+    # variable shift amount -> the SQL function via call_function (the
+    # pyspark shiftleft wrapper only accepts a literal int)
+    return F.call_function(
+        "shiftleft",
+        F.lit(1).cast("bigint"),
+        F.pmod(pos, F.lit(64)).cast("int"),
+    )
+
+
+def bloom_build(
+    keys: DataFrame,
+    col: str | Column,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """One-row DataFrame holding the bitmap: ``bloom_words``
+    (map<word_index, 64-bit word>).  Build is a distributed
+    explode(k positions) -> ``bit_or`` per word -> single-row map
+    pack; only SET words are materialized, never the dense bitmap.
+    Persistable and broadcastable."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = (
+        keys.select(
+            F.explode(F.array(*_positions(c, m_bits, k))).alias("_pos")
+        )
+        .select(
+            _word(F.col("_pos")).alias("_w"),
+            _mask(F.col("_pos")).alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_bits"))
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_w"), F.col("_bits")))
+        ).alias("bloom_words")
+    )
+
+
+def bloom_might_contain(
+    col: Column,
+    bloom_words: Column,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> Column:
+    """Pure-expression membership test: true iff all k probe bits are
+    set.  False negatives impossible; false positives at the sized fp
+    rate.  ``m_bits``/``k`` MUST match the build call (same probe
+    family)."""
+    out = None
+    for p in _positions(col, m_bits, k):
+        word = F.coalesce(
+            F.element_at(bloom_words, _word(p)), F.lit(0).cast("bigint")
+        )
+        check = word.bitwiseAND(_mask(p)) != F.lit(0)
+        out = check if out is None else (out & check)
+    return out
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+    how: str = "inner",
+) -> DataFrame:
+    """Exact equi-join of ``big`` to ``small`` on column ``on``, with a
+    bloom-of-``small`` pre-pass on the big side.  Result is identical
+    to ``big.join(small, on, how)`` for match-only join types: the
+    bloom admits every true match (no false negatives) and the exact
+    confirm join removes the bloom's false positives.
+
+    The bitmap row rides in via a broadcast nested-loop join of a
+    1-row frame (the zorder scalar-stats pattern) so the pre-pass is
+    a narrow filter inside the big side's scan stage; the confirm join
+    then only sees the admitted slice.
+    """
+    if how not in ("inner", "semi", "leftsemi", "left_semi"):
+        raise ValueError(
+            "bloom_prefilter_join is only sound for match-only joins "
+            f"(inner/semi); got {how!r}"
+        )
+    bloom = bloom_build(small.select(on).distinct(), on, m_bits, k)
+    admitted = (
+        big.crossJoin(F.broadcast(bloom))
+        .where(bloom_might_contain(F.col(on), F.col("bloom_words"), m_bits, k))
+        .drop("bloom_words")
+    )
+    return admitted.join(F.broadcast(small), on, how)

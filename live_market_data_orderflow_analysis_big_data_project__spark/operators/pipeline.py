@@ -117,6 +117,43 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """``decontaminate`` with a bloom-of-the-eval-set pre-pass on the
+    corpus shingle stream (operators/bloom.py) — result IDENTICAL to
+    the exact version (the bloom admits every true match; the confirm
+    join drops its false positives), which is how q106b hash-gates
+    against q106's own oracle.
+
+    When to prefer it over the plain broadcast join: the eval set's
+    distinct-shingle frame no longer fits the broadcast threshold but
+    its ~10-bits-per-key bloom does.  The corpus side still never
+    shuffles — the bloom probe is a narrow codegen filter inside the
+    shingle-explode stage, and the only shuffle remains the final
+    eval-set-bounded countDistinct.
+    """
+    from .bloom import bloom_prefilter_join
+
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle")
+    )
+    eval_sh = eval_set.select(
+        F.explode(shingles_col(text_col, n)).alias("shingle")
+    ).distinct()
+    return (
+        bloom_prefilter_join(corpus_sh, eval_sh, "shingle", m_bits, k)
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_shared_ngrams"))
+    )
+
+
 def hash_sample(
     df: DataFrame,
     threshold_hex: str = "20000000",

@@ -1,0 +1,203 @@
+"""Mergeable distinct-count sketch rollups (HyperLogLog, Apache
+DataSketches binary format via the Spark 4 builtins ``hll_sketch_agg``
+/ ``hll_union_agg`` / ``hll_sketch_estimate``).
+
+The 100 TB pattern this enables: instead of re-scanning the corpus for
+every distinct-count question, maintain a tiny persistable ROLLUP table
+— one row per (group x time-bucket) holding a ~kB binary sketch.
+Sketch union merges register state losslessly, so any bucket range is
+answered by ``hll_union_agg`` over the matching rollup rows, and
+incremental ingest re-sketches only the touched buckets (an O(new
+data) append, never an O(corpus) rescan — the same shape as the q137
+incremental-dedup index).  The sketches are standard Apache
+DataSketches HLL bytes, portable across engines and safe to store in
+parquet ``binary`` columns (tests/test_sketches.py proves the
+write -> read -> union roundtrip estimate-identical).
+
+At 100 TB: the rollup aggregation is one map-side-combinable shuffle on
+(group, bucket) — partial sketches merge inside each map task, so the
+shuffle carries one ~kB sketch per (group, bucket, task), never rows.
+Re-aggregation to coarser grain (day -> month -> all-time) touches only
+the rollup table, whose size is bounded by |groups| x |buckets|,
+independent of corpus row count.
+
+Determinism: what may be hash-gated and what must not be
+-------------------------------------------------------
+Measured on the fixtures (see q141's comment and
+tests/test_sketches.py::test_dense_regime_is_tolerance_only):
+
+- The REGISTER state is a per-register max over item hashes —
+  independent of row order, duplication, partitioning, and bucketing.
+- The ESTIMATE is not always a pure function of the registers.  While
+  a sketch (or a union gadget fed only sparse inputs) has processed
+  every item as an individual coupon, DataSketches keeps an HIP
+  (historical inverse probability) accumulator whose value depends on
+  coupon INSERTION ORDER once the gadget has gone dense.  Observed:
+  the same 1500-element value set sketched at lgk=12 through different
+  groupings returned estimates 1480-1499.  Spark does not guarantee
+  the order partial aggregates reach the final merge, so dense-regime
+  estimates must be treated as nondeterministic within the sketch's
+  error bound and NEVER compared for equality (tolerance checks only).
+- In the COUPON regime — distinct count below the sketch's SET-mode
+  capacity, about k/4 = 2^lgk/4 — the estimate is the exact coupon
+  count: order-independent, bucketing-independent, and equal to the
+  true distinct count (verified at all three fixture sfs, lgk=14).
+  Equality flags are only meaningful there; q141 pins lgk=14 so the
+  fixture cardinalities (<= 1500 users, capacity 4096) stay in it.
+
+Production posture at 100 TB cardinalities (dense regime): size lgk
+for the target relative standard error (~1.04/sqrt(2^lgk); lgk=12 ->
+~1.6%) and audit with the tolerance flag (``est_ok``); the equality
+flags are a fixture-scale gate artifact, not a dense-regime invariant.
+
+Generalizes the reference's whole-buffer unique-symbol stats
+(data_plotter.py:64-87 recomputes pandas ``nunique`` over the full
+buffer on every refresh) to a re-aggregable, incrementally-maintained
+form.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hll_rollup",
+    "hll_rollup_estimate",
+    "hll_direct_estimate",
+    "hll_rollup_report",
+]
+
+DEFAULT_LGK = 12  # DataSketches default: ~1.6% relative standard error
+
+
+def _cols(cols: Sequence[str | Column]):
+    return [F.col(c) if isinstance(c, str) else c for c in cols]
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def hll_rollup(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    bucket_col: str | Column,
+    value_col: str | Column,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """The persistable rollup: one binary HLL sketch per
+    (group x bucket), as column ``hll_sketch``.
+
+    ``bucket_col`` is the incremental-maintenance grain (a day string,
+    an ingest batch id, a shard id): re-ingesting data for one bucket
+    replaces one row per group, leaving the rest of the rollup intact.
+    """
+    return df.groupBy(*_cols(group_cols), _col(bucket_col)).agg(
+        F.hll_sketch_agg(_col(value_col), F.lit(lgk)).alias("hll_sketch")
+    )
+
+
+def hll_rollup_estimate(
+    rollup: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """Union each group's bucket sketches and estimate:
+    ``hll_estimate`` (bigint) per group.
+
+    All sketches in a rollup share one lgConfigK by construction, so
+    no union-time precision downgrade occurs;
+    ``allowDifferentLgConfigK=false`` makes a mixed-precision mistake
+    an error instead of a silent degrade.
+    """
+    return rollup.groupBy(*_cols(group_cols)).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg("hll_sketch", F.lit(False))
+        ).alias("hll_estimate")
+    )
+
+
+def hll_direct_estimate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str | Column,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Single-pass whole-range sketch estimate per group — the rollup
+    path's semantic twin.  Dense-regime caveat: this path keeps the
+    order-dependent HIP estimator (module docstring), so compare it to
+    the rollup path with a tolerance unless in the coupon regime."""
+    return df.groupBy(*_cols(group_cols)).agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(_col(value_col), F.lit(lgk))
+        ).alias("hll_estimate")
+    )
+
+
+def hll_rollup_report(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    bucket_col: str | Column,
+    value_col: str | Column,
+    lgk: int = DEFAULT_LGK,
+    tol: float = 0.05,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Self-auditing rollup summary per group: exact distinct count,
+    bucket count, and three audit booleans —
+
+    - ``rollup_eq_shard``: the caller's bucketing and an unrelated
+      hash-shard bucketing of the SAME rows union to the same
+      estimate — bucketing-invariance, i.e. the rollup grain choice
+      costs nothing;
+    - ``rollup_eq_direct``: the union path equals the single-pass
+      whole-range sketch — merge losslessness;
+    - ``est_ok``: the rollup estimate is within ``tol`` of the exact
+      count (the q34 bounded-error-flag pattern).
+
+    The equality flags are exact comparisons and therefore only valid
+    in the coupon regime (distinct count <= ~2^lgk/4 — module
+    docstring); in the dense regime rely on ``est_ok`` and widen
+    ``tol`` to the sketch's error bound.  The exact count is computed
+    here too (one extra aggregation over the same scan) purely to
+    ground the audit; production callers use the rollup alone.
+    """
+    keys = list(group_cols)
+    value = _col(value_col)
+    rollup = hll_rollup(df, keys, bucket_col, value, lgk)
+    merged = hll_rollup_estimate(rollup, keys).withColumnRenamed(
+        "hll_estimate", "est_rollup"
+    )
+    shard = F.pmod(F.xxhash64(value), F.lit(n_shards)).alias("_shard")
+    sharded = hll_rollup_estimate(
+        hll_rollup(df, keys, shard, value, lgk), keys
+    ).withColumnRenamed("hll_estimate", "est_shard")
+    direct = hll_direct_estimate(df, keys, value, lgk).withColumnRenamed(
+        "hll_estimate", "est_direct"
+    )
+    n_buckets = rollup.groupBy(*_cols(keys)).agg(
+        F.count("*").alias("n_buckets")
+    )
+    exact = df.groupBy(*_cols(keys)).agg(
+        F.count_distinct(value).alias("n_exact")
+    )
+    out = (
+        exact.join(n_buckets, keys)
+        .join(merged, keys)
+        .join(sharded, keys)
+        .join(direct, keys)
+    )
+    est_err = F.abs(
+        F.col("est_rollup").cast("double") - F.col("n_exact").cast("double")
+    )
+    return out.select(
+        *keys,
+        "n_exact",
+        "n_buckets",
+        (F.col("est_rollup") == F.col("est_shard")).alias("rollup_eq_shard"),
+        (F.col("est_rollup") == F.col("est_direct")).alias("rollup_eq_direct"),
+        (est_err <= F.lit(tol) * F.col("n_exact").cast("double")).alias(
+            "est_ok"
+        ),
+    )

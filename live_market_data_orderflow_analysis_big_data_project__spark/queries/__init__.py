@@ -42,13 +42,25 @@ _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 #   3. NEW entries this round (no driver row yet): q76b snapshot-sync
 #      SCD2 merge with the delete path, q77b cascade-join funnel (the
 #      unbounded-history twin), q140b rank-tile z-order on a skewed
-#      column;
+#      column, q141 mergeable HLL sketch rollup (operators/
+#      sketches.py), q106b bloom-prefiltered decontamination
+#      (operators/bloom.py) — new entries MUST be in-window or they
+#      hold no evidence at all;
 #   4. q119_dedup_collapse — its closure reaches dedup_clusters, which
 #      changes this round with q111 (fused convergence flag), so it
 #      must re-enter with it; then refresh slots for the oldest r6
-#      rows, picking the highest-risk classes: the Python streaming
-#      source pair s11/s12 (env-sensitive), incremental dedup q137
-#      (algorithmic), and the cross-sf lesson entry q123.
+#      rows, picking the highest-risk class: the Python streaming
+#      source pair s11/s12 (env-sensitive).  Two refresh candidates
+#      EXPLICITLY cede their slots to the new entries, lowest-risk
+#      first: q123 (cross-sf lesson entry) -> q141, because the
+#      standing SWEEP.json record re-verifies it at all three sfs
+#      every pytest run, so its r6 row plus the sweep is stronger
+#      evidence than most entries' driver row alone; q137
+#      (incremental dedup) -> q106b, because its equivalence to
+#      global dedup is re-proven by hypothesis property test on every
+#      pytest run (tests/test_properties.py::
+#      test_incremental_dedup_is_equivalent_to_global_dedup) on top
+#      of its r6 driver row.
 # Everything left out holds an r6 or r7 driver hash-pass row with
 # unchanged code — VERIFIED MECHANICALLY: tools/stale_check.py AST-diffs
 # every out-of-window entry's transitive closure against the commit of
@@ -57,8 +69,10 @@ _BLOCKS = (rblock, eblock, lblock, pblock, sblock)
 # Left holding r6 rows after this rotation (next rotation's candidates,
 # oldest-evidence-first for r9): the L-block q90-q99b (q91/q91c/q91d/
 # q92/q93/q93b/q94-q99b), the curation block q100-q108/q110/q112-q118/
-# q120/q122/q125, the format block q126-q130, and q103 (ceded its r8
-# refresh slot to q119's dedup_clusters re-entry).
+# q120/q122/q125, the format block q126-q130, q103 (ceded its r8
+# refresh slot to q119's dedup_clusters re-entry), q123 (ceded its
+# refresh slot to the new q141; still sweep-verified at 3 sfs), and
+# q137 (ceded its slot to the new q106b; property-tested every run).
 _PRIORITY = (
     [
         "q33_distinct",                       # 34: latest pass r5 — oldest
@@ -107,19 +121,19 @@ _PRIORITY = (
         "q121_semdedup",                      #    SemDeDup decomposition
     ]
     + [
-        "q76b_scd2_snapshot_sync",            # 3: NEW this round — SCD2
+        "q76b_scd2_snapshot_sync",            # 5: NEW this round — SCD2
         "q77b_funnel_cascade_joins",          #    delete path, cascade-join
-        "q140b_zorder_rank_tiles",            #    funnel, rank-tile z-order
+        "q140b_zorder_rank_tiles",            #    funnel, rank-tile z-order,
+        "q141_hll_sketch_rollup",             #    mergeable sketch rollup,
+        "q106b_decontaminate_bloom",          #    bloom-prefiltered decon
     ]
     + [
-        "q119_dedup_collapse",                # 5: dedup_clusters re-entry
+        "q119_dedup_collapse",                # 3: dedup_clusters re-entry
         "s11_python_stream_source",           #    partner + oldest r6 rows,
-        "s12_incremental_dedup",              #    highest risk first (env-
-        "q137_incremental_dedup",             #    sensitive streaming,
-        "q123_quality_classifier",            #    algorithmic dedup, the
-    ]                                         #    cross-sf lesson entry
+        "s12_incremental_dedup",              #    highest risk (env-
+    ]                                         #    sensitive streaming)
 )
-_EXPECTED_WINDOW = 34 + 8 + 3 + 5
+_EXPECTED_WINDOW = 34 + 8 + 5 + 3
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

@@ -34,6 +34,7 @@ from ..operators.pipeline import (
     chunk_documents,
     collapse_clusters,
     decontaminate,
+    decontaminate_bloom,
     dedup_clusters,
     dup_ngram_stats,
     embedding_centroids,
@@ -64,12 +65,14 @@ from ..sources.formats import (
     write_jsonl,
     write_orc,
 )
+from ..operators.sketches import hll_rollup_report
 from ..operators.zorder import (
     linear_file_assign,
     rank_zorder_file_assign,
     write_layout,
     zorder_file_assign,
 )
+from ..functions.hashstable import fmt_date
 from ..sources.tables import load_table
 from .lblock import _Q91_BOUND, Q91_SQL, _DUCK_TOKS
 
@@ -108,6 +111,24 @@ SELECT doc_id, count(*) AS n_shared_ngrams
 FROM csh JOIN esh USING (shingle)
 GROUP BY doc_id
 """
+
+
+# --- q106b: bloom-prefiltered decontamination -------------------------------
+# The same contract as q106 (it gates against Q106_SQL verbatim), but
+# the corpus shingle stream is pre-filtered through an EXPRESSION-LEVEL
+# bloom of the eval set (operators/bloom.py: k seeded xxhash64 probes
+# against a bit_or-packed word map broadcast as one row — no UDF, the
+# probe is codegen inside the explode stage).  Equivalence is exact:
+# blooms have no false negatives, and the confirm join removes the
+# false positives — so a hash PASS here proves the scale path (bloom
+# when the eval set outgrows the exact-broadcast threshold) changes
+# nothing semantically.  Selectivity + deliberate-FP equivalence are
+# pinned in tests/test_bloom.py.
+def q106b_decontaminate_bloom(spark, sf):
+    d = _docs(spark, sf)
+    corpus = d.filter(F.col("source") != _EVAL_SOURCE)
+    eval_set = d.filter(F.col("source") == _EVAL_SOURCE)
+    return decontaminate_bloom(corpus, eval_set, n=5)
 
 
 # --- q107: deterministic content-hash sample --------------------------------
@@ -1364,8 +1385,53 @@ FROM pf, box GROUP BY layout
 """
 
 
+# --- q141: mergeable HLL sketch rollup (incremental distinct counts) --------
+# The sketch-rollup pattern a 100 TB pipeline uses for distinct counts:
+# one ~kB binary DataSketches HLL sketch per (event_type x day) — the
+# persistable daily rollup, O(|groups| x |days|) regardless of corpus
+# row count — then hll_union_agg answers any day-range question
+# without rescanning rows, and incremental ingest re-sketches only the
+# touched day (q137's index shape, for counts).  Gated with the q34
+# bounded-error-flag pattern PLUS two exact-equality mergeability
+# flags (day-bucketing == hash-shard-bucketing == single-pass).
+# lgk=14 is pinned DELIBERATELY: it keeps every fixture cardinality
+# (<= 1500 users at sf0.1, SET capacity ~2^14/4 = 4096) in the
+# sketch's coupon-exact regime, where estimates are order- and
+# bucketing-independent — so all three booleans hash-gate
+# deterministically (the oracle emits literal TRUE; a lossy union or
+# drifting estimate is a hash FAIL).  At lgk=12 the sf0.1 fixture
+# goes dense and the estimate inherits DataSketches' order-dependent
+# HIP accumulator (measured: the same 1500-user set returned
+# 1480-1499 through different groupings) — the dense regime is
+# tolerance-audit-only, measured in
+# tests/test_sketches.py::test_dense_regime_is_tolerance_only and
+# documented in operators/sketches.py.
+def q141_hll_sketch_rollup(spark, sf):
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        fmt_date(F.col("ts"), "day"),
+        "user_id",
+    )
+    return hll_rollup_report(
+        ev, ["event_type"], "day", "user_id", lgk=14, tol=0.05
+    )
+
+
+Q141_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_buckets,
+       TRUE AS rollup_eq_shard,
+       TRUE AS rollup_eq_direct,
+       TRUE AS est_ok
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q106_decontaminate": q106_decontaminate,
+    "q106b_decontaminate_bloom": q106b_decontaminate_bloom,
     "q107_hash_sample": q107_hash_sample,
     "q108_shard_pack": q108_shard_pack,
     "q109_repetition_stats": q109_repetition_stats,
@@ -1396,10 +1462,12 @@ QUERIES = {
     "q139_dup_bigram_stats": q139_dup_bigram_stats,
     "q140_zorder_layout": q140_zorder_layout,
     "q140b_zorder_rank_tiles": q140b_zorder_rank_tiles,
+    "q141_hll_sketch_rollup": q141_hll_sketch_rollup,
 }
 
 ORACLE = {
     "q106_decontaminate": Q106_SQL,
+    "q106b_decontaminate_bloom": Q106_SQL,
     "q107_hash_sample": Q107_SQL,
     "q108_shard_pack": Q108_SQL,
     "q109_repetition_stats": Q109_SQL,
@@ -1430,4 +1498,5 @@ ORACLE = {
     "q139_dup_bigram_stats": Q139_SQL,
     "q140_zorder_layout": Q140_SQL,
     "q140b_zorder_rank_tiles": Q140B_SQL,
+    "q141_hll_sketch_rollup": Q141_SQL,
 }

@@ -42,6 +42,9 @@ NON_EQUI_OK = {
     "q140b_zorder_rank_tiles",  # 1-row max(user_id) box-bounds crossJoin
                                 # (q140's layout crossJoins sit before its
                                 # write and never reach the returned plan)
+    "q106b_decontaminate_bloom",  # 1-row bloom-bitmap crossJoin (the
+                                  # broadcast word-map ride-in, zorder
+                                  # scalar-stats pattern)
 }
 # queries whose purpose is the row-Python UDF surface
 # Declared row-Python API-surface proofs (never-hot-path documented):

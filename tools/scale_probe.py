@@ -70,6 +70,8 @@ PROBE_QUERIES = [
     ("q76b_scd2_snapshot_sync", "MERGE delete path: same one-join explode, three branches"),
     ("q77b_funnel_cascade_joins", "cascade-join funnel twin (per-stage min-agg + join, O(1) memory)"),
     ("q140b_zorder_rank_tiles", "rank-tile z-order: domain-sized tile maps broadcast + two layout writes"),
+    ("q141_hll_sketch_rollup", "HLL sketch rollup: map-side sketch partials, ~kB per (group,bucket) shuffled (16x users crosses the lgk=14 coupon capacity into the dense regime — flags may be false there, wall is the probe)"),
+    ("q106b_decontaminate_bloom", "bloom-prefiltered decontamination: one-row bitmap broadcast + codegen probe in the shingle explode stage (vs q106's exact broadcast join)"),
 ]
 
 

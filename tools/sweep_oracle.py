@@ -42,6 +42,7 @@ SFS = ("sf0.001", "sf0.01", "sf0.1")
 TESTDATA = "/root/testdata"
 _ROUND_RE = re.compile(r"\bROUND\s*\(", re.I)
 _DOUBLE_RE = re.compile(r"AS\s+DOUBLE", re.I)
+_ENVELOPE_RE = re.compile(r"\bTRUE\s+AS\b", re.I)
 
 
 def eligible_keys() -> list[str]:
@@ -50,13 +51,20 @@ def eligible_keys() -> list[str]:
     CAST(... AS DOUBLE) entry (widened per VERDICT r7 item 7: any
     float-producing comparison can in principle diverge at one scale
     only, so the three-sf record should be standing for the whole
-    class, not just the subclass that already bit)."""
+    class, not just the subclass that already bit) — plus the
+    envelope-boolean class (oracle emits literal TRUE flags: q34/q99b/
+    q136/q141), whose failure mode is exactly scale-shaped: an
+    approximate estimate drifts out of its tolerance band, or crosses
+    a sketch-mode boundary (q141's coupon->dense cliff), at one sf
+    only."""
     import __spark_entry__ as ent
 
     return [
         k
         for k, v in ent.oracle_sql().items()
-        if _ROUND_RE.search(v) or _DOUBLE_RE.search(v)
+        if _ROUND_RE.search(v)
+        or _DOUBLE_RE.search(v)
+        or _ENVELOPE_RE.search(v)
     ]
 
 
