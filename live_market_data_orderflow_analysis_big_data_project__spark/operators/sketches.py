@@ -39,11 +39,18 @@ tests/test_sketches.py::test_dense_regime_is_tolerance_only):
   estimates must be treated as nondeterministic within the sketch's
   error bound and NEVER compared for equality (tolerance checks only).
 - In the COUPON regime — distinct count below the sketch's SET-mode
-  capacity, about k/4 = 2^lgk/4 — the estimate is the exact coupon
-  count: order-independent, bucketing-independent, and equal to the
-  true distinct count (verified at all three fixture sfs, lgk=14).
+  promotion — the estimate is the exact coupon count:
+  order-independent, bucketing-independent, and equal to the true
+  distinct count (verified at all three fixture sfs, lgk=14).  The
+  exactness boundary is NOT the folk "2^lgk/4": measured by bisection
+  on this build, estimates are integer-exact through 1609 distinct at
+  lgk=14 and 634 at lgk=12, then drift by a few counts (the HIP
+  estimator stays near-exact just past promotion, so the edge is soft
+  and input-dependent — treat ~2^lgk/10 as the planning bound).
   Equality flags are only meaningful there; q141 pins lgk=14 so the
-  fixture cardinalities (<= 1500 users, capacity 4096) stay in it.
+  fixture cardinalities (<= 1500 users) stay under it — a 7% margin,
+  which is why the standing SWEEP record re-verifies q141 at all
+  three sfs on every pytest run rather than trusting the constant.
 
 Production posture at 100 TB cardinalities (dense regime): size lgk
 for the target relative standard error (~1.04/sqrt(2^lgk); lgk=12 ->
@@ -68,6 +75,8 @@ __all__ = [
     "hll_rollup_estimate",
     "hll_direct_estimate",
     "hll_rollup_report",
+    "hll_range_estimate",
+    "hll_overlap_estimates",
 ]
 
 DEFAULT_LGK = 12  # DataSketches default: ~1.6% relative standard error
@@ -135,6 +144,90 @@ def hll_direct_estimate(
     )
 
 
+def hll_range_estimate(
+    rollup: DataFrame,
+    group_cols: Sequence[str],
+    bucket_col: str | Column,
+    lo,
+    hi,
+) -> DataFrame:
+    """Answer a bucket-range distinct-count question from the rollup
+    alone: union the sketches of buckets in ``[lo, hi]`` per group.
+
+    This is the read path the rollup exists for — at 100 TB the scan
+    touches |groups| x |buckets-in-range| kB-sized rows (partition-prune
+    the rollup by the bucket column when it is the write partition),
+    never the corpus."""
+    b = _col(bucket_col)
+    return hll_rollup_estimate(
+        rollup.where((b >= F.lit(lo)) & (b <= F.lit(hi))), group_cols
+    )
+
+
+def hll_overlap_estimates(
+    df: DataFrame,
+    label_col: str | Column,
+    value_col: str | Column,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Pairwise set-operation estimates between labeled value sets —
+    |A|, |B|, |A∪B| (lossless sketch union), |A∩B| and Jaccard by
+    inclusion–exclusion — one output row per unordered label pair.
+
+    The audience-overlap pattern: "how many users did BOTH checkout and
+    refund" is unanswerable from per-label distinct counts, and an
+    exact answer needs a corpus-wide self-join.  With one sketch per
+    label (a single groupBy over the corpus — or rows of an existing
+    rollup unioned to label grain), every pairwise overlap is computed
+    from the |labels|-row sketch frame alone via the binary
+    ``hll_union``: the pair join is |labels|² over kB rows, corpus
+    untouched.  HLL supports union natively, so intersection comes
+    from inclusion–exclusion: |A∩B| = |A| + |B| − |A∪B|, clamped at 0
+    (estimate noise can drive the raw difference negative for
+    near-disjoint sets).
+
+    Error posture: in the coupon regime (module docstring) every term
+    is exact, so the intersection is exact — q142-style gates compare
+    equality there.  In the dense regime the subtraction ACCUMULATES
+    the terms' errors; the relative error of |A∩B| scales with
+    |A∪B|/|A∩B| (small overlaps of big sets are the hard case —
+    standard HLL inclusion–exclusion behavior), so size lgk against
+    the union cardinality, not the intersection.
+    """
+    label = _col(label_col)
+    sketches = df.groupBy(label.alias("label")).agg(
+        F.hll_sketch_agg(_col(value_col), F.lit(lgk)).alias("_sk")
+    )
+    a = sketches.select(
+        F.col("label").alias("label_a"), F.col("_sk").alias("_sk_a")
+    )
+    b = sketches.select(
+        F.col("label").alias("label_b"), F.col("_sk").alias("_sk_b")
+    )
+    # |labels|² pair frame over kB sketch rows: a broadcast non-equi
+    # join of two tiny frames (the zorder scalar-stats class) — the
+    # corpus was touched exactly once, by the sketch groupBy above.
+    pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    n_a = F.hll_sketch_estimate("_sk_a")
+    n_b = F.hll_sketch_estimate("_sk_b")
+    n_union = F.hll_sketch_estimate(F.hll_union("_sk_a", "_sk_b"))
+    n_inter = F.greatest(n_a + n_b - n_union, F.lit(0).cast("bigint"))
+    return pairs.select(
+        "label_a",
+        "label_b",
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        n_union.alias("n_union"),
+        n_inter.alias("n_intersect"),
+        F.when(
+            n_union > 0,
+            n_inter.cast("double") / n_union.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
+    )
+
+
 def hll_rollup_report(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -157,9 +250,9 @@ def hll_rollup_report(
       count (the q34 bounded-error-flag pattern).
 
     The equality flags are exact comparisons and therefore only valid
-    in the coupon regime (distinct count <= ~2^lgk/4 — module
-    docstring); in the dense regime rely on ``est_ok`` and widen
-    ``tol`` to the sketch's error bound.  The exact count is computed
+    in the coupon regime (distinct count under ~2^lgk/10, the measured
+    planning bound — module docstring); in the dense regime rely on
+    ``est_ok`` and widen ``tol`` to the sketch's error bound.  The exact count is computed
     here too (one extra aggregation over the same scan) purely to
     ground the audit; production callers use the rollup alone.
     """

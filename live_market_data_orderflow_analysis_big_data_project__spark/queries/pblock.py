@@ -1395,7 +1395,9 @@ FROM pf, box GROUP BY layout
 # bounded-error-flag pattern PLUS two exact-equality mergeability
 # flags (day-bucketing == hash-shard-bucketing == single-pass).
 # lgk=14 is pinned DELIBERATELY: it keeps every fixture cardinality
-# (<= 1500 users at sf0.1, SET capacity ~2^14/4 = 4096) in the
+# (<= 1500 users at sf0.1; integer-exactness measured by bisection
+# through 1609 distinct at lgk=14 — NOT the folk 2^lgk/4; see the
+# operators/sketches.py docstring) in the
 # sketch's coupon-exact regime, where estimates are order- and
 # bucketing-independent — so all three booleans hash-gate
 # deterministically (the oracle emits literal TRUE; a lossy union or

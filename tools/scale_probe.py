@@ -392,6 +392,26 @@ def main() -> None:
         "    pair term at the cost of cross-stripe misses) or scaling the",
         "    upstream quantizer's k so |cluster| stays O(1).",
         "",
+        "12. Round-8 additions probed at 16x: q76b_scd2_snapshot_sync 1.3",
+        "    (the MERGE delete path costs the same one-join plan as q76),",
+        "    q77b_funnel_cascade_joins 1.3 (cascade joins match the fold",
+        "    twin's 1.2-1.3), q140b_zorder_rank_tiles 1.3 (domain-sized",
+        "    tile maps + the same two layout writes as q140's 1.9 but",
+        "    rank tiles balance the file sizes, trimming the write tail),",
+        "    q141_hll_sketch_rollup 1.4 (map-side sketch partials: the",
+        "    shuffle carries ~kB sketches per (group, bucket, task), so",
+        "    wall tracks the scan; at 16x users the lgk=14 gate fixture",
+        "    crosses into the dense regime — the probe times it, the",
+        "    equality flags are only asserted at gate scale), and",
+        "    q106b_decontaminate_bloom 1.7 vs exact q106's 1.4 from the",
+        "    same fixture: at THIS scale the exact broadcast is cheap and",
+        "    the bloom pass is pure overhead (build over eval shingles +",
+        "    k=5 extra hashes per corpus shingle + the confirm join's",
+        "    second explode consumer) — the bloom path's win condition is",
+        "    an eval/index key set past the broadcast threshold, which no",
+        "    fixture reaches; what the probe DOES establish is that the",
+        "    overhead itself is linear, not a second scaling term.",
+        "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
         "re-measured at 4.3x quiet; re-run ratios that look anomalous before",
