@@ -77,6 +77,7 @@ __all__ = [
     "hll_rollup_report",
     "hll_range_estimate",
     "hll_overlap_estimates",
+    "hll_rollup_windowed",
 ]
 
 DEFAULT_LGK = 12  # DataSketches default: ~1.6% relative standard error
@@ -141,6 +142,46 @@ def hll_direct_estimate(
         F.hll_sketch_estimate(
             F.hll_sketch_agg(_col(value_col), F.lit(lgk))
         ).alias("hll_estimate")
+    )
+
+
+def hll_rollup_windowed(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str | Column,
+    value_col: str | Column,
+    window: str = "1 day",
+    watermark: str = "0 seconds",
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Event-time-windowed rollup — one sketch per (group x tumbling
+    window), with the bucket as ``bucket_start``.  Works on BATCH and
+    STREAMING frames alike (the production ingest shape: a stream
+    maintains the rollup table incrementally; ``hll_sketch_agg`` is a
+    standard partial-merging aggregate, so streaming state holds one
+    ~kB sketch per open (group, window), bounded by the watermark like
+    any windowed agg, and append mode emits each bucket's final sketch
+    exactly once when its window closes — a parquet-appended rollup is
+    maintained BY the stream, no batch re-sketch step).
+
+    ``watermark`` is applied only when the frame is streaming; on a
+    batch frame the same call is just the windowed rollup (twin-tested
+    estimate-identical in tests/test_sketches.py).
+    """
+    if not isinstance(ts_col, str):
+        raise TypeError("ts_col must be a column NAME (withWatermark needs one)")
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return (
+        src.groupBy(
+            *_cols(group_cols),
+            F.window(_col(ts_col), window).alias("_w"),
+        )
+        .agg(F.hll_sketch_agg(_col(value_col), F.lit(lgk)).alias("hll_sketch"))
+        .select(
+            *_cols(group_cols),
+            F.col("_w.start").alias("bucket_start"),
+            "hll_sketch",
+        )
     )
 
 

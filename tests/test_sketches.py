@@ -34,6 +34,7 @@ from live_market_data_orderflow_analysis_big_data_project__spark.operators.sketc
     hll_rollup,
     hll_rollup_estimate,
     hll_rollup_report,
+    hll_rollup_windowed,
 )
 from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (
     load_table,
@@ -233,6 +234,52 @@ def test_overlap_dense_regime_clamped_and_in_tolerance(spark):
     assert abs(r.n_union - 40_000) <= tol * 40_000
     # the intersection inherits the union-sized terms' absolute error
     assert abs(r.n_intersect - 10_000) <= 3 * tol * 40_000
+
+
+def test_windowed_rollup_streaming_equals_batch(spark):
+    """The production ingest shape: a streaming windowed agg maintains
+    the rollup — drained with AvailableNow (append mode: each day's
+    sketch emitted once when its window closes, final no-data batch
+    flushes the last), the streamed rollup's unioned estimates equal
+    the batch windowed rollup's exactly (coupon regime)."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (
+        run_to_memory,
+        stream_events,
+    )
+
+    cols = ("event_type", "ts", "user_id")
+    sdf = stream_events(spark, SF001).select(*cols)
+    streamed = run_to_memory(
+        hll_rollup_windowed(sdf, ["event_type"], "ts", "user_id", lgk=14),
+        "hll_windowed",
+        n_state_partitions=8,
+    )
+    batch = hll_rollup_windowed(
+        load_table(spark, SF001, "events").select(*cols),
+        ["event_type"],
+        "ts",
+        "user_id",
+        lgk=14,
+    )
+
+    def est(rollup):
+        return {
+            r.event_type: r.hll_estimate
+            for r in hll_rollup_estimate(rollup, ["event_type"]).collect()
+        }
+
+    # Append-mode semantics: a window emits when the watermark passes
+    # its END.  The final no-data batch advances the watermark to the
+    # max event ts, which is INSIDE the last day — so exactly the 29
+    # closed days emit (5 types x 29) and the open day is withheld
+    # (the late-data guarantee, not data loss: a later micro-batch
+    # with day-31 data would close and emit it).
+    last_day = batch.agg(F.max("bucket_start").alias("m")).collect()[0].m
+    assert streamed.count() == 145
+    assert streamed.agg(F.max("bucket_start")).collect()[0][0] < last_day
+    closed_batch = batch.where(F.col("bucket_start") < F.lit(last_day))
+    assert est(streamed) == est(closed_batch)
+    assert all(v > 0 for v in est(streamed).values()) and len(est(streamed)) == 5
 
 
 def test_mixed_lgk_union_is_an_error_not_a_downgrade(spark):
