@@ -1,0 +1,178 @@
+"""Next-rotation staging: gate entries authored and oracle-verified
+BEFORE they enter the driver window.
+
+The round-8 lesson encoded as process: a new ``queries()`` entry only
+holds evidence if it is inside the 50-slot driver window, and window
+slots are contended (rotation freshness vs new surface).  So new
+entries are staged here — same (spark, sf_dir) -> DataFrame contract,
+same oracle-SQL twins, exercised by tests/test_next_rotation.py with
+the EXACT driver compare (check_oracle's normalize + hash) on every
+pytest run — and promoted into queries()/oracle_sql() when a window
+slot opens.  Promotion is a dict move, not new code.
+
+Staged for round 9 (library operators landed + tests-pinned in r8):
+
+- q142: histogram rollup report (operators/histogram.py) — every flag
+  deterministic at any scale (exact integer merges; the quantile band
+  is a theorem against the discrete quantile).
+- q143: certified top-k heavy hitters (operators/topk.py) — the
+  DuckDB twin recomputes the SAME lossy rollup (m-cut, tail bounds,
+  slack certificate) with plain SQL window functions, so every value
+  (est, upper, certified) is hash-compared, not just shape.
+- s14: streaming windowed HLL rollup (operators/sketches.py
+  hll_rollup_windowed) — AvailableNow drain; append mode emits closed
+  day windows only, so the oracle excludes the final (still-open) day;
+  per-(type, day) cardinalities are deep in the coupon-exact regime,
+  making the stream's estimates hash-comparable to exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.histogram import hist_rollup_report
+from ..operators.sketches import hll_rollup_windowed
+from ..operators.topk import topk_merge, topk_read, topk_rollup
+from ..sources.tables import load_table
+
+
+def _events_day(spark, sf):
+    return load_table(spark, sf, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+        "value",
+    )
+
+
+def q142_hist_rollup_report(spark, sf):
+    return hist_rollup_report(
+        _events_day(spark, sf),
+        ["event_type"],
+        "day",
+        "value",
+        lo=0.0,
+        hi=500.0,
+        n_bins=50,
+        q=0.9,
+    ).orderBy("event_type")
+
+
+Q142_SQL = """
+SELECT event_type,
+       count(value) AS n_rows,
+       TRUE AS count_preserved,
+       TRUE AS rollup_eq_shard,
+       TRUE AS rollup_eq_direct,
+       TRUE AS q_in_band,
+       TRUE AS grid_consistent
+FROM events
+GROUP BY event_type
+"""
+
+
+_M, _K = 8, 5
+
+
+def q143_topk_certified(spark, sf):
+    ev = _events_day(spark, sf)
+    rollup = topk_rollup(ev, ["event_type"], "day", "user_id", m=_M)
+    merged = topk_merge(rollup, ["event_type"])
+    return topk_read(merged, ["event_type"], k=_K).select(
+        "event_type", "item", "est", "upper", "rank", "certified"
+    )
+
+
+# The twin recomputes the identical lossy rollup: exact per-(type, day)
+# counts, the m-cut with the same (count DESC, item ASC) tie-break,
+# per-bucket tail bounds, merge with per-item hideable slack, and the
+# read certificate.  SUMs cast to BIGINT (DuckDB HUGEINT reaches pandas
+# as float64 otherwise — the dtype_audit class).
+Q143_SQL = f"""
+WITH c AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id, count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type, day ORDER BY n DESC, user_id ASC) AS rn
+  FROM c
+), tb AS (
+  SELECT event_type, day,
+         coalesce(max(CASE WHEN rn > {_M} THEN n END), 0) AS tail_bound
+  FROM r GROUP BY 1, 2
+), slack AS (
+  SELECT event_type, CAST(sum(tail_bound) AS BIGINT) AS total_slack
+  FROM tb GROUP BY 1
+), merged AS (
+  SELECT k.event_type, k.user_id AS item,
+         CAST(sum(k.n) AS BIGINT) AS est,
+         CAST(sum(t.tail_bound) AS BIGINT) AS reported_tb
+  FROM r k JOIN tb t ON k.event_type = t.event_type AND k.day = t.day
+  WHERE k.rn <= {_M}
+  GROUP BY 1, 2
+), m2 AS (
+  SELECT m.event_type, m.item, m.est,
+         m.est + s.total_slack - m.reported_tb AS upper,
+         s.total_slack
+  FROM merged m JOIN slack s USING (event_type)
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY est DESC, item ASC) AS rank
+  FROM m2
+), kth AS (
+  SELECT event_type, min(est) AS kth_est, max(total_slack) AS slk
+  FROM ranked WHERE rank <= {_K} GROUP BY 1
+), outs AS (
+  SELECT event_type, max(upper) AS best_out
+  FROM ranked WHERE rank > {_K} GROUP BY 1
+)
+SELECT r.event_type, r.item, r.est, r.upper, r.rank,
+       (k.kth_est > greatest(coalesce(o.best_out, 0), k.slk)) AS certified
+FROM ranked r
+JOIN kth k USING (event_type)
+LEFT JOIN outs o USING (event_type)
+WHERE r.rank <= {_K}
+"""
+
+
+def s14_hll_windowed_stream(spark, sf):
+    from ..streaming.core import run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf).select("event_type", "ts", "user_id")
+    rollup = run_to_memory(
+        hll_rollup_windowed(sdf, ["event_type"], "ts", "user_id", lgk=14),
+        "s14_hll_windowed",
+        n_state_partitions=8,
+    )
+    return rollup.select(
+        "event_type",
+        "bucket_start",
+        F.hll_sketch_estimate("hll_sketch").alias("n_users"),
+    )
+
+
+# Append mode emits a day's sketch when the watermark passes the window
+# END; the final no-data batch advances the watermark to max(ts), which
+# is inside the last day — so exactly the closed days are present and
+# the oracle excludes the final day.
+S14_SQL = """
+SELECT event_type,
+       date_trunc('day', ts) AS bucket_start,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE date_trunc('day', ts) < (SELECT date_trunc('day', max(ts)) FROM events)
+GROUP BY 1, 2
+"""
+
+
+STAGED_QUERIES = {
+    "q142_hist_rollup_report": q142_hist_rollup_report,
+    "q143_topk_certified": q143_topk_certified,
+    "s14_hll_windowed_stream": s14_hll_windowed_stream,
+}
+
+STAGED_ORACLE = {
+    "q142_hist_rollup_report": Q142_SQL,
+    "q143_topk_certified": Q143_SQL,
+    "s14_hll_windowed_stream": S14_SQL,
+}

@@ -1,0 +1,52 @@
+"""Staged next-rotation gate entries (queries/staging.py) run against
+their DuckDB twins with the EXACT driver compare — row count, sorted
+column names, order-insensitive value hash via tools/check_oracle's
+normalization — so promotion into queries()/oracle_sql() in the next
+window rotation is a pre-verified dict move."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+from check_oracle import TABLES, hash_rows  # noqa: E402
+
+from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    STAGED_ORACLE,
+    STAGED_QUERIES,
+)
+
+from conftest import SF001
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF001}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_every_staged_entry_has_an_oracle():
+    assert set(STAGED_QUERIES) == set(STAGED_ORACLE)
+
+
+@pytest.mark.parametrize("key", sorted(STAGED_QUERIES))
+def test_staged_entry_hash_matches_oracle(spark, duck, key):
+    spdf = STAGED_QUERIES[key](spark, SF001).toPandas()
+    scols = list(spdf.columns)
+    srows = list(spdf.itertuples(index=False, name=None))
+
+    dpdf = duck.execute(STAGED_ORACLE[key]).df()
+    dcols = list(dpdf.columns)
+    drows = list(dpdf.itertuples(index=False, name=None))
+
+    assert len(srows) == len(drows), (key, len(srows), len(drows))
+    assert sorted(scols) == sorted(dcols), (key, scols, dcols)
+    assert hash_rows(scols, srows) == hash_rows(dcols, drows), key
+    assert len(srows) > 0, key
