@@ -127,6 +127,20 @@ def test_out_of_range_values_clamp_to_edge_bins(spark):
     assert hist[49] == 2  # 999.0 clamped + 500.0 (== hi -> last bin)
 
 
+def test_plan_is_partial_agg_no_global_sort(spark):
+    """Scale claims pinned in the physical plan: the (group, bucket,
+    bin) count aggregation is map-side combinable (partial_count before
+    the exchange) and nothing range-partitions (no global sort)."""
+    ev = _events(spark)
+    merged = hist_merge(
+        hist_rollup(ev, ["event_type"], "day", "value", LO, HI, BINS),
+        ["event_type"],
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
 def test_mixed_grid_merge_is_surfaced(spark):
     """Merging rollups built on different grids is a caller bug: the
     merge flags it (grid_consistent=false) instead of silently

@@ -120,6 +120,24 @@ def test_certificate_refuses_an_undecidable_read(spark):
         assert r.est <= 60 <= r.upper
 
 
+def test_plan_has_no_global_sort(spark):
+    """The 'never a global sort' scale claim, pinned in the physical
+    plan: the per-bucket top-m and per-group top-k are window functions
+    over hash-partitioned exchanges (local sorts within partitions) —
+    no rangepartitioning exchange anywhere in the read plan."""
+    ev = _events(spark)
+    read = topk_read(
+        topk_merge(
+            topk_rollup(ev, ["event_type"], "day", "user_id", m=8),
+            ["event_type"],
+        ),
+        ["event_type"],
+        k=5,
+    )
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower()
+
+
 def test_incremental_bucket_append_roundtrip(spark, tmp_path):
     """The rollup is a parquet table; appending only the new day's
     top-m rows reproduces the from-scratch merge exactly."""
