@@ -135,6 +135,43 @@ WHERE r.rank <= {_K}
 """
 
 
+def q144_hll_overlap(spark, sf):
+    """Pairwise audience overlap via sketch inclusion–exclusion.
+
+    Hash-gateable because every term is in the coupon-exact regime at
+    every fixture sf: the largest pair union is the whole user
+    population (1500 at sf0.1), under the measured lgk=14 exactness
+    boundary of ~1609 (operators/sketches.py docstring) — so
+    n_intersect equals the exact self-join answer and jaccard is the
+    same two-integer IEEE division on both engines."""
+    from ..operators.sketches import hll_overlap_estimates
+
+    ev = load_table(spark, sf, "events").select("event_type", "user_id")
+    return hll_overlap_estimates(ev, "event_type", "user_id", lgk=14)
+
+
+Q144_SQL = """
+WITH c AS (
+  SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY 1
+), u AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), i AS (
+  SELECT a.event_type AS la, b.event_type AS lb, count(*) AS n_i
+  FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ca.event_type AS label_a, cb.event_type AS label_b,
+       ca.n AS n_a, cb.n AS n_b,
+       ca.n + cb.n - coalesce(i.n_i, 0) AS n_union,
+       coalesce(i.n_i, 0) AS n_intersect,
+       CAST(coalesce(i.n_i, 0) AS DOUBLE)
+         / (ca.n + cb.n - coalesce(i.n_i, 0)) AS jaccard
+FROM c ca
+JOIN c cb ON ca.event_type < cb.event_type
+LEFT JOIN i ON i.la = ca.event_type AND i.lb = cb.event_type
+"""
+
+
 def s14_hll_windowed_stream(spark, sf):
     from ..streaming.core import run_to_memory, stream_events
 
@@ -168,11 +205,13 @@ GROUP BY 1, 2
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
+    "q144_hll_overlap": q144_hll_overlap,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
 }
 
 STAGED_ORACLE = {
     "q142_hist_rollup_report": Q142_SQL,
     "q143_topk_certified": Q143_SQL,
+    "q144_hll_overlap": Q144_SQL,
     "s14_hll_windowed_stream": S14_SQL,
 }
