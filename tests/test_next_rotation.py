@@ -23,12 +23,19 @@ from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging
 from conftest import SF001
 
 
-@pytest.fixture(scope="module")
-def duck():
+# Two sfs standing (the q123 lesson: a gate that passes at one scale
+# only is rot waiting to happen); sf0.1 verified by hand each time the
+# staged set changes (recorded in the staging commits).
+SFS = (SF001, "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module", params=SFS, ids=lambda p: p.rsplit("/", 1)[1])
+def sf_and_duck(request):
+    sf = request.param
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF001}/{t}.parquet'")
-    yield con
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    yield sf, con
     con.close()
 
 
@@ -37,8 +44,9 @@ def test_every_staged_entry_has_an_oracle():
 
 
 @pytest.mark.parametrize("key", sorted(STAGED_QUERIES))
-def test_staged_entry_hash_matches_oracle(spark, duck, key):
-    spdf = STAGED_QUERIES[key](spark, SF001).toPandas()
+def test_staged_entry_hash_matches_oracle(spark, sf_and_duck, key):
+    sf, duck = sf_and_duck
+    spdf = STAGED_QUERIES[key](spark, sf).toPandas()
     scols = list(spdf.columns)
     srows = list(spdf.itertuples(index=False, name=None))
 
@@ -46,7 +54,7 @@ def test_staged_entry_hash_matches_oracle(spark, duck, key):
     dcols = list(dpdf.columns)
     drows = list(dpdf.itertuples(index=False, name=None))
 
-    assert len(srows) == len(drows), (key, len(srows), len(drows))
+    assert len(srows) == len(drows), (key, sf, len(srows), len(drows))
     assert sorted(scols) == sorted(dcols), (key, scols, dcols)
-    assert hash_rows(scols, srows) == hash_rows(dcols, drows), key
+    assert hash_rows(scols, srows) == hash_rows(dcols, drows), (key, sf)
     assert len(srows) > 0, key
