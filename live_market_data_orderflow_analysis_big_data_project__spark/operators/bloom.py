@@ -129,6 +129,7 @@ def bloom_prefilter_join(
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
     how: str = "inner",
+    small_keys_distinct: bool = False,
 ) -> DataFrame:
     """Exact equi-join of ``big`` to ``small`` on column ``on``, with a
     bloom-of-``small`` pre-pass on the big side.  Result is identical
@@ -139,17 +140,33 @@ def bloom_prefilter_join(
     The bitmap row rides in via a broadcast nested-loop join of a
     1-row frame (the zorder scalar-stats pattern) so the pre-pass is
     a narrow filter inside the big side's scan stage; the confirm join
-    then only sees the admitted slice.
+    then only sees the admitted slice.  The confirm join is left
+    UNHINTED deliberately: in the operator's motivating regime the
+    small side is exactly the frame that outgrew the broadcast
+    threshold, so forcing ``F.broadcast`` there would recreate the
+    problem the bloom pass exists to avoid — Catalyst/AQE still
+    auto-broadcasts it whenever it does fit, and otherwise shuffles
+    only the admitted slice (matches + ~fp_rate of the rest) against
+    it.
+
+    ``small_keys_distinct=True`` skips the build-side dedup when the
+    caller already guarantees ``small``'s keys are distinct (adjacent
+    Deduplicate nodes are NOT collapsed by Catalyst, so a redundant
+    ``.distinct()`` here would be a second full shuffle of the key
+    set).
     """
     if how not in ("inner", "semi", "leftsemi", "left_semi"):
         raise ValueError(
             "bloom_prefilter_join is only sound for match-only joins "
             f"(inner/semi); got {how!r}"
         )
-    bloom = bloom_build(small.select(on).distinct(), on, m_bits, k)
+    keys = small.select(on)
+    if not small_keys_distinct:
+        keys = keys.distinct()
+    bloom = bloom_build(keys, on, m_bits, k)
     admitted = (
         big.crossJoin(F.broadcast(bloom))
         .where(bloom_might_contain(F.col(on), F.col("bloom_words"), m_bits, k))
         .drop("bloom_words")
     )
-    return admitted.join(F.broadcast(small), on, how)
+    return admitted.join(small, on, how)

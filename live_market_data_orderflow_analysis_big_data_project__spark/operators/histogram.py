@@ -86,7 +86,12 @@ def hist_rollup(
     (group x bucket), plus the grid params as columns so a reader can
     verify it merges compatible grids only."""
     b = _col(bucket_col)
-    binned = df.select(
+    # NULL values are EXCLUDED, matching SQL aggregate semantics
+    # (count/percentile skip NULLs) — without the filter a NULL bin
+    # index would reach map_from_entries as a NULL map key and crash
+    # the job.  "Total count preserved" therefore means all NON-NULL
+    # rows; count NULLs separately if they matter.
+    binned = df.where(_col(value_col).isNotNull()).select(
         *_cols(group_cols),
         b,
         bin_index(_col(value_col), lo, hi, n_bins).alias("_bin"),

@@ -148,7 +148,10 @@ def decontaminate_bloom(
         F.explode(shingles_col(text_col, n)).alias("shingle")
     ).distinct()
     return (
-        bloom_prefilter_join(corpus_sh, eval_sh, "shingle", m_bits, k)
+        bloom_prefilter_join(
+            corpus_sh, eval_sh, "shingle", m_bits, k,
+            small_keys_distinct=True,  # eval_sh is .distinct() above
+        )
         .groupBy(id_col)
         .agg(F.count_distinct("shingle").alias("n_shared_ngrams"))
     )

@@ -71,8 +71,11 @@ def topk_rollup(
     keys = list(group_cols)
     b = _col(bucket_col)
     bname = df.select(b).columns[0]
+    # NULL items are EXCLUDED (SQL aggregate semantics, and a NULL item
+    # would reach map_from_entries as a NULL map key and crash the job)
     counts = (
         df.select(*_cols(keys), b, _col(item_col).alias("_item"))
+        .where(F.col("_item").isNotNull())
         .groupBy(*[F.col(c) for c in keys], F.col(bname), F.col("_item"))
         .agg(F.count("*").alias("_n"))
     )

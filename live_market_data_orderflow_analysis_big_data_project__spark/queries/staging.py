@@ -19,6 +19,10 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   DuckDB twin recomputes the SAME lossy rollup (m-cut, tail bounds,
   slack certificate) with plain SQL window functions, so every value
   (est, upper, certified) is hash-compared, not just shape.
+- q144: HLL audience overlap (hll_overlap_estimates) — full-value
+  oracle vs the exact self-join, valid at every fixture sf because
+  the largest pair union (1500 users) is under the measured lgk=14
+  exactness boundary (~1609).
 - s14: streaming windowed HLL rollup (operators/sketches.py
   hll_rollup_windowed) — AvailableNow drain; append mode emits closed
   day windows only, so the oracle excludes the final (still-open) day;
@@ -30,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.hashstable import fmt_date
 from ..operators.histogram import hist_rollup_report
 from ..operators.sketches import hll_rollup_windowed
 from ..operators.topk import topk_merge, topk_read, topk_rollup
@@ -39,7 +44,7 @@ from ..sources.tables import load_table
 def _events_day(spark, sf):
     return load_table(spark, sf, "events").select(
         "event_type",
-        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        fmt_date("ts", "day"),  # single point of truth w/ the strftime twins
         "user_id",
         "value",
     )

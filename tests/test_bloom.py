@@ -31,15 +31,27 @@ from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables 
     load_table,
 )
 
+from live_market_data_orderflow_analysis_big_data_project__spark.queries.pblock import (
+    _EVAL_SOURCE,
+)
+
 from conftest import SF001
 
 
 def _split(spark):
+    # the SAME split q106/q106b gate on (pblock._EVAL_SOURCE) — an ad-hoc
+    # source label here once made the eval set EMPTY and every assertion
+    # below vacuous (0 rows == 0 rows); _nonempty guards that regression
     d = load_table(spark, SF001, "documents")
-    return (
-        d.filter(F.col("source") != "eval_bench"),
-        d.filter(F.col("source") == "eval_bench"),
-    )
+    corpus = d.filter(F.col("source") != _EVAL_SOURCE)
+    eval_set = d.filter(F.col("source") == _EVAL_SOURCE)
+    return corpus, eval_set
+
+
+def _nonempty(df):
+    n = df.count()
+    assert n > 0
+    return n
 
 
 def _rows(df):
@@ -94,7 +106,9 @@ def test_undersized_bitmap_really_produces_false_positives(spark):
 
 def test_q106b_equals_q106_and_prunes(spark):
     corpus, eval_set = _split(spark)
+    _nonempty(eval_set)
     exact = decontaminate(corpus, eval_set, n=5)
+    assert _nonempty(exact) > 0  # contaminated docs exist: non-vacuous
     bloomed = decontaminate_bloom(corpus, eval_set, n=5)
     assert _rows(bloomed) == _rows(exact)
 

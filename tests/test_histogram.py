@@ -141,6 +141,21 @@ def test_plan_is_partial_agg_no_global_sort(spark):
     assert "rangepartitioning" not in plan.lower()
 
 
+def test_null_values_excluded_not_crashing(spark):
+    """NULL values are excluded (SQL aggregate semantics) — without
+    the operator's filter a NULL bin index becomes a NULL map key and
+    the job dies in map_from_entries."""
+    df = spark.createDataFrame(
+        [("g", 10.0), ("g", None), ("g", 20.0)], "g string, v double"
+    )
+    merged = hist_merge(
+        hist_rollup(df, ["g"], F.lit(0).alias("b"), "v", 0.0, 100.0, 10),
+        ["g"],
+    )
+    r = merged.collect()[0]
+    assert sum(dict(r.hist).values()) == 2  # the two non-null rows
+
+
 def test_mixed_grid_merge_is_surfaced(spark):
     """Merging rollups built on different grids is a caller bug: the
     merge flags it (grid_consistent=false) instead of silently

@@ -20,13 +20,16 @@ from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging
     STAGED_QUERIES,
 )
 
-from conftest import SF001
+from conftest import SF0001, SF001
 
 
-# Two sfs standing (the q123 lesson: a gate that passes at one scale
-# only is rot waiting to happen); sf0.1 verified by hand each time the
-# staged set changes (recorded in the staging commits).
-SFS = (SF001, "/root/testdata/sf0.01")
+# Two DISTINCT sfs standing (the q123 lesson: a gate that passes at one
+# scale only is rot waiting to happen); sf0.1 verified by hand each
+# time the staged set changes (recorded in the staging commits).
+# NB: conftest's SF001 is sf0.01 — the first revision of this list
+# wrote (SF001, ".../sf0.01") and ran the same sf twice.
+SFS = (SF0001, SF001)
+assert len(set(SFS)) == 2
 
 
 @pytest.fixture(scope="module", params=SFS, ids=lambda p: p.rsplit("/", 1)[1])

@@ -120,6 +120,19 @@ def test_certificate_refuses_an_undecidable_read(spark):
         assert r.est <= 60 <= r.upper
 
 
+def test_null_items_excluded_not_crashing(spark):
+    """NULL items are excluded (SQL aggregate semantics) — without the
+    operator's filter a NULL item becomes a NULL map key and the job
+    dies in map_from_entries."""
+    df = spark.createDataFrame(
+        [("g", 0, "a"), ("g", 0, None), ("g", 0, "a"), ("g", 0, "b")],
+        "g string, b int, item string",
+    )
+    merged = topk_merge(topk_rollup(df, ["g"], "b", "item", m=8), ["g"])
+    got = {r.item: r.est for r in merged.collect()}
+    assert got == {"a": 2, "b": 1}
+
+
 def test_plan_has_no_global_sort(spark):
     """The 'never a global sort' scale claim, pinned in the physical
     plan: the per-bucket top-m and per-group top-k are window functions
