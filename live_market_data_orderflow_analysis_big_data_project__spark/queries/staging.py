@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashstable import fmt_date
 from ..operators.histogram import hist_rollup_report
+from ..operators.kmv import kmv_merge, kmv_setop_estimates, kmv_sketch
 from ..operators.sketches import hll_rollup_windowed
 from ..operators.topk import topk_merge, topk_read, topk_rollup
 from ..sources.tables import load_table
@@ -207,10 +208,93 @@ GROUP BY 1, 2
 """
 
 
+_KMV_K = 4096
+
+
+def q145_kmv_setops(spark, sf):
+    """KMV (bottom-k theta) pairwise set operations incl. the
+    DIFFERENCE estimates HLL cannot derive (operators/kmv.py).
+
+    Hash-gateable by the same coupon-regime argument as q144: the
+    largest pair union is the whole user population (1500 at sf0.1),
+    and k=4096 keeps every sketch and every merged pair sketch
+    unsaturated (2.7x margin) — unsaturated KMV holds EVERY distinct
+    hash, so each estimate is the exact COUNT(DISTINCT) integer and
+    jaccard is the same two-integer IEEE division as the oracle's.
+    ``merge_lossless`` re-proves N-way mergeability on the fixture:
+    per-(label x day) sketches merged to label grain are
+    array-identical to the directly-built label sketches."""
+    ev = load_table(spark, sf, "events").select(
+        "event_type", fmt_date("ts", "day"), "user_id"
+    )
+    pairs = kmv_setop_estimates(ev, "event_type", "user_id", k=_KMV_K)
+    direct = kmv_sketch(ev, ["event_type"], "user_id", k=_KMV_K)
+    daily = kmv_sketch(ev, ["event_type", "day"], "user_id", k=_KMV_K)
+    merged = kmv_merge(daily.select("event_type", "kmv"), ["event_type"], k=_KMV_K)
+    flags = (
+        direct.withColumnRenamed("kmv", "_d")
+        .join(merged.withColumnRenamed("kmv", "_m"), "event_type")
+        .select("event_type", (F.col("_d") == F.col("_m")).alias("_ok"))
+    )
+    out = (
+        pairs.join(
+            flags.select(
+                F.col("event_type").alias("label_a"), F.col("_ok").alias("_ok_a")
+            ),
+            "label_a",
+        )
+        .join(
+            flags.select(
+                F.col("event_type").alias("label_b"), F.col("_ok").alias("_ok_b")
+            ),
+            "label_b",
+        )
+    )
+    return out.select(
+        "label_a",
+        "label_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_union").cast("bigint").alias("n_union"),
+        F.col("n_intersect").cast("bigint").alias("n_intersect"),
+        F.col("n_a_not_b").cast("bigint").alias("n_a_not_b"),
+        F.col("n_b_not_a").cast("bigint").alias("n_b_not_a"),
+        "jaccard",
+        "exact_regime",
+        (F.col("_ok_a") & F.col("_ok_b")).alias("merge_lossless"),
+    )
+
+
+Q145_SQL = """
+WITH u AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), c AS (
+  SELECT event_type, count(*) AS n FROM u GROUP BY 1
+), i AS (
+  SELECT a.event_type AS la, b.event_type AS lb, count(*) AS n_i
+  FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ca.event_type AS label_a, cb.event_type AS label_b,
+       CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+       CAST(ca.n + cb.n - coalesce(i.n_i, 0) AS BIGINT) AS n_union,
+       CAST(coalesce(i.n_i, 0) AS BIGINT) AS n_intersect,
+       CAST(ca.n - coalesce(i.n_i, 0) AS BIGINT) AS n_a_not_b,
+       CAST(cb.n - coalesce(i.n_i, 0) AS BIGINT) AS n_b_not_a,
+       CAST(coalesce(i.n_i, 0) AS DOUBLE)
+         / (ca.n + cb.n - coalesce(i.n_i, 0)) AS jaccard,
+       TRUE AS exact_regime, TRUE AS merge_lossless
+FROM c ca
+JOIN c cb ON ca.event_type < cb.event_type
+LEFT JOIN i ON i.la = ca.event_type AND i.lb = cb.event_type
+"""
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
     "q144_hll_overlap": q144_hll_overlap,
+    "q145_kmv_setops": q145_kmv_setops,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
 }
 
@@ -218,5 +302,6 @@ STAGED_ORACLE = {
     "q142_hist_rollup_report": Q142_SQL,
     "q143_topk_certified": Q143_SQL,
     "q144_hll_overlap": Q144_SQL,
+    "q145_kmv_setops": Q145_SQL,
     "s14_hll_windowed_stream": S14_SQL,
 }
