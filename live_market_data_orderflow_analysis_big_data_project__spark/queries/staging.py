@@ -23,6 +23,13 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   oracle vs the exact self-join, valid at every fixture sf because
   the largest pair union (1500 users) is under the measured lgk=14
   exactness boundary (~1609).
+- q145: KMV (bottom-k theta) pairwise set operations
+  (operators/kmv.py) — the set-DIFFERENCE estimates HLL cannot
+  derive; hash-gateable because k=4096 keeps every fixture pair
+  sketch unsaturated (an unsaturated KMV holds every distinct hash,
+  so each estimate is the exact COUNT(DISTINCT) integer), with the
+  bucketed-merge == direct-build losslessness flag recomputed
+  in-query.
 - s14: streaming windowed HLL rollup (operators/sketches.py
   hll_rollup_windowed) — AvailableNow drain; append mode emits closed
   day windows only, so the oracle excludes the final (still-open) day;
