@@ -30,6 +30,11 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   so each estimate is the exact COUNT(DISTINCT) integer), with the
   bucketed-merge == direct-build losslessness flag recomputed
   in-query.
+- q146: typo-tolerant entity matching (operators/fuzzy.py) — FastSS
+  deletion-neighborhood blocking + levenshtein verify; the blocking
+  is lossless by pigeonhole, so the Spark result is definitionally
+  identical to the oracle's naive quadratic formulation (hash gate,
+  no envelope needed).
 - s14: streaming windowed HLL rollup (operators/sketches.py
   hll_rollup_windowed) — AvailableNow drain; append mode emits closed
   day windows only, so the oracle excludes the final (still-open) day;
@@ -43,6 +48,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashstable import fmt_date
 from ..operators.histogram import hist_rollup_report
+from ..operators.fuzzy import fuzzy_pairs
 from ..operators.kmv import kmv_merge, kmv_setop_estimates, kmv_sketch
 from ..operators.sketches import hll_rollup_windowed
 from ..operators.topk import topk_merge, topk_read, topk_rollup
@@ -297,11 +303,62 @@ LEFT JOIN i ON i.la = ca.event_type AND i.lb = cb.event_type
 """
 
 
+def q146_fuzzy_match(spark, sf):
+    """Typo-tolerant entity matching (operators/fuzzy.py): every
+    customer name's edit-distance-1 neighbor count and lexicographic
+    nearest neighbor, found by FastSS deletion-neighborhood blocking
+    + builtin levenshtein verify — never an all-pairs join.
+
+    Hash-gateable because the blocking is LOSSLESS (pigeonhole, not
+    probabilistic) and the verify is exact: the Spark result is
+    definitionally identical to the oracle's naive quadratic
+    formulation.  Names with no neighbor survive with n_neighbors=0
+    (the left join), so the output covers the full entity set."""
+    cust = load_table(spark, sf, "customer").select("c_name")
+    pairs = fuzzy_pairs(cust, "c_name", tau=1)
+    both = pairs.select(
+        F.col("name_a").alias("name"), F.col("name_b").alias("nbr")
+    ).unionAll(
+        pairs.select(F.col("name_b").alias("name"), F.col("name_a").alias("nbr"))
+    )
+    agg = both.groupBy("name").agg(
+        F.count("*").alias("n_neighbors"), F.min("nbr").alias("nearest")
+    )
+    names = cust.distinct().withColumnRenamed("c_name", "name")
+    return names.join(agg, "name", "left").select(
+        "name",
+        F.coalesce("n_neighbors", F.lit(0)).cast("bigint").alias("n_neighbors"),
+        "nearest",
+    )
+
+
+Q146_SQL = """
+WITH d AS (
+  SELECT DISTINCT c_name AS name FROM customer
+), p AS (
+  SELECT a.name AS na, b.name AS nb
+  FROM d a JOIN d b
+  ON a.name < b.name
+     AND abs(length(a.name) - length(b.name)) <= 1
+     AND levenshtein(a.name, b.name) <= 1
+), bi AS (
+  SELECT na AS name, nb AS nbr FROM p
+  UNION ALL
+  SELECT nb AS name, na AS nbr FROM p
+)
+SELECT d.name, CAST(count(b.nbr) AS BIGINT) AS n_neighbors,
+       min(b.nbr) AS nearest
+FROM d LEFT JOIN bi b ON d.name = b.name
+GROUP BY d.name
+"""
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
     "q144_hll_overlap": q144_hll_overlap,
     "q145_kmv_setops": q145_kmv_setops,
+    "q146_fuzzy_match": q146_fuzzy_match,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
 }
 
@@ -310,5 +367,6 @@ STAGED_ORACLE = {
     "q143_topk_certified": Q143_SQL,
     "q144_hll_overlap": Q144_SQL,
     "q145_kmv_setops": Q145_SQL,
+    "q146_fuzzy_match": Q146_SQL,
     "s14_hll_windowed_stream": S14_SQL,
 }

@@ -75,6 +75,7 @@ PROBE_QUERIES = [
     ("q142_staged_hist_report", "STAGED (queries/staging.py): sparse histogram rollup report — one (group,bucket,bin) count shuffle + map packs + audit joins"),
     ("q143_staged_topk", "STAGED: certified top-k rollup — one (group,bucket,item) count shuffle + per-bucket top-m window, never a global sort"),
     ("q145_staged_kmv", "STAGED: KMV theta set-ops — distinct-hash shuffle + bottom-k windows; pair joins on the |labels|-row sketch frame (16x users saturates k=4096: times the estimation regime)"),
+    ("q146_staged_fuzzy", "STAGED: FastSS deletion-neighborhood fuzzy match — bounded |s|+1 variant explode + neighbor-bounded bucket join + levenshtein verify, never all-pairs"),
 ]
 
 
@@ -171,6 +172,19 @@ def replicate(mult: int) -> str:
     return out
 
 
+def _fuzzy_probe_frame(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.fuzzy import (  # noqa: E501
+        fuzzy_pairs,
+    )
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        F.format_string("Customer#%09d", "c_custkey").alias("c_name")
+    )
+    return fuzzy_pairs(cust, "c_name", tau=1)
+
+
 def _custom_probes():
     """Probe-only measurements that are not queries() entries.
 
@@ -202,6 +216,15 @@ def _custom_probes():
         "q145_staged_kmv": (
             None,
             lambda spark, sf, ctx: staging.q145_kmv_setops(spark, sf),
+        ),
+        # replication leaves c_name byte-identical across copies (only
+        # c_custkey is offset), so probing the staged entry as-is would
+        # rerun the SAME 15k distinct names at 16x.  Re-derive the name
+        # from the offset key (identical to c_name at 1x by fixture
+        # construction) so the distinct-string domain scales honestly.
+        "q146_staged_fuzzy": (
+            None,
+            lambda spark, sf, ctx: _fuzzy_probe_frame(spark, sf),
         ),
         # the one-time amortized shuffle: writes execute eagerly inside
         "q132_write_only": (
@@ -446,6 +469,13 @@ def main() -> None:
         "    sketches SATURATE, so the probe times the estimation regime",
         "    the exact-regime gate can't reach — the pair joins stay on",
         "    the 5-row sketch frame at every scale.",
+        "q146_staged_fuzzy 11.2 -> 89.1 s at 16x keys (names re-derived",
+        "from the offset custkey so the distinct-string domain scales;",
+        "overlapping per-copy offsets make the id space DENSER, so true",
+        "ed<=1 pairs grow faster than names — the wall tracks the",
+        "candidate/verify volume, the honest cost driver, with no",
+        "quadratic blocking term: the largest variant bucket stays",
+        "neighbor-bounded at every scale).",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
