@@ -1,0 +1,95 @@
+"""Deterministic weighted (PPS) sampling — systematic
+probability-proportional-to-size selection in exact integer
+arithmetic, no RNG state anywhere.
+
+The sampling family so far is uniform or quota-based: q107 keeps a
+hash-fraction of rows, q112 exact per-stratum QUOTAS, q114 disjoint
+splits, q122 per-source Bernoulli reweighting.  None selects rows
+with probability proportional to a SIZE column — the estimator shape
+behind "sample shards for eval proportional to token count",
+"audit suppliers proportional to spend": PPS keeps the big mass
+in the sample, so Horvitz-Thompson totals (value/weight sums) have
+far lower variance than uniform sampling of skewed populations.
+
+Method (systematic PPS, the textbook survey-sampling design): order
+the stratum deterministically by a content-hash key, prefix-sum the
+integer weights into intervals [S_prev, S) on a circle of
+circumference W (the stratum's total weight), and drop n equispaced
+tickets t_j = j*W/n.  A row is selected once per ticket inside its
+interval; rows with weight > W/n can draw several tickets
+(``n_tickets`` > 1 — the "certainty units" of PPS, which an unbiased
+estimator must keep as multiplicity, not clamp).  Exactly n tickets
+per stratum, always.
+
+Everything is INTEGER: tickets below S count = ceil(n*S/W) =
+(n*S + W - 1) div W, so selection is
+  tickets(n*S_end) - tickets(n*S_start) > 0
+— two bigint divisions per row, bit-identical in any engine (the
+hash-gate argument: no IEEE division anywhere).  Deterministic given
+(data, key, n): rerun-stable across engines, partitionings, and
+cluster sizes, the q107/q114 reproducibility contract.  Overflow
+bound: n * W must stay under 2^63 — e.g. a 10^12-token stratum
+samples up to ~9 million tickets; shard the stratum first if you
+need more.
+
+At 100 TB: the prefix sum is a window per STRATUM (lang/source/
+shard), the same partitioned-window shape as q108's shard packing
+and q125's epoch shuffle — no global sort, no driver state; stratum
+size bounds the window sort, and a too-hot stratum is pre-split by a
+hash sub-key exactly like q125's shards (sample n per sub-shard,
+n_tickets stays proportional).  Zero joins, zero Python: one window
+over one scan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pps_sample"]
+
+
+def pps_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    weight_col: str,
+    n: int,
+    key_col: str | Column,
+    tiebreak_col: str | Column,
+) -> DataFrame:
+    """Systematic PPS sample of exactly ``n`` tickets per stratum.
+
+    Returns the selected rows (all input columns) plus ``n_tickets``
+    (selection multiplicity, >= 1).  ``key_col`` orders the stratum
+    deterministically (use a content hash for a reproducible "random"
+    order); ``tiebreak_col`` must make the order total — equal keys
+    (duplicate texts) would otherwise leave prefix sums
+    engine-dependent.  Rows with NULL or non-positive weight carry no
+    sampling mass and are excluded before the circle is built.
+    """
+    w = F.col(weight_col)
+    base = df.where(w.isNotNull() & (w > 0))
+    order = Window.partitionBy(*strata_cols).orderBy(
+        key_col if isinstance(key_col, Column) else F.col(key_col),
+        tiebreak_col if isinstance(tiebreak_col, Column) else F.col(tiebreak_col),
+    )
+    stratum = Window.partitionBy(*strata_cols)
+    s_end = F.sum(w).over(order.rowsBetween(Window.unboundedPreceding, 0))
+    out = base.select(
+        "*",
+        (F.lit(n).cast("bigint") * s_end).alias("_ns_end"),
+        (F.lit(n).cast("bigint") * (s_end - w)).alias("_ns_start"),
+        F.sum(w).over(stratum).alias("_w_tot"),
+    )
+    # tickets strictly below S: ceil(n*S / W) == (n*S + W - 1) div W
+    tickets = (
+        F.expr("(_ns_end + _w_tot - 1) div _w_tot")
+        - F.expr("(_ns_start + _w_tot - 1) div _w_tot")
+    ).alias("n_tickets")
+    return (
+        out.select("*", tickets)
+        .where(F.col("n_tickets") > 0)
+        .drop("_ns_end", "_ns_start", "_w_tot")
+    )

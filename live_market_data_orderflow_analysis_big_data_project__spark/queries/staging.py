@@ -35,6 +35,11 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   is lossless by pigeonhole, so the Spark result is definitionally
   identical to the oracle's naive quadratic formulation (hash gate,
   no envelope needed).
+- q147: deterministic systematic PPS sampling (operators/sampling.py)
+  — inclusion proportional to an integer size column, exactly n
+  tickets per stratum, multiplicity kept; all-integer ticket math
+  over a content-hash order makes the sample bit-identical across
+  engines (hash gate, no RNG).
 - s14: streaming windowed HLL rollup (operators/sketches.py
   hll_rollup_windowed) — AvailableNow drain; append mode emits closed
   day windows only, so the oracle excludes the final (still-open) day;
@@ -50,6 +55,7 @@ from ..functions.hashstable import fmt_date
 from ..operators.histogram import hist_rollup_report
 from ..operators.fuzzy import fuzzy_pairs
 from ..operators.kmv import kmv_merge, kmv_setop_estimates, kmv_sketch
+from ..operators.sampling import pps_sample
 from ..operators.sketches import hll_rollup_windowed
 from ..operators.topk import topk_merge, topk_read, topk_rollup
 from ..sources.tables import load_table
@@ -353,12 +359,53 @@ GROUP BY d.name
 """
 
 
+def q147_pps_sample(spark, sf):
+    """Deterministic systematic PPS sample (operators/sampling.py):
+    exactly 20 tickets per language, inclusion proportional to
+    n_chars, multiplicity kept as n_tickets.  Hash-gateable because
+    the whole selection is exact integer arithmetic over a
+    deterministic (md5(text), doc_id) order — no RNG, no IEEE
+    division — so the oracle recomputes the identical sample with
+    SQL window sums and integer division."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.col("text").cast("binary")).alias("_k"),
+    )
+    return pps_sample(
+        docs, ["lang"], "n_chars", 20, "_k", "doc_id"
+    ).select("doc_id", "lang", "n_chars", "n_tickets")
+
+
+Q147_SQL = """
+WITH b AS (
+  SELECT doc_id, lang, n_chars, md5(text) AS k
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+), s AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY k, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_end,
+         CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS w_tot
+  FROM b
+), t AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(((20 * s_end + w_tot - 1) // w_tot)
+           - ((20 * (s_end - n_chars) + w_tot - 1) // w_tot) AS BIGINT)
+           AS n_tickets
+  FROM s
+)
+SELECT doc_id, lang, n_chars, n_tickets FROM t WHERE n_tickets > 0
+"""
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
     "q144_hll_overlap": q144_hll_overlap,
     "q145_kmv_setops": q145_kmv_setops,
     "q146_fuzzy_match": q146_fuzzy_match,
+    "q147_pps_sample": q147_pps_sample,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
 }
 
@@ -368,5 +415,6 @@ STAGED_ORACLE = {
     "q144_hll_overlap": Q144_SQL,
     "q145_kmv_setops": Q145_SQL,
     "q146_fuzzy_match": Q146_SQL,
+    "q147_pps_sample": Q147_SQL,
     "s14_hll_windowed_stream": S14_SQL,
 }

@@ -76,6 +76,7 @@ PROBE_QUERIES = [
     ("q143_staged_topk", "STAGED: certified top-k rollup — one (group,bucket,item) count shuffle + per-bucket top-m window, never a global sort"),
     ("q145_staged_kmv", "STAGED: KMV theta set-ops — distinct-hash shuffle + bottom-k windows; pair joins on the |labels|-row sketch frame (16x users saturates k=4096: times the estimation regime)"),
     ("q146_staged_fuzzy", "STAGED: FastSS deletion-neighborhood fuzzy match — bounded |s|+1 variant explode + neighbor-bounded bucket join + levenshtein verify, never all-pairs"),
+    ("q147_staged_pps", "STAGED: systematic PPS sample — one per-stratum window over one scan, exact integer ticket math, zero joins"),
 ]
 
 
@@ -225,6 +226,10 @@ def _custom_probes():
         "q146_staged_fuzzy": (
             None,
             lambda spark, sf, ctx: _fuzzy_probe_frame(spark, sf),
+        ),
+        "q147_staged_pps": (
+            None,
+            lambda spark, sf, ctx: staging.q147_pps_sample(spark, sf),
         ),
         # the one-time amortized shuffle: writes execute eagerly inside
         "q132_write_only": (
@@ -469,13 +474,17 @@ def main() -> None:
         "    sketches SATURATE, so the probe times the estimation regime",
         "    the exact-regime gate can't reach — the pair joins stay on",
         "    the 5-row sketch frame at every scale.",
-        "q146_staged_fuzzy 11.2 -> 89.1 s at 16x keys (names re-derived",
-        "from the offset custkey so the distinct-string domain scales;",
-        "overlapping per-copy offsets make the id space DENSER, so true",
-        "ed<=1 pairs grow faster than names — the wall tracks the",
-        "candidate/verify volume, the honest cost driver, with no",
-        "quadratic blocking term: the largest variant bucket stays",
-        "neighbor-bounded at every scale).",
+        "    q146_staged_fuzzy 11.2 -> 89.1 s at 16x keys (names",
+        "    re-derived from the offset custkey so the distinct-string",
+        "    domain scales; overlapping per-copy offsets make the id",
+        "    space DENSER, so true ed<=1 pairs grow faster than names —",
+        "    the wall tracks the candidate/verify volume, the honest",
+        "    cost driver, with no quadratic blocking term: the largest",
+        "    variant bucket stays neighbor-bounded at every scale).",
+        "    q147_staged_pps 3.0 -> 4.0 s (1.3x): one per-stratum",
+        "    window over one scan — the q108/q125 partitioned-window",
+        "    shape; ticket math is per-row integer expressions, so the",
+        "    wall is the stratum-sort term, linear in stratum size.",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
