@@ -40,6 +40,11 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   tickets per stratum, multiplicity kept; all-integer ticket math
   over a content-hash order makes the sample bit-identical across
   engines (hash gate, no RNG).
+- q148: positional-index phrase search (operators/index.py) — the
+  consecutive-token capability bag-of-words ranking cannot express;
+  hash-exact because the tokenizer and 1-based positions match the
+  q94-q96 oracle conventions, and overlapping occurrences are
+  counted faithfully on both sides.
 - s14: streaming windowed HLL rollup (operators/sketches.py
   hll_rollup_windowed) — AvailableNow drain; append mode emits closed
   day windows only, so the oracle excludes the final (still-open) day;
@@ -54,6 +59,7 @@ from pyspark.sql import functions as F
 from ..functions.hashstable import fmt_date
 from ..operators.histogram import hist_rollup_report
 from ..operators.fuzzy import fuzzy_pairs
+from ..operators.index import phrase_search, positional_index
 from ..operators.kmv import kmv_merge, kmv_setop_estimates, kmv_sketch
 from ..operators.sampling import pps_sample
 from ..operators.sketches import hll_rollup_windowed
@@ -399,6 +405,40 @@ SELECT doc_id, lang, n_chars, n_tickets FROM t WHERE n_tickets > 0
 """
 
 
+def q148_phrase_search(spark, sf):
+    """Positional-index phrase query (operators/index.py): docs
+    containing the consecutive-token phrase "part filter", with
+    occurrence count and first position — the retrieval capability
+    bag-of-words ranking (q96/q117/q134) cannot express.  Hash-exact
+    because the index tokenizer is the shared tokens_col (q94-q96
+    oracle parity) and positions are 1-based generate_subscripts
+    parity; the oracle recomputes occurrences by adjacent-position
+    self-join over the same token stream."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return phrase_search(positional_index(docs), ["part", "filter"])
+
+
+_STAGE_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')"
+)
+
+Q148_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, {_STAGE_TOKS} AS arr FROM documents
+), toks AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+  FROM docs
+), m AS (
+  SELECT a.doc_id, a.pos
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.tok = 'part' AND b.tok = 'filter'
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id
+"""
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
@@ -406,6 +446,7 @@ STAGED_QUERIES = {
     "q145_kmv_setops": q145_kmv_setops,
     "q146_fuzzy_match": q146_fuzzy_match,
     "q147_pps_sample": q147_pps_sample,
+    "q148_phrase_search": q148_phrase_search,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
 }
 
@@ -416,5 +457,6 @@ STAGED_ORACLE = {
     "q145_kmv_setops": Q145_SQL,
     "q146_fuzzy_match": Q146_SQL,
     "q147_pps_sample": Q147_SQL,
+    "q148_phrase_search": Q148_SQL,
     "s14_hll_windowed_stream": S14_SQL,
 }

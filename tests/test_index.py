@@ -1,0 +1,85 @@
+"""operators/index.py — positional inverted index + phrase search.
+
+The staged gate (q148) proves bigram-phrase parity with the DuckDB
+adjacency oracle at two sfs; these pin the index structure itself and
+the phrase semantics the gate's fixture can't isolate: 3-term
+phrases, OVERLAPPING occurrences, absent phrases, and tokenizer
+parity with the shared tokens_col.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from live_market_data_orderflow_analysis_big_data_project__spark.operators.index import (
+    phrase_search,
+    positional_index,
+)
+
+
+DOCS = [
+    (1, "The quick brown fox; the quick brown dog."),
+    (2, "quick brown quick brown quick"),
+    (3, "a a a a"),
+    (4, "nothing relevant here"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return positional_index(df)
+
+
+def test_index_structure(idx):
+    rows = {(r.term, r.doc_id): r for r in idx.collect()}
+    # punctuation split + lowercase; positions 1-based and sorted
+    r = rows[("the", 1)]
+    assert r.tf == 2 and r.positions == [1, 5]
+    assert rows[("quick", 2)].positions == [1, 3, 5]
+    # df counts documents, not occurrences
+    assert rows[("quick", 1)].df == 2 and rows[("a", 3)].df == 1
+
+
+def test_three_term_phrase(idx):
+    got = {
+        r.doc_id: (r.n_occurrences, r.first_pos)
+        for r in phrase_search(idx, ["the", "quick", "brown"]).collect()
+    }
+    assert got == {1: (2, 1)}
+
+
+def test_overlapping_occurrences_counted(idx):
+    got = {
+        r.doc_id: (r.n_occurrences, r.first_pos)
+        for r in phrase_search(idx, ["a", "a"]).collect()
+    }
+    assert got == {3: (3, 1)}  # "a a a a" contains "a a" three times
+
+
+def test_absent_phrase_is_empty(idx):
+    assert phrase_search(idx, ["brown", "nothing"]).count() == 0
+
+
+def test_single_term_falls_back_to_postings(idx):
+    got = {
+        r.doc_id: (r.n_occurrences, r.first_pos)
+        for r in phrase_search(idx, ["quick"]).collect()
+    }
+    assert got == {1: (2, 2), 2: (3, 1)}
+
+
+def test_empty_phrase_rejected(idx):
+    with pytest.raises(ValueError):
+        phrase_search(idx, [])
+
+
+def test_no_python_in_plan(idx):
+    plan = (
+        phrase_search(idx, ["the", "quick"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
