@@ -41,7 +41,13 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["topk_rollup", "topk_merge", "topk_read"]
+__all__ = [
+    "topk_rollup",
+    "topk_counts_to_rollup",
+    "topk_rollup_windowed",
+    "topk_merge",
+    "topk_read",
+]
 
 
 def _cols(cols: Sequence[str | Column]):
@@ -79,10 +85,35 @@ def topk_rollup(
         .groupBy(*[F.col(c) for c in keys], F.col(bname), F.col("_item"))
         .agg(F.count("*").alias("_n"))
     )
+    return topk_counts_to_rollup(counts, keys, bname, m, "_item", "_n")
+
+
+def topk_counts_to_rollup(
+    counts: DataFrame,
+    group_cols: Sequence[str],
+    bucket_col: str | Column,
+    m: int = 64,
+    item_col: str | Column = "item",
+    count_col: str | Column = "n",
+) -> DataFrame:
+    """The top-m cut over PRE-AGGREGATED (group, bucket, item, count)
+    rows — the read-side half of ``topk_rollup``, exposed so a rollup
+    maintained by another process (a stream appending closed-window
+    counts, an existing count table) folds into the same certified
+    structure without re-counting raw rows."""
+    keys = list(group_cols)
+    b = _col(bucket_col)
+    bname = counts.select(b).columns[0]
+    base = counts.select(
+        *_cols(keys),
+        b,
+        _col(item_col).alias("_item"),
+        _col(count_col).alias("_n"),
+    )
     w = Window.partitionBy(*[F.col(c) for c in keys], F.col(bname)).orderBy(
         F.desc("_n"), F.asc("_item")
     )
-    ranked = counts.withColumn("_rn", F.row_number().over(w))
+    ranked = base.withColumn("_rn", F.row_number().over(w))
     return (
         ranked.groupBy(*[F.col(c) for c in keys], F.col(bname))
         .agg(
@@ -96,6 +127,50 @@ def topk_rollup(
             F.coalesce(
                 F.max(F.when(F.col("_rn") > m, F.col("_n"))), F.lit(0)
             ).alias("tail_bound"),
+        )
+    )
+
+
+def topk_rollup_windowed(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str,
+    item_col: str | Column,
+    window: str = "1 day",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Event-time-windowed EXACT per-(group x window x item) counts —
+    the streaming-maintained half of the top-k rollup (the
+    hll_rollup_windowed shape for frequent items).
+
+    Works on batch and streaming frames alike.  Streaming state is one
+    count per (group, open window, item) — bounded by the watermark
+    and the per-window item cardinality — and append mode emits each
+    window's final exact counts exactly once when it closes, so a
+    parquet-appended count table is maintained BY the stream.  The
+    top-m cut is deliberately NOT in the stream (rank-over-window is
+    not a streaming aggregate): apply ``topk_counts_to_rollup`` to the
+    emitted table at read/compaction time — the lossy step stays a
+    view over exact persisted counts, so ``m`` can be changed
+    retroactively.
+    """
+    if not isinstance(ts_col, str):
+        raise TypeError("ts_col must be a column NAME (withWatermark needs one)")
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    item = _col(item_col)
+    return (
+        src.where(item.isNotNull())
+        .groupBy(
+            *_cols(group_cols),
+            F.window(F.col(ts_col), window).alias("_w"),
+            item.alias("item"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            *_cols(group_cols),
+            F.col("_w.start").alias("bucket_start"),
+            "item",
+            "n",
         )
     )
 

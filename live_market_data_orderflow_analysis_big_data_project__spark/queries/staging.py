@@ -50,6 +50,12 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   day windows only, so the oracle excludes the final (still-open) day;
   per-(type, day) cardinalities are deep in the coupon-exact regime,
   making the stream's estimates hash-comparable to exact counts.
+- s15: streaming-maintained top-k rollup (operators/topk.py
+  topk_rollup_windowed + topk_counts_to_rollup) — the stream keeps
+  exact per-(group x day x item) counts, the lossy m-cut stays a
+  batch view over the emitted table (retroactively re-cuttable);
+  oracle = Q143's lossy-rollup SQL restricted to closed days (built
+  by replacement so the twins stay coupled).
 """
 
 from __future__ import annotations
@@ -63,7 +69,13 @@ from ..operators.index import phrase_search, positional_index
 from ..operators.kmv import kmv_merge, kmv_setop_estimates, kmv_sketch
 from ..operators.sampling import pps_sample
 from ..operators.sketches import hll_rollup_windowed
-from ..operators.topk import topk_merge, topk_read, topk_rollup
+from ..operators.topk import (
+    topk_counts_to_rollup,
+    topk_merge,
+    topk_read,
+    topk_rollup,
+    topk_rollup_windowed,
+)
 from ..sources.tables import load_table
 
 
@@ -439,6 +451,47 @@ FROM m GROUP BY doc_id
 """
 
 
+def s15_topk_windowed_stream(spark, sf):
+    """Streaming-maintained top-k rollup (operators/topk.py): the
+    stream keeps EXACT per-(type x day x user) counts (a standard
+    windowed streaming aggregate, state bounded by open windows) and
+    append mode emits each closed day's counts once; the lossy top-m
+    cut + certified merge/read then run as a batch view over the
+    emitted table — q143's pipeline with the count stage streamed.
+    Oracle: Q143's SQL restricted to closed days (the s14 watermark
+    argument: the final no-data batch advances the watermark into the
+    last day, so exactly the earlier days' windows have flushed)."""
+    from ..streaming.core import run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf).select("event_type", "ts", "user_id")
+    counts = run_to_memory(
+        topk_rollup_windowed(sdf, ["event_type"], "ts", "user_id"),
+        "s15_topk_windowed",
+        n_state_partitions=8,
+    )
+    # topk_merge self-joins the rollup; Spark's self-join attribute
+    # dedup fails with INTERNAL_ERROR on a MemorySink view leaf, so
+    # cut lineage on the (tiny: groups x days x items) emitted table.
+    counts = counts.localCheckpoint(eager=True)
+    rollup = topk_counts_to_rollup(counts, ["event_type"], "bucket_start", m=_M)
+    merged = topk_merge(rollup, ["event_type"])
+    return topk_read(merged, ["event_type"], k=_K).select(
+        "event_type", "item", "est", "upper", "rank", "certified"
+    )
+
+
+# Q143's lossy-rollup twin verbatim, restricted to closed day windows
+# (built by replacement so the two stay coupled; the assert pins it).
+S15_SQL = Q143_SQL.replace(
+    "FROM events GROUP BY 1, 2, 3",
+    """FROM events
+  WHERE date_trunc('day', ts)
+        < (SELECT date_trunc('day', max(ts)) FROM events)
+  GROUP BY 1, 2, 3""",
+)
+assert "WHERE date_trunc" in S15_SQL
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
@@ -448,6 +501,7 @@ STAGED_QUERIES = {
     "q147_pps_sample": q147_pps_sample,
     "q148_phrase_search": q148_phrase_search,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
+    "s15_topk_windowed_stream": s15_topk_windowed_stream,
 }
 
 STAGED_ORACLE = {
@@ -459,4 +513,5 @@ STAGED_ORACLE = {
     "q147_pps_sample": Q147_SQL,
     "q148_phrase_search": Q148_SQL,
     "s14_hll_windowed_stream": S14_SQL,
+    "s15_topk_windowed_stream": S15_SQL,
 }

@@ -176,3 +176,40 @@ def test_incremental_bucket_append_roundtrip(spark, tmp_path):
     assert canon(spark.read.parquet(path)) == canon(
         topk_rollup(ev, ["event_type"], "day", "user_id", m=16)
     )
+
+
+def test_windowed_batch_counts_match_direct_rollup(spark):
+    """topk_rollup_windowed on a BATCH frame + the counts->rollup cut
+    produces the identical rollup as topk_rollup over day strings —
+    the twin invariant that makes the streaming-maintained count
+    table (s15) a drop-in source for the certified pipeline."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.topk import (  # noqa: E501
+        topk_counts_to_rollup,
+        topk_rollup_windowed,
+    )
+
+    ev = load_table(spark, SF001, "events").select(
+        "event_type", "ts", "user_id"
+    )
+    counts = topk_rollup_windowed(ev, ["event_type"], "ts", "user_id").select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("day"),
+        "item",
+        "n",
+    )
+    via_counts = topk_counts_to_rollup(counts, ["event_type"], "day", m=8)
+    direct = topk_rollup(_events(spark), ["event_type"], "day", "user_id", m=8)
+    j = (
+        direct.withColumnRenamed("topk", "d_topk")
+        .withColumnRenamed("tail_bound", "d_tb")
+        .join(via_counts, ["event_type", "day"], "full")
+        .select(
+            (
+                (F.sort_array(F.map_entries("d_topk"))
+                 == F.sort_array(F.map_entries("topk")))
+                & (F.col("d_tb") == F.col("tail_bound"))
+            ).alias("ok")
+        )
+        .collect()
+    )
+    assert len(j) > 0 and all(r.ok for r in j)
