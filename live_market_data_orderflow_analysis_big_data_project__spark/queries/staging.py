@@ -45,6 +45,12 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   hash-exact because the tokenizer and 1-based positions match the
   q94-q96 oracle conventions, and overlapping occurrences are
   counted faithfully on both sides.
+- q149: incremental SimHash near-dup (operators/incdedup.py) — the
+  q137 index-and-merge shape lifted to similarity dedup: shard-only
+  fingerprinting band-joined against the persisted index, never
+  old x old; hash-gateable because SimHash banded recall is exact by
+  pigeonhole, so the result equals the full-corpus q91d pair set
+  restricted to shard-involving pairs (what the oracle computes).
 - s14: streaming windowed HLL rollup (operators/sketches.py
   hll_rollup_windowed) — AvailableNow drain; append mode emits closed
   day windows only, so the oracle excludes the final (still-open) day;
@@ -65,7 +71,14 @@ from pyspark.sql import functions as F
 from ..functions.hashstable import fmt_date
 from ..operators.histogram import hist_rollup_report
 from ..operators.fuzzy import fuzzy_pairs
+from ..operators.incdedup import simhash_incremental_pairs
 from ..operators.index import phrase_search, positional_index
+from ..operators.llmops import (
+    duckdb_shift,
+    simhash_fingerprints_long,
+    simhash_hex_digits,
+    simhash_sql_votes,
+)
 from ..operators.kmv import kmv_merge, kmv_setop_estimates, kmv_sketch
 from ..operators.sampling import pps_sample
 from ..operators.sketches import hll_rollup_windowed
@@ -492,6 +505,83 @@ S15_SQL = Q143_SQL.replace(
 assert "WHERE date_trunc" in S15_SQL
 
 
+_Q149_BOUND = 1000  # the q91d input bound (tiny-vocab band saturation)
+
+
+def q149_incremental_simhash(spark, sf):
+    """Incremental near-dup (operators/incdedup.py): the q137
+    index-and-merge shape lifted to SIMILARITY dedup — an incoming
+    shard fingerprinted and band-joined against the persisted SimHash
+    index, emitting (shard x index) and (shard x shard) pairs only.
+    Hash-gateable because SimHash banding has EXACT recall by
+    pigeonhole (q91d's argument): the result equals the full-corpus
+    q91d pair set restricted to pairs involving a shard doc, which is
+    what the oracle computes.  Framing mirrors q137: ids below
+    4/5 x max are the indexed corpus, the rest the incoming shard
+    (split scalars ride a broadcast cross-join, never a collect)."""
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("doc_id") < _Q149_BOUND
+    )
+    split = docs.agg(F.expr("(max(doc_id) * 4) div 5").alias("__s"))
+    d = docs.crossJoin(F.broadcast(split))
+    index_docs = d.filter(F.col("doc_id") < F.col("__s"))
+    shard_docs = d.filter(F.col("doc_id") >= F.col("__s"))
+    index_fps = simhash_fingerprints_long(index_docs)
+    return simhash_incremental_pairs(index_fps, shard_docs, max_hamming=2)
+
+
+def _q149_sql(n_bits: int = 32, max_hamming: int = 2) -> str:
+    # the q91d per-bit SQL formulation with the pair set restricted to
+    # shard-involving pairs (doc_b >= the 4/5 split; ids are ordered,
+    # so any pair with a shard member has its b side in the shard)
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '\\W+'),"
+        " x -> x <> '')"
+    )
+    hex_cols = ",\n         ".join(simhash_hex_digits(n_bits))
+    votes = simhash_sql_votes(n_bits, duckdb_shift)
+    vote_cols = ",\n         ".join(
+        f"{v} AS v{b}" for b, v in enumerate(votes)
+    )
+    fp = " || ".join(
+        f"CASE WHEN v{b} > 0 THEN '1' ELSE '0' END" for b in range(n_bits)
+    )
+    ham = " + ".join(
+        f"CASE WHEN substring(a.simhash, {i + 1}, 1) <> "
+        f"substring(b.simhash, {i + 1}, 1) THEN 1 ELSE 0 END"
+        for i in range(n_bits)
+    )
+    return f"""
+WITH s AS (
+  SELECT (max(doc_id) * 4) // 5 AS s_lo FROM documents
+  WHERE doc_id < {_Q149_BOUND}
+), toks AS (
+  SELECT DISTINCT doc_id AS doc, unnest({toks}) AS tok FROM documents
+  WHERE doc_id < {_Q149_BOUND}
+), hexed AS (
+  SELECT doc,
+         {hex_cols}
+  FROM toks
+), voted AS (
+  SELECT doc,
+         {vote_cols}
+  FROM hexed GROUP BY doc
+), fps AS (
+  SELECT doc, {fp} AS simhash FROM voted
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         CAST({ham} AS INTEGER) AS hamming
+  FROM fps a JOIN fps b ON a.doc < b.doc, s
+  WHERE b.doc >= s.s_lo
+)
+WHERE hamming <= {max_hamming}
+"""
+
+
+Q149_SQL = _q149_sql()
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
@@ -500,6 +590,7 @@ STAGED_QUERIES = {
     "q146_fuzzy_match": q146_fuzzy_match,
     "q147_pps_sample": q147_pps_sample,
     "q148_phrase_search": q148_phrase_search,
+    "q149_incremental_simhash": q149_incremental_simhash,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
 }
@@ -512,6 +603,7 @@ STAGED_ORACLE = {
     "q146_fuzzy_match": Q146_SQL,
     "q147_pps_sample": Q147_SQL,
     "q148_phrase_search": Q148_SQL,
+    "q149_incremental_simhash": Q149_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
 }

@@ -78,6 +78,7 @@ PROBE_QUERIES = [
     ("q146_staged_fuzzy", "STAGED: FastSS deletion-neighborhood fuzzy match — bounded |s|+1 variant explode + neighbor-bounded bucket join + levenshtein verify, never all-pairs"),
     ("q147_staged_pps", "STAGED: systematic PPS sample — one per-stratum window over one scan, exact integer ticket math, zero joins"),
     ("q148_staged_phrase", "STAGED: positional-index phrase search — posexplode + (term,doc) groupBy build, postings-only joins at query time"),
+    ("q149_staged_incsimhash", "STAGED: incremental SimHash near-dup — shard-only fingerprinting, band join vs the persisted index, never old x old"),
 ]
 
 
@@ -235,6 +236,10 @@ def _custom_probes():
         "q148_staged_phrase": (
             None,
             lambda spark, sf, ctx: staging.q148_phrase_search(spark, sf),
+        ),
+        "q149_staged_incsimhash": (
+            None,
+            lambda spark, sf, ctx: staging.q149_incremental_simhash(spark, sf),
         ),
         # the one-time amortized shuffle: writes execute eagerly inside
         "q132_write_only": (
@@ -490,13 +495,19 @@ def main() -> None:
         "    window over one scan — the q108/q125 partitioned-window",
         "    shape; ticket math is per-row integer expressions, so the",
         "    wall is the stratum-sort term, linear in stratum size.",
-        "q148_staged_phrase 4.4 -> 5.1 s (1.1x): the index BUILD",
-        "(posexplode + (term,doc) groupBy) is the scaling term and",
-        "tracks the scan; the phrase-match joins touch only the two",
-        "queried terms' postings (and the alphabet-rotated replica",
-        "copies match the literal phrase only in copy 0, so the match",
-        "side is constant by fixture construction — at real scale it",
-        "grows with the queried terms' df, not the corpus).",
+        "    q148_staged_phrase 4.4 -> 5.1 s (1.1x): the index BUILD",
+        "    (posexplode + (term,doc) groupBy) is the scaling term and",
+        "    tracks the scan; the phrase-match joins touch only the two",
+        "    queried terms' postings (and the alphabet-rotated replica",
+        "    copies match the literal phrase only in copy 0, so the",
+        "    match side is constant by fixture construction — at real",
+        "    scale it grows with the queried terms' df, not the corpus).",
+        "    q149_staged_incsimhash 9.0 -> 9.2 s (1.0x — constant input",
+        "    slice BY DESIGN, the q91d bound): what the probe pins is",
+        "    that only the shard is fingerprinted and the band join",
+        "    never pairs old x old; the scaling axis at deployment is",
+        "    shard size, with the index persisted bucketed by",
+        "    (band, bkey).",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
