@@ -43,6 +43,15 @@ def main() -> None:
     from live_market_data_orderflow_analysis_big_data_project__spark import get_spark
 
     qs, osql = ent.queries(), ent.oracle_sql()
+    # staged next-rotation entries face the same driver comparator on
+    # promotion — audit them before they can ship the q147 HUGEINT class
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+        STAGED_ORACLE,
+        STAGED_QUERIES,
+    )
+
+    qs = {**qs, **STAGED_QUERIES}
+    osql = {**osql, **STAGED_ORACLE}
     if keys:
         qs = {k: qs[k] for k in keys}
 
