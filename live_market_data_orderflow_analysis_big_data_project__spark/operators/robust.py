@@ -1,0 +1,110 @@
+"""Robust (median/MAD) outlier statistics in exact integer arithmetic.
+
+Mean/stddev anomaly gates (the z-score shape, q82's grouped-map demo)
+are themselves skewed by the outliers they hunt; the robust estimator
+pair — median and MAD (median absolute deviation) — has a 50%
+breakdown point and is the standard data-quality screen for value
+columns (price spikes, sensor glitches, corrupt token counts) before a
+corpus or feed is trusted.
+
+Exactness strategy: values are fixed to integer cents through a
+DECIMAL(18,2) cast (exact for 2-decimal fixture money/value columns),
+and the median is the LOWER median selected by explicit rank
+arithmetic — ``row_number = (n + 1) div 2`` over a totally-ordered
+(cents, id) sort — NOT an engine ``median()``/``quantile()`` call,
+whose interpolation conventions differ between engines.  The outlier
+gate is the integer 3-MAD rule (|x - med| > 3 * MAD): every compared
+quantity is a BIGINT, so the result is bit-identical anywhere.  The
+one IEEE division (outlier_rate) divides exact integers.
+
+Shape: two selection passes (median of values, then median of
+deviations), each ONE window over a per-group sort, with the 1-row-
+per-group medians broadcast back — never a self-join of data against
+data.  At 100 TB the per-group sort is the cost of EXACT selection;
+group counts bound each partition, a too-hot group pre-splits like
+q125's shards, and when exactness isn't required the approximate path
+is q99b's GK sketch — this operator is the exact twin that certifies
+it.  No Python, no driver state, no global sort.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cents", "mad_outlier_stats"]
+
+
+def cents(col: Column | str) -> Column:
+    """Exact integer cents of a 2-decimal double column.
+
+    DECIMAL(18,2) absorbs the double's representation error (the
+    nearest 2-decimal value IS the intended one for fixture money
+    columns); * 100 and the BIGINT cast are then exact.  Oracle twin:
+    ``CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("decimal(18,2)") * 100).cast("long")
+
+
+def _lower_median(df: DataFrame, groups: Sequence[str], value: str, tiebreak: str):
+    """1 row per group: the lower median of ``value`` (explicit rank
+    arithmetic; totally ordered by (value, tiebreak))."""
+    g = Window.partitionBy(*groups)
+    rn = F.row_number().over(g.orderBy(value, tiebreak))
+    n = F.count(F.lit(1)).over(g)
+    return (
+        df.withColumn("_rn", rn)
+        .withColumn("_n", n)
+        .where(F.col("_rn") == F.expr("(_n + 1) div 2"))
+        .select(*groups, F.col(value).alias(f"med_{value}"))
+    )
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    groups: Sequence[str],
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-group robust stats + integer k-MAD outlier counts.
+
+    Output per group: ``n_rows``, ``med_cents`` (lower median of the
+    cents-fixed value), ``mad_cents`` (lower median of |x - med|),
+    ``n_outliers`` (|x - med| > k * MAD), ``outlier_rate``.
+    """
+    glist = list(groups)
+    c = df.select(
+        *glist, F.col(id_col).alias("_id"), cents(value_col).alias("_cents")
+    )
+    med = _lower_median(c, glist, "_cents", "_id").withColumnRenamed(
+        "med__cents", "med_cents"
+    )
+    dev = c.join(F.broadcast(med), glist).withColumn(
+        "_dev", F.abs(F.col("_cents") - F.col("med_cents"))
+    )
+    mad = _lower_median(dev, glist, "_dev", "_id").withColumnRenamed(
+        "med__dev", "mad_cents"
+    )
+    flagged = dev.join(F.broadcast(mad), glist)
+    return flagged.groupBy(*glist).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("med_cents").alias("med_cents"),
+        F.max("mad_cents").alias("mad_cents"),
+        F.sum(
+            F.when(
+                F.col("_dev") > F.lit(int(k)) * F.col("mad_cents"), 1
+            ).otherwise(0)
+        ).alias("n_outliers"),
+        (
+            F.sum(
+                F.when(
+                    F.col("_dev") > F.lit(int(k)) * F.col("mad_cents"), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("outlier_rate"),
+    )

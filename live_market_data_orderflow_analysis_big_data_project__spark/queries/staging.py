@@ -582,6 +582,207 @@ WHERE hamming <= {max_hamming}
 Q149_SQL = _q149_sql()
 
 
+def q150_gapfill_locf(spark, sf):
+    """Dense hourly grid per event_type with LOCF + linear
+    interpolation (operators/gapfill.py) — the time_bucket_gapfill /
+    locf() / interpolate() capability class.  The fixture's (type,
+    hour) matrix is ~25% occupied at every sf, so the gap paths are
+    genuinely exercised.  Hash-gateable: bucket sums are
+    decimal-backed, and the interpolation is three IEEE ops over
+    bit-identical operands with the parenthesization spelled
+    identically on both sides (prev + ((next - prev) * (dx / span)))
+    — deterministic with no rounding."""
+    from ..functions.hashstable import dsum
+    from ..operators.gapfill import gapfill_time_bucket
+
+    ev = load_table(spark, sf, "events")
+    out = gapfill_time_bucket(
+        ev,
+        ["event_type"],
+        "ts",
+        dsum("value"),
+        F.count(F.lit(1)),
+        bucket="hour",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_rows",
+        "actual_sum",
+        "locf_sum",
+        "interp_sum",
+        "is_gap",
+    ).orderBy("event_type", "hour")
+
+
+Q150_SQL = """
+WITH actual AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS actual_sum,
+         count(*) AS n_rows
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM actual
+), grid AS (
+  SELECT k.event_type, g.bucket_ts
+  FROM (SELECT DISTINCT event_type FROM actual) k
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                AS bucket_ts FROM bounds) g
+), filled AS (
+  SELECT g.event_type, g.bucket_ts, a.actual_sum, a.n_rows,
+    last_value(a.actual_sum IGNORE NULLS) OVER w_back AS locf_sum,
+    first_value(a.actual_sum IGNORE NULLS) OVER w_fwd AS next_val,
+    last_value(CASE WHEN a.actual_sum IS NOT NULL THEN g.bucket_ts END
+               IGNORE NULLS) OVER w_back AS prev_ts,
+    first_value(CASE WHEN a.actual_sum IS NOT NULL THEN g.bucket_ts END
+                IGNORE NULLS) OVER w_fwd AS next_ts
+  FROM grid g LEFT JOIN actual a
+    ON a.event_type = g.event_type AND a.bucket_ts = g.bucket_ts
+  WINDOW
+    w_back AS (PARTITION BY g.event_type ORDER BY g.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY g.event_type ORDER BY g.bucket_ts
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS hour,
+       COALESCE(n_rows, 0) AS n_rows,
+       actual_sum,
+       locf_sum,
+       CASE WHEN actual_sum IS NOT NULL THEN actual_sum
+            WHEN locf_sum IS NOT NULL AND next_val IS NOT NULL THEN
+              locf_sum + ((next_val - locf_sum) *
+                (CAST(epoch(bucket_ts) - epoch(prev_ts) AS DOUBLE) /
+                 CAST(epoch(next_ts) - epoch(prev_ts) AS DOUBLE)))
+       END AS interp_sum,
+       (actual_sum IS NULL) AS is_gap
+FROM filled
+ORDER BY event_type, hour
+"""
+
+
+def q151_retention_cohorts(spark, sf):
+    """Cohort retention triangle (operators/retention.py): users
+    grouped by first-seen day; (cohort, age) -> active users and
+    retention rate.  Pure integer counts + one IEEE division of
+    exact integers — hash-exact by construction."""
+    from ..operators.retention import retention_cohorts
+
+    ev = load_table(spark, sf, "events")
+    return retention_cohorts(ev, "user_id", "ts").orderBy(
+        "cohort_day", "age"
+    )
+
+
+Q151_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), aged AS (
+  SELECT user_id,
+         min(d) OVER (PARTITION BY user_id) AS cohort,
+         CAST(d - min(d) OVER (PARTITION BY user_id) AS BIGINT) AS age
+  FROM active
+), sizes AS (
+  SELECT cohort, count(*) AS cohort_size FROM aged WHERE age = 0 GROUP BY 1
+), r AS (
+  SELECT cohort, age, count(*) AS n_active FROM aged GROUP BY 1, 2
+)
+SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort_day, r.age, r.n_active,
+       s.cohort_size,
+       CAST(r.n_active AS DOUBLE) / s.cohort_size AS retention_rate
+FROM r JOIN sizes s ON r.cohort = s.cohort
+ORDER BY cohort_day, age
+"""
+
+
+def q152_mad_outliers(spark, sf):
+    """Robust per-type outlier screen (operators/robust.py): lower
+    median and MAD of the cents-fixed value column by explicit rank
+    arithmetic (NO engine median()/quantile() call — interpolation
+    conventions differ), integer 3-MAD outlier counts.  Every
+    compared quantity is a BIGINT; the one division is over exact
+    integers."""
+    from ..operators.robust import mad_outlier_stats
+
+    ev = load_table(spark, sf, "events")
+    return mad_outlier_stats(
+        ev, ["event_type"], "value", "event_id", k=3
+    ).orderBy("event_type")
+
+
+Q152_SQL = """
+WITH c AS (
+  SELECT event_type, event_id AS id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cents, id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+), med AS (
+  SELECT event_type, cents AS med_cents FROM r1 WHERE rn = (n + 1) // 2
+), d AS (
+  SELECT c.event_type, c.id, m.med_cents,
+         abs(c.cents - m.med_cents) AS dev
+  FROM c JOIN med m ON c.event_type = m.event_type
+), r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY dev, id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+), mad AS (
+  SELECT event_type, dev AS mad_cents FROM r2 WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type,
+       count(*) AS n_rows,
+       max(d.med_cents) AS med_cents,
+       max(t.mad_cents) AS mad_cents,
+       CAST(SUM(CASE WHEN d.dev > 3 * t.mad_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN d.dev > 3 * t.mad_cents THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*) AS outlier_rate
+FROM d JOIN mad t ON d.event_type = t.event_type
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q153_activity_streaks(spark, sf):
+    """Gaps-and-islands streaks (operators/retention.py): per-user
+    consecutive-day runs via the day - row_number() island key — no
+    self-join, no iteration.  All-integer analytics; the longest
+    streak's start date carries an earliest-first tie-break so the
+    output is a pure function of the active-day set."""
+    from ..operators.retention import activity_streaks
+
+    ev = load_table(spark, sf, "events")
+    return activity_streaks(ev, "user_id", "ts").orderBy("user_id")
+
+
+Q153_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), r AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS island
+  FROM active
+), isl AS (
+  SELECT user_id, island, count(*) AS len, min(d) AS start
+  FROM r GROUP BY 1, 2
+), m AS (
+  SELECT *, max(len) OVER (PARTITION BY user_id) AS ml FROM isl
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       count(*) AS n_streaks,
+       max(len) AS longest_streak,
+       strftime(min(CASE WHEN len = ml THEN start END),
+                '%Y-%m-%d') AS longest_start
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
@@ -591,6 +792,10 @@ STAGED_QUERIES = {
     "q147_pps_sample": q147_pps_sample,
     "q148_phrase_search": q148_phrase_search,
     "q149_incremental_simhash": q149_incremental_simhash,
+    "q150_gapfill_locf": q150_gapfill_locf,
+    "q151_retention_cohorts": q151_retention_cohorts,
+    "q152_mad_outliers": q152_mad_outliers,
+    "q153_activity_streaks": q153_activity_streaks,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
 }
@@ -604,6 +809,10 @@ STAGED_ORACLE = {
     "q147_pps_sample": Q147_SQL,
     "q148_phrase_search": Q148_SQL,
     "q149_incremental_simhash": Q149_SQL,
+    "q150_gapfill_locf": Q150_SQL,
+    "q151_retention_cohorts": Q151_SQL,
+    "q152_mad_outliers": Q152_SQL,
+    "q153_activity_streaks": Q153_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
 }
