@@ -51,6 +51,10 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   old x old; hash-gateable because SimHash banded recall is exact by
   pigeonhole, so the result equals the full-corpus q91d pair set
   restricted to shard-involving pairs (what the oracle computes).
+- q154: pairwise Pearson correlation of the types' hourly cents
+  series (operators/stats.py) — exact int64 moments, fixed IEEE
+  parenthesization; bit-identical where Spark's F.corr float
+  accumulation is partition-order-dependent.
 - s14: streaming windowed HLL rollup (operators/sketches.py
   hll_rollup_windowed) — AvailableNow drain; append mode emits closed
   day windows only, so the oracle excludes the final (still-open) day;
@@ -783,6 +787,73 @@ FROM m GROUP BY 1 ORDER BY 1
 """
 
 
+def q154_pairwise_corr(spark, sf):
+    """Pairwise Pearson correlation between event types' hourly cents
+    series (operators/stats.py) — exact int64 moments + a fixed
+    parenthesization of IEEE ops, so r is bit-identical across
+    engines (Spark's own F.corr float accumulation is NOT).  The
+    hash gate compares the exact integer anchors (n, Σx, Σy) and
+    three deterministic doubles."""
+    from ..operators.robust import cents
+    from ..operators.stats import pairwise_corr
+
+    ev = load_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.sum(cents("value")).alias("x"))
+    return (
+        pairwise_corr(hourly, "event_type", "bucket_ts", "x")
+        .select(
+            F.col("key_a").alias("type_a"),
+            F.col("key_b").alias("type_b"),
+            "n_buckets",
+            F.col("sum_a").alias("sum_a_cents"),
+            F.col("sum_b").alias("sum_b_cents"),
+            F.col("mean_a").alias("mean_a_cents"),
+            F.col("mean_b").alias("mean_b_cents"),
+            "corr",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+Q154_SQL = """
+WITH hourly AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS b,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.k AS type_a, c.k AS type_b, a.x AS xa, c.x AS xb
+  FROM hourly a JOIN hourly c ON a.b = c.b AND a.k < c.k
+), m AS (
+  SELECT type_a, type_b, count(*) AS n_buckets,
+         CAST(SUM(xa) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+         CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+         CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+         CAST(SUM(xb * xb) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_buckets,
+       sx AS sum_a_cents, sy AS sum_b_cents,
+       CAST(sx AS DOUBLE) / CAST(n_buckets AS DOUBLE) AS mean_a_cents,
+       CAST(sy AS DOUBLE) / CAST(n_buckets AS DOUBLE) AS mean_b_cents,
+       CASE WHEN (CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n_buckets AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS corr
+FROM m ORDER BY type_a, type_b
+"""
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
@@ -796,6 +867,7 @@ STAGED_QUERIES = {
     "q151_retention_cohorts": q151_retention_cohorts,
     "q152_mad_outliers": q152_mad_outliers,
     "q153_activity_streaks": q153_activity_streaks,
+    "q154_pairwise_corr": q154_pairwise_corr,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
 }
@@ -813,6 +885,7 @@ STAGED_ORACLE = {
     "q151_retention_cohorts": Q151_SQL,
     "q152_mad_outliers": Q152_SQL,
     "q153_activity_streaks": Q153_SQL,
+    "q154_pairwise_corr": Q154_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
 }

@@ -83,6 +83,7 @@ PROBE_QUERIES = [
     ("q151_staged_retention", "STAGED: cohort retention — (user,day) distinct + windows on user, (cohort,age) agg; 16x users scales the key space"),
     ("q152_staged_mad", "STAGED: median/MAD outlier screen — two per-group selection windows + broadcast medians; per-group sort is the exactness cost"),
     ("q153_staged_streaks", "STAGED: gaps-and-islands streaks — distinct + row_number + two groupBys, all keyed by user"),
+    ("q154_staged_corr", "STAGED: exact-moment pairwise correlation — one (type,hour) cents shuffle; the pair join runs on the domain-bounded hourly frame"),
 ]
 
 
@@ -260,6 +261,10 @@ def _custom_probes():
         "q153_staged_streaks": (
             None,
             lambda spark, sf, ctx: staging.q153_activity_streaks(spark, sf),
+        ),
+        "q154_staged_corr": (
+            None,
+            lambda spark, sf, ctx: staging.q154_pairwise_corr(spark, sf),
         ),
         # the one-time amortized shuffle: writes execute eagerly inside
         "q132_write_only": (
@@ -546,6 +551,10 @@ def main() -> None:
         "    row_number + two groupBys, all keyed by user — the",
         "    gaps-and-islands difference trick never materializes a",
         "    per-user sequence wider than its active-day count.",
+        "    q154_staged_corr 3.5 -> 4.8 s (1.4x): the (type, hour)",
+        "    cents groupBy is the only data-sized exchange; the pair",
+        "    self-join and moment agg run on the domain-bounded hourly",
+        "    frame (types x hours), invariant at any corpus scale.",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
