@@ -55,6 +55,11 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   series (operators/stats.py) — exact int64 moments, fixed IEEE
   parenthesization; bit-identical where Spark's F.corr float
   accumulation is partition-order-dependent.
+- q155: point-in-interval range COUNT via bin decomposition
+  (operators/rangejoin.py) — interior bins pre-aggregated, only
+  boundary bins row-checked, so the density-squared matched-pair
+  volume is never materialized; the oracle IS the naive non-equi
+  join, so the hash pass proves the rewrite exact.
 - s14: streaming windowed HLL rollup (operators/sketches.py
   hll_rollup_windowed) — AvailableNow drain; append mode emits closed
   day windows only, so the oracle excludes the final (still-open) day;
@@ -854,6 +859,59 @@ FROM m ORDER BY type_a, type_b
 """
 
 
+def q155_range_join_concurrency(spark, sf):
+    """Point-in-interval range COUNT via the bin-decomposed rewrite
+    (operators/rangejoin.py::range_count_binned): per (user, day)
+    active window [min ts, max ts], how many events by OTHER users
+    fall inside it.  A naive BETWEEN join is BroadcastNestedLoop/
+    Cartesian, and even the pair-materializing equi-rewrite pays the
+    matched-pair volume (density-squared); the counting plan
+    pre-aggregates interior hour bins and row-checks only the two
+    boundary bins.  The foreign-user exclusion folds into exact
+    arithmetic — every own event that day lies inside the window by
+    construction, so n_foreign = n_in_range - n_own — keeping the
+    point side free of per-interval predicates (pre-aggregatable).
+    The oracle IS the naive non-equi join (DuckDB IEJoin), so a hash
+    pass proves the decomposition loses and invents nothing."""
+    from ..operators.rangejoin import range_count_binned
+
+    ev = load_table(spark, sf, "events")
+    iv = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.min("ts").alias("lo"),
+        F.max("ts").alias("hi"),
+        F.count(F.lit(1)).alias("n_own"),
+    )
+    pts = ev.select(F.col("ts").alias("p_ts"))
+    return (
+        range_count_binned(pts, iv, "p_ts", "lo", "hi", bin_seconds=3600)
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            (F.unix_micros("hi") - F.unix_micros("lo")).alias("span_us"),
+            (F.col("n_in_range") - F.col("n_own")).alias("n_foreign"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+Q155_SQL = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, min(ts) AS lo, max(ts) AS hi
+  FROM events GROUP BY 1, 2
+), cnt AS (
+  SELECT i.user_id, i.d, count(*) AS n_foreign
+  FROM iv i JOIN events e
+    ON e.ts >= i.lo AND e.ts <= i.hi AND e.user_id <> i.user_id
+  GROUP BY 1, 2
+)
+SELECT i.user_id, strftime(i.d, '%Y-%m-%d') AS day,
+       epoch_us(i.hi) - epoch_us(i.lo) AS span_us,
+       COALESCE(c.n_foreign, 0) AS n_foreign
+FROM iv i LEFT JOIN cnt c ON i.user_id = c.user_id AND i.d = c.d
+ORDER BY 1, 2
+"""
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
@@ -868,6 +926,7 @@ STAGED_QUERIES = {
     "q152_mad_outliers": q152_mad_outliers,
     "q153_activity_streaks": q153_activity_streaks,
     "q154_pairwise_corr": q154_pairwise_corr,
+    "q155_range_join_concurrency": q155_range_join_concurrency,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
 }
@@ -886,6 +945,7 @@ STAGED_ORACLE = {
     "q152_mad_outliers": Q152_SQL,
     "q153_activity_streaks": Q153_SQL,
     "q154_pairwise_corr": Q154_SQL,
+    "q155_range_join_concurrency": Q155_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
 }

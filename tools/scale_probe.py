@@ -84,6 +84,7 @@ PROBE_QUERIES = [
     ("q152_staged_mad", "STAGED: median/MAD outlier screen — two per-group selection windows + broadcast medians; per-group sort is the exactness cost"),
     ("q153_staged_streaks", "STAGED: gaps-and-islands streaks — distinct + row_number + two groupBys, all keyed by user"),
     ("q154_staged_corr", "STAGED: exact-moment pairwise correlation — one (type,hour) cents shuffle; the pair join runs on the domain-bounded hourly frame"),
+    ("q155_staged_rangejoin", "STAGED: bin-decomposed range COUNT — interior bins pre-aggregated, only boundary bins row-checked; never BNLJ/cartesian, no pair materialization"),
 ]
 
 
@@ -265,6 +266,12 @@ def _custom_probes():
         "q154_staged_corr": (
             None,
             lambda spark, sf, ctx: staging.q154_pairwise_corr(spark, sf),
+        ),
+        "q155_staged_rangejoin": (
+            None,
+            lambda spark, sf, ctx: staging.q155_range_join_concurrency(
+                spark, sf
+            ),
         ),
         # the one-time amortized shuffle: writes execute eagerly inside
         "q132_write_only": (
@@ -555,6 +562,16 @@ def main() -> None:
         "    cents groupBy is the only data-sized exchange; the pair",
         "    self-join and moment agg run on the domain-bounded hourly",
         "    frame (types x hours), invariant at any corpus scale.",
+        "    q155_staged_rangejoin 5.5 -> 28.4 s (5.1x): the",
+        "    pair-materializing rewrite measured 103.6 s (16.1x) on the",
+        "    same fixture — matched-pair volume is intervals x density,",
+        "    quadratic under a uniform scale-up — so the shipped plan",
+        "    pre-aggregates interior bins (intervals x span/bin rows)",
+        "    and row-checks only the two boundary bins; the residual",
+        "    super-linearity is exactly that boundary term (intervals x",
+        "    2 x bin-density), tunable via bin_seconds, and 3.6x faster",
+        "    absolute at 16x.  Both plans are hash-equal to the naive",
+        "    non-equi oracle.",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
