@@ -60,6 +60,10 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   boundary bins row-checked, so the density-squared matched-pair
   volume is never materialized; the oracle IS the naive non-equi
   join, so the hash pass proves the rewrite exact.
+- q156: daily TWAP per type (operators/twap.py) — LOCF-held ticks
+  weighted by exact microsecond standing durations; the
+  time-weighted twin of the candle/VWAP family, one IEEE division
+  of exact int64 sums.
 - s14: streaming windowed HLL rollup (operators/sketches.py
   hll_rollup_windowed) — AvailableNow drain; append mode emits closed
   day windows only, so the oracle excludes the final (still-open) day;
@@ -912,6 +916,45 @@ ORDER BY 1, 2
 """
 
 
+def q156_twap_daily(spark, sf):
+    """Daily TWAP per event type (operators/twap.py): each tick's
+    cents value LOCF-held and weighted by its exact standing duration
+    in microseconds; coincident ticks resolved by the event_id
+    tie-break (zero weight except the last).  Exact int64 anchors +
+    one IEEE division — no rounding anywhere."""
+    from ..operators.robust import cents
+    from ..operators.twap import time_weighted_avg
+
+    ev = load_table(spark, sf, "events")
+    return time_weighted_avg(
+        ev, ["event_type"], "ts", cents("value"), "event_id"
+    ).orderBy("event_type", "day")
+
+
+Q156_SQL = """
+WITH t AS (
+  SELECT event_type, ts, CAST(ts AS DATE) AS d, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), dur AS (
+  SELECT event_type, d, cents,
+         epoch_us(COALESCE(
+             lead(ts) OVER (PARTITION BY event_type, d
+                            ORDER BY ts, event_id),
+             CAST(d + 1 AS TIMESTAMP)))
+         - epoch_us(ts) AS dur_us
+  FROM t
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       count(*) AS n_ticks,
+       CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us,
+       CAST(SUM(cents * dur_us) AS BIGINT) AS sum_wt_cents_us,
+       CAST(CAST(SUM(cents * dur_us) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE) AS twap_cents
+FROM dur GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
@@ -927,6 +970,7 @@ STAGED_QUERIES = {
     "q153_activity_streaks": q153_activity_streaks,
     "q154_pairwise_corr": q154_pairwise_corr,
     "q155_range_join_concurrency": q155_range_join_concurrency,
+    "q156_twap_daily": q156_twap_daily,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
 }
@@ -946,6 +990,7 @@ STAGED_ORACLE = {
     "q153_activity_streaks": Q153_SQL,
     "q154_pairwise_corr": Q154_SQL,
     "q155_range_join_concurrency": Q155_SQL,
+    "q156_twap_daily": Q156_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
 }
