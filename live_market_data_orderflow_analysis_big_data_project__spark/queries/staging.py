@@ -64,6 +64,11 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   weighted by exact microsecond standing durations; the
   time-weighted twin of the candle/VWAP family, one IEEE division
   of exact int64 sums.
+- q157: one-pass column-profile audit of lineitem
+  (operators/profile.py) — rows/nulls/exact distinct/canonical
+  min-max/exact sum anchors per column, the Deequ-class dataset
+  validation; k distinct aggs ride one Expand over one scan, with
+  an approx_count_distinct flag for corpus scale.
 - s14: streaming windowed HLL rollup (operators/sketches.py
   hll_rollup_windowed) — AvailableNow drain; append mode emits closed
   day windows only, so the oracle excludes the final (still-open) day;
@@ -955,6 +960,66 @@ FROM dur GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# (column, kind) audited by q157 — one source of truth for both twins.
+_Q157_SPECS = [
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "cents"),
+    ("l_extendedprice", "cents"),
+    ("l_discount", "cents"),
+    ("l_tax", "cents"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def q157_profile_audit(spark, sf):
+    """One-pass column-profile audit of lineitem
+    (operators/profile.py) — per column: rows, nulls, EXACT distinct,
+    canonical min/max, exact integer sum anchor.  The Deequ-class
+    pre-training dataset validation, planned as a single scan (the k
+    distinct aggregates ride one Expand)."""
+    from ..operators.profile import profile_columns
+
+    li = load_table(spark, sf, "lineitem")
+    return profile_columns(li, _Q157_SPECS).orderBy("col_name")
+
+
+def _q157_sql() -> str:
+    parts = []
+    for name, kind in _Q157_SPECS:
+        if kind == "cents":
+            base = f"CAST(CAST({name} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        else:
+            base = name
+        if kind == "ts":
+            mn = f"strftime(min({base}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(max({base}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn = f"CAST(min({base}) AS VARCHAR)"
+            mx = f"CAST(max({base}) AS VARCHAR)"
+        sm = (
+            f"CAST(SUM({base}) AS BIGINT)"
+            if kind in ("int", "cents")
+            else "CAST(NULL AS BIGINT)"
+        )
+        parts.append(
+            f"SELECT '{name}' AS col_name, count(*) AS n_rows,\n"
+            f"       count(*) - count({base}) AS n_null,\n"
+            f"       count(DISTINCT {base}) AS n_distinct,\n"
+            f"       {mn} AS min_str, {mx} AS max_str,\n"
+            f"       {sm} AS sum_anchor\n"
+            f"FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+Q157_SQL = _q157_sql()
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
@@ -971,6 +1036,7 @@ STAGED_QUERIES = {
     "q154_pairwise_corr": q154_pairwise_corr,
     "q155_range_join_concurrency": q155_range_join_concurrency,
     "q156_twap_daily": q156_twap_daily,
+    "q157_profile_audit": q157_profile_audit,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
 }
@@ -991,6 +1057,7 @@ STAGED_ORACLE = {
     "q154_pairwise_corr": Q154_SQL,
     "q155_range_join_concurrency": Q155_SQL,
     "q156_twap_daily": Q156_SQL,
+    "q157_profile_audit": Q157_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
 }

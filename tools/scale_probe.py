@@ -86,6 +86,7 @@ PROBE_QUERIES = [
     ("q154_staged_corr", "STAGED: exact-moment pairwise correlation — one (type,hour) cents shuffle; the pair join runs on the domain-bounded hourly frame"),
     ("q155_staged_rangejoin", "STAGED: bin-decomposed range COUNT — interior bins pre-aggregated, only boundary bins row-checked; never BNLJ/cartesian, no pair materialization"),
     ("q156_staged_twap", "STAGED: daily TWAP — one (type,day) shuffle shared by the lead() window and the agg; per-partition width = a day's ticks per key"),
+    ("q157_staged_profile", "STAGED: one-pass column profile — single scan, k exact-distinct aggs on one Expand (k x row traffic map-side, distinct partials shuffled)"),
 ]
 
 
@@ -277,6 +278,10 @@ def _custom_probes():
         "q156_staged_twap": (
             None,
             lambda spark, sf, ctx: staging.q156_twap_daily(spark, sf),
+        ),
+        "q157_staged_profile": (
+            None,
+            lambda spark, sf, ctx: staging.q157_profile_audit(spark, sf),
         ),
         # the one-time amortized shuffle: writes execute eagerly inside
         "q132_write_only": (
@@ -581,6 +586,15 @@ def main() -> None:
         "    and the weighted agg share one (type, day) exchange; the",
         "    per-partition sort is a day's ticks per key, the natural",
         "    bound, and the output stays domain-sized (types x days).",
+        "    q157_staged_profile 7.6 -> 28.0 s (3.7x): the k exact",
+        "    count_distinct's ride one Expand (k x row traffic into",
+        "    hash partials) — the probe-driven plan fix here was",
+        "    SPLITTING the audit into a distinct pass and a keyless",
+        "    min/max/sum fold: fused, the string min/max buffers demote",
+        "    the whole Expand to a SortAggregate keyed by all k distinct",
+        "    expressions (27.1 -> 134.9 s, 4.8x slower at 16x).  The",
+        "    exact_distinct=False flag swaps in HLL partials for corpus",
+        "    scale (3.6 s at sf0.1).",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
