@@ -69,6 +69,10 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   min-max/exact sum anchors per column, the Deequ-class dataset
   validation; k distinct aggs ride one Expand over one scan, with
   an approx_count_distinct flag for corpus scale.
+- q158: per-user event-type transition matrix (operators/markov.py)
+  — the order-flow sequencing analysis as exact counts + one IEEE
+  division per cell; (ts, id)-total-ordered lag, domain-bounded
+  output.
 - s14: streaming windowed HLL rollup (operators/sketches.py
   hll_rollup_windowed) — AvailableNow drain; append mode emits closed
   day windows only, so the oracle excludes the final (still-open) day;
@@ -1020,6 +1024,41 @@ def _q157_sql() -> str:
 Q157_SQL = _q157_sql()
 
 
+def q158_event_transitions(spark, sf):
+    """Per-user event-type transition matrix (operators/markov.py):
+    the order-flow sequencing question — which event type follows
+    which — as exact counts + one IEEE division per cell.  The lag
+    window is (ts, event_id)-total-ordered, so coincident timestamps
+    cannot flip transitions between runs."""
+    from ..operators.markov import transition_matrix
+
+    ev = load_table(spark, sf, "events")
+    return transition_matrix(
+        ev, "user_id", "ts", "event_type", "event_id"
+    ).orderBy("from_state", "to_state")
+
+
+Q158_SQL = """
+WITH seq AS (
+  SELECT event_type AS to_state,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_state
+  FROM events
+), tr AS (
+  SELECT from_state, to_state, count(*) AS n_transitions
+  FROM seq WHERE from_state IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT from_state, CAST(SUM(n_transitions) AS BIGINT) AS from_total
+  FROM tr GROUP BY 1
+)
+SELECT t.from_state, t.to_state, t.n_transitions, o.from_total,
+       CAST(t.n_transitions AS DOUBLE) / CAST(o.from_total AS DOUBLE)
+         AS prob
+FROM tr t JOIN tot o USING (from_state)
+ORDER BY 1, 2
+"""
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
@@ -1037,6 +1076,7 @@ STAGED_QUERIES = {
     "q155_range_join_concurrency": q155_range_join_concurrency,
     "q156_twap_daily": q156_twap_daily,
     "q157_profile_audit": q157_profile_audit,
+    "q158_event_transitions": q158_event_transitions,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
 }
@@ -1058,6 +1098,7 @@ STAGED_ORACLE = {
     "q155_range_join_concurrency": Q155_SQL,
     "q156_twap_daily": Q156_SQL,
     "q157_profile_audit": Q157_SQL,
+    "q158_event_transitions": Q158_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
 }

@@ -87,6 +87,7 @@ PROBE_QUERIES = [
     ("q155_staged_rangejoin", "STAGED: bin-decomposed range COUNT — interior bins pre-aggregated, only boundary bins row-checked; never BNLJ/cartesian, no pair materialization"),
     ("q156_staged_twap", "STAGED: daily TWAP — one (type,day) shuffle shared by the lead() window and the agg; per-partition width = a day's ticks per key"),
     ("q157_staged_profile", "STAGED: one-pass column profile — single scan, k exact-distinct aggs on one Expand (k x row traffic map-side, distinct partials shuffled)"),
+    ("q158_staged_transitions", "STAGED: transition matrix — one (user) shuffle for the lag window, then a domain-bounded (|states|^2) count agg"),
 ]
 
 
@@ -282,6 +283,10 @@ def _custom_probes():
         "q157_staged_profile": (
             None,
             lambda spark, sf, ctx: staging.q157_profile_audit(spark, sf),
+        ),
+        "q158_staged_transitions": (
+            None,
+            lambda spark, sf, ctx: staging.q158_event_transitions(spark, sf),
         ),
         # the one-time amortized shuffle: writes execute eagerly inside
         "q132_write_only": (
@@ -595,6 +600,10 @@ def main() -> None:
         "    expressions (27.1 -> 134.9 s, 4.8x slower at 16x).  The",
         "    exact_distinct=False flag swaps in HLL partials for corpus",
         "    scale (3.6 s at sf0.1).",
+        "    q158_staged_transitions 4.9 -> 6.4 s (1.3x): one (user)",
+        "    shuffle for the lag window; the count agg output is",
+        "    |states|^2 = 25 rows at any scale and the per-source",
+        "    totals derive from those counts, not a second data pass.",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
