@@ -73,6 +73,18 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   — the order-flow sequencing analysis as exact counts + one IEEE
   division per cell; (ts, id)-total-ordered lag, domain-bounded
   output.
+- q159: market-basket co-occurrence lift over (user, day) baskets
+  (operators/basket.py) — support/confidence/lift from exact
+  distinct-membership counts; basket-keyed self-join bounds pair
+  fan-out by items-per-basket^2.
+- q160: sweep-line peak concurrency (operators/sweepline.py) —
+  max simultaneous closed intervals + first-peak instant, linear in
+  endpoints where the overlap self-join is quadratic; total event
+  order makes the running sum engine-exact.
+- s16: streaming twin of q158 (operators/markov.py
+  transition_increments) — per-user last-event state counts
+  cross-batch transitions exactly once; oracle is Q158 verbatim
+  (stream==batch equality, boundary-pinned in tests/test_markov.py).
 - s14: streaming windowed HLL rollup (operators/sketches.py
   hll_rollup_windowed) — AvailableNow drain; append mode emits closed
   day windows only, so the oracle excludes the final (still-open) day;
@@ -1059,6 +1071,143 @@ ORDER BY 1, 2
 """
 
 
+def q159_basket_lift(spark, sf):
+    """Market-basket co-occurrence over (user, day) baskets of event
+    types (operators/basket.py): support/confidence/lift per pair —
+    exact distinct-membership counts, IEEE-deterministic measures.
+    The basket-keyed self-join bounds pair fan-out by items-per-
+    basket^2, never corpus^2."""
+    from ..operators.basket import cooccurrence_lift
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    )
+    return cooccurrence_lift(ev, ["user_id", "d"], "event_type").orderBy(
+        "item_a", "item_b"
+    )
+
+
+Q159_SQL = """
+WITH member AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type AS item
+  FROM events
+), nb AS (
+  SELECT count(*) AS n_baskets
+  FROM (SELECT DISTINCT user_id, d FROM member)
+), item_n AS (
+  SELECT item, count(*) AS n FROM member GROUP BY 1
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_pair
+  FROM member a JOIN member b
+    ON a.user_id = b.user_id AND a.d = b.d AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.n_pair,
+       na.n AS n_a, nbi.n AS n_b, nb.n_baskets,
+       CAST(p.n_pair AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE)
+         AS support,
+       CAST(p.n_pair AS DOUBLE) / CAST(na.n AS DOUBLE) AS conf_a_to_b,
+       CAST(p.n_pair AS DOUBLE) / CAST(nbi.n AS DOUBLE) AS conf_b_to_a,
+       (CAST(p.n_pair AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE))
+         / (CAST(na.n AS DOUBLE) * CAST(nbi.n AS DOUBLE)) AS lift
+FROM pairs p
+JOIN item_n na ON na.item = p.item_a
+JOIN item_n nbi ON nbi.item = p.item_b
+CROSS JOIN nb
+ORDER BY 1, 2
+"""
+
+
+def q160_peak_concurrency(spark, sf):
+    """Sweep-line peak concurrency (operators/sweepline.py): per day,
+    the maximum number of simultaneously-active (user, day) windows
+    and the first instant the peak is live.  Linear in endpoints —
+    the self-join formulation would be quadratic in overlaps.  Fully
+    deterministic: total event order (t, starts-first, user_id) and
+    exact integer running sums."""
+    from ..operators.sweepline import peak_concurrency
+
+    ev = load_table(spark, sf, "events")
+    iv = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    )
+    return (
+        peak_concurrency(iv, ["d"], "lo", "hi", "user_id")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_intervals",
+            "peak",
+            "peak_ts",
+        )
+        .orderBy("day")
+    )
+
+
+Q160_SQL = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, min(ts) AS lo, max(ts) AS hi
+  FROM events GROUP BY 1, 2
+), ends AS (
+  SELECT d, lo AS t, 1 AS delta, user_id AS id FROM iv
+  UNION ALL
+  SELECT d, hi AS t, -1 AS delta, user_id AS id FROM iv
+), run AS (
+  SELECT d, t,
+         CAST(SUM(delta) OVER (PARTITION BY d
+              ORDER BY t, delta DESC, id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS live
+  FROM ends
+), pk AS (
+  SELECT d, t, live, max(live) OVER (PARTITION BY d) AS peak FROM run
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(count(*) // 2 AS BIGINT) AS n_intervals,
+       max(live) AS peak,
+       strftime(min(CASE WHEN live = peak THEN t END),
+                '%Y-%m-%d %H:%M:%S.%f') AS peak_ts
+FROM pk GROUP BY d ORDER BY day
+"""
+
+
+def s16_transitions_stream(spark, sf):
+    """Streaming twin of q158 (operators/markov.py
+    transition_increments): per-user constant-size state (the last
+    seen event) makes cross-batch transitions count exactly once;
+    summing the emitted per-batch increments reproduces the batch
+    matrix EXACTLY, so the oracle is Q158 verbatim — a stream==batch
+    equality gate, not a closed-window restriction."""
+    from ..operators.markov import (
+        transition_counts_to_matrix,
+        transition_increments,
+    )
+    from ..streaming.core import run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf).select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    inc = run_to_memory(
+        transition_increments(sdf),
+        "s16_transitions",
+        output_mode="update",
+        n_state_partitions=8,
+    )
+    # counts_to_matrix derives totals FROM the counts (a self-referencing
+    # join); cut lineage on the tiny emitted table — the s15 lesson
+    # (Spark INTERNAL_ERROR on self-join attribute dedup over a
+    # MemorySink view leaf).
+    inc = inc.localCheckpoint(eager=True)
+    tr = inc.groupBy("from_state", "to_state").agg(
+        F.sum("n").alias("n_transitions")
+    )
+    return transition_counts_to_matrix(tr).orderBy(
+        "from_state", "to_state"
+    )
+
+
+S16_SQL = Q158_SQL  # exact stream==batch equality, no window restriction
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
@@ -1077,8 +1226,11 @@ STAGED_QUERIES = {
     "q156_twap_daily": q156_twap_daily,
     "q157_profile_audit": q157_profile_audit,
     "q158_event_transitions": q158_event_transitions,
+    "q159_basket_lift": q159_basket_lift,
+    "q160_peak_concurrency": q160_peak_concurrency,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
+    "s16_transitions_stream": s16_transitions_stream,
 }
 
 STAGED_ORACLE = {
@@ -1099,6 +1251,9 @@ STAGED_ORACLE = {
     "q156_twap_daily": Q156_SQL,
     "q157_profile_audit": Q157_SQL,
     "q158_event_transitions": Q158_SQL,
+    "q159_basket_lift": Q159_SQL,
+    "q160_peak_concurrency": Q160_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
+    "s16_transitions_stream": S16_SQL,
 }

@@ -88,6 +88,8 @@ PROBE_QUERIES = [
     ("q156_staged_twap", "STAGED: daily TWAP — one (type,day) shuffle shared by the lead() window and the agg; per-partition width = a day's ticks per key"),
     ("q157_staged_profile", "STAGED: one-pass column profile — single scan, k exact-distinct aggs on one Expand (k x row traffic map-side, distinct partials shuffled)"),
     ("q158_staged_transitions", "STAGED: transition matrix — one (user) shuffle for the lag window, then a domain-bounded (|states|^2) count agg"),
+    ("q159_staged_basket", "STAGED: basket co-occurrence lift — (basket,item) distinct + basket-keyed self-join, fan-out <= items-per-basket^2; supports broadcast"),
+    ("q160_staged_sweepline", "STAGED: sweep-line peak concurrency — endpoints union + one per-day window sort, linear in endpoints (overlap self-join would be quadratic)"),
 ]
 
 
@@ -287,6 +289,14 @@ def _custom_probes():
         "q158_staged_transitions": (
             None,
             lambda spark, sf, ctx: staging.q158_event_transitions(spark, sf),
+        ),
+        "q159_staged_basket": (
+            None,
+            lambda spark, sf, ctx: staging.q159_basket_lift(spark, sf),
+        ),
+        "q160_staged_sweepline": (
+            None,
+            lambda spark, sf, ctx: staging.q160_peak_concurrency(spark, sf),
         ),
         # the one-time amortized shuffle: writes execute eagerly inside
         "q132_write_only": (
@@ -604,6 +614,14 @@ def main() -> None:
         "    shuffle for the lag window; the count agg output is",
         "    |states|^2 = 25 rows at any scale and the per-source",
         "    totals derive from those counts, not a second data pass.",
+        "    q159_staged_basket 5.1 -> 7.0 s (1.4x): (basket, item)",
+        "    distinct + basket-keyed self-join whose fan-out is bounded",
+        "    by items-per-basket^2 (<= |domain|^2 = 25) — never",
+        "    corpus^2; item supports and the basket count broadcast.",
+        "    q160_staged_sweepline 3.9 -> 6.7 s (1.7x): endpoints",
+        "    union (2 rows/interval) + one per-day window sort — the",
+        "    n log n sweep term, linear in endpoints where the overlap",
+        "    self-join would be quadratic in concurrency.",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
