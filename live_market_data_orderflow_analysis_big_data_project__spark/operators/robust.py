@@ -34,7 +34,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cents", "mad_outlier_stats"]
+__all__ = ["cents", "mad_outlier_stats", "weighted_quantile_stats"]
 
 
 def cents(col: Column | str) -> Column:
@@ -108,3 +108,70 @@ def mad_outlier_stats(
             / F.count(F.lit(1))
         ).alias("outlier_rate"),
     )
+
+
+def weighted_quantile_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: Column | str,
+    weight_col: Column | str,
+    id_col: Column | str,
+    quantiles: Sequence[tuple[str, int, int]] = (
+        ("wmedian_cents", 1, 2),
+        ("wp90_cents", 9, 10),
+    ),
+) -> DataFrame:
+    """Exact WEIGHTED quantiles per group, all-integer selection.
+
+    The weighted generalization of the lower median: the chosen value
+    for quantile num/den is the first (in the total (cents, id)
+    order) whose running cumulative weight satisfies
+    ``den·cum >= num·W`` (W = the group's total weight) — cross-
+    multiplied so the comparison stays in exact int64, no division.
+    Because the cumulative sum is nondecreasing along the sort, the
+    satisfying rows form a suffix and ``min(cents WHERE satisfied)``
+    IS the first one — a conditional aggregate, no second window.
+
+    Weights must be nonnegative integers (quantities, token counts,
+    repeat multiplicities); a zero-weight row never shifts a quantile
+    but remains a valid tie-break carrier.  Output per group: the
+    keys, ``n_rows``, ``total_weight``, one int64 cents column per
+    requested quantile.
+
+    Same scale shape as mad_outlier_stats: ONE window over the
+    per-group (cents, id) sort — the n log n cost of exactness —
+    plus a map-side-combinable aggregate; no joins, no Python.
+    """
+    c = df.select(
+        *keys,
+        cents(value_col).alias("_cents"),
+        F.col(weight_col).cast("long").alias("_w")
+        if isinstance(weight_col, str)
+        else weight_col.cast("long").alias("_w"),
+        (F.col(id_col) if isinstance(id_col, str) else id_col).alias(
+            "_id"
+        ),
+    )
+    ordered = Window.partitionBy(*keys).orderBy("_cents", "_id")
+    whole = Window.partitionBy(*keys)
+    r = c.withColumn(
+        "_cum",
+        F.sum("_w").over(
+            ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("_W", F.sum("_w").over(whole))
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("_W").alias("total_weight"),
+    ]
+    for alias, num, den in quantiles:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_cum") * F.lit(int(den))
+                    >= F.col("_W") * F.lit(int(num)),
+                    F.col("_cents"),
+                )
+            ).alias(alias)
+        )
+    return r.groupBy(*keys).agg(*aggs)

@@ -81,6 +81,11 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   max simultaneous closed intervals + first-peak instant, linear in
   endpoints where the overlap self-join is quadratic; total event
   order makes the running sum engine-exact.
+- q161: exact weighted quantiles per brand (operators/robust.py
+  weighted_quantile_stats) — quantity-weighted median/p90 by
+  cross-multiplied cumulative-weight selection, all int64, no
+  engine quantile() call.  GOTCHA encoded in Q161_SQL: DuckDB
+  identifiers are case-insensitive (alias W == column w).
 - s16: streaming twin of q158 (operators/markov.py
   transition_increments) — per-user last-event state counts
   cross-batch transitions exactly once; oracle is Q158 verbatim
@@ -1170,6 +1175,53 @@ FROM pk GROUP BY d ORDER BY day
 """
 
 
+def q161_weighted_quantiles(spark, sf):
+    """Exact weighted quantiles per brand (operators/robust.py
+    weighted_quantile_stats): quantity-weighted median and p90 of
+    extended price in integer cents — cross-multiplied cumulative-
+    weight selection, no engine quantile() call, no division.  The
+    part dim broadcasts into the fact scan."""
+    from ..operators.robust import weighted_quantile_stats
+
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        "l_extendedprice",
+        "l_quantity",
+        # total-order tie-break: linenumber < 100 by construction
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("lid"),
+    )
+    return weighted_quantile_stats(
+        j, ["p_brand"], "l_extendedprice", "l_quantity", "lid"
+    ).orderBy("p_brand")
+
+
+Q161_SQL = """
+WITH c AS (
+  SELECT p.p_brand,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         CAST(l.l_quantity AS BIGINT) AS w,
+         l.l_orderkey * 100 + l.l_linenumber AS lid
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), r AS (
+  SELECT p_brand, cents, w,
+         CAST(SUM(w) OVER (PARTITION BY p_brand ORDER BY cents, lid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum,
+         -- NB: DuckDB identifiers are case-insensitive, so an alias
+         -- "W" would silently resolve to the w column downstream.
+         CAST(SUM(w) OVER (PARTITION BY p_brand) AS BIGINT) AS tw
+  FROM c
+)
+SELECT p_brand, count(*) AS n_rows, max(tw) AS total_weight,
+       min(CASE WHEN cum * 2 >= tw * 1 THEN cents END) AS wmedian_cents,
+       min(CASE WHEN cum * 10 >= tw * 9 THEN cents END) AS wp90_cents
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 def s16_transitions_stream(spark, sf):
     """Streaming twin of q158 (operators/markov.py
     transition_increments): per-user constant-size state (the last
@@ -1228,6 +1280,7 @@ STAGED_QUERIES = {
     "q158_event_transitions": q158_event_transitions,
     "q159_basket_lift": q159_basket_lift,
     "q160_peak_concurrency": q160_peak_concurrency,
+    "q161_weighted_quantiles": q161_weighted_quantiles,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
     "s16_transitions_stream": s16_transitions_stream,
@@ -1253,6 +1306,7 @@ STAGED_ORACLE = {
     "q158_event_transitions": Q158_SQL,
     "q159_basket_lift": Q159_SQL,
     "q160_peak_concurrency": Q160_SQL,
+    "q161_weighted_quantiles": Q161_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
     "s16_transitions_stream": S16_SQL,

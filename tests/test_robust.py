@@ -57,3 +57,70 @@ def test_constant_group_mad_zero_no_outliers(spark):
     rows = [("a", i, 5.0) for i in range(4)]
     r = _stats(spark, rows)["a"]
     assert r["mad_cents"] == 0 and r["n_outliers"] == 0
+
+
+# --- weighted_quantile_stats ------------------------------------------------
+
+def test_weighted_median_follows_weight_mass(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.robust import (  # noqa: E501
+        weighted_quantile_stats,
+    )
+
+    # values 1.00/2.00/3.00 with weights 1/1/10: half the mass (6 of 12)
+    # is reached only at 3.00.
+    df = spark.createDataFrame(
+        [("g", 1.00, 1, 1), ("g", 2.00, 1, 2), ("g", 3.00, 10, 3)],
+        "g string, v double, w long, id long",
+    )
+    r = weighted_quantile_stats(df, ["g"], "v", "w", "id").collect()[0]
+    assert r["total_weight"] == 12
+    assert r["wmedian_cents"] == 300
+    assert r["wp90_cents"] == 300
+
+
+def test_weighted_median_exact_boundary_lower_selection(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.robust import (  # noqa: E501
+        weighted_quantile_stats,
+    )
+
+    # weights 1/1: cum*2 >= W at the FIRST row (2*1 >= 2) -> lower value.
+    df = spark.createDataFrame(
+        [("g", 5.00, 1, 1), ("g", 9.00, 1, 2)],
+        "g string, v double, w long, id long",
+    )
+    r = weighted_quantile_stats(df, ["g"], "v", "w", "id").collect()[0]
+    assert r["wmedian_cents"] == 500
+    assert r["wp90_cents"] == 900
+
+
+def test_zero_weight_rows_never_shift_quantiles(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.robust import (  # noqa: E501
+        weighted_quantile_stats,
+    )
+
+    base = [("g", 1.00, 1, 1), ("g", 2.00, 1, 2)]
+    with_zero = base + [("g", 0.50, 0, 3), ("g", 9.00, 0, 4)]
+    out = {}
+    for tag, rows in (("base", base), ("zero", with_zero)):
+        df = spark.createDataFrame(
+            rows, "g string, v double, w long, id long"
+        )
+        out[tag] = weighted_quantile_stats(
+            df, ["g"], "v", "w", "id"
+        ).collect()[0]
+    assert out["base"]["wmedian_cents"] == out["zero"]["wmedian_cents"]
+    assert out["base"]["wp90_cents"] == out["zero"]["wp90_cents"]
+    assert out["zero"]["n_rows"] == 4 and out["zero"]["total_weight"] == 2
+
+
+def test_weighted_quantiles_equal_weights_match_unweighted_median(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.robust import (  # noqa: E501
+        mad_outlier_stats,
+        weighted_quantile_stats,
+    )
+
+    rows = [("g", float(v), 1, i) for i, v in enumerate([7, 1, 5, 3, 9])]
+    df = spark.createDataFrame(rows, "g string, v double, w long, id long")
+    wq = weighted_quantile_stats(df, ["g"], "v", "w", "id").collect()[0]
+    mad = mad_outlier_stats(df, ["g"], "v", "id").collect()[0]
+    assert wq["wmedian_cents"] == mad["med_cents"] == 500
