@@ -86,6 +86,10 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   cross-multiplied cumulative-weight selection, all int64, no
   engine quantile() call.  GOTCHA encoded in Q161_SQL: DuckDB
   identifiers are case-insensitive (alias W == column w).
+- q162: FK orphan audit (operators/integrity.py) — per-FK orphan
+  counts via one key-only LEFT join each, parents deterministically
+  thinned (key % 97) so the orphan path is exercised; the
+  dataset-validation pair of q157.
 - s16: streaming twin of q158 (operators/markov.py
   transition_increments) — per-user last-event state counts
   cross-batch transitions exactly once; oracle is Q158 verbatim
@@ -1222,6 +1226,63 @@ FROM r GROUP BY 1 ORDER BY 1
 """
 
 
+def q162_fk_orphan_audit(spark, sf):
+    """Referential-integrity audit (operators/integrity.py): orphan
+    counts for four FKs, with parents DETERMINISTICALLY thinned
+    (key % 97 == 0 dropped) so the orphan path is genuinely
+    exercised — the fixture itself is referentially clean, and an
+    all-zeros gate would prove nothing."""
+    from ..operators.integrity import fk_orphan_audit
+
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    p = load_table(spark, sf, "part")
+    s = load_table(spark, sf, "supplier")
+    thin = lambda df, k: df.where(F.col(k) % 97 != 0)  # noqa: E731
+    return fk_orphan_audit(
+        [
+            ("lineitem.orderkey", li, "l_orderkey", thin(o, "o_orderkey"), "o_orderkey"),
+            ("lineitem.partkey", li, "l_partkey", thin(p, "p_partkey"), "p_partkey"),
+            ("lineitem.suppkey", li, "l_suppkey", thin(s, "s_suppkey"), "s_suppkey"),
+            ("orders.custkey", o, "o_custkey", thin(c, "c_custkey"), "c_custkey"),
+        ]
+    ).orderBy("fk")
+
+
+def _q162_fk_sql(fk, child, ckey, parent, pkey):
+    return f"""
+SELECT '{fk}' AS fk,
+       count(*) AS n_child,
+       CAST(SUM(CASE WHEN p._k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan,
+       count(DISTINCT CASE WHEN p._k IS NULL THEN c.{ckey} END)
+         AS n_orphan_keys,
+       CAST(SUM(CASE WHEN p._k IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS orphan_rate
+FROM (SELECT {ckey} FROM {child} WHERE {ckey} IS NOT NULL) c
+LEFT JOIN (SELECT DISTINCT {pkey} AS _k FROM {parent}
+           WHERE {pkey} % 97 <> 0) p
+  ON c.{ckey} = p._k"""
+
+
+Q162_SQL = (
+    "\nUNION ALL\n".join(
+        [
+            _q162_fk_sql("lineitem.orderkey", "lineitem", "l_orderkey",
+                         "orders", "o_orderkey"),
+            _q162_fk_sql("lineitem.partkey", "lineitem", "l_partkey",
+                         "part", "p_partkey"),
+            _q162_fk_sql("lineitem.suppkey", "lineitem", "l_suppkey",
+                         "supplier", "s_suppkey"),
+            _q162_fk_sql("orders.custkey", "orders", "o_custkey",
+                         "customer", "c_custkey"),
+        ]
+    )
+    + "\nORDER BY fk"
+)
+
+
 def s16_transitions_stream(spark, sf):
     """Streaming twin of q158 (operators/markov.py
     transition_increments): per-user constant-size state (the last
@@ -1281,6 +1342,7 @@ STAGED_QUERIES = {
     "q159_basket_lift": q159_basket_lift,
     "q160_peak_concurrency": q160_peak_concurrency,
     "q161_weighted_quantiles": q161_weighted_quantiles,
+    "q162_fk_orphan_audit": q162_fk_orphan_audit,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
     "s16_transitions_stream": s16_transitions_stream,
@@ -1307,6 +1369,7 @@ STAGED_ORACLE = {
     "q159_basket_lift": Q159_SQL,
     "q160_peak_concurrency": Q160_SQL,
     "q161_weighted_quantiles": Q161_SQL,
+    "q162_fk_orphan_audit": Q162_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
     "s16_transitions_stream": S16_SQL,
