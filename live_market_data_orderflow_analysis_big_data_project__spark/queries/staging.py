@@ -90,6 +90,11 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   counts via one key-only LEFT join each, parents deterministically
   thinned (key % 97) so the orphan path is exercised; the
   dataset-validation pair of q157.
+- q163: per-brand price/qty skyline (operators/skyline.py) — the
+  SKYLINE OF operator via sorted-prefix windows, n log n where
+  dominance NOT EXISTS is quadratic (504 s at sf0.1 in DuckDB —
+  that naive proof runs in pytest at the two smaller sfs; the
+  standing oracle mirrors the window math).
 - s16: streaming twin of q158 (operators/markov.py
   transition_increments) — per-user last-event state counts
   cross-batch transitions exactly once; oracle is Q158 verbatim
@@ -1283,6 +1288,81 @@ Q162_SQL = (
 )
 
 
+def q163_price_qty_skyline(spark, sf):
+    """Per-brand price/quantity Pareto frontier (operators/
+    skyline.py): the offers not beaten on BOTH axes — minimize
+    extended price cents, maximize quantity.  The sorted-prefix
+    window formulation is linear where the dominance self-join is
+    quadratic.  The standing oracle mirrors the window math (the
+    naive NOT EXISTS dominance twin measured 504 s at sf0.1 in
+    DuckDB — itself the argument for the rewrite); the naive proof
+    runs in pytest at sf0.001+sf0.01 (_Q163_NAIVE_SQL,
+    tests/test_skyline.py), where it hash-matches exactly."""
+    from ..operators.robust import cents
+    from ..operators.skyline import skyline_2d
+
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (
+        skyline_2d(
+            j,
+            ["p_brand"],
+            cents("l_extendedprice"),
+            F.col("l_quantity").cast("long"),
+        )
+        .select(
+            "p_brand",
+            F.col("min_val").alias("price_cents"),
+            F.col("max_val").alias("qty"),
+            "n_rows",
+        )
+        .orderBy("p_brand", "price_cents", "qty")
+    )
+
+
+_Q163_PTS = """
+  SELECT p.p_brand,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_cents,
+         CAST(l.l_quantity AS BIGINT) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+Q163_SQL = f"""
+WITH pts AS ({_Q163_PTS}), flagged AS (
+  SELECT p_brand, price_cents, qty,
+         max(qty) OVER (PARTITION BY p_brand ORDER BY price_cents
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS best_lt,
+         max(qty) OVER (PARTITION BY p_brand, price_cents) AS best_eq
+  FROM pts
+)
+SELECT p_brand, price_cents, qty, count(*) AS n_rows
+FROM flagged
+WHERE (best_lt IS NULL OR qty > best_lt) AND qty = best_eq
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+# the quadratic ground truth — pytest-only (504 s at sf0.1 in DuckDB;
+# the cost IS the argument for the window rewrite)
+_Q163_NAIVE_SQL = f"""
+WITH pts AS ({_Q163_PTS}), sky AS (
+  SELECT * FROM pts a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts b
+    WHERE b.p_brand = a.p_brand
+      AND b.price_cents <= a.price_cents AND b.qty >= a.qty
+      AND (b.price_cents < a.price_cents OR b.qty > a.qty)
+  )
+)
+SELECT p_brand, price_cents, qty, count(*) AS n_rows
+FROM sky GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 def s16_transitions_stream(spark, sf):
     """Streaming twin of q158 (operators/markov.py
     transition_increments): per-user constant-size state (the last
@@ -1343,6 +1423,7 @@ STAGED_QUERIES = {
     "q160_peak_concurrency": q160_peak_concurrency,
     "q161_weighted_quantiles": q161_weighted_quantiles,
     "q162_fk_orphan_audit": q162_fk_orphan_audit,
+    "q163_price_qty_skyline": q163_price_qty_skyline,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
     "s16_transitions_stream": s16_transitions_stream,
@@ -1370,6 +1451,7 @@ STAGED_ORACLE = {
     "q160_peak_concurrency": Q160_SQL,
     "q161_weighted_quantiles": Q161_SQL,
     "q162_fk_orphan_audit": Q162_SQL,
+    "q163_price_qty_skyline": Q163_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
     "s16_transitions_stream": S16_SQL,

@@ -92,6 +92,7 @@ PROBE_QUERIES = [
     ("q160_staged_sweepline", "STAGED: sweep-line peak concurrency — endpoints union + one per-day window sort, linear in endpoints (overlap self-join would be quadratic)"),
     ("q161_staged_wquantiles", "STAGED: weighted quantiles — broadcast dim join + ONE per-brand (cents,id) window sort, cross-multiplied int64 selection"),
     ("q162_staged_integrity", "STAGED: FK orphan audit — four key-only LEFT joins (columns pruned at scan, parents key-deduped), map-side-collapsing count aggs"),
+    ("q163_staged_skyline", "STAGED: 2-D skyline — sorted-prefix windows per brand, n log n vs the quadratic dominance join it replaces"),
 ]
 
 
@@ -307,6 +308,10 @@ def _custom_probes():
         "q162_staged_integrity": (
             None,
             lambda spark, sf, ctx: staging.q162_fk_orphan_audit(spark, sf),
+        ),
+        "q163_staged_skyline": (
+            None,
+            lambda spark, sf, ctx: staging.q163_price_qty_skyline(spark, sf),
         ),
         # the one-time amortized shuffle: writes execute eagerly inside
         "q132_write_only": (
@@ -641,6 +646,13 @@ def main() -> None:
         "    LEFT joins, columns pruned at the scan and parents",
         "    key-deduped before joining; the count aggregates collapse",
         "    map-side, so output stays one row per FK at any scale.",
+        "    q163_staged_skyline 5.6 -> 14.2 s (2.5x): the brand count",
+        "    is FIXED (25), so 16x data multiplies per-partition sort",
+        "    width 16x — the n log n selection term, same class as",
+        "    q152/q161; finer keys restore parallelism at deployment.",
+        "    The rewrite's headline is vs the alternative: the naive",
+        "    dominance join needs 504 s at 1x (DuckDB IEJoin) and",
+        "    grows quadratically.",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
