@@ -95,6 +95,10 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   dominance NOT EXISTS is quadratic (504 s at sf0.1 in DuckDB —
   that naive proof runs in pytest at the two smaller sfs; the
   standing oracle mirrors the window math).
+- q164: zero-clamped running balance (operators/balance.py) — the
+  non-associative fold max(0, S+x) as pure windows via the Lindley
+  reflection identity; identity proven against a literal Python
+  fold in tests/test_balance.py, incl. a 500-step pseudorandom walk.
 - s16: streaming twin of q158 (operators/markov.py
   transition_increments) — per-user last-event state counts
   cross-batch transitions exactly once; oracle is Q158 verbatim
@@ -1363,6 +1367,60 @@ ORDER BY 1, 2, 3
 """
 
 
+def q164_clamped_balance(spark, sf):
+    """Zero-clamped running balance per user (operators/balance.py):
+    the non-associative fold S_i = max(0, S_{i-1} + x_i) in pure
+    windows via the Lindley reflection identity — purchases/signups
+    credit, other events debit (integer cents).  No recursion, no
+    UDF; the oracle computes the SAME closed form, and the identity
+    itself is proven against a literal Python fold in
+    tests/test_balance.py."""
+    from ..operators.balance import clamped_balance
+    from ..operators.robust import cents
+
+    ev = load_table(spark, sf, "events")
+    signed = F.when(
+        F.col("event_type").isin("purchase", "signup"), cents("value")
+    ).otherwise(-cents("value"))
+    return clamped_balance(ev, "user_id", "ts", signed, "event_id").orderBy(
+        "user_id"
+    )
+
+
+Q164_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         END AS x
+  FROM events
+), p AS (
+  SELECT user_id, ts, event_id, x,
+         CAST(SUM(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS pfx
+  FROM base
+), r AS (
+  SELECT user_id, x, pfx,
+         least(min(pfx) OVER w, 0) AS flr,
+         least(COALESCE(min(pfx) OVER w3, 0), 0) AS prev_flr
+  FROM p
+  WINDOW
+    w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(SUM(x) AS BIGINT) - least(min(pfx), 0) AS final_balance,
+       max(pfx - flr) AS peak_balance,
+       CAST(SUM(CASE WHEN pfx < prev_flr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 def s16_transitions_stream(spark, sf):
     """Streaming twin of q158 (operators/markov.py
     transition_increments): per-user constant-size state (the last
@@ -1424,6 +1482,7 @@ STAGED_QUERIES = {
     "q161_weighted_quantiles": q161_weighted_quantiles,
     "q162_fk_orphan_audit": q162_fk_orphan_audit,
     "q163_price_qty_skyline": q163_price_qty_skyline,
+    "q164_clamped_balance": q164_clamped_balance,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
     "s16_transitions_stream": s16_transitions_stream,
@@ -1452,6 +1511,7 @@ STAGED_ORACLE = {
     "q161_weighted_quantiles": Q161_SQL,
     "q162_fk_orphan_audit": Q162_SQL,
     "q163_price_qty_skyline": Q163_SQL,
+    "q164_clamped_balance": Q164_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
     "s16_transitions_stream": S16_SQL,
