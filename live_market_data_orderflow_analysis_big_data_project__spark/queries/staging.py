@@ -99,6 +99,9 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   non-associative fold max(0, S+x) as pure windows via the Lindley
   reflection identity; identity proven against a literal Python
   fold in tests/test_balance.py, incl. a 500-step pseudorandom walk.
+- q165: flow concentration (operators/concentration.py) — Gini via
+  the sorted-rank identity, Herfindahl, exact top-decile share; the
+  inequality-metrics family, exact int64 sums + fixed IEEE ops.
 - s16: streaming twin of q158 (operators/markov.py
   transition_increments) — per-user last-event state counts
   cross-batch transitions exactly once; oracle is Q158 verbatim
@@ -1421,6 +1424,53 @@ FROM r GROUP BY 1 ORDER BY 1
 """
 
 
+def q165_flow_concentration(spark, sf):
+    """Per-type flow concentration (operators/concentration.py):
+    Gini (sorted-rank identity), Herfindahl, and exact top-decile
+    share of per-user cents totals — all exact int64 sums with fixed
+    IEEE parenthesization, no percentile interpolation anywhere."""
+    from ..operators.concentration import concentration_metrics
+    from ..operators.robust import cents
+
+    ev = load_table(spark, sf, "events")
+    return concentration_metrics(
+        ev, ["event_type"], "user_id", cents("value")
+    ).orderBy("event_type")
+
+
+Q165_SQL = """
+WITH spend AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x, user_id) AS r,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x DESC, user_id DESC) AS rd,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM spend
+)
+SELECT event_type,
+       count(*) AS n_actors,
+       CAST(SUM(x) AS BIGINT) AS total_cents,
+       (2.0 * CAST(CAST(SUM(r * x) AS BIGINT) AS DOUBLE)
+        - (CAST(count(*) AS DOUBLE) + 1.0)
+          * CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE))
+       / (CAST(count(*) AS DOUBLE)
+          * CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE)) AS gini,
+       CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE)
+       / (CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE)
+          * CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE)) AS hhi,
+       CAST(CAST(SUM(CASE WHEN rd * 10 <= n + 9 THEN x ELSE 0 END)
+                 AS BIGINT) AS DOUBLE)
+       / CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS top_decile_share
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
 def s16_transitions_stream(spark, sf):
     """Streaming twin of q158 (operators/markov.py
     transition_increments): per-user constant-size state (the last
@@ -1483,6 +1533,7 @@ STAGED_QUERIES = {
     "q162_fk_orphan_audit": q162_fk_orphan_audit,
     "q163_price_qty_skyline": q163_price_qty_skyline,
     "q164_clamped_balance": q164_clamped_balance,
+    "q165_flow_concentration": q165_flow_concentration,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
     "s16_transitions_stream": s16_transitions_stream,
@@ -1512,6 +1563,7 @@ STAGED_ORACLE = {
     "q162_fk_orphan_audit": Q162_SQL,
     "q163_price_qty_skyline": Q163_SQL,
     "q164_clamped_balance": Q164_SQL,
+    "q165_flow_concentration": Q165_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
     "s16_transitions_stream": S16_SQL,

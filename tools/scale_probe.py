@@ -94,6 +94,7 @@ PROBE_QUERIES = [
     ("q162_staged_integrity", "STAGED: FK orphan audit — four key-only LEFT joins (columns pruned at scan, parents key-deduped), map-side-collapsing count aggs"),
     ("q163_staged_skyline", "STAGED: 2-D skyline — sorted-prefix windows per brand, n log n vs the quadratic dominance join it replaces"),
     ("q164_staged_balance", "STAGED: clamped running balance — the non-associative fold as ONE per-user window pass (Lindley reflection identity), no recursion/UDF"),
+    ("q165_staged_concentration", "STAGED: Gini/HHI/top-decile — one (type,user) totals shuffle, per-type rank window over the actor frame, one row per type out"),
 ]
 
 
@@ -317,6 +318,10 @@ def _custom_probes():
         "q164_staged_balance": (
             None,
             lambda spark, sf, ctx: staging.q164_clamped_balance(spark, sf),
+        ),
+        "q165_staged_concentration": (
+            None,
+            lambda spark, sf, ctx: staging.q165_flow_concentration(spark, sf),
         ),
         # the one-time amortized shuffle: writes execute eagerly inside
         "q132_write_only": (
@@ -662,6 +667,10 @@ def main() -> None:
         "    non-associative clamp fold as one per-user window pass",
         "    (reflection identity) — same keyed-sort class as q156;",
         "    16x users scale the key space, partition width unchanged.",
+        "    q165_staged_concentration 4.2 -> 5.0 s (1.2x): the",
+        "    (type, user) totals shuffle collapses map-side; the rank",
+        "    window runs on the actor frame (users x types), 16x",
+        "    smaller than the data, and output is one row per type.",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
