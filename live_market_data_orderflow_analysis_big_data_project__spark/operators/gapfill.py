@@ -52,9 +52,46 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["gapfill_time_bucket"]
+__all__ = [
+    "gapfill_time_bucket",
+    "gapfill_from_buckets",
+    "bucket_sums_windowed",
+]
 
 _STEP_SECONDS = {"hour": 3600, "day": 86400, "minute": 60}
+
+
+def bucket_sums_windowed(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    agg_value: Column,
+    count_value: Column,
+    bucket: str = "hour",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """The bucket-aggregation stage as an event-time window — works on
+    BATCH and STREAMING frames alike (the s14 sketch-rollup shape): a
+    stream maintains the (keys, bucket) sums incrementally, append
+    mode emits each bucket exactly once when its window closes, and
+    the gap-fill runs as a batch view over the emitted table
+    (``gapfill_from_buckets``).  State per open (key, window) is one
+    sum + one count — watermark-bounded like any windowed agg."""
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    step = _STEP_SECONDS[bucket]
+    return (
+        src.groupBy(
+            *list(keys),
+            F.window(F.col(ts_col), f"{step} seconds").alias("_w"),
+        )
+        .agg(agg_value.alias("actual_sum"), count_value.alias("n_rows"))
+        .select(
+            *list(keys),
+            F.col("_w.start").alias("bucket_ts"),
+            "actual_sum",
+            "n_rows",
+        )
+    )
 
 
 def gapfill_time_bucket(
@@ -87,13 +124,24 @@ def gapfill_time_bucket(
     decimal-backed sums from functions.hashstable for hash-stable
     output).  ``bucket`` is one of minute/hour/day.
     """
-    step = _STEP_SECONDS[bucket]
-    klist = list(keys)
     actual = (
         df.withColumn("bucket_ts", F.date_trunc(bucket, F.col(ts_col)))
-        .groupBy(*klist, "bucket_ts")
+        .groupBy(*list(keys), "bucket_ts")
         .agg(agg_value.alias("actual_sum"), count_value.alias("n_rows"))
     )
+    return gapfill_from_buckets(actual, keys, bucket)
+
+
+def gapfill_from_buckets(
+    actual: DataFrame, keys: Sequence[str], bucket: str = "hour"
+) -> DataFrame:
+    """The grid/LOCF/interpolation stages over an ALREADY-bucketed
+    frame (columns: keys…, ``bucket_ts``, ``actual_sum``,
+    ``n_rows``) — shared by the batch path above and the streaming
+    twin, whose bucket sums arrive from a windowed streaming agg
+    (``bucket_sums_windowed``)."""
+    step = _STEP_SECONDS[bucket]
+    klist = list(keys)
 
     bounds = actual.agg(
         F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi")

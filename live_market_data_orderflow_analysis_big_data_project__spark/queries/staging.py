@@ -106,6 +106,11 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   transition_increments) — per-user last-event state counts
   cross-batch transitions exactly once; oracle is Q158 verbatim
   (stream==batch equality, boundary-pinned in tests/test_markov.py).
+- s17: streaming twin of q150 (operators/gapfill.py
+  bucket_sums_windowed + gapfill_from_buckets) — the stream owns the
+  data-sized bucket stage, the dense-grid LOCF/interp fill stays a
+  domain-sized batch view over the emitted table; oracle = Q150
+  restricted to closed hours.
 - s14: streaming windowed HLL rollup (operators/sketches.py
   hll_rollup_windowed) — AvailableNow drain; append mode emits closed
   day windows only, so the oracle excludes the final (still-open) day;
@@ -1509,6 +1514,54 @@ def s16_transitions_stream(spark, sf):
 S16_SQL = Q158_SQL  # exact stream==batch equality, no window restriction
 
 
+def s17_gapfill_stream(spark, sf):
+    """Streaming twin of q150 (operators/gapfill.py): the hourly
+    bucket sums are MAINTAINED BY the stream (windowed decimal-sum
+    agg, append emits each hour once when it closes) and the dense
+    grid + LOCF + interpolation run as a batch view over the emitted
+    table — the production split: the stream owns the data-sized
+    work, the fill stays domain-sized and retroactively recomputable.
+    Oracle: Q150 restricted to closed hours (the s14/s15 watermark
+    argument — the final no-data batch advances the watermark to
+    max(ts), so exactly the hours strictly before max(ts)'s hour
+    have flushed)."""
+    from ..functions.hashstable import dsum
+    from ..operators.gapfill import bucket_sums_windowed, gapfill_from_buckets
+    from ..streaming.core import run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf).select("event_type", "ts", "value")
+    buckets = run_to_memory(
+        bucket_sums_windowed(
+            sdf, ["event_type"], "ts", dsum("value"), F.count(F.lit(1))
+        ),
+        "s17_gapfill",
+        n_state_partitions=8,
+    )
+    buckets = buckets.localCheckpoint(eager=True)  # the s15 lineage cut
+    out = gapfill_from_buckets(buckets, ["event_type"], bucket="hour")
+    return out.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_rows",
+        "actual_sum",
+        "locf_sum",
+        "interp_sum",
+        "is_gap",
+    ).orderBy("event_type", "hour")
+
+
+# Q150's twin restricted to closed hour windows (built by replacement
+# so the twins stay coupled; the assert pins the splice point).
+S17_SQL = Q150_SQL.replace(
+    "FROM events GROUP BY 1, 2",
+    """FROM events
+  WHERE date_trunc('hour', ts)
+        < (SELECT date_trunc('hour', max(ts)) FROM events)
+  GROUP BY 1, 2""",
+)
+assert "WHERE date_trunc('hour', ts)" in S17_SQL
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
@@ -1537,6 +1590,7 @@ STAGED_QUERIES = {
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
     "s16_transitions_stream": s16_transitions_stream,
+    "s17_gapfill_stream": s17_gapfill_stream,
 }
 
 STAGED_ORACLE = {
@@ -1567,4 +1621,5 @@ STAGED_ORACLE = {
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
     "s16_transitions_stream": S16_SQL,
+    "s17_gapfill_stream": S17_SQL,
 }

@@ -101,3 +101,43 @@ def test_day_bucket_step(spark):
     assert len(out) == 4
     assert out[("a", "2024-01-02T00:00:00")]["interp_sum"] == 2.0
     assert out[("a", "2024-01-03T00:00:00")]["interp_sum"] == 3.0
+
+
+def test_bucket_sums_windowed_batch_twin_matches_date_trunc(spark):
+    """bucket_sums_windowed (the s17 streaming stage) on a BATCH frame
+    equals the date_trunc groupBy that gapfill_time_bucket uses — the
+    coupling that lets the stream own the bucket stage while q150 and
+    s17 share gapfill_from_buckets."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.functions.hashstable import (  # noqa: E501
+        dsum,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.gapfill import (  # noqa: E501
+        bucket_sums_windowed,
+    )
+
+    rows = [
+        ("a", datetime(2024, 1, 1, h, m), float(h * 10 + m))
+        for h in (0, 1, 3)
+        for m in (5, 40)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    win = {
+        (r["k"], r["bucket_ts"]): (r["actual_sum"], r["n_rows"])
+        for r in bucket_sums_windowed(
+            df, ["k"], "ts", dsum("value"), F.count(F.lit(1))
+        ).collect()
+    }
+    trunc = {
+        (r["k"], r["bucket_ts"]): (r["actual_sum"], r["n_rows"])
+        for r in df.groupBy(
+            "k", F.date_trunc("hour", "ts").alias("bucket_ts")
+        )
+        .agg(dsum("value").alias("actual_sum"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert win == trunc and len(win) == 3  # hours 0, 1, 3 for one key
