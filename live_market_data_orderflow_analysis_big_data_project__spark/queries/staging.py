@@ -171,7 +171,7 @@ def q142_hist_rollup_report(spark, sf):
         hi=500.0,
         n_bins=50,
         q=0.9,
-    ).orderBy("event_type")
+    )
 
 
 Q142_SQL = """
@@ -672,7 +672,7 @@ def q150_gapfill_locf(spark, sf):
         "locf_sum",
         "interp_sum",
         "is_gap",
-    ).orderBy("event_type", "hour")
+    )
 
 
 Q150_SQL = """
@@ -729,9 +729,7 @@ def q151_retention_cohorts(spark, sf):
     from ..operators.retention import retention_cohorts
 
     ev = load_table(spark, sf, "events")
-    return retention_cohorts(ev, "user_id", "ts").orderBy(
-        "cohort_day", "age"
-    )
+    return retention_cohorts(ev, "user_id", "ts")
 
 
 Q151_SQL = """
@@ -767,7 +765,7 @@ def q152_mad_outliers(spark, sf):
     ev = load_table(spark, sf, "events")
     return mad_outlier_stats(
         ev, ["event_type"], "value", "event_id", k=3
-    ).orderBy("event_type")
+    )
 
 
 Q152_SQL = """
@@ -816,7 +814,7 @@ def q153_activity_streaks(spark, sf):
     from ..operators.retention import activity_streaks
 
     ev = load_table(spark, sf, "events")
-    return activity_streaks(ev, "user_id", "ts").orderBy("user_id")
+    return activity_streaks(ev, "user_id", "ts")
 
 
 Q153_SQL = """
@@ -870,7 +868,7 @@ def q154_pairwise_corr(spark, sf):
             F.col("mean_b").alias("mean_b_cents"),
             "corr",
         )
-        .orderBy("type_a", "type_b")
+        
     )
 
 
@@ -941,7 +939,7 @@ def q155_range_join_concurrency(spark, sf):
             (F.unix_micros("hi") - F.unix_micros("lo")).alias("span_us"),
             (F.col("n_in_range") - F.col("n_own")).alias("n_foreign"),
         )
-        .orderBy("user_id", "day")
+        
     )
 
 
@@ -975,7 +973,7 @@ def q156_twap_daily(spark, sf):
     ev = load_table(spark, sf, "events")
     return time_weighted_avg(
         ev, ["event_type"], "ts", cents("value"), "event_id"
-    ).orderBy("event_type", "day")
+    )
 
 
 Q156_SQL = """
@@ -1027,7 +1025,7 @@ def q157_profile_audit(spark, sf):
     from ..operators.profile import profile_columns
 
     li = load_table(spark, sf, "lineitem")
-    return profile_columns(li, _Q157_SPECS).orderBy("col_name")
+    return profile_columns(li, _Q157_SPECS)
 
 
 def _q157_sql() -> str:
@@ -1073,7 +1071,7 @@ def q158_event_transitions(spark, sf):
     ev = load_table(spark, sf, "events")
     return transition_matrix(
         ev, "user_id", "ts", "event_type", "event_id"
-    ).orderBy("from_state", "to_state")
+    )
 
 
 Q158_SQL = """
@@ -1108,9 +1106,7 @@ def q159_basket_lift(spark, sf):
     ev = load_table(spark, sf, "events").select(
         "user_id", F.to_date("ts").alias("d"), "event_type"
     )
-    return cooccurrence_lift(ev, ["user_id", "d"], "event_type").orderBy(
-        "item_a", "item_b"
-    )
+    return cooccurrence_lift(ev, ["user_id", "d"], "event_type")
 
 
 Q159_SQL = """
@@ -1165,7 +1161,7 @@ def q160_peak_concurrency(spark, sf):
             "peak",
             "peak_ts",
         )
-        .orderBy("day")
+        
     )
 
 
@@ -1215,7 +1211,7 @@ def q161_weighted_quantiles(spark, sf):
     )
     return weighted_quantile_stats(
         j, ["p_brand"], "l_extendedprice", "l_quantity", "lid"
-    ).orderBy("p_brand")
+    )
 
 
 Q161_SQL = """
@@ -1264,7 +1260,7 @@ def q162_fk_orphan_audit(spark, sf):
             ("lineitem.suppkey", li, "l_suppkey", thin(s, "s_suppkey"), "s_suppkey"),
             ("orders.custkey", o, "o_custkey", thin(c, "c_custkey"), "c_custkey"),
         ]
-    ).orderBy("fk")
+    )
 
 
 def _q162_fk_sql(fk, child, ckey, parent, pkey):
@@ -1329,7 +1325,7 @@ def q163_price_qty_skyline(spark, sf):
             F.col("max_val").alias("qty"),
             "n_rows",
         )
-        .orderBy("p_brand", "price_cents", "qty")
+        
     )
 
 
@@ -1390,9 +1386,7 @@ def q164_clamped_balance(spark, sf):
     signed = F.when(
         F.col("event_type").isin("purchase", "signup"), cents("value")
     ).otherwise(-cents("value"))
-    return clamped_balance(ev, "user_id", "ts", signed, "event_id").orderBy(
-        "user_id"
-    )
+    return clamped_balance(ev, "user_id", "ts", signed, "event_id")
 
 
 Q164_SQL = """
@@ -1440,7 +1434,7 @@ def q165_flow_concentration(spark, sf):
     ev = load_table(spark, sf, "events")
     return concentration_metrics(
         ev, ["event_type"], "user_id", cents("value")
-    ).orderBy("event_type")
+    )
 
 
 Q165_SQL = """
@@ -1506,9 +1500,7 @@ def s16_transitions_stream(spark, sf):
     tr = inc.groupBy("from_state", "to_state").agg(
         F.sum("n").alias("n_transitions")
     )
-    return transition_counts_to_matrix(tr).orderBy(
-        "from_state", "to_state"
-    )
+    return transition_counts_to_matrix(tr)
 
 
 S16_SQL = Q158_SQL  # exact stream==batch equality, no window restriction
@@ -1547,7 +1539,7 @@ def s17_gapfill_stream(spark, sf):
         "locf_sum",
         "interp_sum",
         "is_gap",
-    ).orderBy("event_type", "hour")
+    )
 
 
 # Q150's twin restricted to closed hour windows (built by replacement

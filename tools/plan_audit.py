@@ -45,6 +45,15 @@ NON_EQUI_OK = {
     "q106b_decontaminate_bloom",  # 1-row bloom-bitmap crossJoin (the
                                   # broadcast word-map ride-in, zorder
                                   # scalar-stats pattern)
+    # STAGED (queries/staging.py — audited pre-promotion):
+    "q144_hll_overlap",         # 1-row exactness-boundary scalar crossJoin
+    "q145_kmv_setops",          # pair joins on the |labels|-row sketch frame
+    "q149_incremental_simhash",  # 1-row split-scalar crossJoin (q137 pattern)
+    "q150_gapfill_locf",        # 1-row [lo, hi] grid-bounds crossJoin
+                                # (the q140 zorder scalar-stats pattern)
+    "q157_profile_audit",       # 1-row x 1-row recombine of the split
+                                # distinct-pass/fold-pass aggregates
+    "q159_basket_lift",         # 1-row basket-count crossJoin (zorder pattern)
 }
 # queries whose purpose is the row-Python UDF surface
 # Declared row-Python API-surface proofs (never-hot-path documented):
@@ -61,8 +70,17 @@ def main() -> None:
     spark = get_spark("plan-audit", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+        STAGED_QUERIES,
+    )
+
+    audit = dict(ent.queries())
+    # staged next-rotation entries are plan-audited BEFORE promotion so
+    # a scale red-flag can never enter the window unseen
+    audit.update({k: v for k, v in STAGED_QUERIES.items() if not k.startswith("s")})
+
     rows, problems = [], []
-    for key, fn in ent.queries().items():
+    for key, fn in audit.items():
         if key.startswith("s"):
             continue
         df = fn(spark, sf)
