@@ -40,19 +40,29 @@ def clamped_balance(
     ts_col: str,
     amount_col: Column,
     id_col: str,
+    alarm_threshold: Column | None = None,
 ) -> DataFrame:
     """Per-key zero-clamped running balance of signed int64 amounts.
 
     Output per key: ``n_events``, ``final_balance`` (the fold's end
     state), ``peak_balance`` (max clamped balance ever held),
     ``n_clamped`` (steps where the zero floor engaged).
+
+    ``alarm_threshold`` (optional, an int64 Column constant per key)
+    turns the fold into a one-sided CUSUM monitor (Page's test: the
+    clamped sum of deviations IS the CUSUM statistic): the output
+    gains ``n_alarms`` — steps where the running statistic exceeded
+    the threshold.
     """
-    base = df.select(
+    cols = [
         F.col(key_col).alias("_k"),
         F.col(ts_col).alias("_ts"),
         F.col(id_col).alias("_id"),
         amount_col.cast("long").alias("_x"),
-    )
+    ]
+    if alarm_threshold is not None:
+        cols.append(alarm_threshold.cast("long").alias("_h"))
+    base = df.select(*cols)
     w = (
         Window.partitionBy("_k")
         .orderBy("_ts", "_id")
@@ -76,11 +86,18 @@ def clamped_balance(
     )
     bal = F.col("_prefix") - F.col("_floor")
     clamped = F.when(F.col("_prefix") < F.col("_prev_floor"), 1).otherwise(0)
-    return r.groupBy(F.col("_k").alias(key_col)).agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_events"),
         (F.sum("_x") - F.least(F.min("_prefix"), F.lit(0))).alias(
             "final_balance"
         ),
         F.max(bal).alias("peak_balance"),
         F.sum(clamped).cast("long").alias("n_clamped"),
-    )
+    ]
+    if alarm_threshold is not None:
+        aggs.append(
+            F.sum(F.when(bal > F.col("_h"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_alarms")
+        )
+    return r.groupBy(F.col("_k").alias(key_col)).agg(*aggs)

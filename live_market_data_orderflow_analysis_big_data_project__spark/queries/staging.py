@@ -102,6 +102,10 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
 - q165: flow concentration (operators/concentration.py) — Gini via
   the sorted-rank identity, Herfindahl, exact top-decile share; the
   inequality-metrics family, exact int64 sums + fixed IEEE ops.
+- q166: one-sided CUSUM drift monitor (Page's test) — operator
+  composition: robust median/MAD center the deviations, the
+  zero-clamped fold IS the CUSUM statistic, alarms counted above
+  5·MAD; all exact int64.
 - s16: streaming twin of q158 (operators/markov.py
   transition_increments) — per-user last-event state counts
   cross-batch transitions exactly once; oracle is Q158 verbatim
@@ -1554,6 +1558,90 @@ S17_SQL = Q150_SQL.replace(
 assert "WHERE date_trunc('hour', ts)" in S17_SQL
 
 
+def q166_cusum_drift(spark, sf):
+    """One-sided CUSUM drift monitor per type (Page's test) —
+    operator COMPOSITION: the robust center/scale come from
+    operators/robust.py (exact lower median + MAD, broadcast back),
+    and the CUSUM statistic IS operators/balance.py's zero-clamped
+    fold of the slack-adjusted deviations (amount = cents − med −
+    mad), with alarms counted above h = 5·MAD.  Every quantity is an
+    exact int64."""
+    from ..operators.balance import clamped_balance
+    from ..operators.robust import cents, mad_outlier_stats
+
+    ev = load_table(spark, sf, "events")
+    scale = mad_outlier_stats(
+        ev, ["event_type"], "value", "event_id", k=3
+    ).select("event_type", "med_cents", "mad_cents")
+    ev2 = ev.join(F.broadcast(scale), "event_type")
+    amount = cents("value") - F.col("med_cents") - F.col("mad_cents")
+    return clamped_balance(
+        ev2,
+        "event_type",
+        "ts",
+        amount,
+        "event_id",
+        alarm_threshold=F.col("mad_cents") * F.lit(5),
+    )
+
+
+Q166_SQL = """
+WITH c AS (
+  SELECT event_type, event_id AS id, ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cents, id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+), med AS (
+  SELECT event_type, cents AS med_cents FROM r1 WHERE rn = (n + 1) // 2
+), d AS (
+  SELECT c.event_type, c.id, abs(c.cents - m.med_cents) AS dev
+  FROM c JOIN med m ON c.event_type = m.event_type
+), r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY dev, id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+), mad AS (
+  SELECT event_type, dev AS mad_cents FROM r2 WHERE rn = (n + 1) // 2
+), base AS (
+  SELECT c.event_type, c.ts, c.id,
+         c.cents - m.med_cents - t.mad_cents AS x,
+         t.mad_cents * 5 AS h
+  FROM c
+  JOIN med m ON c.event_type = m.event_type
+  JOIN mad t ON c.event_type = t.event_type
+), p AS (
+  SELECT event_type, ts, id, x, h,
+         CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY ts, id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS pfx
+  FROM base
+), r AS (
+  SELECT event_type, x, h, pfx,
+         least(min(pfx) OVER w, 0) AS flr,
+         least(COALESCE(min(pfx) OVER w3, 0), 0) AS prev_flr
+  FROM p
+  WINDOW
+    w AS (PARTITION BY event_type ORDER BY ts, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w3 AS (PARTITION BY event_type ORDER BY ts, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(SUM(x) AS BIGINT) - least(min(pfx), 0) AS final_balance,
+       max(pfx - flr) AS peak_balance,
+       CAST(SUM(CASE WHEN pfx < prev_flr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped,
+       CAST(SUM(CASE WHEN pfx - flr > h THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms
+FROM r GROUP BY 1
+"""
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
@@ -1579,6 +1667,7 @@ STAGED_QUERIES = {
     "q163_price_qty_skyline": q163_price_qty_skyline,
     "q164_clamped_balance": q164_clamped_balance,
     "q165_flow_concentration": q165_flow_concentration,
+    "q166_cusum_drift": q166_cusum_drift,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
     "s16_transitions_stream": s16_transitions_stream,
@@ -1610,6 +1699,7 @@ STAGED_ORACLE = {
     "q163_price_qty_skyline": Q163_SQL,
     "q164_clamped_balance": Q164_SQL,
     "q165_flow_concentration": Q165_SQL,
+    "q166_cusum_drift": Q166_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
     "s16_transitions_stream": S16_SQL,

@@ -65,3 +65,34 @@ def test_keys_independent(spark):
     got = _run(spark, {"a": [-5], "b": [5]})
     assert got["a"]["final_balance"] == 0 and got["a"]["n_clamped"] == 1
     assert got["b"]["final_balance"] == 5 and got["b"]["n_clamped"] == 0
+
+
+def test_alarm_threshold_counts_cusum_exceedances(spark):
+    from datetime import datetime, timedelta
+
+    rows = []
+    t0 = datetime(2024, 1, 1)
+    # amounts: climb to 5 (alarm at >3 on steps 4,5), clamp, climb to 4
+    for i, x in enumerate([1, 1, 1, 1, 1, -99, 4]):
+        rows.append(("k", t0 + timedelta(minutes=i), i, x, 3))
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, id long, x long, h long"
+    )
+    r = clamped_balance(
+        df, "k", "ts", F.col("x"), "id", alarm_threshold=F.col("h")
+    ).collect()[0]
+    # balances: 1,2,3,4,5,0,4 -> bal>3 at steps 4,5 and the final 4
+    assert r["n_alarms"] == 3
+    assert r["n_clamped"] == 1
+    assert r["final_balance"] == 4
+
+
+def test_alarm_threshold_absent_keeps_schema(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1), 1, 5)],
+        "k string, ts timestamp, id long, x long",
+    )
+    out = clamped_balance(df, "k", "ts", F.col("x"), "id")
+    assert "n_alarms" not in out.columns

@@ -95,6 +95,7 @@ PROBE_QUERIES = [
     ("q163_staged_skyline", "STAGED: 2-D skyline — sorted-prefix windows per brand, n log n vs the quadratic dominance join it replaces"),
     ("q164_staged_balance", "STAGED: clamped running balance — the non-associative fold as ONE per-user window pass (Lindley reflection identity), no recursion/UDF"),
     ("q165_staged_concentration", "STAGED: Gini/HHI/top-decile — one (type,user) totals shuffle, per-type rank window over the actor frame, one row per type out"),
+    ("q166_staged_cusum", "STAGED: CUSUM drift monitor — q152's two selection windows + q164's fold window, all sharing the (type) key; alarms are a conditional agg"),
 ]
 
 
@@ -322,6 +323,10 @@ def _custom_probes():
         "q165_staged_concentration": (
             None,
             lambda spark, sf, ctx: staging.q165_flow_concentration(spark, sf),
+        ),
+        "q166_staged_cusum": (
+            None,
+            lambda spark, sf, ctx: staging.q166_cusum_drift(spark, sf),
         ),
         # the one-time amortized shuffle: writes execute eagerly inside
         "q132_write_only": (
@@ -671,6 +676,11 @@ def main() -> None:
         "    (type, user) totals shuffle collapses map-side; the rank",
         "    window runs on the actor frame (users x types), 16x",
         "    smaller than the data, and output is one row per type.",
+        "    q166_staged_cusum 8.7 -> 14.2 s (1.6x): three window",
+        "    passes (median, MAD, fold) all keyed by type — the fixed",
+        "    5-type key makes per-partition sort width the scaling",
+        "    term, the q152/q163 class; at deployment the monitor keys",
+        "    by (symbol, day) and parallelism returns.",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
