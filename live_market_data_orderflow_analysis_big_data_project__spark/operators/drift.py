@@ -1,0 +1,120 @@
+"""Population-stability (PSI) drift between two dataset snapshots.
+
+Before a new ingest is allowed to join a training corpus — or a new
+week of market data is trusted against a model fit on the last one —
+the standard check is distribution drift per segment: bin the
+REFERENCE snapshot into equal-mass deciles, count both snapshots into
+those fixed bins, and score Σ (p−q)·ln(p/q) (the population stability
+index; > 0.2 conventionally flags a shift).
+
+Determinism strategy:
+
+- decile EDGES are exact rank selections over the reference (the
+  cross-multiplied ``rn·n_bins >= n·k`` rule — q161's machinery, no
+  interpolation), so the bin boundaries are exact integers;
+- bin assignment is ``Σ (x >= edge_k)`` — integer comparisons, no
+  arrays, no search;
+- bin shares are Laplace-smoothed ``(n_bin + 1)/(N + n_bins)`` so an
+  empty bin cannot produce an infinite contribution — exact-integer
+  IEEE divisions;
+- only ``ln`` is transcendental: libm implementations may differ in
+  the last ulp, so the per-bin contribution is ROUND(·, 4) — the
+  hashstable.py rule: rounding is reserved for exactly this case.
+
+At 100 TB: edges come from one per-key window over the reference
+(the exact-selection n log n term); binning is a narrow expression
+over both scans after a broadcast of the (keys × n_bins−1)-row edge
+frame; the count aggregates collapse map-side.  Output is
+keys × n_bins rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["psi_drift"]
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    keys: list[str],
+    value_cents: Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """PSI per (keys…, bin) between ``ref`` and ``cur`` snapshots.
+
+    Output: the keys, ``bin`` (0-based, reference deciles),
+    ``n_ref``, ``n_cur``, ``p_ref``/``p_cur`` (smoothed shares,
+    exact-int divisions), ``psi_contrib`` (ROUND 4 — the one
+    transcendental).  Σ psi_contrib per key is the PSI.
+    """
+    r = ref.select(*keys, value_cents.alias("_x"))
+    c = cur.select(*keys, value_cents.alias("_x"))
+
+    w = Window.partitionBy(*keys).orderBy("_x")
+    ranked = r.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    edge_aggs = [
+        F.min(
+            F.when(
+                F.col("_rn") * F.lit(n_bins) >= F.col("_n") * F.lit(k),
+                F.col("_x"),
+            )
+        ).alias(f"_e{k}")
+        for k in range(1, n_bins)
+    ]
+    edges = ranked.groupBy(*keys).agg(*edge_aggs)
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        j = df.join(F.broadcast(edges), keys)
+        b = sum(
+            (F.col("_x") >= F.col(f"_e{k}")).cast("int")
+            for k in range(1, n_bins)
+        )
+        return (
+            j.withColumn("_bin", b.cast("long"))
+            .groupBy(*keys, "_bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    grid = edges.select(*keys).crossJoin(
+        F.broadcast(
+            ref.sparkSession.range(n_bins).select(
+                F.col("id").alias("_bin")
+            )
+        )
+    )
+    counts = (
+        grid.join(binned(r, "n_ref"), [*keys, "_bin"], "left")
+        .join(binned(c, "n_cur"), [*keys, "_bin"], "left")
+        .select(
+            *keys,
+            F.col("_bin").alias("bin"),
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = Window.partitionBy(*keys)
+    p = (F.col("n_ref") + F.lit(1)).cast("double") / (
+        F.sum("n_ref").over(tot) + F.lit(n_bins)
+    ).cast("double")
+    q = (F.col("n_cur") + F.lit(1)).cast("double") / (
+        F.sum("n_cur").over(tot) + F.lit(n_bins)
+    ).cast("double")
+    shared = counts.withColumn("p_ref", p).withColumn("p_cur", q)
+    return shared.select(
+        *keys,
+        "bin",
+        "n_ref",
+        "n_cur",
+        "p_ref",
+        "p_cur",
+        F.round(
+            (F.col("p_ref") - F.col("p_cur"))
+            * F.log(F.col("p_ref") / F.col("p_cur")),
+            4,
+        ).alias("psi_contrib"),
+    )

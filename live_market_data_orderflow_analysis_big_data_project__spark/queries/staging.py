@@ -106,6 +106,10 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   composition: robust median/MAD center the deviations, the
   zero-clamped fold IS the CUSUM statistic, alarms counted above
   5·MAD; all exact int64.
+- q167: PSI distribution drift between snapshots
+  (operators/drift.py) — exact rank-selected reference deciles,
+  integer binning, Laplace-smoothed shares; the per-bin contribution
+  is the surface's one deliberately ROUNDed value (ln).
 - s16: streaming twin of q158 (operators/markov.py
   transition_increments) — per-user last-event state counts
   cross-batch transitions exactly once; oracle is Q158 verbatim
@@ -1642,6 +1646,89 @@ FROM r GROUP BY 1
 """
 
 
+_Q167_SPLIT = "2024-01-16"
+
+
+def q167_psi_drift(spark, sf):
+    """Distribution drift between month halves (operators/drift.py):
+    PSI per (type, reference-decile bin) — exact rank-selected edges,
+    integer bin assignment, Laplace-smoothed shares; the per-bin
+    contribution is the surface's one deliberately ROUNDed value
+    (ln is the transcendental hashstable.py reserves ROUND for)."""
+    from ..operators.drift import psi_drift
+    from ..operators.robust import cents
+
+    ev = load_table(spark, sf, "events")
+    split = F.lit(_Q167_SPLIT).cast("timestamp")
+    ref = ev.where(F.col("ts") < split)
+    cur = ev.where(F.col("ts") >= split)
+    return psi_drift(ref, cur, ["event_type"], cents("value"), n_bins=10)
+
+
+def _q167_sql(n_bins: int = 10) -> str:
+    e_aggs = ",\n         ".join(
+        f"min(CASE WHEN rn * {n_bins} >= n * {k} THEN x END) AS e{k}"
+        for k in range(1, n_bins)
+    )
+    bin_expr = " + ".join(
+        f"CASE WHEN x >= e{k} THEN 1 ELSE 0 END" for k in range(1, n_bins)
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM events
+), r AS (
+  SELECT event_type, x FROM ev WHERE ts < TIMESTAMP '{_Q167_SPLIT}'
+), c AS (
+  SELECT event_type, x FROM ev WHERE ts >= TIMESTAMP '{_Q167_SPLIT}'
+), rk AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM r
+), edges AS (
+  SELECT event_type,
+         {e_aggs}
+  FROM rk GROUP BY 1
+), rcnt AS (
+  SELECT r.event_type, CAST({bin_expr} AS BIGINT) AS bin,
+         count(*) AS n_ref
+  FROM r JOIN edges USING (event_type) GROUP BY 1, 2
+), ccnt AS (
+  SELECT c.event_type, CAST({bin_expr} AS BIGINT) AS bin,
+         count(*) AS n_cur
+  FROM c JOIN edges USING (event_type) GROUP BY 1, 2
+), grid AS (
+  SELECT e.event_type, b.bin
+  FROM edges e CROSS JOIN
+       (SELECT unnest(range({n_bins})) AS bin) b
+), counts AS (
+  SELECT g.event_type, g.bin,
+         COALESCE(rc.n_ref, 0) AS n_ref,
+         COALESCE(cc.n_cur, 0) AS n_cur
+  FROM grid g
+  LEFT JOIN rcnt rc ON rc.event_type = g.event_type AND rc.bin = g.bin
+  LEFT JOIN ccnt cc ON cc.event_type = g.event_type AND cc.bin = g.bin
+), shares AS (
+  SELECT event_type, bin, n_ref, n_cur,
+         CAST(n_ref + 1 AS DOUBLE)
+           / CAST(SUM(n_ref) OVER (PARTITION BY event_type)
+                  + {n_bins} AS DOUBLE) AS p_ref,
+         CAST(n_cur + 1 AS DOUBLE)
+           / CAST(SUM(n_cur) OVER (PARTITION BY event_type)
+                  + {n_bins} AS DOUBLE) AS p_cur
+  FROM counts
+)
+SELECT event_type, bin, n_ref, n_cur, p_ref, p_cur,
+       round((p_ref - p_cur) * ln(p_ref / p_cur), 4) AS psi_contrib
+FROM shares
+"""
+
+
+Q167_SQL = _q167_sql()
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
@@ -1668,6 +1755,7 @@ STAGED_QUERIES = {
     "q164_clamped_balance": q164_clamped_balance,
     "q165_flow_concentration": q165_flow_concentration,
     "q166_cusum_drift": q166_cusum_drift,
+    "q167_psi_drift": q167_psi_drift,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
     "s16_transitions_stream": s16_transitions_stream,
@@ -1700,6 +1788,7 @@ STAGED_ORACLE = {
     "q164_clamped_balance": Q164_SQL,
     "q165_flow_concentration": Q165_SQL,
     "q166_cusum_drift": Q166_SQL,
+    "q167_psi_drift": Q167_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
     "s16_transitions_stream": S16_SQL,

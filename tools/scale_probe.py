@@ -96,6 +96,7 @@ PROBE_QUERIES = [
     ("q164_staged_balance", "STAGED: clamped running balance — the non-associative fold as ONE per-user window pass (Lindley reflection identity), no recursion/UDF"),
     ("q165_staged_concentration", "STAGED: Gini/HHI/top-decile — one (type,user) totals shuffle, per-type rank window over the actor frame, one row per type out"),
     ("q166_staged_cusum", "STAGED: CUSUM drift monitor — q152's two selection windows + q164's fold window, all sharing the (type) key; alarms are a conditional agg"),
+    ("q167_staged_psi", "STAGED: PSI drift — one reference rank window for edges, broadcast edge frame into both scans, map-side bin counts; keys x bins out"),
 ]
 
 
@@ -327,6 +328,10 @@ def _custom_probes():
         "q166_staged_cusum": (
             None,
             lambda spark, sf, ctx: staging.q166_cusum_drift(spark, sf),
+        ),
+        "q167_staged_psi": (
+            None,
+            lambda spark, sf, ctx: staging.q167_psi_drift(spark, sf),
         ),
         # the one-time amortized shuffle: writes execute eagerly inside
         "q132_write_only": (
@@ -681,6 +686,10 @@ def main() -> None:
         "    5-type key makes per-partition sort width the scaling",
         "    term, the q152/q163 class; at deployment the monitor keys",
         "    by (symbol, day) and parallelism returns.",
+        "    q167_staged_psi 5.3 -> 8.7 s (1.6x): one reference rank",
+        "    window builds the decile edges; binning both snapshots is",
+        "    a broadcast-join expression whose counts collapse",
+        "    map-side — output fixed at keys x bins (50 rows).",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
