@@ -110,6 +110,10 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   (operators/drift.py) — exact rank-selected reference deciles,
   integer binning, Laplace-smoothed shares; the per-bin contribution
   is the surface's one deliberately ROUNDed value (ln).
+- q168: rolling 7-day distinct actives (operators/rolling.py) —
+  COUNT(DISTINCT) over a sliding frame is illegal everywhere; the
+  contribution-explode rewrite stays linear while the oracle is the
+  naive day x trailing-window join.
 - s16: streaming twin of q158 (operators/markov.py
   transition_increments) — per-user last-event state counts
   cross-batch transitions exactly once; oracle is Q158 verbatim
@@ -1729,6 +1733,37 @@ FROM shares
 Q167_SQL = _q167_sql()
 
 
+def q168_rolling_active(spark, sf):
+    """Rolling 7-day distinct actives per day (operators/rolling.py):
+    COUNT(DISTINCT) over a sliding frame is illegal in every engine —
+    the contribution-explode rewrite makes each (user, active-day)
+    pair vote into the w windows it appears in, so the oracle can be
+    the naive day x trailing-window join while the engine path stays
+    linear."""
+    from ..operators.rolling import rolling_active_users
+
+    ev = load_table(spark, sf, "events")
+    return rolling_active_users(ev, "user_id", "ts", window_days=7)
+
+
+Q168_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), days AS (
+  SELECT DISTINCT d FROM active
+), wau AS (
+  SELECT dy.d, count(DISTINCT a.user_id) AS wau
+  FROM days dy JOIN active a ON a.d BETWEEN dy.d - 6 AND dy.d
+  GROUP BY 1
+), dau AS (
+  SELECT d, count(*) AS dau FROM active GROUP BY 1
+)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+"""
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
@@ -1756,6 +1791,7 @@ STAGED_QUERIES = {
     "q165_flow_concentration": q165_flow_concentration,
     "q166_cusum_drift": q166_cusum_drift,
     "q167_psi_drift": q167_psi_drift,
+    "q168_rolling_active": q168_rolling_active,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
     "s16_transitions_stream": s16_transitions_stream,
@@ -1789,6 +1825,7 @@ STAGED_ORACLE = {
     "q165_flow_concentration": Q165_SQL,
     "q166_cusum_drift": Q166_SQL,
     "q167_psi_drift": Q167_SQL,
+    "q168_rolling_active": Q168_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
     "s16_transitions_stream": S16_SQL,

@@ -97,6 +97,7 @@ PROBE_QUERIES = [
     ("q165_staged_concentration", "STAGED: Gini/HHI/top-decile — one (type,user) totals shuffle, per-type rank window over the actor frame, one row per type out"),
     ("q166_staged_cusum", "STAGED: CUSUM drift monitor — q152's two selection windows + q164's fold window, all sharing the (type) key; alarms are a conditional agg"),
     ("q167_staged_psi", "STAGED: PSI drift — one reference rank window for edges, broadcast edge frame into both scans, map-side bin counts; keys x bins out"),
+    ("q168_staged_rolling", "STAGED: rolling distinct actives — (user,day) distinct + factor-w explode of the ACTIVE-PAIR frame + one more distinct; no per-day rescans"),
 ]
 
 
@@ -332,6 +333,10 @@ def _custom_probes():
         "q167_staged_psi": (
             None,
             lambda spark, sf, ctx: staging.q167_psi_drift(spark, sf),
+        ),
+        "q168_staged_rolling": (
+            None,
+            lambda spark, sf, ctx: staging.q168_rolling_active(spark, sf),
         ),
         # the one-time amortized shuffle: writes execute eagerly inside
         "q132_write_only": (
@@ -690,6 +695,11 @@ def main() -> None:
         "    window builds the decile edges; binning both snapshots is",
         "    a broadcast-join expression whose counts collapse",
         "    map-side — output fixed at keys x bins (50 rows).",
+        "    q168_staged_rolling 2.7 -> 5.3 s (2.0x): the (user, day)",
+        "    distinct tracks the data; the factor-7 contribution",
+        "    explode applies to the ACTIVE-PAIR frame (users x days),",
+        "    already 16x smaller than raw, and the second distinct",
+        "    collapses map-side — no per-day trailing rescans.",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
