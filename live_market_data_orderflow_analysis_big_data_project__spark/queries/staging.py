@@ -114,6 +114,9 @@ Staged for round 9 (library operators landed + tests-pinned in r8):
   COUNT(DISTINCT) over a sliding frame is illegal everywhere; the
   contribution-explode rewrite stays linear while the oracle is the
   naive day x trailing-window join.
+- q169: coalesced activity time (operators/coalesce_intervals.py) —
+  union-of-overlapping-intervals measure via the running-max sorted
+  sweep; overlap_us quantifies what naive span-summing double-counts.
 - s16: streaming twin of q158 (operators/markov.py
   transition_increments) — per-user last-event state counts
   cross-batch transitions exactly once; oracle is Q158 verbatim
@@ -1764,6 +1767,68 @@ FROM dau JOIN wau ON dau.d = wau.d
 """
 
 
+def q169_coalesced_activity(spark, sf):
+    """Coalesced per-(user, day) activity from overlapping per-type
+    windows (operators/coalesce_intervals.py): total covered time
+    without double-counting the overlap between event-type spans —
+    the union-of-intervals measure, one sorted sweep per key, no
+    quadratic overlap pairing.  All exact int64 microseconds."""
+    from ..operators.coalesce_intervals import coalesce_intervals
+
+    ev = load_table(spark, sf, "events")
+    iv = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    return coalesce_intervals(
+        iv, ["user_id", "d"], "lo", "hi", "event_type"
+    ).select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_intervals",
+        "n_episodes",
+        "covered_us",
+        "sum_span_us",
+        "overlap_us",
+    )
+
+
+Q169_SQL = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+         epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+  FROM events GROUP BY 1, 2, 3
+), flagged AS (
+  SELECT user_id, d, event_type, lo, hi,
+         CASE WHEN max(hi) OVER wprev IS NULL
+               OR lo > max(hi) OVER wprev THEN 1 ELSE 0 END AS is_new
+  FROM iv
+  WINDOW wprev AS (PARTITION BY user_id, d
+                   ORDER BY lo, hi, event_type
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), eps AS (
+  SELECT user_id, d, lo, hi,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id, d
+              ORDER BY lo, hi, event_type
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS ep
+  FROM flagged
+), per_ep AS (
+  SELECT user_id, d, ep, count(*) AS n,
+         max(hi) - min(lo) AS covered,
+         CAST(SUM(hi - lo) AS BIGINT) AS span
+  FROM eps GROUP BY 1, 2, 3
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+       CAST(SUM(n) AS BIGINT) AS n_intervals,
+       count(*) AS n_episodes,
+       CAST(SUM(covered) AS BIGINT) AS covered_us,
+       CAST(SUM(span) AS BIGINT) AS sum_span_us,
+       CAST(SUM(span) AS BIGINT) - CAST(SUM(covered) AS BIGINT)
+         AS overlap_us
+FROM per_ep GROUP BY 1, 2
+"""
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
@@ -1792,6 +1857,7 @@ STAGED_QUERIES = {
     "q166_cusum_drift": q166_cusum_drift,
     "q167_psi_drift": q167_psi_drift,
     "q168_rolling_active": q168_rolling_active,
+    "q169_coalesced_activity": q169_coalesced_activity,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
     "s16_transitions_stream": s16_transitions_stream,
@@ -1826,6 +1892,7 @@ STAGED_ORACLE = {
     "q166_cusum_drift": Q166_SQL,
     "q167_psi_drift": Q167_SQL,
     "q168_rolling_active": Q168_SQL,
+    "q169_coalesced_activity": Q169_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
     "s16_transitions_stream": S16_SQL,
