@@ -43,9 +43,18 @@ def cooccurrence_lift(
     ``conf_b_to_a`` = n_pair/n_b, ``lift`` =
     (n_pair·n_baskets)/(n_a·n_b).
     """
-    member = df.select(
-        *basket_cols, F.col(item_col).alias("_item")
-    ).distinct()
+    # the membership frame feeds FOUR consumers (pair sides, item
+    # supports, basket count); without a lineage cut Spark recomputes
+    # the distinct per consumer (measured: 8 parquet scans / 16
+    # exchanges -> 2 scans after).  It is domain-bounded
+    # (baskets × items-per-basket), so the q111/s15 localCheckpoint
+    # idiom is cheaper than any recompute — and unlike persist() it is
+    # query-scoped (no CacheManager lifetime to release; bench-safe).
+    member = (
+        df.select(*basket_cols, F.col(item_col).alias("_item"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # one-row frame, broadcast-crossed in (the zorder scalar idiom) —
     # NOT a driver-side .count(), which would cost a second job per run
     # and break the build-lazily contract.

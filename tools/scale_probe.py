@@ -659,10 +659,13 @@ def main() -> None:
         "    shuffle for the lag window; the count agg output is",
         "    |states|^2 = 25 rows at any scale and the per-source",
         "    totals derive from those counts, not a second data pass.",
-        "    q159_staged_basket 5.1 -> 7.0 s (1.4x): (basket, item)",
+        "    q159_staged_basket 3.6 -> 7.0 s (1.9x): (basket, item)",
         "    distinct + basket-keyed self-join whose fan-out is bounded",
         "    by items-per-basket^2 (<= |domain|^2 = 25) — never",
         "    corpus^2; item supports and the basket count broadcast.",
+        "    The membership frame feeds four consumers, so it is",
+        "    localCheckpointed (q111/s15 idiom): 8 parquet scans -> 1,",
+        "    1x wall 5.1 -> 3.6 s.",
         "    q160_staged_sweepline 3.9 -> 6.7 s (1.7x): endpoints",
         "    union (2 rows/interval) + one per-day window sort — the",
         "    n log n sweep term, linear in endpoints where the overlap",
