@@ -66,7 +66,12 @@ def psi_drift(
         ).alias(f"_e{k}")
         for k in range(1, n_bins)
     ]
-    edges = ranked.groupBy(*keys).agg(*edge_aggs)
+    # the edge frame (keys x n_bins-1 scalars) feeds both binning
+    # passes AND the grid — checkpoint the tiny frame so the reference
+    # rank window runs once, not three times
+    edges = ranked.groupBy(*keys).agg(*edge_aggs).localCheckpoint(
+        eager=True
+    )
 
     def binned(df: DataFrame, out: str) -> DataFrame:
         j = df.join(F.broadcast(edges), keys)

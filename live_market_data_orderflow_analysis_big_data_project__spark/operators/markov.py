@@ -37,6 +37,10 @@ def transition_counts_to_matrix(tr: DataFrame) -> DataFrame:
     frame into the probability matrix — shared by the batch path and
     the streaming twin (which sums per-batch increments into the same
     count shape first)."""
+    # tr feeds the totals AND the final join; it is |states|²-bounded,
+    # so cut the lineage instead of recomputing the upstream lag
+    # window (batch path) per consumer
+    tr = tr.localCheckpoint(eager=True)
     tot = tr.groupBy("from_state").agg(
         F.sum("n_transitions").alias("from_total")
     )

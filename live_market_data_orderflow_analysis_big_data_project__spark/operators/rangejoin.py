@@ -109,6 +109,14 @@ def range_count_binned(
     """
     width = int(bin_seconds) * 1_000_000
     iv_cols = intervals.columns
+    # NB: the interval frame feeds three consumers, which LOOKS like a
+    # lineage-cut candidate (the q159 idiom) — measured the other way:
+    # a localCheckpoint here regressed the 16x probe 28.4 -> 43.8 s,
+    # because the checkpoint leaf hides size/partitioning from AQE's
+    # join planning of the bin joins, while Spark already dedupes the
+    # upstream aggregation via ReusedExchange.  Cut upstream of the
+    # OPERATOR only when the caller's interval build is expensive and
+    # opaque; never inside it.
     iv = intervals.withColumn(
         "_lo_bin", F.expr(f"unix_micros({lo_col}) div {width}")
     ).withColumn("_hi_bin", F.expr(f"unix_micros({hi_col}) div {width}"))

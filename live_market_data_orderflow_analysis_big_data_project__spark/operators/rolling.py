@@ -40,9 +40,16 @@ def rolling_active_users(
     DAU to report).  Partial leading windows count whatever history
     exists, the dashboard convention.
     """
-    active = df.select(
-        F.col(user_col).alias("_u"), F.to_date(ts_col).alias("_d")
-    ).distinct()
+    # the active-pair frame feeds the DAU count AND the contribution
+    # explode — domain-bounded (users x days), so cut the lineage once
+    # instead of recomputing the distinct per consumer
+    active = (
+        df.select(
+            F.col(user_col).alias("_u"), F.to_date(ts_col).alias("_d")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     dau = active.groupBy("_d").agg(F.count(F.lit(1)).alias("dau"))
     contrib = active.select(
         "_u",

@@ -56,6 +56,10 @@ def pairwise_corr(
     (NULL when either side is constant — zero variance).
     """
     k, b, x = F.col(key_col), F.col(bucket_col), F.col(x_col)
+    # the series frame feeds both join sides; it is domain-bounded
+    # (keys x buckets) by contract, so cut the lineage once instead of
+    # recomputing the upstream aggregation per side (q111/s15 idiom)
+    df = df.localCheckpoint(eager=True)
     a_side = df.select(k.alias("key_a"), b.alias("_b"), x.alias("_xa"))
     b_side = df.select(k.alias("key_b"), b.alias("_b"), x.alias("_xb"))
     pairs = a_side.join(b_side, "_b").where(F.col("key_a") < F.col("key_b"))

@@ -45,6 +45,10 @@ def peak_concurrency(
     ``peak_ts`` (canonical string of the first instant the peak is
     live).
     """
+    # both endpoint branches read the interval frame — cut the lineage
+    # once so the upstream interval aggregation isn't recomputed per
+    # union branch (q111/s15 idiom)
+    intervals = intervals.localCheckpoint(eager=True)
     ends = intervals.select(
         *keys,
         F.col(lo_col).alias("_t"),

@@ -628,10 +628,18 @@ def main() -> None:
         "    row_number + two groupBys, all keyed by user — the",
         "    gaps-and-islands difference trick never materializes a",
         "    per-user sequence wider than its active-day count.",
-        "    q154_staged_corr 3.5 -> 4.8 s (1.4x): the (type, hour)",
+        "    q154_staged_corr 3.4 -> 4.5 s (1.3x): the (type, hour)",
         "    cents groupBy is the only data-sized exchange; the pair",
         "    self-join and moment agg run on the domain-bounded hourly",
         "    frame (types x hours), invariant at any corpus scale.",
+        "    LINEAGE-CUT NOTE (applies to the whole staged batch): the",
+        "    multi-consumer frames in q154/q158/q159/q160/q167/q168 are",
+        "    localCheckpointed (scans 8->1 on q159, 1x wall 5.1->3.6),",
+        "    but the SAME cut inside range_count_binned REGRESSED q155",
+        "    28.4 -> 43.8 s at 16x — a checkpoint leaf hides size stats",
+        "    from AQE's bin-join planning while ReusedExchange already",
+        "    deduped the upstream agg.  Cut only where measured;",
+        "    reverted there (rangejoin.py carries the note).",
         "    q155_staged_rangejoin 5.5 -> 28.4 s (5.1x): the",
         "    pair-materializing rewrite measured 103.6 s (16.1x) on the",
         "    same fixture — matched-pair volume is intervals x density,",
