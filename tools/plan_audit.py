@@ -54,6 +54,8 @@ NON_EQUI_OK = {
     "q157_profile_audit",       # 1-row x 1-row recombine of the split
                                 # distinct-pass/fold-pass aggregates
     "q159_basket_lift",         # 1-row basket-count crossJoin (zorder pattern)
+    "q167_psi_drift",           # keys x n_bins(10)-row bin-grid broadcast
+                                # crossJoin (the gapfill grid pattern)
 }
 # queries whose purpose is the row-Python UDF surface
 # Declared row-Python API-surface proofs (never-hot-path documented):
