@@ -663,7 +663,7 @@ def main() -> None:
         "    expressions (27.1 -> 134.9 s, 4.8x slower at 16x).  The",
         "    exact_distinct=False flag swaps in HLL partials for corpus",
         "    scale (3.6 s at sf0.1).",
-        "    q158_staged_transitions 4.9 -> 6.4 s (1.3x): one (user)",
+        "    q158_staged_transitions 3.9 -> 5.5 s (1.4x, post-lineage-cut): one (user)",
         "    shuffle for the lag window; the count agg output is",
         "    |states|^2 = 25 rows at any scale and the per-source",
         "    totals derive from those counts, not a second data pass.",
@@ -674,7 +674,7 @@ def main() -> None:
         "    The membership frame feeds four consumers, so it is",
         "    localCheckpointed (q111/s15 idiom): 8 parquet scans -> 1,",
         "    1x wall 5.1 -> 3.6 s.",
-        "    q160_staged_sweepline 3.9 -> 6.7 s (1.7x): endpoints",
+        "    q160_staged_sweepline 3.6 -> 6.2 s (1.7x, post-lineage-cut): endpoints",
         "    union (2 rows/interval) + one per-day window sort — the",
         "    n log n sweep term, linear in endpoints where the overlap",
         "    self-join would be quadratic in concurrency.",
@@ -707,11 +707,11 @@ def main() -> None:
         "    5-type key makes per-partition sort width the scaling",
         "    term, the q152/q163 class; at deployment the monitor keys",
         "    by (symbol, day) and parallelism returns.",
-        "    q167_staged_psi 5.3 -> 8.7 s (1.6x): one reference rank",
+        "    q167_staged_psi 5.9 -> 7.8 s (1.3x, post-lineage-cut): one reference rank",
         "    window builds the decile edges; binning both snapshots is",
         "    a broadcast-join expression whose counts collapse",
         "    map-side — output fixed at keys x bins (50 rows).",
-        "    q168_staged_rolling 2.7 -> 5.3 s (2.0x): the (user, day)",
+        "    q168_staged_rolling 3.3 -> 5.3 s (1.6x, post-lineage-cut): the (user, day)",
         "    distinct tracks the data; the factor-7 contribution",
         "    explode applies to the ACTIVE-PAIR frame (users x days),",
         "    already 16x smaller than raw, and the second distinct",
