@@ -250,3 +250,108 @@ def test_incremental_dedup_is_equivalent_to_global_dedup(spark, texts):
     # exists in corpus-or-shard
     all_hashes = index | {h for _, h in shard}
     assert index | set(got) == all_hashes
+
+
+# --- round-8 staged operators vs brute-force reference models ---------------
+
+
+def _ts(us: int):
+    from datetime import datetime, timedelta
+
+    return datetime(2024, 1, 1) + timedelta(microseconds=us)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 120), st.integers(0, 60)),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_skyline_equals_brute_force_dominance(spark, pts):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.skyline import (  # noqa: E501
+        skyline_2d,
+    )
+
+    rows = [("g", p, q) for p, q in pts]
+    df = spark.createDataFrame(rows, "g string, price long, qty long")
+    got = {
+        (r["min_val"], r["max_val"]): r["n_rows"]
+        for r in skyline_2d(df, ["g"], F.col("price"), F.col("qty")).collect()
+    }
+    import collections
+
+    survivors = [
+        a
+        for a in pts
+        if not any(
+            b[0] <= a[0] and b[1] >= a[1] and (b[0] < a[0] or b[1] > a[1])
+            for b in pts
+        )
+    ]
+    expect = collections.Counter(survivors)
+    assert got == dict(expect)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 300)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_coalesce_intervals_equals_brute_force_union(spark, spans):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.coalesce_intervals import (  # noqa: E501
+        coalesce_intervals,
+    )
+
+    rows = [
+        ("g", _ts(lo), _ts(lo + length), i)
+        for i, (lo, length) in enumerate(spans)
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, lo timestamp, hi timestamp, id long"
+    )
+    r = coalesce_intervals(df, ["g"], "lo", "hi", "id").collect()[0]
+    # brute-force reference: sort + merge (touching closed intervals
+    # connect, so the merge condition is lo <= current max hi)
+    ivs = sorted((lo, lo + length) for lo, length in spans)
+    merged = []
+    for lo, hi in ivs:
+        if merged and lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    assert r["n_episodes"] == len(merged)
+    assert r["covered_us"] == sum(hi - lo for lo, hi in merged)
+    assert r["sum_span_us"] == sum(length for _, length in spans)
+    assert r["n_intervals"] == len(spans)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(-500, 500), min_size=1, max_size=60))
+def test_clamped_balance_equals_literal_fold(spark, xs):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.balance import (  # noqa: E501
+        clamped_balance,
+    )
+
+    rows = [("g", _ts(i * 1000), i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(
+        rows, "g string, ts timestamp, id long, x long"
+    )
+    r = clamped_balance(df, "g", "ts", F.col("x"), "id").collect()[0]
+    s, peak, clamps = 0, 0, 0
+    for x in xs:
+        if s + x < 0:
+            clamps += 1
+            s = 0
+        else:
+            s += x
+        peak = max(peak, s)
+    assert (r["final_balance"], r["peak_balance"], r["n_clamped"]) == (
+        s,
+        peak,
+        clamps,
+    )
