@@ -355,3 +355,40 @@ def test_clamped_balance_equals_literal_fold(spark, xs):
         peak,
         clamps,
     )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(0, 5000), min_size=1, max_size=40),
+    st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 2000)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([1, 2, 7]),  # bin width in seconds over a µs domain
+)
+def test_range_count_binned_equals_brute_force(spark, points, spans, bin_s):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.rangejoin import (  # noqa: E501
+        range_count_binned,
+    )
+
+    # scale offsets to µs so intervals straddle multiple bins
+    p = spark.createDataFrame(
+        [(_ts(x * 500_000),) for x in points], "p_ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [
+            (i, _ts(lo * 500_000), _ts((lo + length) * 500_000))
+            for i, (lo, length) in enumerate(spans)
+        ],
+        "iv_id long, lo timestamp, hi timestamp",
+    )
+    got = {
+        r["iv_id"]: r["n_in_range"]
+        for r in range_count_binned(p, iv, "p_ts", "lo", "hi", bin_s).collect()
+    }
+    expect = {
+        i: sum(1 for x in points if lo <= x <= lo + length)
+        for i, (lo, length) in enumerate(spans)
+    }
+    assert got == expect
