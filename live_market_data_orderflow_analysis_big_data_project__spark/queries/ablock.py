@@ -1,0 +1,1423 @@
+"""A-block — analytics / time-series / data-quality operator gate
+entries, promoted from ``queries/staging.py`` in the round-9 window
+rotation (docs/ROTATION_r9.md).  Each entry was authored, oracle-
+verified at three scale factors, 16x-probed, plan-audited and
+determinism-screened BEFORE promotion; the move here is the planned
+dict move, code verbatim.
+
+Families (operator modules under ``operators/``): KMV theta-sketch
+set ops (kmv.py), typo-tolerant entity matching (fuzzy.py),
+deterministic PPS sampling (sampling.py), positional-index phrase
+search (index.py), gapfill/LOCF (gapfill.py), cohort retention and
+streaks (retention.py), exact-moment correlation (stats.py),
+bin-decomposed range counting (rangejoin.py), TWAP (twap.py), column
+profiling (profile.py), transition matrices (markov.py), basket lift
+(basket.py), sweep-line concurrency (sweepline.py), robust/weighted
+quantiles (robust.py), FK integrity (integrity.py), 2-D skylines
+(skyline.py), clamped balances & CUSUM (balance.py), concentration
+metrics (concentration.py), PSI drift (drift.py), rolling distinct
+actives (rolling.py), interval coalescing (coalesce_intervals.py),
+plus the streaming twins of the transition matrix and gapfill
+pipelines (s16/s17).
+
+Conventions are the declared-surface ones (queries/__init__.py
+docstring): aliases identical on both sides, exact int64 anchors,
+ROUND reserved for transcendentals, no cosmetic final sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.hashstable import fmt_date
+from ..operators.fuzzy import fuzzy_pairs
+from ..operators.index import phrase_search, positional_index
+from ..operators.kmv import kmv_merge, kmv_setop_estimates, kmv_sketch
+from ..operators.sampling import pps_sample
+from ..sources.tables import load_table
+
+
+_KMV_K = 4096
+
+
+def q145_kmv_setops(spark, sf):
+    """KMV (bottom-k theta) pairwise set operations incl. the
+    DIFFERENCE estimates HLL cannot derive (operators/kmv.py).
+
+    Hash-gateable by the same coupon-regime argument as q144: the
+    largest pair union is the whole user population (1500 at sf0.1),
+    and k=4096 keeps every sketch and every merged pair sketch
+    unsaturated (2.7x margin) — unsaturated KMV holds EVERY distinct
+    hash, so each estimate is the exact COUNT(DISTINCT) integer and
+    jaccard is the same two-integer IEEE division as the oracle's.
+    ``merge_lossless`` re-proves N-way mergeability on the fixture:
+    per-(label x day) sketches merged to label grain are
+    array-identical to the directly-built label sketches."""
+    ev = load_table(spark, sf, "events").select(
+        "event_type", fmt_date("ts", "day"), "user_id"
+    )
+    pairs = kmv_setop_estimates(ev, "event_type", "user_id", k=_KMV_K)
+    direct = kmv_sketch(ev, ["event_type"], "user_id", k=_KMV_K)
+    daily = kmv_sketch(ev, ["event_type", "day"], "user_id", k=_KMV_K)
+    merged = kmv_merge(daily.select("event_type", "kmv"), ["event_type"], k=_KMV_K)
+    flags = (
+        direct.withColumnRenamed("kmv", "_d")
+        .join(merged.withColumnRenamed("kmv", "_m"), "event_type")
+        .select("event_type", (F.col("_d") == F.col("_m")).alias("_ok"))
+    )
+    out = (
+        pairs.join(
+            flags.select(
+                F.col("event_type").alias("label_a"), F.col("_ok").alias("_ok_a")
+            ),
+            "label_a",
+        )
+        .join(
+            flags.select(
+                F.col("event_type").alias("label_b"), F.col("_ok").alias("_ok_b")
+            ),
+            "label_b",
+        )
+    )
+    return out.select(
+        "label_a",
+        "label_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("n_union").cast("bigint").alias("n_union"),
+        F.col("n_intersect").cast("bigint").alias("n_intersect"),
+        F.col("n_a_not_b").cast("bigint").alias("n_a_not_b"),
+        F.col("n_b_not_a").cast("bigint").alias("n_b_not_a"),
+        "jaccard",
+        "exact_regime",
+        (F.col("_ok_a") & F.col("_ok_b")).alias("merge_lossless"),
+    )
+
+
+Q145_SQL = """
+WITH u AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), c AS (
+  SELECT event_type, count(*) AS n FROM u GROUP BY 1
+), i AS (
+  SELECT a.event_type AS la, b.event_type AS lb, count(*) AS n_i
+  FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT ca.event_type AS label_a, cb.event_type AS label_b,
+       CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+       CAST(ca.n + cb.n - coalesce(i.n_i, 0) AS BIGINT) AS n_union,
+       CAST(coalesce(i.n_i, 0) AS BIGINT) AS n_intersect,
+       CAST(ca.n - coalesce(i.n_i, 0) AS BIGINT) AS n_a_not_b,
+       CAST(cb.n - coalesce(i.n_i, 0) AS BIGINT) AS n_b_not_a,
+       CAST(coalesce(i.n_i, 0) AS DOUBLE)
+         / (ca.n + cb.n - coalesce(i.n_i, 0)) AS jaccard,
+       TRUE AS exact_regime, TRUE AS merge_lossless
+FROM c ca
+JOIN c cb ON ca.event_type < cb.event_type
+LEFT JOIN i ON i.la = ca.event_type AND i.lb = cb.event_type
+"""
+
+
+def q146_fuzzy_match(spark, sf):
+    """Typo-tolerant entity matching (operators/fuzzy.py): every
+    customer name's edit-distance-1 neighbor count and lexicographic
+    nearest neighbor, found by FastSS deletion-neighborhood blocking
+    + builtin levenshtein verify — never an all-pairs join.
+
+    Hash-gateable because the blocking is LOSSLESS (pigeonhole, not
+    probabilistic) and the verify is exact: the Spark result is
+    definitionally identical to the oracle's naive quadratic
+    formulation.  Names with no neighbor survive with n_neighbors=0
+    (the left join), so the output covers the full entity set."""
+    cust = load_table(spark, sf, "customer").select("c_name")
+    pairs = fuzzy_pairs(cust, "c_name", tau=1)
+    both = pairs.select(
+        F.col("name_a").alias("name"), F.col("name_b").alias("nbr")
+    ).unionAll(
+        pairs.select(F.col("name_b").alias("name"), F.col("name_a").alias("nbr"))
+    )
+    agg = both.groupBy("name").agg(
+        F.count("*").alias("n_neighbors"), F.min("nbr").alias("nearest")
+    )
+    names = cust.distinct().withColumnRenamed("c_name", "name")
+    return names.join(agg, "name", "left").select(
+        "name",
+        F.coalesce("n_neighbors", F.lit(0)).cast("bigint").alias("n_neighbors"),
+        "nearest",
+    )
+
+
+Q146_SQL = """
+WITH d AS (
+  SELECT DISTINCT c_name AS name FROM customer
+), p AS (
+  SELECT a.name AS na, b.name AS nb
+  FROM d a JOIN d b
+  ON a.name < b.name
+     AND abs(length(a.name) - length(b.name)) <= 1
+     AND levenshtein(a.name, b.name) <= 1
+), bi AS (
+  SELECT na AS name, nb AS nbr FROM p
+  UNION ALL
+  SELECT nb AS name, na AS nbr FROM p
+)
+SELECT d.name, CAST(count(b.nbr) AS BIGINT) AS n_neighbors,
+       min(b.nbr) AS nearest
+FROM d LEFT JOIN bi b ON d.name = b.name
+GROUP BY d.name
+"""
+
+
+def q147_pps_sample(spark, sf):
+    """Deterministic systematic PPS sample (operators/sampling.py):
+    exactly 20 tickets per language, inclusion proportional to
+    n_chars, multiplicity kept as n_tickets.  Hash-gateable because
+    the whole selection is exact integer arithmetic over a
+    deterministic (md5(text), doc_id) order — no RNG, no IEEE
+    division — so the oracle recomputes the identical sample with
+    SQL window sums and integer division."""
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.col("text").cast("binary")).alias("_k"),
+    )
+    return pps_sample(
+        docs, ["lang"], "n_chars", 20, "_k", "doc_id"
+    ).select("doc_id", "lang", "n_chars", "n_tickets")
+
+
+Q147_SQL = """
+WITH b AS (
+  SELECT doc_id, lang, n_chars, md5(text) AS k
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+), s AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY k, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_end,
+         CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS w_tot
+  FROM b
+), t AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(((20 * s_end + w_tot - 1) // w_tot)
+           - ((20 * (s_end - n_chars) + w_tot - 1) // w_tot) AS BIGINT)
+           AS n_tickets
+  FROM s
+)
+SELECT doc_id, lang, n_chars, n_tickets FROM t WHERE n_tickets > 0
+"""
+
+
+def q148_phrase_search(spark, sf):
+    """Positional-index phrase query (operators/index.py): docs
+    containing the consecutive-token phrase "part filter", with
+    occurrence count and first position — the retrieval capability
+    bag-of-words ranking (q96/q117/q134) cannot express.  Hash-exact
+    because the index tokenizer is the shared tokens_col (q94-q96
+    oracle parity) and positions are 1-based generate_subscripts
+    parity; the oracle recomputes occurrences by adjacent-position
+    self-join over the same token stream."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return phrase_search(positional_index(docs), ["part", "filter"])
+
+
+_STAGE_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')"
+)
+
+Q148_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, {_STAGE_TOKS} AS arr FROM documents
+), toks AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+  FROM docs
+), m AS (
+  SELECT a.doc_id, a.pos
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.tok = 'part' AND b.tok = 'filter'
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id
+"""
+def q150_gapfill_locf(spark, sf):
+    """Dense hourly grid per event_type with LOCF + linear
+    interpolation (operators/gapfill.py) — the time_bucket_gapfill /
+    locf() / interpolate() capability class.  The fixture's (type,
+    hour) matrix is ~25% occupied at every sf, so the gap paths are
+    genuinely exercised.  Hash-gateable: bucket sums are
+    decimal-backed, and the interpolation is three IEEE ops over
+    bit-identical operands with the parenthesization spelled
+    identically on both sides (prev + ((next - prev) * (dx / span)))
+    — deterministic with no rounding."""
+    from ..functions.hashstable import dsum
+    from ..operators.gapfill import gapfill_time_bucket
+
+    ev = load_table(spark, sf, "events")
+    out = gapfill_time_bucket(
+        ev,
+        ["event_type"],
+        "ts",
+        dsum("value"),
+        F.count(F.lit(1)),
+        bucket="hour",
+    )
+    return out.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_rows",
+        "actual_sum",
+        "locf_sum",
+        "interp_sum",
+        "is_gap",
+    )
+
+
+Q150_SQL = """
+WITH actual AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS actual_sum,
+         count(*) AS n_rows
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM actual
+), grid AS (
+  SELECT k.event_type, g.bucket_ts
+  FROM (SELECT DISTINCT event_type FROM actual) k
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                AS bucket_ts FROM bounds) g
+), filled AS (
+  SELECT g.event_type, g.bucket_ts, a.actual_sum, a.n_rows,
+    last_value(a.actual_sum IGNORE NULLS) OVER w_back AS locf_sum,
+    first_value(a.actual_sum IGNORE NULLS) OVER w_fwd AS next_val,
+    last_value(CASE WHEN a.actual_sum IS NOT NULL THEN g.bucket_ts END
+               IGNORE NULLS) OVER w_back AS prev_ts,
+    first_value(CASE WHEN a.actual_sum IS NOT NULL THEN g.bucket_ts END
+                IGNORE NULLS) OVER w_fwd AS next_ts
+  FROM grid g LEFT JOIN actual a
+    ON a.event_type = g.event_type AND a.bucket_ts = g.bucket_ts
+  WINDOW
+    w_back AS (PARTITION BY g.event_type ORDER BY g.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY g.event_type ORDER BY g.bucket_ts
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS hour,
+       COALESCE(n_rows, 0) AS n_rows,
+       actual_sum,
+       locf_sum,
+       CASE WHEN actual_sum IS NOT NULL THEN actual_sum
+            WHEN locf_sum IS NOT NULL AND next_val IS NOT NULL THEN
+              locf_sum + ((next_val - locf_sum) *
+                (CAST(epoch(bucket_ts) - epoch(prev_ts) AS DOUBLE) /
+                 CAST(epoch(next_ts) - epoch(prev_ts) AS DOUBLE)))
+       END AS interp_sum,
+       (actual_sum IS NULL) AS is_gap
+FROM filled
+ORDER BY event_type, hour
+"""
+
+
+def q151_retention_cohorts(spark, sf):
+    """Cohort retention triangle (operators/retention.py): users
+    grouped by first-seen day; (cohort, age) -> active users and
+    retention rate.  Pure integer counts + one IEEE division of
+    exact integers — hash-exact by construction."""
+    from ..operators.retention import retention_cohorts
+
+    ev = load_table(spark, sf, "events")
+    return retention_cohorts(ev, "user_id", "ts")
+
+
+Q151_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), aged AS (
+  SELECT user_id,
+         min(d) OVER (PARTITION BY user_id) AS cohort,
+         CAST(d - min(d) OVER (PARTITION BY user_id) AS BIGINT) AS age
+  FROM active
+), sizes AS (
+  SELECT cohort, count(*) AS cohort_size FROM aged WHERE age = 0 GROUP BY 1
+), r AS (
+  SELECT cohort, age, count(*) AS n_active FROM aged GROUP BY 1, 2
+)
+SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort_day, r.age, r.n_active,
+       s.cohort_size,
+       CAST(r.n_active AS DOUBLE) / s.cohort_size AS retention_rate
+FROM r JOIN sizes s ON r.cohort = s.cohort
+ORDER BY cohort_day, age
+"""
+def q153_activity_streaks(spark, sf):
+    """Gaps-and-islands streaks (operators/retention.py): per-user
+    consecutive-day runs via the day - row_number() island key — no
+    self-join, no iteration.  All-integer analytics; the longest
+    streak's start date carries an earliest-first tie-break so the
+    output is a pure function of the active-day set."""
+    from ..operators.retention import activity_streaks
+
+    ev = load_table(spark, sf, "events")
+    return activity_streaks(ev, "user_id", "ts")
+
+
+Q153_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), r AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS island
+  FROM active
+), isl AS (
+  SELECT user_id, island, count(*) AS len, min(d) AS start
+  FROM r GROUP BY 1, 2
+), m AS (
+  SELECT *, max(len) OVER (PARTITION BY user_id) AS ml FROM isl
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       count(*) AS n_streaks,
+       max(len) AS longest_streak,
+       strftime(min(CASE WHEN len = ml THEN start END),
+                '%Y-%m-%d') AS longest_start
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+def q154_pairwise_corr(spark, sf):
+    """Pairwise Pearson correlation between event types' hourly cents
+    series (operators/stats.py) — exact int64 moments + a fixed
+    parenthesization of IEEE ops, so r is bit-identical across
+    engines (Spark's own F.corr float accumulation is NOT).  The
+    hash gate compares the exact integer anchors (n, Σx, Σy) and
+    three deterministic doubles."""
+    from ..operators.robust import cents
+    from ..operators.stats import pairwise_corr
+
+    ev = load_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.sum(cents("value")).alias("x"))
+    return (
+        pairwise_corr(hourly, "event_type", "bucket_ts", "x")
+        .select(
+            F.col("key_a").alias("type_a"),
+            F.col("key_b").alias("type_b"),
+            "n_buckets",
+            F.col("sum_a").alias("sum_a_cents"),
+            F.col("sum_b").alias("sum_b_cents"),
+            F.col("mean_a").alias("mean_a_cents"),
+            F.col("mean_b").alias("mean_b_cents"),
+            "corr",
+        )
+        
+    )
+
+
+Q154_SQL = """
+WITH hourly AS (
+  SELECT event_type AS k, date_trunc('hour', ts) AS b,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.k AS type_a, c.k AS type_b, a.x AS xa, c.x AS xb
+  FROM hourly a JOIN hourly c ON a.b = c.b AND a.k < c.k
+), m AS (
+  SELECT type_a, type_b, count(*) AS n_buckets,
+         CAST(SUM(xa) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+         CAST(SUM(xa * xb) AS BIGINT) AS sxy,
+         CAST(SUM(xa * xa) AS BIGINT) AS sxx,
+         CAST(SUM(xb * xb) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_buckets,
+       sx AS sum_a_cents, sy AS sum_b_cents,
+       CAST(sx AS DOUBLE) / CAST(n_buckets AS DOUBLE) AS mean_a_cents,
+       CAST(sy AS DOUBLE) / CAST(n_buckets AS DOUBLE) AS mean_b_cents,
+       CASE WHEN (CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n_buckets AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS corr
+FROM m ORDER BY type_a, type_b
+"""
+
+
+def q155_range_join_concurrency(spark, sf):
+    """Point-in-interval range COUNT via the bin-decomposed rewrite
+    (operators/rangejoin.py::range_count_binned): per (user, day)
+    active window [min ts, max ts], how many events by OTHER users
+    fall inside it.  A naive BETWEEN join is BroadcastNestedLoop/
+    Cartesian, and even the pair-materializing equi-rewrite pays the
+    matched-pair volume (density-squared); the counting plan
+    pre-aggregates interior hour bins and row-checks only the two
+    boundary bins.  The foreign-user exclusion folds into exact
+    arithmetic — every own event that day lies inside the window by
+    construction, so n_foreign = n_in_range - n_own — keeping the
+    point side free of per-interval predicates (pre-aggregatable).
+    The oracle IS the naive non-equi join (DuckDB IEJoin), so a hash
+    pass proves the decomposition loses and invents nothing."""
+    from ..operators.rangejoin import range_count_binned
+
+    ev = load_table(spark, sf, "events")
+    iv = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.min("ts").alias("lo"),
+        F.max("ts").alias("hi"),
+        F.count(F.lit(1)).alias("n_own"),
+    )
+    pts = ev.select(F.col("ts").alias("p_ts"))
+    return (
+        range_count_binned(pts, iv, "p_ts", "lo", "hi", bin_seconds=3600)
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            (F.unix_micros("hi") - F.unix_micros("lo")).alias("span_us"),
+            (F.col("n_in_range") - F.col("n_own")).alias("n_foreign"),
+        )
+        
+    )
+
+
+Q155_SQL = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, min(ts) AS lo, max(ts) AS hi
+  FROM events GROUP BY 1, 2
+), cnt AS (
+  SELECT i.user_id, i.d, count(*) AS n_foreign
+  FROM iv i JOIN events e
+    ON e.ts >= i.lo AND e.ts <= i.hi AND e.user_id <> i.user_id
+  GROUP BY 1, 2
+)
+SELECT i.user_id, strftime(i.d, '%Y-%m-%d') AS day,
+       epoch_us(i.hi) - epoch_us(i.lo) AS span_us,
+       COALESCE(c.n_foreign, 0) AS n_foreign
+FROM iv i LEFT JOIN cnt c ON i.user_id = c.user_id AND i.d = c.d
+ORDER BY 1, 2
+"""
+
+
+def q156_twap_daily(spark, sf):
+    """Daily TWAP per event type (operators/twap.py): each tick's
+    cents value LOCF-held and weighted by its exact standing duration
+    in microseconds; coincident ticks resolved by the event_id
+    tie-break (zero weight except the last).  Exact int64 anchors +
+    one IEEE division — no rounding anywhere."""
+    from ..operators.robust import cents
+    from ..operators.twap import time_weighted_avg
+
+    ev = load_table(spark, sf, "events")
+    return time_weighted_avg(
+        ev, ["event_type"], "ts", cents("value"), "event_id"
+    )
+
+
+Q156_SQL = """
+WITH t AS (
+  SELECT event_type, ts, CAST(ts AS DATE) AS d, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), dur AS (
+  SELECT event_type, d, cents,
+         epoch_us(COALESCE(
+             lead(ts) OVER (PARTITION BY event_type, d
+                            ORDER BY ts, event_id),
+             CAST(d + 1 AS TIMESTAMP)))
+         - epoch_us(ts) AS dur_us
+  FROM t
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       count(*) AS n_ticks,
+       CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us,
+       CAST(SUM(cents * dur_us) AS BIGINT) AS sum_wt_cents_us,
+       CAST(CAST(SUM(cents * dur_us) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE) AS twap_cents
+FROM dur GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# (column, kind) audited by q157 — one source of truth for both twins.
+_Q157_SPECS = [
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "cents"),
+    ("l_extendedprice", "cents"),
+    ("l_discount", "cents"),
+    ("l_tax", "cents"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def q157_profile_audit(spark, sf):
+    """One-pass column-profile audit of lineitem
+    (operators/profile.py) — per column: rows, nulls, EXACT distinct,
+    canonical min/max, exact integer sum anchor.  The Deequ-class
+    pre-training dataset validation, planned as a single scan (the k
+    distinct aggregates ride one Expand)."""
+    from ..operators.profile import profile_columns
+
+    li = load_table(spark, sf, "lineitem")
+    return profile_columns(li, _Q157_SPECS)
+
+
+def _q157_sql() -> str:
+    parts = []
+    for name, kind in _Q157_SPECS:
+        if kind == "cents":
+            base = f"CAST(CAST({name} AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        else:
+            base = name
+        if kind == "ts":
+            mn = f"strftime(min({base}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(max({base}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn = f"CAST(min({base}) AS VARCHAR)"
+            mx = f"CAST(max({base}) AS VARCHAR)"
+        sm = (
+            f"CAST(SUM({base}) AS BIGINT)"
+            if kind in ("int", "cents")
+            else "CAST(NULL AS BIGINT)"
+        )
+        parts.append(
+            f"SELECT '{name}' AS col_name, count(*) AS n_rows,\n"
+            f"       count(*) - count({base}) AS n_null,\n"
+            f"       count(DISTINCT {base}) AS n_distinct,\n"
+            f"       {mn} AS min_str, {mx} AS max_str,\n"
+            f"       {sm} AS sum_anchor\n"
+            f"FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+Q157_SQL = _q157_sql()
+
+
+def q158_event_transitions(spark, sf):
+    """Per-user event-type transition matrix (operators/markov.py):
+    the order-flow sequencing question — which event type follows
+    which — as exact counts + one IEEE division per cell.  The lag
+    window is (ts, event_id)-total-ordered, so coincident timestamps
+    cannot flip transitions between runs."""
+    from ..operators.markov import transition_matrix
+
+    ev = load_table(spark, sf, "events")
+    return transition_matrix(
+        ev, "user_id", "ts", "event_type", "event_id"
+    )
+
+
+Q158_SQL = """
+WITH seq AS (
+  SELECT event_type AS to_state,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_state
+  FROM events
+), tr AS (
+  SELECT from_state, to_state, count(*) AS n_transitions
+  FROM seq WHERE from_state IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT from_state, CAST(SUM(n_transitions) AS BIGINT) AS from_total
+  FROM tr GROUP BY 1
+)
+SELECT t.from_state, t.to_state, t.n_transitions, o.from_total,
+       CAST(t.n_transitions AS DOUBLE) / CAST(o.from_total AS DOUBLE)
+         AS prob
+FROM tr t JOIN tot o USING (from_state)
+ORDER BY 1, 2
+"""
+
+
+def q159_basket_lift(spark, sf):
+    """Market-basket co-occurrence over (user, day) baskets of event
+    types (operators/basket.py): support/confidence/lift per pair —
+    exact distinct-membership counts, IEEE-deterministic measures.
+    The basket-keyed self-join bounds pair fan-out by items-per-
+    basket^2, never corpus^2."""
+    from ..operators.basket import cooccurrence_lift
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    )
+    return cooccurrence_lift(ev, ["user_id", "d"], "event_type")
+
+
+Q159_SQL = """
+WITH member AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type AS item
+  FROM events
+), nb AS (
+  SELECT count(*) AS n_baskets
+  FROM (SELECT DISTINCT user_id, d FROM member)
+), item_n AS (
+  SELECT item, count(*) AS n FROM member GROUP BY 1
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_pair
+  FROM member a JOIN member b
+    ON a.user_id = b.user_id AND a.d = b.d AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.n_pair,
+       na.n AS n_a, nbi.n AS n_b, nb.n_baskets,
+       CAST(p.n_pair AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE)
+         AS support,
+       CAST(p.n_pair AS DOUBLE) / CAST(na.n AS DOUBLE) AS conf_a_to_b,
+       CAST(p.n_pair AS DOUBLE) / CAST(nbi.n AS DOUBLE) AS conf_b_to_a,
+       (CAST(p.n_pair AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE))
+         / (CAST(na.n AS DOUBLE) * CAST(nbi.n AS DOUBLE)) AS lift
+FROM pairs p
+JOIN item_n na ON na.item = p.item_a
+JOIN item_n nbi ON nbi.item = p.item_b
+CROSS JOIN nb
+ORDER BY 1, 2
+"""
+
+
+def q160_peak_concurrency(spark, sf):
+    """Sweep-line peak concurrency (operators/sweepline.py): per day,
+    the maximum number of simultaneously-active (user, day) windows
+    and the first instant the peak is live.  Linear in endpoints —
+    the self-join formulation would be quadratic in overlaps.  Fully
+    deterministic: total event order (t, starts-first, user_id) and
+    exact integer running sums."""
+    from ..operators.sweepline import peak_concurrency
+
+    ev = load_table(spark, sf, "events")
+    iv = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    )
+    return (
+        peak_concurrency(iv, ["d"], "lo", "hi", "user_id")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_intervals",
+            "peak",
+            "peak_ts",
+        )
+        
+    )
+
+
+Q160_SQL = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, min(ts) AS lo, max(ts) AS hi
+  FROM events GROUP BY 1, 2
+), ends AS (
+  SELECT d, lo AS t, 1 AS delta, user_id AS id FROM iv
+  UNION ALL
+  SELECT d, hi AS t, -1 AS delta, user_id AS id FROM iv
+), run AS (
+  SELECT d, t,
+         CAST(SUM(delta) OVER (PARTITION BY d
+              ORDER BY t, delta DESC, id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS live
+  FROM ends
+), pk AS (
+  SELECT d, t, live, max(live) OVER (PARTITION BY d) AS peak FROM run
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(count(*) // 2 AS BIGINT) AS n_intervals,
+       max(live) AS peak,
+       strftime(min(CASE WHEN live = peak THEN t END),
+                '%Y-%m-%d %H:%M:%S.%f') AS peak_ts
+FROM pk GROUP BY d ORDER BY day
+"""
+
+
+def q161_weighted_quantiles(spark, sf):
+    """Exact weighted quantiles per brand (operators/robust.py
+    weighted_quantile_stats): quantity-weighted median and p90 of
+    extended price in integer cents — cross-multiplied cumulative-
+    weight selection, no engine quantile() call, no division.  The
+    part dim broadcasts into the fact scan."""
+    from ..operators.robust import weighted_quantile_stats
+
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_brand",
+        "l_extendedprice",
+        "l_quantity",
+        # total-order tie-break: linenumber < 100 by construction
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("lid"),
+    )
+    return weighted_quantile_stats(
+        j, ["p_brand"], "l_extendedprice", "l_quantity", "lid"
+    )
+
+
+Q161_SQL = """
+WITH c AS (
+  SELECT p.p_brand,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         CAST(l.l_quantity AS BIGINT) AS w,
+         l.l_orderkey * 100 + l.l_linenumber AS lid
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), r AS (
+  SELECT p_brand, cents, w,
+         CAST(SUM(w) OVER (PARTITION BY p_brand ORDER BY cents, lid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum,
+         -- NB: DuckDB identifiers are case-insensitive, so an alias
+         -- "W" would silently resolve to the w column downstream.
+         CAST(SUM(w) OVER (PARTITION BY p_brand) AS BIGINT) AS tw
+  FROM c
+)
+SELECT p_brand, count(*) AS n_rows, max(tw) AS total_weight,
+       min(CASE WHEN cum * 2 >= tw * 1 THEN cents END) AS wmedian_cents,
+       min(CASE WHEN cum * 10 >= tw * 9 THEN cents END) AS wp90_cents
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def q162_fk_orphan_audit(spark, sf):
+    """Referential-integrity audit (operators/integrity.py): orphan
+    counts for four FKs, with parents DETERMINISTICALLY thinned
+    (key % 97 == 0 dropped) so the orphan path is genuinely
+    exercised — the fixture itself is referentially clean, and an
+    all-zeros gate would prove nothing."""
+    from ..operators.integrity import fk_orphan_audit
+
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    p = load_table(spark, sf, "part")
+    s = load_table(spark, sf, "supplier")
+    thin = lambda df, k: df.where(F.col(k) % 97 != 0)  # noqa: E731
+    return fk_orphan_audit(
+        [
+            ("lineitem.orderkey", li, "l_orderkey", thin(o, "o_orderkey"), "o_orderkey"),
+            ("lineitem.partkey", li, "l_partkey", thin(p, "p_partkey"), "p_partkey"),
+            ("lineitem.suppkey", li, "l_suppkey", thin(s, "s_suppkey"), "s_suppkey"),
+            ("orders.custkey", o, "o_custkey", thin(c, "c_custkey"), "c_custkey"),
+        ]
+    )
+
+
+def _q162_fk_sql(fk, child, ckey, parent, pkey):
+    return f"""
+SELECT '{fk}' AS fk,
+       count(*) AS n_child,
+       CAST(SUM(CASE WHEN p._k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphan,
+       count(DISTINCT CASE WHEN p._k IS NULL THEN c.{ckey} END)
+         AS n_orphan_keys,
+       CAST(SUM(CASE WHEN p._k IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS orphan_rate
+FROM (SELECT {ckey} FROM {child} WHERE {ckey} IS NOT NULL) c
+LEFT JOIN (SELECT DISTINCT {pkey} AS _k FROM {parent}
+           WHERE {pkey} % 97 <> 0) p
+  ON c.{ckey} = p._k"""
+
+
+Q162_SQL = (
+    "\nUNION ALL\n".join(
+        [
+            _q162_fk_sql("lineitem.orderkey", "lineitem", "l_orderkey",
+                         "orders", "o_orderkey"),
+            _q162_fk_sql("lineitem.partkey", "lineitem", "l_partkey",
+                         "part", "p_partkey"),
+            _q162_fk_sql("lineitem.suppkey", "lineitem", "l_suppkey",
+                         "supplier", "s_suppkey"),
+            _q162_fk_sql("orders.custkey", "orders", "o_custkey",
+                         "customer", "c_custkey"),
+        ]
+    )
+    + "\nORDER BY fk"
+)
+def q163_price_qty_skyline(spark, sf):
+    """Per-brand price/quantity Pareto frontier (operators/
+    skyline.py): the offers not beaten on BOTH axes — minimize
+    extended price cents, maximize quantity.  The sorted-prefix
+    window formulation is linear where the dominance self-join is
+    quadratic.  The standing oracle mirrors the window math (the
+    naive NOT EXISTS dominance twin measured 504 s at sf0.1 in
+    DuckDB — itself the argument for the rewrite); the naive proof
+    runs in pytest at sf0.001+sf0.01 (_Q163_NAIVE_SQL,
+    tests/test_skyline.py), where it hash-matches exactly."""
+    from ..operators.robust import cents
+    from ..operators.skyline import skyline_2d
+
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (
+        skyline_2d(
+            j,
+            ["p_brand"],
+            cents("l_extendedprice"),
+            F.col("l_quantity").cast("long"),
+        )
+        .select(
+            "p_brand",
+            F.col("min_val").alias("price_cents"),
+            F.col("max_val").alias("qty"),
+            "n_rows",
+        )
+        
+    )
+
+
+_Q163_PTS = """
+  SELECT p.p_brand,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_cents,
+         CAST(l.l_quantity AS BIGINT) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+Q163_SQL = f"""
+WITH pts AS ({_Q163_PTS}), flagged AS (
+  SELECT p_brand, price_cents, qty,
+         max(qty) OVER (PARTITION BY p_brand ORDER BY price_cents
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS best_lt,
+         max(qty) OVER (PARTITION BY p_brand, price_cents) AS best_eq
+  FROM pts
+)
+SELECT p_brand, price_cents, qty, count(*) AS n_rows
+FROM flagged
+WHERE (best_lt IS NULL OR qty > best_lt) AND qty = best_eq
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+# the quadratic ground truth — pytest-only (504 s at sf0.1 in DuckDB;
+# the cost IS the argument for the window rewrite)
+_Q163_NAIVE_SQL = f"""
+WITH pts AS ({_Q163_PTS}), sky AS (
+  SELECT * FROM pts a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts b
+    WHERE b.p_brand = a.p_brand
+      AND b.price_cents <= a.price_cents AND b.qty >= a.qty
+      AND (b.price_cents < a.price_cents OR b.qty > a.qty)
+  )
+)
+SELECT p_brand, price_cents, qty, count(*) AS n_rows
+FROM sky GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q164_clamped_balance(spark, sf):
+    """Zero-clamped running balance per user (operators/balance.py):
+    the non-associative fold S_i = max(0, S_{i-1} + x_i) in pure
+    windows via the Lindley reflection identity — purchases/signups
+    credit, other events debit (integer cents).  No recursion, no
+    UDF; the oracle computes the SAME closed form, and the identity
+    itself is proven against a literal Python fold in
+    tests/test_balance.py."""
+    from ..operators.balance import clamped_balance
+    from ..operators.robust import cents
+
+    ev = load_table(spark, sf, "events")
+    signed = F.when(
+        F.col("event_type").isin("purchase", "signup"), cents("value")
+    ).otherwise(-cents("value"))
+    return clamped_balance(ev, "user_id", "ts", signed, "event_id")
+
+
+Q164_SQL = """
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+              ELSE -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+         END AS x
+  FROM events
+), p AS (
+  SELECT user_id, ts, event_id, x,
+         CAST(SUM(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS pfx
+  FROM base
+), r AS (
+  SELECT user_id, x, pfx,
+         least(min(pfx) OVER w, 0) AS flr,
+         least(COALESCE(min(pfx) OVER w3, 0), 0) AS prev_flr
+  FROM p
+  WINDOW
+    w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(SUM(x) AS BIGINT) - least(min(pfx), 0) AS final_balance,
+       max(pfx - flr) AS peak_balance,
+       CAST(SUM(CASE WHEN pfx < prev_flr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def q165_flow_concentration(spark, sf):
+    """Per-type flow concentration (operators/concentration.py):
+    Gini (sorted-rank identity), Herfindahl, and exact top-decile
+    share of per-user cents totals — all exact int64 sums with fixed
+    IEEE parenthesization, no percentile interpolation anywhere."""
+    from ..operators.concentration import concentration_metrics
+    from ..operators.robust import cents
+
+    ev = load_table(spark, sf, "events")
+    return concentration_metrics(
+        ev, ["event_type"], "user_id", cents("value")
+    )
+
+
+Q165_SQL = """
+WITH spend AS (
+  SELECT event_type, user_id,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x, user_id) AS r,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x DESC, user_id DESC) AS rd,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM spend
+)
+SELECT event_type,
+       count(*) AS n_actors,
+       CAST(SUM(x) AS BIGINT) AS total_cents,
+       (2.0 * CAST(CAST(SUM(r * x) AS BIGINT) AS DOUBLE)
+        - (CAST(count(*) AS DOUBLE) + 1.0)
+          * CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE))
+       / (CAST(count(*) AS DOUBLE)
+          * CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE)) AS gini,
+       CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE)
+       / (CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE)
+          * CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE)) AS hhi,
+       CAST(CAST(SUM(CASE WHEN rd * 10 <= n + 9 THEN x ELSE 0 END)
+                 AS BIGINT) AS DOUBLE)
+       / CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS top_decile_share
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+
+def s16_transitions_stream(spark, sf):
+    """Streaming twin of q158 (operators/markov.py
+    transition_increments): per-user constant-size state (the last
+    seen event) makes cross-batch transitions count exactly once;
+    summing the emitted per-batch increments reproduces the batch
+    matrix EXACTLY, so the oracle is Q158 verbatim — a stream==batch
+    equality gate, not a closed-window restriction."""
+    from ..operators.markov import (
+        transition_counts_to_matrix,
+        transition_increments,
+    )
+    from ..streaming.core import run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf).select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    inc = run_to_memory(
+        transition_increments(sdf),
+        "s16_transitions",
+        output_mode="update",
+        n_state_partitions=8,
+    )
+    # counts_to_matrix derives totals FROM the counts (a self-referencing
+    # join); cut lineage on the tiny emitted table — the s15 lesson
+    # (Spark INTERNAL_ERROR on self-join attribute dedup over a
+    # MemorySink view leaf).
+    inc = inc.localCheckpoint(eager=True)
+    tr = inc.groupBy("from_state", "to_state").agg(
+        F.sum("n").alias("n_transitions")
+    )
+    return transition_counts_to_matrix(tr)
+
+
+S16_SQL = Q158_SQL  # exact stream==batch equality, no window restriction
+
+
+def s17_gapfill_stream(spark, sf):
+    """Streaming twin of q150 (operators/gapfill.py): the hourly
+    bucket sums are MAINTAINED BY the stream (windowed decimal-sum
+    agg, append emits each hour once when it closes) and the dense
+    grid + LOCF + interpolation run as a batch view over the emitted
+    table — the production split: the stream owns the data-sized
+    work, the fill stays domain-sized and retroactively recomputable.
+    Oracle: Q150 restricted to closed hours (the s14/s15 watermark
+    argument — the final no-data batch advances the watermark to
+    max(ts), so exactly the hours strictly before max(ts)'s hour
+    have flushed)."""
+    from ..functions.hashstable import dsum
+    from ..operators.gapfill import bucket_sums_windowed, gapfill_from_buckets
+    from ..streaming.core import run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf).select("event_type", "ts", "value")
+    buckets = run_to_memory(
+        bucket_sums_windowed(
+            sdf, ["event_type"], "ts", dsum("value"), F.count(F.lit(1))
+        ),
+        "s17_gapfill",
+        n_state_partitions=8,
+    )
+    buckets = buckets.localCheckpoint(eager=True)  # the s15 lineage cut
+    out = gapfill_from_buckets(buckets, ["event_type"], bucket="hour")
+    return out.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_rows",
+        "actual_sum",
+        "locf_sum",
+        "interp_sum",
+        "is_gap",
+    )
+
+
+# Q150's twin restricted to closed hour windows (built by replacement
+# so the twins stay coupled; the assert pins the splice point).
+S17_SQL = Q150_SQL.replace(
+    "FROM events GROUP BY 1, 2",
+    """FROM events
+  WHERE date_trunc('hour', ts)
+        < (SELECT date_trunc('hour', max(ts)) FROM events)
+  GROUP BY 1, 2""",
+)
+assert "WHERE date_trunc('hour', ts)" in S17_SQL
+
+
+def q166_cusum_drift(spark, sf):
+    """One-sided CUSUM drift monitor per type (Page's test) —
+    operator COMPOSITION: the robust center/scale come from
+    operators/robust.py (exact lower median + MAD, broadcast back),
+    and the CUSUM statistic IS operators/balance.py's zero-clamped
+    fold of the slack-adjusted deviations (amount = cents − med −
+    mad), with alarms counted above h = 5·MAD.  Every quantity is an
+    exact int64."""
+    from ..operators.balance import clamped_balance
+    from ..operators.robust import cents, mad_outlier_stats
+
+    ev = load_table(spark, sf, "events")
+    scale = mad_outlier_stats(
+        ev, ["event_type"], "value", "event_id", k=3
+    ).select("event_type", "med_cents", "mad_cents")
+    ev2 = ev.join(F.broadcast(scale), "event_type")
+    amount = cents("value") - F.col("med_cents") - F.col("mad_cents")
+    return clamped_balance(
+        ev2,
+        "event_type",
+        "ts",
+        amount,
+        "event_id",
+        alarm_threshold=F.col("mad_cents") * F.lit(5),
+    )
+
+
+Q166_SQL = """
+WITH c AS (
+  SELECT event_type, event_id AS id, ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cents, id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+), med AS (
+  SELECT event_type, cents AS med_cents FROM r1 WHERE rn = (n + 1) // 2
+), d AS (
+  SELECT c.event_type, c.id, abs(c.cents - m.med_cents) AS dev
+  FROM c JOIN med m ON c.event_type = m.event_type
+), r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY dev, id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+), mad AS (
+  SELECT event_type, dev AS mad_cents FROM r2 WHERE rn = (n + 1) // 2
+), base AS (
+  SELECT c.event_type, c.ts, c.id,
+         c.cents - m.med_cents - t.mad_cents AS x,
+         t.mad_cents * 5 AS h
+  FROM c
+  JOIN med m ON c.event_type = m.event_type
+  JOIN mad t ON c.event_type = t.event_type
+), p AS (
+  SELECT event_type, ts, id, x, h,
+         CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY ts, id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS pfx
+  FROM base
+), r AS (
+  SELECT event_type, x, h, pfx,
+         least(min(pfx) OVER w, 0) AS flr,
+         least(COALESCE(min(pfx) OVER w3, 0), 0) AS prev_flr
+  FROM p
+  WINDOW
+    w AS (PARTITION BY event_type ORDER BY ts, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w3 AS (PARTITION BY event_type ORDER BY ts, id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(SUM(x) AS BIGINT) - least(min(pfx), 0) AS final_balance,
+       max(pfx - flr) AS peak_balance,
+       CAST(SUM(CASE WHEN pfx < prev_flr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped,
+       CAST(SUM(CASE WHEN pfx - flr > h THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms
+FROM r GROUP BY 1
+"""
+_Q167_SPLIT = "2024-01-16"
+
+
+def q167_psi_drift(spark, sf):
+    """Distribution drift between month halves (operators/drift.py):
+    PSI per (type, reference-decile bin) — exact rank-selected edges,
+    integer bin assignment, Laplace-smoothed shares; the per-bin
+    contribution is the surface's one deliberately ROUNDed value
+    (ln is the transcendental hashstable.py reserves ROUND for)."""
+    from ..operators.drift import psi_drift
+    from ..operators.robust import cents
+
+    ev = load_table(spark, sf, "events")
+    split = F.lit(_Q167_SPLIT).cast("timestamp")
+    ref = ev.where(F.col("ts") < split)
+    cur = ev.where(F.col("ts") >= split)
+    return psi_drift(ref, cur, ["event_type"], cents("value"), n_bins=10)
+
+
+def _q167_sql(n_bins: int = 10) -> str:
+    e_aggs = ",\n         ".join(
+        f"min(CASE WHEN rn * {n_bins} >= n * {k} THEN x END) AS e{k}"
+        for k in range(1, n_bins)
+    )
+    bin_expr = " + ".join(
+        f"CASE WHEN x >= e{k} THEN 1 ELSE 0 END" for k in range(1, n_bins)
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+  FROM events
+), r AS (
+  SELECT event_type, x FROM ev WHERE ts < TIMESTAMP '{_Q167_SPLIT}'
+), c AS (
+  SELECT event_type, x FROM ev WHERE ts >= TIMESTAMP '{_Q167_SPLIT}'
+), rk AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM r
+), edges AS (
+  SELECT event_type,
+         {e_aggs}
+  FROM rk GROUP BY 1
+), rcnt AS (
+  SELECT r.event_type, CAST({bin_expr} AS BIGINT) AS bin,
+         count(*) AS n_ref
+  FROM r JOIN edges USING (event_type) GROUP BY 1, 2
+), ccnt AS (
+  SELECT c.event_type, CAST({bin_expr} AS BIGINT) AS bin,
+         count(*) AS n_cur
+  FROM c JOIN edges USING (event_type) GROUP BY 1, 2
+), grid AS (
+  SELECT e.event_type, b.bin
+  FROM edges e CROSS JOIN
+       (SELECT unnest(range({n_bins})) AS bin) b
+), counts AS (
+  SELECT g.event_type, g.bin,
+         COALESCE(rc.n_ref, 0) AS n_ref,
+         COALESCE(cc.n_cur, 0) AS n_cur
+  FROM grid g
+  LEFT JOIN rcnt rc ON rc.event_type = g.event_type AND rc.bin = g.bin
+  LEFT JOIN ccnt cc ON cc.event_type = g.event_type AND cc.bin = g.bin
+), shares AS (
+  SELECT event_type, bin, n_ref, n_cur,
+         CAST(n_ref + 1 AS DOUBLE)
+           / CAST(SUM(n_ref) OVER (PARTITION BY event_type)
+                  + {n_bins} AS DOUBLE) AS p_ref,
+         CAST(n_cur + 1 AS DOUBLE)
+           / CAST(SUM(n_cur) OVER (PARTITION BY event_type)
+                  + {n_bins} AS DOUBLE) AS p_cur
+  FROM counts
+)
+SELECT event_type, bin, n_ref, n_cur, p_ref, p_cur,
+       round((p_ref - p_cur) * ln(p_ref / p_cur), 4) AS psi_contrib
+FROM shares
+UNION ALL
+-- brand-new segments (keys in cur with no reference rows): one row per
+-- key with bin/p/psi NULL — mirrors operators/drift.py's emission so
+-- the twins agree even on data where a segment appears mid-stream
+SELECT event_type, CAST(NULL AS BIGINT) AS bin,
+       CAST(0 AS BIGINT) AS n_ref, count(*) AS n_cur,
+       CAST(NULL AS DOUBLE) AS p_ref, CAST(NULL AS DOUBLE) AS p_cur,
+       CAST(NULL AS DOUBLE) AS psi_contrib
+FROM c
+WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.event_type = c.event_type)
+GROUP BY event_type
+"""
+
+
+Q167_SQL = _q167_sql()
+
+
+def q168_rolling_active(spark, sf):
+    """Rolling 7-day distinct actives per day (operators/rolling.py):
+    COUNT(DISTINCT) over a sliding frame is illegal in every engine —
+    the contribution-explode rewrite makes each (user, active-day)
+    pair vote into the w windows it appears in, so the oracle can be
+    the naive day x trailing-window join while the engine path stays
+    linear."""
+    from ..operators.rolling import rolling_active_users
+
+    ev = load_table(spark, sf, "events")
+    return rolling_active_users(ev, "user_id", "ts", window_days=7)
+
+
+Q168_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), days AS (
+  SELECT DISTINCT d FROM active
+), wau AS (
+  SELECT dy.d, count(DISTINCT a.user_id) AS wau
+  FROM days dy JOIN active a ON a.d BETWEEN dy.d - 6 AND dy.d
+  GROUP BY 1
+), dau AS (
+  SELECT d, count(*) AS dau FROM active GROUP BY 1
+)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+"""
+
+
+def q169_coalesced_activity(spark, sf):
+    """Coalesced per-(user, day) activity from overlapping per-type
+    windows (operators/coalesce_intervals.py): total covered time
+    without double-counting the overlap between event-type spans —
+    the union-of-intervals measure, one sorted sweep per key, no
+    quadratic overlap pairing.  All exact int64 microseconds."""
+    from ..operators.coalesce_intervals import coalesce_intervals
+
+    ev = load_table(spark, sf, "events")
+    iv = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    return coalesce_intervals(
+        iv, ["user_id", "d"], "lo", "hi", "event_type"
+    ).select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_intervals",
+        "n_episodes",
+        "covered_us",
+        "sum_span_us",
+        "overlap_us",
+    )
+
+
+Q169_SQL = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+         epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+  FROM events GROUP BY 1, 2, 3
+), flagged AS (
+  SELECT user_id, d, event_type, lo, hi,
+         CASE WHEN max(hi) OVER wprev IS NULL
+               OR lo > max(hi) OVER wprev THEN 1 ELSE 0 END AS is_new
+  FROM iv
+  WINDOW wprev AS (PARTITION BY user_id, d
+                   ORDER BY lo, hi, event_type
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), eps AS (
+  SELECT user_id, d, lo, hi,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id, d
+              ORDER BY lo, hi, event_type
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS ep
+  FROM flagged
+), per_ep AS (
+  SELECT user_id, d, ep, count(*) AS n,
+         max(hi) - min(lo) AS covered,
+         CAST(SUM(hi - lo) AS BIGINT) AS span
+  FROM eps GROUP BY 1, 2, 3
+)
+SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+       CAST(SUM(n) AS BIGINT) AS n_intervals,
+       count(*) AS n_episodes,
+       CAST(SUM(covered) AS BIGINT) AS covered_us,
+       CAST(SUM(span) AS BIGINT) AS sum_span_us,
+       CAST(SUM(span) AS BIGINT) - CAST(SUM(covered) AS BIGINT)
+         AS overlap_us
+FROM per_ep GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "q145_kmv_setops": q145_kmv_setops,
+    "q146_fuzzy_match": q146_fuzzy_match,
+    "q147_pps_sample": q147_pps_sample,
+    "q148_phrase_search": q148_phrase_search,
+    "q150_gapfill_locf": q150_gapfill_locf,
+    "q151_retention_cohorts": q151_retention_cohorts,
+    "q153_activity_streaks": q153_activity_streaks,
+    "q154_pairwise_corr": q154_pairwise_corr,
+    "q155_range_join_concurrency": q155_range_join_concurrency,
+    "q156_twap_daily": q156_twap_daily,
+    "q157_profile_audit": q157_profile_audit,
+    "q158_event_transitions": q158_event_transitions,
+    "q159_basket_lift": q159_basket_lift,
+    "q160_peak_concurrency": q160_peak_concurrency,
+    "q161_weighted_quantiles": q161_weighted_quantiles,
+    "q162_fk_orphan_audit": q162_fk_orphan_audit,
+    "q163_price_qty_skyline": q163_price_qty_skyline,
+    "q164_clamped_balance": q164_clamped_balance,
+    "q165_flow_concentration": q165_flow_concentration,
+    "q166_cusum_drift": q166_cusum_drift,
+    "q167_psi_drift": q167_psi_drift,
+    "q168_rolling_active": q168_rolling_active,
+    "q169_coalesced_activity": q169_coalesced_activity,
+    "s16_transitions_stream": s16_transitions_stream,
+    "s17_gapfill_stream": s17_gapfill_stream,
+}
+
+ORACLE = {
+    "q145_kmv_setops": Q145_SQL,
+    "q146_fuzzy_match": Q146_SQL,
+    "q147_pps_sample": Q147_SQL,
+    "q148_phrase_search": Q148_SQL,
+    "q150_gapfill_locf": Q150_SQL,
+    "q151_retention_cohorts": Q151_SQL,
+    "q153_activity_streaks": Q153_SQL,
+    "q154_pairwise_corr": Q154_SQL,
+    "q155_range_join_concurrency": Q155_SQL,
+    "q156_twap_daily": Q156_SQL,
+    "q157_profile_audit": Q157_SQL,
+    "q158_event_transitions": Q158_SQL,
+    "q159_basket_lift": Q159_SQL,
+    "q160_peak_concurrency": Q160_SQL,
+    "q161_weighted_quantiles": Q161_SQL,
+    "q162_fk_orphan_audit": Q162_SQL,
+    "q163_price_qty_skyline": Q163_SQL,
+    "q164_clamped_balance": Q164_SQL,
+    "q165_flow_concentration": Q165_SQL,
+    "q166_cusum_drift": Q166_SQL,
+    "q167_psi_drift": Q167_SQL,
+    "q168_rolling_active": Q168_SQL,
+    "q169_coalesced_activity": Q169_SQL,
+    "s16_transitions_stream": S16_SQL,
+    "s17_gapfill_stream": S17_SQL,
+}

@@ -118,7 +118,7 @@ def test_nulls_excluded(spark):
 
 @pytest.mark.parametrize("probe", ["BatchEvalPython", "ArrowEvalPython"])
 def test_no_python_in_q145_plan(spark, probe):
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
         q145_kmv_setops,
     )
 

@@ -15,7 +15,7 @@ from check_oracle import TABLES, hash_rows  # noqa: E402
 from live_market_data_orderflow_analysis_big_data_project__spark.operators.skyline import (  # noqa: E501
     skyline_2d,
 )
-from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
     _Q163_NAIVE_SQL,
     q163_price_qty_skyline,
 )

@@ -45,7 +45,8 @@ NON_EQUI_OK = {
     "q106b_decontaminate_bloom",  # 1-row bloom-bitmap crossJoin (the
                                   # broadcast word-map ride-in, zorder
                                   # scalar-stats pattern)
-    # STAGED (queries/staging.py — audited pre-promotion):
+    # Round-8 staged cohort (audited pre-promotion; the r9 rotation
+    # promoted most into queries/ablock.py — q144/q149 remain staged):
     "q144_hll_overlap",         # 1-row exactness-boundary scalar crossJoin
     "q145_kmv_setops",          # pair joins on the |labels|-row sketch frame
     "q149_incremental_simhash",  # 1-row split-scalar crossJoin (q137 pattern)

@@ -222,12 +222,17 @@ def _custom_probes():
     )
 
     from live_market_data_orderflow_analysis_big_data_project__spark.queries import (  # noqa: E501
+        ablock,
         staging,
     )
 
     return {
-        # staged next-rotation entries (queries/staging.py): probed
-        # BEFORE they enter the window, same as their oracle parity
+        # staged next-rotation entries: probed BEFORE they enter the
+        # window, same as their oracle parity.  The r9 rotation moved
+        # most of these into queries/ablock.py — probe KEYS keep their
+        # original "_staged_" names so finding-13 numbers stay
+        # comparable across rounds (the label records where the probe
+        # was born, not where the entry lives now)
         "q142_staged_hist_report": (
             None,
             lambda spark, sf, ctx: staging.q142_hist_rollup_report(spark, sf),
@@ -238,7 +243,7 @@ def _custom_probes():
         ),
         "q145_staged_kmv": (
             None,
-            lambda spark, sf, ctx: staging.q145_kmv_setops(spark, sf),
+            lambda spark, sf, ctx: ablock.q145_kmv_setops(spark, sf),
         ),
         # replication leaves c_name byte-identical across copies (only
         # c_custkey is offset), so probing the staged entry as-is would
@@ -251,11 +256,11 @@ def _custom_probes():
         ),
         "q147_staged_pps": (
             None,
-            lambda spark, sf, ctx: staging.q147_pps_sample(spark, sf),
+            lambda spark, sf, ctx: ablock.q147_pps_sample(spark, sf),
         ),
         "q148_staged_phrase": (
             None,
-            lambda spark, sf, ctx: staging.q148_phrase_search(spark, sf),
+            lambda spark, sf, ctx: ablock.q148_phrase_search(spark, sf),
         ),
         "q149_staged_incsimhash": (
             None,
@@ -263,11 +268,11 @@ def _custom_probes():
         ),
         "q150_staged_gapfill": (
             None,
-            lambda spark, sf, ctx: staging.q150_gapfill_locf(spark, sf),
+            lambda spark, sf, ctx: ablock.q150_gapfill_locf(spark, sf),
         ),
         "q151_staged_retention": (
             None,
-            lambda spark, sf, ctx: staging.q151_retention_cohorts(spark, sf),
+            lambda spark, sf, ctx: ablock.q151_retention_cohorts(spark, sf),
         ),
         "q152_staged_mad": (
             None,
@@ -275,73 +280,73 @@ def _custom_probes():
         ),
         "q153_staged_streaks": (
             None,
-            lambda spark, sf, ctx: staging.q153_activity_streaks(spark, sf),
+            lambda spark, sf, ctx: ablock.q153_activity_streaks(spark, sf),
         ),
         "q154_staged_corr": (
             None,
-            lambda spark, sf, ctx: staging.q154_pairwise_corr(spark, sf),
+            lambda spark, sf, ctx: ablock.q154_pairwise_corr(spark, sf),
         ),
         "q155_staged_rangejoin": (
             None,
-            lambda spark, sf, ctx: staging.q155_range_join_concurrency(
+            lambda spark, sf, ctx: ablock.q155_range_join_concurrency(
                 spark, sf
             ),
         ),
         "q156_staged_twap": (
             None,
-            lambda spark, sf, ctx: staging.q156_twap_daily(spark, sf),
+            lambda spark, sf, ctx: ablock.q156_twap_daily(spark, sf),
         ),
         "q157_staged_profile": (
             None,
-            lambda spark, sf, ctx: staging.q157_profile_audit(spark, sf),
+            lambda spark, sf, ctx: ablock.q157_profile_audit(spark, sf),
         ),
         "q158_staged_transitions": (
             None,
-            lambda spark, sf, ctx: staging.q158_event_transitions(spark, sf),
+            lambda spark, sf, ctx: ablock.q158_event_transitions(spark, sf),
         ),
         "q159_staged_basket": (
             None,
-            lambda spark, sf, ctx: staging.q159_basket_lift(spark, sf),
+            lambda spark, sf, ctx: ablock.q159_basket_lift(spark, sf),
         ),
         "q160_staged_sweepline": (
             None,
-            lambda spark, sf, ctx: staging.q160_peak_concurrency(spark, sf),
+            lambda spark, sf, ctx: ablock.q160_peak_concurrency(spark, sf),
         ),
         "q161_staged_wquantiles": (
             None,
-            lambda spark, sf, ctx: staging.q161_weighted_quantiles(spark, sf),
+            lambda spark, sf, ctx: ablock.q161_weighted_quantiles(spark, sf),
         ),
         "q162_staged_integrity": (
             None,
-            lambda spark, sf, ctx: staging.q162_fk_orphan_audit(spark, sf),
+            lambda spark, sf, ctx: ablock.q162_fk_orphan_audit(spark, sf),
         ),
         "q163_staged_skyline": (
             None,
-            lambda spark, sf, ctx: staging.q163_price_qty_skyline(spark, sf),
+            lambda spark, sf, ctx: ablock.q163_price_qty_skyline(spark, sf),
         ),
         "q164_staged_balance": (
             None,
-            lambda spark, sf, ctx: staging.q164_clamped_balance(spark, sf),
+            lambda spark, sf, ctx: ablock.q164_clamped_balance(spark, sf),
         ),
         "q165_staged_concentration": (
             None,
-            lambda spark, sf, ctx: staging.q165_flow_concentration(spark, sf),
+            lambda spark, sf, ctx: ablock.q165_flow_concentration(spark, sf),
         ),
         "q166_staged_cusum": (
             None,
-            lambda spark, sf, ctx: staging.q166_cusum_drift(spark, sf),
+            lambda spark, sf, ctx: ablock.q166_cusum_drift(spark, sf),
         ),
         "q167_staged_psi": (
             None,
-            lambda spark, sf, ctx: staging.q167_psi_drift(spark, sf),
+            lambda spark, sf, ctx: ablock.q167_psi_drift(spark, sf),
         ),
         "q168_staged_rolling": (
             None,
-            lambda spark, sf, ctx: staging.q168_rolling_active(spark, sf),
+            lambda spark, sf, ctx: ablock.q168_rolling_active(spark, sf),
         ),
         "q169_staged_coalesce": (
             None,
-            lambda spark, sf, ctx: staging.q169_coalesced_activity(spark, sf),
+            lambda spark, sf, ctx: ablock.q169_coalesced_activity(spark, sf),
         ),
         # the one-time amortized shuffle: writes execute eagerly inside
         "q132_write_only": (
