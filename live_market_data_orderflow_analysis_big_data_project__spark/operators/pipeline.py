@@ -81,6 +81,27 @@ def _md5_key(col: Column | str) -> Column:
     return F.substring(F.md5(c.cast("binary")), 1, 8)
 
 
+def _shingle_streams(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared decontamination front half: the corpus exploded to
+    (id, shingle) rows and the eval set's DISTINCT shingle frame.
+    Both decontaminate variants build exactly these two streams; only
+    the probe strategy downstream differs (broadcast hash join vs
+    bloom pre-pass + confirm join)."""
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle")
+    )
+    eval_sh = eval_set.select(
+        F.explode(shingles_col(text_col, n)).alias("shingle")
+    ).distinct()
+    return corpus_sh, eval_sh
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_set: DataFrame,
@@ -104,12 +125,7 @@ def decontaminate(
     shuffle is the countDistinct over the contaminated subset, which is
     eval-set-sized, not corpus-sized.
     """
-    corpus_sh = corpus.select(
-        F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle")
-    )
-    eval_sh = eval_set.select(
-        F.explode(shingles_col(text_col, n)).alias("shingle")
-    ).distinct()
+    corpus_sh, eval_sh = _shingle_streams(corpus, eval_set, n, text_col, id_col)
     return (
         corpus_sh.join(F.broadcast(eval_sh), "shingle")
         .groupBy(id_col)
@@ -141,12 +157,7 @@ def decontaminate_bloom(
     """
     from .bloom import bloom_prefilter_join
 
-    corpus_sh = corpus.select(
-        F.col(id_col), F.explode(shingles_col(text_col, n)).alias("shingle")
-    )
-    eval_sh = eval_set.select(
-        F.explode(shingles_col(text_col, n)).alias("shingle")
-    ).distinct()
+    corpus_sh, eval_sh = _shingle_streams(corpus, eval_set, n, text_col, id_col)
     return (
         bloom_prefilter_join(
             corpus_sh, eval_sh, "shingle", m_bits, k,
