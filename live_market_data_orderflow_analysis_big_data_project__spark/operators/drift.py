@@ -48,7 +48,9 @@ def psi_drift(
     Output: the keys, ``bin`` (0-based, reference deciles),
     ``n_ref``, ``n_cur``, ``p_ref``/``p_cur`` (smoothed shares,
     exact-int divisions), ``psi_contrib`` (ROUND 4 — the one
-    transcendental).  Σ psi_contrib per key is the PSI.
+    transcendental).  Σ psi_contrib per key is the PSI.  Keys present
+    only in ``cur`` (new segments) get ONE extra row with bin/p/psi
+    NULL and ``n_ref = 0`` — surfaced, never silently dropped.
     """
     r = ref.select(*keys, value_cents.alias("_x"))
     c = cur.select(*keys, value_cents.alias("_x"))
@@ -110,7 +112,7 @@ def psi_drift(
         F.sum("n_cur").over(tot) + F.lit(n_bins)
     ).cast("double")
     shared = counts.withColumn("p_ref", p).withColumn("p_cur", q)
-    return shared.select(
+    scored = shared.select(
         *keys,
         "bin",
         "n_ref",
@@ -123,3 +125,25 @@ def psi_drift(
             4,
         ).alias("psi_contrib"),
     )
+    # Brand-new segments — keys in cur with NO reference rows — have no
+    # decile edges to bin against, but they are arguably the strongest
+    # drift signal and must never vanish silently: emit ONE row per new
+    # key with bin/p/psi NULL and the segment's full cur count, so a
+    # `psi_contrib IS NULL` (or `n_ref = 0 AND bin IS NULL`) predicate
+    # surfaces them.  The anti-join is against the (keys)-sized edge
+    # frame — broadcast, no extra pass over ref.
+    new_keys = (
+        c.join(F.broadcast(edges.select(*keys)), keys, "left_anti")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+        .select(
+            *keys,
+            F.lit(None).cast("long").alias("bin"),
+            F.lit(0).cast("long").alias("n_ref"),
+            F.col("n_cur"),
+            F.lit(None).cast("double").alias("p_ref"),
+            F.lit(None).cast("double").alias("p_cur"),
+            F.lit(None).cast("double").alias("psi_contrib"),
+        )
+    )
+    return scored.unionByName(new_keys)

@@ -86,12 +86,19 @@ def hist_rollup(
     (group x bucket), plus the grid params as columns so a reader can
     verify it merges compatible grids only."""
     b = _col(bucket_col)
-    # NULL values are EXCLUDED, matching SQL aggregate semantics
-    # (count/percentile skip NULLs) — without the filter a NULL bin
-    # index would reach map_from_entries as a NULL map key and crash
-    # the job.  "Total count preserved" therefore means all NON-NULL
-    # rows; count NULLs separately if they matter.
-    binned = df.where(_col(value_col).isNotNull()).select(
+    # NULL and NaN values are EXCLUDED, matching SQL aggregate
+    # semantics (count/percentile skip NULLs; NaN is not a measurable
+    # value).  Without the NULL filter a NULL bin index would reach
+    # map_from_entries as a NULL map key and crash the job; without
+    # the NaN filter, Spark's NaN ordering makes NaN survive
+    # greatest() while least() returns the upper clamp — NaN rows
+    # would silently count in the TOP bin, skewing high quantiles.
+    # "Total count preserved" therefore means all non-NULL non-NaN
+    # rows; count the excluded separately if they matter.
+    _v = _col(value_col)
+    binned = df.where(
+        _v.isNotNull() & ~F.isnan(_v.cast("double"))
+    ).select(
         *_cols(group_cols),
         b,
         bin_index(_col(value_col), lo, hi, n_bins).alias("_bin"),
@@ -248,6 +255,10 @@ def hist_rollup_report(
     """
     keys = list(group_cols)
     value = _col(value_col)
+    # mirror hist_rollup's NULL/NaN exclusion so the exact anchors
+    # (n_rows, the discrete quantile) describe the SAME row set the
+    # rollup counted — otherwise count_preserved false-flags on NaN.
+    df = df.where(value.isNotNull() & ~F.isnan(value.cast("double")))
     rollup = hist_rollup(df, keys, _col(bucket_col), value, lo, hi, n_bins)
     merged = hist_merge(rollup, keys)
     shard = F.pmod(F.xxhash64(value), F.lit(n_shards)).alias("_shard")

@@ -106,6 +106,16 @@ def range_count_binned(
     an interval) + ``n_in_range`` (0 for empty intervals).  Exact —
     interior/boundary bins partition the candidate set, so nothing is
     double-counted.
+
+    The uniqueness requirement is ENFORCED, not assumed: contributions
+    are grouped and re-attached by the full interval row, so duplicate
+    interval rows would silently double-count — instead the operator
+    raises at execution time when it meets one (the guard rides the
+    output expression, so Catalyst cannot prune it).  Interval rows
+    carrying NULLs are handled exactly (GROUP BY and the null-safe
+    re-attach join both treat NULL as a value); an interval whose
+    ``lo``/``hi`` is NULL matches nothing (SQL BETWEEN semantics) and
+    surfaces with ``n_in_range = 0``.
     """
     width = int(bin_seconds) * 1_000_000
     iv_cols = intervals.columns
@@ -162,6 +172,33 @@ def range_count_binned(
         .groupBy(*iv_cols)
         .agg(F.sum("_cnt").alias("n_in_range"))
     )
-    return intervals.join(counts, iv_cols, "left").withColumn(
-        "n_in_range", F.coalesce("n_in_range", F.lit(0)).cast("long")
+    # Re-attach by the full interval row.  GROUP BY treats NULL as a
+    # value, so the left side is the distinct interval rows + a
+    # duplicate tally; eqNullSafe keys make NULL-carrying rows join
+    # back instead of silently zeroing (a name-list join drops them).
+    # The counts side's keys are renamed so the self-derived join
+    # condition can never be attribute-ambiguous.
+    base = intervals.groupBy(*iv_cols).agg(
+        F.count(F.lit(1)).alias("_n_dup")
+    )
+    renamed = counts.select(
+        *[F.col(c).alias(f"_rk_{i}") for i, c in enumerate(iv_cols)],
+        "n_in_range",
+    )
+    cond = None
+    for i, c in enumerate(iv_cols):
+        eq = F.col(c).eqNullSafe(F.col(f"_rk_{i}"))
+        cond = eq if cond is None else (cond & eq)
+    guarded = F.when(
+        F.col("_n_dup") > 1,
+        F.raise_error(
+            F.lit(
+                "range_count_binned: duplicate interval rows — interval "
+                "columns must uniquely identify an interval (tag a "
+                "surrogate id); refusing to double-count"
+            )
+        ).cast("long"),
+    ).otherwise(F.coalesce(F.col("n_in_range"), F.lit(0)).cast("long"))
+    return base.join(renamed, cond, "left").select(
+        *iv_cols, guarded.alias("n_in_range")
     )

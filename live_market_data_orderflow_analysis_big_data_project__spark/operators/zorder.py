@@ -178,14 +178,23 @@ def rank_zorder_file_assign(
     but each dimension's tile is its exact data rank, so every tile
     holds ~the same row count regardless of skew.  The two tile maps
     are domain-sized scalars broadcast into the scan — the corpus pays
-    the same single co-location shuffle as the value-tile path."""
+    the same single co-location shuffle as the value-tile path.
+
+    NULL handling: ``rank_tile_map``'s groupBy keeps NULL as its own
+    domain value and the tile joins are null-safe (``eqNullSafe``), so
+    NULL-valued rows are assigned the lowest tile (NULLS FIRST rank)
+    and the output row count ALWAYS equals the input's — the same
+    row-preservation contract as the value-tile assigner, which maps
+    NULL to a null tile instead of dropping the row."""
     map_a = rank_tile_map(df, col_a, bits).withColumnRenamed(
         f"tile_{col_a}", "tile_a"
-    )
+    ).withColumnRenamed(col_a, "_key_a")
     map_b = rank_tile_map(df, col_b, bits).withColumnRenamed(
         f"tile_{col_b}", "tile_b"
-    )
-    j = df.join(F.broadcast(map_a), col_a).join(F.broadcast(map_b), col_b)
+    ).withColumnRenamed(col_b, "_key_b")
+    j = df.join(
+        F.broadcast(map_a), F.col(col_a).eqNullSafe(F.col("_key_a"))
+    ).join(F.broadcast(map_b), F.col(col_b).eqNullSafe(F.col("_key_b")))
     return _finish_z(j.select(*df.columns, "tile_a", "tile_b"), bits, n_files)
 
 

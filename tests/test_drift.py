@@ -80,3 +80,20 @@ def test_groups_independent(spark):
     got = _run(spark, ref, cur)
     assert all(got[("a", b)]["psi_contrib"] == 0.0 for b in range(4))
     assert sum(got[("b", b)]["psi_contrib"] for b in range(4)) > 0.5
+
+
+def test_new_segment_surfaced_not_dropped(spark):
+    """A key present only in cur — the strongest drift signal — must
+    produce a row (bin/p/psi NULL, n_ref 0, full cur count), never
+    vanish silently (ADVICE r8)."""
+    ref = [("a", v) for v in range(1, 101)]
+    cur = [("a", v) for v in range(1, 101)] + [("NEW", v) for v in range(7)]
+    got = _run(spark, ref, cur)
+    new_rows = {k: r for k, r in got.items() if k[0] == "NEW"}
+    assert list(new_rows) == [("NEW", None)]
+    r = new_rows[("NEW", None)]
+    assert r["n_ref"] == 0 and r["n_cur"] == 7
+    assert r["p_ref"] is None and r["p_cur"] is None
+    assert r["psi_contrib"] is None
+    # the established segment's rows are untouched by the new arm
+    assert sum(1 for k in got if k[0] == "a") == 4

@@ -169,3 +169,25 @@ def test_mixed_grid_merge_is_surfaced(spark):
     assert r.grid_consistent is False
     ok = hist_merge(a, ["g"]).collect()[0]
     assert ok.grid_consistent is True
+
+
+def test_nan_values_excluded_like_nulls(spark):
+    """NaN must not be silently counted in the TOP bin (Spark's NaN
+    ordering survives greatest(); least() then returns the upper
+    clamp — ADVICE r8): it is excluded like NULL, and the audit
+    anchors describe the same row set."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.histogram import (  # noqa: E501
+        hist_rollup, hist_rollup_report,
+    )
+
+    rows = [("g", 1, 5.0), ("g", 1, float("nan")), ("g", 2, 95.0),
+            ("g", 2, None)]
+    df = spark.createDataFrame(rows, "g string, b int, v double")
+    m = hist_rollup(df, ["g"], "b", "v", lo=0.0, hi=100.0, n_bins=10)
+    hist = {k: v for r in m.collect() for k, v in r["hist"].items()}
+    assert sum(hist.values()) == 2          # NaN and NULL both excluded
+    assert hist.get(9, 0) == 1              # 95 in the top bin, not NaN
+    rep = hist_rollup_report(
+        df, ["g"], "b", "v", lo=0.0, hi=100.0, n_bins=10
+    ).collect()[0]
+    assert rep["n_rows"] == 2 and rep["count_preserved"]

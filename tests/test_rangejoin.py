@@ -108,3 +108,41 @@ def test_plan_is_equi_join_not_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_interval_rows_raise_not_double_count(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError
+
+    pts = [(_t(2), 1)]
+    ivs = [(1, _t(1), _t(3)), (1, _t(1), _t(3))]  # exact duplicate row
+    p, iv = _frames(spark, pts, ivs)
+    out = range_count_binned(p, iv, "p_ts", "lo", "hi", 3600)
+    with pytest.raises((Py4JJavaError, PySparkRuntimeError, Exception)) as e:
+        out.collect()
+    assert "duplicate interval rows" in str(e.value)
+
+
+def test_null_carrying_interval_rows_keep_their_counts(spark):
+    # a NULL in a CARRIED column must not zero the count (the old
+    # name-list re-attach join dropped NULL keys silently)
+    pts = [(_t(2), 1), (_t(2, 30), 2)]
+    p = spark.createDataFrame(pts, "p_ts timestamp, p_id long")
+    iv = spark.createDataFrame(
+        [(None, _t(1), _t(3)), (7, _t(5), _t(6))],
+        "iv_id long, lo timestamp, hi timestamp",
+    )
+    out = range_count_binned(p, iv, "p_ts", "lo", "hi", 3600)
+    got = {r["iv_id"]: r["n_in_range"] for r in out.collect()}
+    assert got == {None: 2, 7: 0}
+
+
+def test_null_bound_interval_matches_nothing(spark):
+    pts = [(_t(2), 1)]
+    p = spark.createDataFrame(pts, "p_ts timestamp, p_id long")
+    iv = spark.createDataFrame(
+        [(1, None, _t(3))], "iv_id long, lo timestamp, hi timestamp"
+    )
+    out = range_count_binned(p, iv, "p_ts", "lo", "hi", 3600)
+    assert {r["iv_id"]: r["n_in_range"] for r in out.collect()} == {1: 0}

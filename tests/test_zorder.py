@@ -245,3 +245,22 @@ def test_filtered_read_touches_only_overlapping_files(spark, z_written):
     }
     assert got_ids <= overlapping
     assert len(got_ids) <= len(overlapping) <= 2
+
+
+def test_rank_assign_preserves_null_rows(spark):
+    """ADVICE r8: NULL-valued rows must not vanish from the written
+    layout — the rank-tile joins are null-safe, NULL forms its own
+    domain value and tiles lowest (NULLS FIRST rank), and the output
+    row count always equals the input's (the value-tile path's
+    row-preservation contract)."""
+    rows = [(1, 10), (2, 20), (None, 30), (4, None), (None, None)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = rank_zorder_file_assign(df, "a", "b", bits=2, n_files=4)
+    got = out.collect()
+    assert len(got) == len(rows)
+    assert all(r["file_id"] is not None for r in got)
+    # NULL ranks lowest: rows_before(NULL)=0 -> tile 0 on that axis
+    by_ab = {(r["a"], r["b"]): (r["tile_a"], r["tile_b"]) for r in got}
+    assert by_ab[(None, None)] == (0, 0)
+    assert by_ab[(None, 30)][0] == 0
+    assert by_ab[(4, None)][1] == 0
