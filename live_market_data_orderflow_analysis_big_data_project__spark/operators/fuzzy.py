@@ -64,10 +64,29 @@ def deletion_variants(col: str) -> Column:
     )
 
 
-def fuzzy_pairs(df: DataFrame, string_col: str, tau: int = 1) -> DataFrame:
+def fuzzy_pairs(
+    df: DataFrame,
+    string_col: str,
+    tau: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """All unordered distinct-string pairs with ``levenshtein <= tau``
     as (name_a, name_b, dist).  tau=1 is the supported radius (see
-    module docstring for why the neighborhood is complete there)."""
+    module docstring for why the neighborhood is complete there).
+
+    ``max_bucket`` is the scale knob: variant keys shared by more than
+    ``max_bucket`` distinct strings are suppressed before the candidate
+    join (the q124 df-suppression idiom).  Candidate volume — the term
+    that grows super-linearly on id-dense domains, the 16x-probe
+    finding — is then hard-bounded by ``max_bucket`` per key.  The cap
+    is RECALL-LOSSY only for a pair whose EVERY shared key is hot: for
+    a substitution pair that is one specific deletion position shared
+    by > max_bucket strings; equal-length near-identical id domains hit
+    this first, natural name domains effectively never.  Default None
+    = exact (the hash-gated configuration); the hot-key frame is tiny
+    (keys with > cap collisions), so suppression is one count agg +
+    a broadcast anti-join, never a corpus shuffle.
+    """
     if tau != 1:
         raise NotImplementedError(
             "deletion-neighborhood blocking is implemented for tau=1; "
@@ -78,6 +97,14 @@ def fuzzy_pairs(df: DataFrame, string_col: str, tau: int = 1) -> DataFrame:
         .distinct()
         .select("s", F.explode(deletion_variants("s")).alias("v"))
     )
+    if max_bucket is not None:
+        hot = (
+            keys.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") > max_bucket)
+            .select("v")
+        )
+        keys = keys.join(F.broadcast(hot), "v", "left_anti")
     a = keys.select(F.col("s").alias("name_a"), "v")
     b = keys.select(F.col("s").alias("name_b"), "v")
     cand = (

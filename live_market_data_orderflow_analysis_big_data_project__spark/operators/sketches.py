@@ -335,3 +335,98 @@ def hll_rollup_report(
             "est_ok"
         ),
     )
+
+
+def hll_rollup_report_auto(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    bucket_col: str | Column,
+    value_col: str | Column,
+    lgk: int = DEFAULT_LGK,
+    tol_coupon: float = 0.05,
+    tol_dense: float = 0.10,
+    n_shards: int = 8,
+) -> DataFrame:
+    """``hll_rollup_report`` with a REGIME DETECTOR: past the coupon
+    capacity the equality flags are meaningless (the HIP estimator is
+    insertion-order-dependent once the gadget goes dense — module
+    docstring), so auditing a growing corpus with the plain report
+    eventually false-flags even though the sketches are healthy.  This
+    variant compares each group's exact distinct count against the
+    measured coupon planning bound (~2^lgk/10) and emits
+
+    - ``regime``: 'coupon' or 'dense' per group — the detector, named
+      in the output so a reader knows WHICH contract the flags carry;
+    - ``rollup_eq_shard`` / ``rollup_eq_direct``: exact equality in
+      the coupon regime; in the dense regime the tolerance path —
+      the two estimates within ``tol_dense`` of each other (relative
+      to the exact count), the only claim the dense HIP estimator
+      supports;
+    - ``est_ok``: within ``tol_coupon`` of exact in the coupon regime,
+      ``tol_dense`` in the dense regime.
+
+    Composes the UNCHANGED building blocks (hll_rollup /
+    hll_rollup_estimate / hll_direct_estimate) next to the plain
+    report rather than refactoring it: q141 gates on the plain
+    report's closure and is out-of-window this round — fold the two
+    together when q141 next rotates in.
+    """
+    keys = list(group_cols)
+    value = _col(value_col)
+    rollup = hll_rollup(df, keys, bucket_col, value, lgk)
+    merged = hll_rollup_estimate(rollup, keys).withColumnRenamed(
+        "hll_estimate", "est_rollup"
+    )
+    shard = F.pmod(F.xxhash64(value), F.lit(n_shards)).alias("_shard")
+    sharded = hll_rollup_estimate(
+        hll_rollup(df, keys, shard, value, lgk), keys
+    ).withColumnRenamed("hll_estimate", "est_shard")
+    direct = hll_direct_estimate(df, keys, value, lgk).withColumnRenamed(
+        "hll_estimate", "est_direct"
+    )
+    n_buckets = rollup.groupBy(*_cols(keys)).agg(
+        F.count("*").alias("n_buckets")
+    )
+    exact = df.groupBy(*_cols(keys)).agg(
+        F.count_distinct(value).alias("n_exact")
+    )
+    out = (
+        exact.join(n_buckets, keys)
+        .join(merged, keys)
+        .join(sharded, keys)
+        .join(direct, keys)
+    )
+    coupon_bound = (1 << lgk) // 10  # the measured planning bound
+    is_coupon = F.col("n_exact") <= F.lit(coupon_bound)
+    n_d = F.col("n_exact").cast("double")
+
+    def _near(a: str, b: str) -> Column:
+        return F.abs(
+            F.col(a).cast("double") - F.col(b).cast("double")
+        ) <= F.lit(tol_dense) * n_d
+
+    est_err = F.abs(F.col("est_rollup").cast("double") - n_d)
+    return out.select(
+        *keys,
+        "n_exact",
+        "n_buckets",
+        F.when(is_coupon, F.lit("coupon")).otherwise(F.lit("dense")).alias(
+            "regime"
+        ),
+        F.when(
+            is_coupon, F.col("est_rollup") == F.col("est_shard")
+        ).otherwise(_near("est_rollup", "est_shard")).alias(
+            "rollup_eq_shard"
+        ),
+        F.when(
+            is_coupon, F.col("est_rollup") == F.col("est_direct")
+        ).otherwise(_near("est_rollup", "est_direct")).alias(
+            "rollup_eq_direct"
+        ),
+        (
+            est_err
+            <= F.when(is_coupon, F.lit(tol_coupon))
+            .otherwise(F.lit(tol_dense))
+            * n_d
+        ).alias("est_ok"),
+    )

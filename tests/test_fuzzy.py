@@ -110,3 +110,34 @@ def test_no_python_in_plan(spark):
         fuzzy_pairs(df, "s")._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_max_bucket_none_is_exact_and_cap_suppresses_hot_keys(spark):
+    df = spark.createDataFrame([(w,) for w in WORDS], "s string")
+    exact = {
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_pairs(df, "s", max_bucket=None).collect()
+    }
+    # a generous cap changes nothing on a natural-name-shaped domain
+    capped_hi = {
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_pairs(df, "s", max_bucket=64).collect()
+    }
+    assert capped_hi == exact
+    # an adversarial id-dense domain: equal-length strings differing in
+    # the LAST char all share the "delete last char" variant key, so a
+    # cap below the bucket size suppresses exactly that key; the pairs
+    # survive only if another shared key remains (here: none for
+    # non-adjacent ids, so the pair set shrinks — the documented lossy
+    # mode), and the result is always a SUBSET of exact.
+    ids = [(f"id{i:04d}",) for i in range(50)]
+    dfi = spark.createDataFrame(ids, "s string")
+    full = {
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_pairs(dfi, "s", max_bucket=None).collect()
+    }
+    lossy = {
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_pairs(dfi, "s", max_bucket=8).collect()
+    }
+    assert lossy <= full

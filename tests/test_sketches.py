@@ -144,6 +144,54 @@ def test_dense_regime_is_tolerance_only(spark):
     assert abs(est["g"] - n) <= 0.10 * n
 
 
+def test_auto_report_names_the_regime_and_switches_the_audit(spark):
+    """The regime detector (hll_rollup_report_auto): groups under the
+    ~2^lgk/10 coupon planning bound audit with EXACT equality flags;
+    groups past it (the 16x-scale-up failure mode the r8 verdict
+    flagged: lgk=14's coupon capacity is crossed and the plain
+    report's equality booleans can false-flag on healthy sketches)
+    are NAMED 'dense' and audited on the 10%-tolerance path only —
+    the only claim the order-dependent HIP estimator supports."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.sketches import (  # noqa: E501
+        hll_rollup_report_auto,
+    )
+
+    n_dense, n_coupon = 20_000, 50  # vs lgk=10 capacity ~102
+    df = (
+        spark.range(0, 5 * n_dense)
+        .select(
+            F.when(
+                F.col("id") % 5 == 0, (F.col("id") / 5).cast("long") % n_coupon
+            )
+            .otherwise(F.col("id") % n_dense)
+            .alias("u"),
+            (F.col("id") % 16).alias("day"),
+            F.when(F.col("id") % 5 == 0, F.lit("small"))
+            .otherwise(F.lit("big"))
+            .alias("g"),
+        )
+    )
+    rows = {
+        r.g: r
+        for r in hll_rollup_report_auto(
+            df, ["g"], "day", "u", lgk=10
+        ).collect()
+    }
+    assert rows["small"].regime == "coupon"
+    assert rows["big"].regime == "dense"
+    # coupon group: the exact-equality contract holds outright
+    assert rows["small"].n_exact == n_coupon
+    assert rows["small"].rollup_eq_shard and rows["small"].rollup_eq_direct
+    assert rows["small"].est_ok
+    # dense group: the tolerance path must be green even where the
+    # plain report's equality booleans may be false.  (Non-multiples
+    # of 5 keep id %% n_dense residues that are non-multiples of 5 ->
+    # 4/5 of the domain.)
+    assert rows["big"].n_exact == n_dense * 4 // 5
+    assert rows["big"].rollup_eq_shard and rows["big"].rollup_eq_direct
+    assert rows["big"].est_ok
+
+
 def test_range_estimate_equals_exact_over_the_range(spark):
     """The rollup's read path: a bucket-range union answers the
     range's distinct count without touching rows — exact in the coupon
