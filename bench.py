@@ -103,14 +103,19 @@ def main() -> None:
     # of the run and the residual session cold-start landed on it
     # (measured 5.7 / 2.2 / 1.9 / 1.7 s over 4 repeats).  Single samples
     # cannot distinguish that from a real plan regression; medians can.
-    # Streaming queries (s01..) stay single-sample: each run drains the
-    # full tape through a fresh micro-batch pipeline, repeats triple the
-    # suite wall for no extra signal on a plan that batch twins pin.
+    # Streaming queries (s01..) get 2 samples (SPARK_GRAFT_BENCH_S_SAMPLES
+    # to override): single samples made the r8 s02 "doubling" (1.74 ->
+    # 3.42 s) indistinguishable from drain-startup noise — the r8 verdict
+    # item 3.  Two samples cost ~+40 s suite wall and let a real
+    # regression show up in BOTH while a checkpoint-init hiccup shows in
+    # one; full n_samples repeats would triple the streaming wall for no
+    # further signal on plans the batch twins pin.
     n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
+    n_s_samples = int(os.environ.get("SPARK_GRAFT_BENCH_S_SAMPLES", "2"))
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for key, fn in ent.queries().items():
-        reps = 1 if key.startswith("s") else n_samples
+        reps = n_s_samples if key.startswith("s") else n_samples
         runs: list[float] = []
         try:
             for _ in range(reps):
@@ -126,7 +131,11 @@ def main() -> None:
                 spark.catalog.clearCache()
             runs.sort()
             samples[key] = runs
-            timings[key] = runs[len(runs) // 2]  # median
+            # lower-middle order statistic: the true median for odd N,
+            # and for the 2-sample streaming entries the SMALLER run —
+            # drain fixed cost is present in both samples, so the larger
+            # one carries any one-off checkpoint/state-store init.
+            timings[key] = runs[(len(runs) - 1) // 2]
         except Exception as exc:  # record failures as -1, keep benching
             print(f"bench: {key} failed: {exc}", file=sys.stderr)
             timings[key] = -1.0
