@@ -46,8 +46,20 @@ queries/ablock.py.  Left staged for the round-10 window:
   by replacement so the twins stay coupled).
 
 The sketch-rollup family (q142/q143/q144/s14/s15) waits because q141
-already gated its shape in r8 (weakest novelty); all seven re-verify
-at two sfs on every pytest run via tests/test_next_rotation.py.
+already gated its shape in r8 (weakest novelty); all staged entries
+re-verify at two sfs on every pytest run via tests/test_next_rotation.py.
+
+Newly staged in round 9 (the graph-analytics family, operators/graph.py
+— the capability class next to q111's connected components):
+
+- q170: per-node triangle counts by degree-ordered orientation — each
+  triangle generated exactly once at its minimum-rank apex, wedge
+  fan-out bounded O(sqrt(2m)) per node; oracle = the naive
+  canonical-triple join, so the hash pass proves the rewrite exact.
+- q171: PageRank (3 fixed iterations) with ranks as exact int64
+  micro-units — integer contributions, integer sums, rational
+  damping — bit-identical across engines where float PageRank is
+  partition-order-dependent; oracle unrolls the same iterations.
 """
 
 from __future__ import annotations
@@ -409,12 +421,118 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q170_triangle_counts(spark, sf):
+    """Per-node triangle participation over the interaction graph
+    (operators/graph.py): consecutive distinct users in each
+    event_type's (ts, id)-ordered tape are linked; triangles counted
+    by degree-ordered orientation — each triangle generated exactly
+    once at its minimum-(deg, id) apex, wedge fan-out bounded by
+    O(sqrt(2m)) per node instead of the naive triple join's
+    sum(deg^2) hub explosion.  All exact integers; the oracle IS the
+    naive canonical-triple join, so the hash pass proves the
+    orientation rewrite exact."""
+    from ..operators.graph import cooccurrence_edges, triangle_counts
+
+    ev = load_table(spark, sf, "events")
+    edges = cooccurrence_edges(ev, "event_type", "ts", "user_id", "event_id")
+    return triangle_counts(edges).withColumnRenamed("node", "user_id")
+
+
+_GRAPH_EDGE_SQL = """
+seq AS (
+  SELECT user_id AS b,
+         lag(user_id) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS a
+  FROM events
+), e AS (
+  SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst
+  FROM seq WHERE a IS NOT NULL AND a <> b
+), deg AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+  GROUP BY 1
+)"""
+
+
+Q170_SQL = f"""
+WITH {_GRAPH_EDGE_SQL}, tri AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+  JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+), votes AS (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+)
+SELECT d.node AS user_id, d.deg,
+       CAST(count(v.node) AS BIGINT) AS n_triangles
+FROM deg d LEFT JOIN votes v ON d.node = v.node
+GROUP BY 1, 2
+"""
+
+
+_PR_K, _PR_SCALE = 3, 1_000_000
+
+
+def q171_pagerank(spark, sf):
+    """PageRank, 3 fixed iterations over the same interaction graph
+    (operators/graph.py pagerank_quantized) — hash-gateable because
+    ranks are exact int64 micro-units: contributions are integer
+    divisions, the neighbor sum is an integer sum (partition-order-
+    independent where float PageRank never is), damping is the
+    rational (85*s) div 100 + 150000.  The oracle unrolls the same
+    three iterations with the same integer arithmetic."""
+    from ..operators.graph import cooccurrence_edges, pagerank_quantized
+
+    ev = load_table(spark, sf, "events")
+    edges = cooccurrence_edges(ev, "event_type", "ts", "user_id", "event_id")
+    return pagerank_quantized(edges, k=_PR_K, scale=_PR_SCALE).withColumnRenamed(
+        "node", "user_id"
+    )
+
+
+def _q171_sql(k: int = _PR_K, scale: int = _PR_SCALE) -> str:
+    base = 15 * scale // 100
+    cte = [f"""adj AS (
+  SELECT a.node, a.nbr, d.deg
+  FROM (SELECT src AS node, dst AS nbr FROM e
+        UNION ALL SELECT dst AS node, src AS nbr FROM e) a
+  JOIN deg d ON a.node = d.node
+), p0 AS (
+  SELECT node, CAST({scale} AS BIGINT) AS pr FROM deg
+)"""]
+    for i in range(1, k + 1):
+        cte.append(f"""c{i} AS (
+  SELECT a.nbr AS node, CAST(SUM(p.pr // a.deg) AS BIGINT) AS s
+  FROM adj a JOIN p{i - 1} p ON a.node = p.node
+  GROUP BY 1
+), p{i} AS (
+  SELECT d.node,
+         CAST(85 * COALESCE(c.s, 0) // 100 + {base} AS BIGINT) AS pr
+  FROM deg d LEFT JOIN c{i} c ON d.node = c.node
+)""")
+    return (
+        f"WITH {_GRAPH_EDGE_SQL}, "
+        + ", ".join(cte)
+        + f"""
+SELECT d.node AS user_id, d.deg, p.pr AS pr_micro
+FROM deg d JOIN p{k} p ON d.node = p.node
+"""
+    )
+
+
+Q171_SQL = _q171_sql()
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
     "q144_hll_overlap": q144_hll_overlap,
     "q149_incremental_simhash": q149_incremental_simhash,
     "q152_mad_outliers": q152_mad_outliers,
+    "q170_triangle_counts": q170_triangle_counts,
+    "q171_pagerank": q171_pagerank,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
 }
@@ -425,6 +543,8 @@ STAGED_ORACLE = {
     "q144_hll_overlap": Q144_SQL,
     "q149_incremental_simhash": Q149_SQL,
     "q152_mad_outliers": Q152_SQL,
+    "q170_triangle_counts": Q170_SQL,
+    "q171_pagerank": Q171_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
 }
