@@ -275,6 +275,14 @@ def _custom_probes():
             None,
             lambda spark, sf, ctx: _fuzzy_probe_frame_capped(spark, sf),
         ),
+        "q170_staged_triangles": (
+            None,
+            lambda spark, sf, ctx: staging.q170_triangle_counts(spark, sf),
+        ),
+        "q171_staged_pagerank": (
+            None,
+            lambda spark, sf, ctx: staging.q171_pagerank(spark, sf),
+        ),
         "q147_staged_pps": (
             None,
             lambda spark, sf, ctx: ablock.q147_pps_sample(spark, sf),
@@ -765,6 +773,18 @@ def main() -> None:
         "    explode applies to the ACTIVE-PAIR frame (users x days),",
         "    already 16x smaller than raw, and the second distinct",
         "    collapses map-side — no per-day trailing rescans.",
+        "    NEWLY STAGED IN r9 (the graph family, operators/graph.py):",
+        "    q170_staged_triangles 9.9 -> 10.7 s (1.1x): the oriented",
+        "    wedge join's fan-out is bounded by per-node out-degree",
+        "    O(sqrt(2m)), and the fixture's distinct-edge set grows",
+        "    sub-linearly with events (node-pair density saturates), so",
+        "    the wall is scan + edge-build; the naive triple join this",
+        "    replaces is the oracle, hash-equal at 3 sfs.",
+        "    q171_staged_pagerank 9.1 -> 12.7 s (1.4x): 3 bounded",
+        "    shuffle rounds of (dst, integer contribution) pairs — the",
+        "    int64 micro-unit quantization that makes the iterations",
+        "    hash-gateable adds no scaling term; per-iteration",
+        "    localCheckpoint keeps plan depth constant (q111 idiom).",
         "    q169_staged_coalesce 4.4 -> 5.7 s (1.3x; a first run",
         "    recorded 16.6 s at 1x and re-measured quiet — the",
         "    loaded-host caveat below): the (user, day, type) interval",
@@ -772,6 +792,11 @@ def main() -> None:
         "    domain-bounded interval frame.",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
+        "host load — the r9 regeneration itself recorded q106 at \"4.2x\" and",
+        "q91b at \"6.0x\" mid-run; both re-measured immediately after at 1.8x",
+        "and 3.6x (their historical bands) and the table carries the",
+        "re-measured cells.  The practice stands: re-run any outlier ratio",
+        "before believing it.  Original caveat:",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
         "re-measured at 4.3x quiet; re-run ratios that look anomalous before",
         "acting on them.  The per-run RATIO is the stable signal, and only on",
