@@ -525,6 +525,71 @@ FROM deg d JOIN p{k} p ON d.node = p.node
 Q171_SQL = _q171_sql()
 
 
+_Q172_GAP_S = 48 * 3600  # conversion window: 48 h per stage
+
+
+def q172_funnel_within(spark, sf):
+    """Time-constrained funnel (the MATCH_RECOGNIZE ``WITHIN`` clause;
+    operators/funnel.py ``max_gap_s``): stage i+1 must land within 48 h
+    of stage i or the user stalls — the conversion-window semantics
+    every product funnel actually uses, which q77/q77b's unconstrained
+    twins cannot express.  Gap chosen to BIND at every fixture sf
+    (users stall who convert unconstrained), so the gate exercises the
+    constraint, not just the fold.  Same fold formulation and format
+    conventions as q77."""
+    from ..operators.funnel import funnel_stages
+    from ..sources.tables import load_table as _lt
+
+    e = _lt(spark, sf, "events")
+    res = funnel_stages(
+        e, ("view", "click", "purchase"), bounded=True,
+        max_gap_s=_Q172_GAP_S,
+    )
+    return res.select(
+        "user_id",
+        (
+            F.col("t1").isNotNull().cast("int")
+            + F.col("t2").isNotNull().cast("int")
+            + F.col("t3").isNotNull().cast("int")
+        ).alias("stage"),
+        F.date_format("t1", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("t2", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("t3", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+Q172_SQL = f"""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+    AND e.ts <= v.t1 + INTERVAL {_Q172_GAP_S} SECOND
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    AND e.ts <= c.t2 + INTERVAL {_Q172_GAP_S} SECOND
+  GROUP BY 1
+)
+SELECT u.user_id,
+       (CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+        + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS stage,
+       strftime(t1, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(t2, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       strftime(t3, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)
+"""
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
@@ -532,6 +597,7 @@ STAGED_QUERIES = {
     "q149_incremental_simhash": q149_incremental_simhash,
     "q152_mad_outliers": q152_mad_outliers,
     "q170_triangle_counts": q170_triangle_counts,
+    "q172_funnel_within": q172_funnel_within,
     "q171_pagerank": q171_pagerank,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
@@ -544,6 +610,7 @@ STAGED_ORACLE = {
     "q149_incremental_simhash": Q149_SQL,
     "q152_mad_outliers": Q152_SQL,
     "q170_triangle_counts": Q170_SQL,
+    "q172_funnel_within": Q172_SQL,
     "q171_pagerank": Q171_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,

@@ -283,6 +283,10 @@ def _custom_probes():
             None,
             lambda spark, sf, ctx: staging.q171_pagerank(spark, sf),
         ),
+        "q172_staged_funnel_within": (
+            None,
+            lambda spark, sf, ctx: staging.q172_funnel_within(spark, sf),
+        ),
         "q147_staged_pps": (
             None,
             lambda spark, sf, ctx: ablock.q147_pps_sample(spark, sf),
@@ -773,6 +777,14 @@ def main() -> None:
         "    explode applies to the ACTIVE-PAIR frame (users x days),",
         "    already 16x smaller than raw, and the second distinct",
         "    collapses map-side — no per-day trailing rescans.",
+        "    q172_staged_funnel_within 3.4 -> 7.4 s (2.2x): q77's",
+        "    one-(user)-shuffle fold with the WITHIN condition carried",
+        "    in the fold state — no extra join or pass vs the",
+        "    unconstrained twin; the ratio is the per-user",
+        "    collect+sort term (16x users, same per-user width), the",
+        "    q77 class.  The 48 h gap BINDS at every fixture sf",
+        "    (stage-sum 2866 vs 4500 unconstrained at sf0.1), so the",
+        "    gate exercises the constraint, not just the fold.",
         "    NEWLY STAGED IN r9 (the graph family, operators/graph.py):",
         "    q170_staged_triangles 9.9 -> 10.7 s (1.1x): the oriented",
         "    wedge join's fan-out is bounded by per-node out-degree",
