@@ -121,3 +121,35 @@ def test_pagerank_hub_outranks_leaves(spark):
         for r in pagerank_quantized(_edges_df(spark, hub)).collect()
     }
     assert got[0] > max(v for n, v in got.items() if n != 0)
+
+
+# --- property tests: random graphs vs the pure-Python formulations ---------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_edge = st.tuples(
+    st.integers(min_value=0, max_value=11),
+    st.integers(min_value=0, max_value=11),
+).filter(lambda p: p[0] != p[1])
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_edge, min_size=1, max_size=30))
+def test_property_triangles_match_brute_force(spark, pairs):
+    """Degree-ordered orientation == brute-force triple enumeration on
+    random small graphs — the tie-breaking in the rank order (equal
+    degrees fall back to node id) is exactly what a fixed fixture
+    can't stress."""
+    assert _tri(spark, pairs) == _brute_tri(pairs)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_edge, min_size=1, max_size=30))
+def test_property_pagerank_matches_literal_loop(spark, pairs):
+    want, deg = _pr_python(pairs)
+    got = {
+        r["node"]: (r["pr_micro"], r["deg"])
+        for r in pagerank_quantized(_edges_df(spark, pairs)).collect()
+    }
+    assert got == {n: (want[n], deg[n]) for n in want}
