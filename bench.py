@@ -161,10 +161,22 @@ def main() -> None:
         f.write("\n")
 
     # Stdout line must fit the driver's ~2000-char tail window: shorten
-    # each query key to its unique q/s-number prefix ("q91b_..." -> "q91b").
+    # each query key to its unique q/s-number prefix ("q91b_..." -> "q91b")
+    # and AUTO-FIT the per-query precision — at 158 entries the 3-decimal
+    # line measured 2083 chars, which would truncate the line's HEAD
+    # (metric/value) and record an unparseable BENCH row, the round-2
+    # failure mode.  Full-precision values always live in BENCH_full.json;
+    # the stdout line degrades 3 -> 2 -> 1 decimals until it fits.
     short = {k.split("_", 1)[0]: v for k, v in timings.items()}
     assert len(short) == len(timings), "short query keys must stay unique"
-    print(json.dumps({**payload, "queries": short}, separators=(",", ":")))
+    budget = 1900  # headroom under the observed ~2000-char window
+    for nd in (3, 2, 1):
+        rounded = {k: round(v, nd) for k, v in short.items()}
+        line = json.dumps({**payload, "queries": rounded},
+                          separators=(",", ":"))
+        if len(line) <= budget:
+            break
+    print(line)
     spark.stop()
 
 
