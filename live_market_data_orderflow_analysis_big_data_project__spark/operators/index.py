@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 
 from .llmops import tokens_col
 
-__all__ = ["positional_index", "phrase_search"]
+__all__ = ["positional_index", "phrase_search", "boolean_search"]
 
 
 def positional_index(
@@ -94,4 +94,52 @@ def phrase_search(index: DataFrame, terms: Sequence[str]) -> DataFrame:
         "doc_id",
         F.size("match").cast("bigint").alias("n_occurrences"),
         F.array_min("match").cast("bigint").alias("first_pos"),
+    )
+
+
+def boolean_search(
+    index: DataFrame,
+    must: Sequence[str],
+    must_not: Sequence[str] = (),
+) -> DataFrame:
+    """Boolean retrieval over the index: docs containing EVERY ``must``
+    term and NONE of the ``must_not`` terms —
+    (doc_id, min_tf, sum_tf): the conjunction's scarcest-term count
+    (the classic AND-semantics relevance floor) and total matched
+    occurrences.  The set-operation complement to ``phrase_search``:
+    phrase = positional adjacency, boolean = posting-set algebra.
+
+    Plan: one posting-list equi-join per ``must`` term (input bounded
+    by that term's df — join the rarest term first at scale) and ONE
+    broadcast left-anti join against the union of the ``must_not``
+    postings (exclusion sets are query-sized, never corpus-sized).
+    Touches only the queried terms' postings — with the index
+    persisted bucketed by term, a boolean query never scans the
+    corpus.
+    """
+    if not must:
+        raise ValueError("boolean_search needs at least one must-term")
+    cur = index.where(F.col("term") == must[0]).select(
+        "doc_id",
+        F.col("tf").alias("min_tf"),
+        F.col("tf").alias("sum_tf"),
+    )
+    for t in must[1:]:
+        nxt = index.where(F.col("term") == t).select(
+            "doc_id", F.col("tf").alias("_tf")
+        )
+        cur = cur.join(nxt, "doc_id").select(
+            "doc_id",
+            F.least("min_tf", "_tf").alias("min_tf"),
+            (F.col("sum_tf") + F.col("_tf")).alias("sum_tf"),
+        )
+    if must_not:
+        excl = index.where(
+            F.col("term").isin(list(must_not))
+        ).select("doc_id").distinct()
+        cur = cur.join(F.broadcast(excl), "doc_id", "left_anti")
+    return cur.select(
+        "doc_id",
+        F.col("min_tf").cast("bigint").alias("min_tf"),
+        F.col("sum_tf").cast("bigint").alias("sum_tf"),
     )

@@ -590,6 +590,49 @@ FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
 """
 
 
+_STAGE_TOKS_B = (
+    "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')"
+)
+
+
+def q173_boolean_search(spark, sf):
+    """Boolean retrieval over the positional index (operators/index.py
+    boolean_search): docs containing 'part' AND 'filter' AND NOT
+    'vector' — posting-set algebra, the capability between bag-of-
+    words ranking (q96/q117) and positional phrases (q148).  Touches
+    only the three queried terms' postings; the NOT set rides one
+    broadcast anti-join.  'vector' BINDS at every fixture sf (~85% of
+    the part-and-filter docs are excluded), so the gate exercises the
+    exclusion path, not just the conjunction.  Hash-exact: the
+    tokenizer is the shared q94-q96 oracle convention and every
+    output is an integer."""
+    from ..operators.index import boolean_search, positional_index
+    from ..sources.tables import load_table as _lt
+
+    docs = _lt(spark, sf, "documents").select("doc_id", "text")
+    return boolean_search(
+        positional_index(docs), ["part", "filter"], ["vector"]
+    )
+
+
+Q173_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, {_STAGE_TOKS_B} AS arr FROM documents
+), toks AS (
+  SELECT doc_id, unnest(arr) AS tok FROM docs
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+), a AS (SELECT doc_id, tf FROM tf WHERE tok = 'part'),
+b AS (SELECT doc_id, tf FROM tf WHERE tok = 'filter'),
+x AS (SELECT DISTINCT doc_id FROM tf WHERE tok = 'vector')
+SELECT a.doc_id,
+       CAST(least(a.tf, b.tf) AS BIGINT) AS min_tf,
+       CAST(a.tf + b.tf AS BIGINT) AS sum_tf
+FROM a JOIN b USING (doc_id)
+WHERE a.doc_id NOT IN (SELECT doc_id FROM x)
+"""
+
+
 STAGED_QUERIES = {
     "q142_hist_rollup_report": q142_hist_rollup_report,
     "q143_topk_certified": q143_topk_certified,
@@ -598,6 +641,7 @@ STAGED_QUERIES = {
     "q152_mad_outliers": q152_mad_outliers,
     "q170_triangle_counts": q170_triangle_counts,
     "q172_funnel_within": q172_funnel_within,
+    "q173_boolean_search": q173_boolean_search,
     "q171_pagerank": q171_pagerank,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
@@ -611,6 +655,7 @@ STAGED_ORACLE = {
     "q152_mad_outliers": Q152_SQL,
     "q170_triangle_counts": Q170_SQL,
     "q172_funnel_within": Q172_SQL,
+    "q173_boolean_search": Q173_SQL,
     "q171_pagerank": Q171_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,

@@ -287,6 +287,10 @@ def _custom_probes():
             None,
             lambda spark, sf, ctx: staging.q172_funnel_within(spark, sf),
         ),
+        "q173_staged_boolean_search": (
+            None,
+            lambda spark, sf, ctx: staging.q173_boolean_search(spark, sf),
+        ),
         "q147_staged_pps": (
             None,
             lambda spark, sf, ctx: ablock.q147_pps_sample(spark, sf),
@@ -777,6 +781,13 @@ def main() -> None:
         "    explode applies to the ACTIVE-PAIR frame (users x days),",
         "    already 16x smaller than raw, and the second distinct",
         "    collapses map-side — no per-day trailing rescans.",
+        "    q173_staged_boolean_search 5.1 -> 9.1 s (1.8x): the index",
+        "    BUILD (posexplode + (term, doc) groupBy) is the scaling",
+        "    term, as in q148; the query itself touches three terms'",
+        "    postings + one broadcast anti-join — with the index",
+        "    persisted bucketed by term, query cost is df-bounded and",
+        "    corpus-independent.  The NOT term binds at every sf",
+        "    (3098 -> 467 docs at sf0.1).",
         "    q172_staged_funnel_within 3.4 -> 7.4 s (2.2x): q77's",
         "    one-(user)-shuffle fold with the WITHIN condition carried",
         "    in the fold state — no extra join or pass vs the",
