@@ -98,7 +98,7 @@ def _degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
     """Per-node triangle participation counts over an undirected,
     deduplicated ``(src, dst)`` edge set (``src < dst``, no
     self-loops — `cooccurrence_edges`' contract).
@@ -116,8 +116,19 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     m * max_out, not sum(deg^2) — the hub-node explosion of the
     naive triple join cannot occur.  Both self-joins are equi-joins
     on node keys (bucket the oriented edge table by ``lo`` at
-    deployment to co-locate)."""
+    deployment to co-locate).
+
+    ``deg`` feeds three consumers and ``oriented`` feeds three
+    (wedge a/c sides + the closing-edge probe): without a lineage
+    cut each consumer re-expands the whole edge-tape derivation and
+    the plan carries ~100+ exchanges (shuffle reuse hides the cost
+    at fixture scale, but plan size alone bloats compile and AQE
+    work at real scale).  ``checkpoint=True`` (default) cuts both —
+    the q111/pagerank idiom; the frames are graph-sized (nodes /
+    oriented edges), far under the corpus the tape derives from."""
     deg = _degrees(edges)
+    if checkpoint:
+        deg = deg.localCheckpoint(eager=False)
     # orient: lo = lower (deg, node), hi = higher
     d_src = deg.select(
         F.col("node").alias("src"), F.col("deg").alias("_dsrc")
@@ -139,6 +150,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             "_dhi"
         ),
     )
+    if checkpoint:
+        oriented = oriented.localCheckpoint(eager=False)
     a = oriented.select(
         F.col("lo").alias("apex"),
         F.col("hi").alias("b"),
