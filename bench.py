@@ -170,12 +170,22 @@ def main() -> None:
     short = {k.split("_", 1)[0]: v for k, v in timings.items()}
     assert len(short) == len(timings), "short query keys must stay unique"
     budget = 1900  # headroom under the observed ~2000-char window
-    for nd in (3, 2, 1):
-        rounded = {k: round(v, nd) for k, v in short.items()}
+    for nd in (3, 2, 1, 0):
+        rounded = {k: round(v, nd) if nd else int(round(v))
+                   for k, v in short.items()}
         line = json.dumps({**payload, "queries": rounded},
                           separators=(",", ":"))
         if len(line) <= budget:
             break
+    if len(line) > budget:
+        # Even 0-decimal doesn't fit: drop per-query detail rather than
+        # emit a head-truncated (unparseable) BENCH row — the headline
+        # metric/value survives, and the loss is loud, not silent.
+        line = json.dumps(
+            {**payload, "queries": "OVERFLOW: see BENCH_full.json"},
+            separators=(",", ":"),
+        )
+        assert len(line) <= budget, "bench stdout line overflows even bare"
     print(line)
     spark.stop()
 

@@ -111,11 +111,14 @@ def boolean_search(
 
     Plan: one posting-list equi-join per ``must`` term (input bounded
     by that term's df — join the rarest term first at scale) and ONE
-    broadcast left-anti join against the union of the ``must_not``
-    postings (exclusion sets are query-sized, never corpus-sized).
-    Touches only the queried terms' postings — with the index
-    persisted bucketed by term, a boolean query never scans the
-    corpus.
+    left-anti join against the union of the ``must_not`` postings.
+    The exclusion DOC-SET scales with the excluded terms' document
+    frequency — a low-df term yields a broadcast-sized set, but a
+    stopword-class ``must_not`` term is corpus-proportional — so the
+    join strategy is left to AQE (which broadcasts iff the built side
+    is actually under the threshold) rather than forced.  Touches
+    only the queried terms' postings — with the index persisted
+    bucketed by term, a boolean query never scans the corpus.
     """
     if not must:
         raise ValueError("boolean_search needs at least one must-term")
@@ -137,7 +140,7 @@ def boolean_search(
         excl = index.where(
             F.col("term").isin(list(must_not))
         ).select("doc_id").distinct()
-        cur = cur.join(F.broadcast(excl), "doc_id", "left_anti")
+        cur = cur.join(excl, "doc_id", "left_anti")
     return cur.select(
         "doc_id",
         F.col("min_tf").cast("bigint").alias("min_tf"),

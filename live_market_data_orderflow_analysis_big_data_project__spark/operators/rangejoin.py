@@ -177,20 +177,27 @@ def range_count_binned(
     # duplicate tally; eqNullSafe keys make NULL-carrying rows join
     # back instead of silently zeroing (a name-list join drops them).
     # The counts side's keys are renamed so the self-derived join
-    # condition can never be attribute-ambiguous.
+    # condition can never be attribute-ambiguous.  The helper names
+    # are derived from a prefix CHECKED against the caller's interval
+    # columns (an intervals frame already carrying e.g. ``_n_dup``
+    # must not collide into a duplicate-attribute error).
+    tag = "_rj"
+    while any(c.startswith(tag) for c in iv_cols):
+        tag += "x"
+    dup_col = f"{tag}_dup"
     base = intervals.groupBy(*iv_cols).agg(
-        F.count(F.lit(1)).alias("_n_dup")
+        F.count(F.lit(1)).alias(dup_col)
     )
     renamed = counts.select(
-        *[F.col(c).alias(f"_rk_{i}") for i, c in enumerate(iv_cols)],
+        *[F.col(c).alias(f"{tag}_k{i}") for i, c in enumerate(iv_cols)],
         "n_in_range",
     )
     cond = None
     for i, c in enumerate(iv_cols):
-        eq = F.col(c).eqNullSafe(F.col(f"_rk_{i}"))
+        eq = F.col(c).eqNullSafe(F.col(f"{tag}_k{i}"))
         cond = eq if cond is None else (cond & eq)
     guarded = F.when(
-        F.col("_n_dup") > 1,
+        F.col(dup_col) > 1,
         F.raise_error(
             F.lit(
                 "range_count_binned: duplicate interval rows — interval "

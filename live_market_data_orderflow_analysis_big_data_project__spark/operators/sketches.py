@@ -276,103 +276,43 @@ def hll_rollup_report(
     value_col: str | Column,
     lgk: int = DEFAULT_LGK,
     tol: float = 0.05,
-    n_shards: int = 8,
-) -> DataFrame:
-    """Self-auditing rollup summary per group: exact distinct count,
-    bucket count, and three audit booleans —
-
-    - ``rollup_eq_shard``: the caller's bucketing and an unrelated
-      hash-shard bucketing of the SAME rows union to the same
-      estimate — bucketing-invariance, i.e. the rollup grain choice
-      costs nothing;
-    - ``rollup_eq_direct``: the union path equals the single-pass
-      whole-range sketch — merge losslessness;
-    - ``est_ok``: the rollup estimate is within ``tol`` of the exact
-      count (the q34 bounded-error-flag pattern).
-
-    The equality flags are exact comparisons and therefore only valid
-    in the coupon regime (distinct count under ~2^lgk/10, the measured
-    planning bound — module docstring); in the dense regime rely on
-    ``est_ok`` and widen ``tol`` to the sketch's error bound.  The exact count is computed
-    here too (one extra aggregation over the same scan) purely to
-    ground the audit; production callers use the rollup alone.
-    """
-    keys = list(group_cols)
-    value = _col(value_col)
-    rollup = hll_rollup(df, keys, bucket_col, value, lgk)
-    merged = hll_rollup_estimate(rollup, keys).withColumnRenamed(
-        "hll_estimate", "est_rollup"
-    )
-    shard = F.pmod(F.xxhash64(value), F.lit(n_shards)).alias("_shard")
-    sharded = hll_rollup_estimate(
-        hll_rollup(df, keys, shard, value, lgk), keys
-    ).withColumnRenamed("hll_estimate", "est_shard")
-    direct = hll_direct_estimate(df, keys, value, lgk).withColumnRenamed(
-        "hll_estimate", "est_direct"
-    )
-    n_buckets = rollup.groupBy(*_cols(keys)).agg(
-        F.count("*").alias("n_buckets")
-    )
-    exact = df.groupBy(*_cols(keys)).agg(
-        F.count_distinct(value).alias("n_exact")
-    )
-    out = (
-        exact.join(n_buckets, keys)
-        .join(merged, keys)
-        .join(sharded, keys)
-        .join(direct, keys)
-    )
-    est_err = F.abs(
-        F.col("est_rollup").cast("double") - F.col("n_exact").cast("double")
-    )
-    return out.select(
-        *keys,
-        "n_exact",
-        "n_buckets",
-        (F.col("est_rollup") == F.col("est_shard")).alias("rollup_eq_shard"),
-        (F.col("est_rollup") == F.col("est_direct")).alias("rollup_eq_direct"),
-        (est_err <= F.lit(tol) * F.col("n_exact").cast("double")).alias(
-            "est_ok"
-        ),
-    )
-
-
-def hll_rollup_report_auto(
-    df: DataFrame,
-    group_cols: Sequence[str],
-    bucket_col: str | Column,
-    value_col: str | Column,
-    lgk: int = DEFAULT_LGK,
-    tol_coupon: float = 0.05,
     tol_dense: float = 0.10,
     n_shards: int = 8,
 ) -> DataFrame:
-    """``hll_rollup_report`` with a REGIME DETECTOR: past the coupon
-    capacity the equality flags are meaningless (the HIP estimator is
-    insertion-order-dependent once the gadget goes dense — module
-    docstring), so auditing a growing corpus with the plain report
-    eventually false-flags even though the sketches are healthy.  This
-    variant compares each group's exact distinct count against the
-    measured coupon planning bound (~2^lgk/10) and emits
+    """Self-auditing rollup summary per group with a REGIME DETECTOR:
+    exact distinct count, bucket count, the group's estimator regime,
+    and three audit booleans.
 
-    - ``regime``: 'coupon' or 'dense' per group — the detector, named
-      in the output so a reader knows WHICH contract the flags carry;
-    - ``rollup_eq_shard`` / ``rollup_eq_direct``: exact equality in
-      the coupon regime; in the dense regime the tolerance path —
-      the two estimates within ``tol_dense`` of each other (relative
-      to the exact count), the only claim the dense HIP estimator
-      supports;
-    - ``est_ok``: within ``tol_coupon`` of exact in the coupon regime,
-      ``tol_dense`` in the dense regime.
+    The audit's meaning depends on where the group sits relative to
+    the sketch's coupon capacity (the measured ~2^lgk/10 planning
+    bound — module docstring): in the coupon regime estimates are
+    order- and bucketing-independent, so equality is the contract; in
+    the dense regime the HIP estimator is insertion-order-dependent
+    and equality false-flags on healthy sketches — only a tolerance
+    claim holds.  Each group's exact count picks its contract, NAMED
+    in the output so a reader knows which one the flags carry:
 
-    Composes the UNCHANGED building blocks (hll_rollup /
-    hll_rollup_estimate / hll_direct_estimate) next to the plain
-    report rather than refactoring it: q141 gates on the plain
-    report's closure and is out-of-window this round — fold the two
-    together when q141 next rotates in.
+    - ``regime``: 'coupon' or 'dense' per group — the detector;
+    - ``rollup_eq_shard``: the caller's bucketing and an unrelated
+      hash-shard bucketing of the SAME rows union to the same
+      estimate (bucketing-invariance) — exact equality in the coupon
+      regime, within ``tol_dense`` of each other (relative to the
+      exact count) in the dense regime;
+    - ``rollup_eq_direct``: the union path matches the single-pass
+      whole-range sketch (merge losslessness) — same regime split;
+    - ``est_ok``: the rollup estimate is within ``tol`` of the exact
+      count in the coupon regime (the q34 bounded-error-flag
+      pattern), ``tol_dense`` in the dense regime.
+
+    The exact count is computed here too (one extra aggregation over
+    the same scan) purely to ground the audit; production callers use
+    the rollup alone.  (Folded from the former separate
+    ``hll_rollup_report_auto`` in the round q141 re-entered the
+    driver window — one entry point, the detector inside.)
     """
     keys = list(group_cols)
     value = _col(value_col)
+    tol_coupon = tol
     rollup = hll_rollup(df, keys, bucket_col, value, lgk)
     merged = hll_rollup_estimate(rollup, keys).withColumnRenamed(
         "hll_estimate", "est_rollup"

@@ -1407,7 +1407,11 @@ FROM pf, box GROUP BY layout
 # 1480-1499 through different groupings) — the dense regime is
 # tolerance-audit-only, measured in
 # tests/test_sketches.py::test_dense_regime_is_tolerance_only and
-# documented in operators/sketches.py.
+# documented in operators/sketches.py.  Round 10: the regime DETECTOR
+# (formerly the separate hll_rollup_report_auto) is folded into the
+# report — the output NAMES each group's regime, and the oracle
+# recomputes the same ~2^14/10 = 1638 planning-bound comparison on
+# the exact count (every fixture group is 'coupon': <= 1500 users).
 def q141_hll_sketch_rollup(spark, sf):
     ev = load_table(spark, sf, "events").select(
         "event_type",
@@ -1423,6 +1427,8 @@ Q141_SQL = """
 SELECT event_type,
        count(DISTINCT user_id) AS n_exact,
        count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_buckets,
+       CASE WHEN count(DISTINCT user_id) <= 1638
+            THEN 'coupon' ELSE 'dense' END AS regime,
        TRUE AS rollup_eq_shard,
        TRUE AS rollup_eq_direct,
        TRUE AS est_ok

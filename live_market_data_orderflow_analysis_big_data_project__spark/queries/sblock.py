@@ -49,6 +49,14 @@ from ..streaming.core import (
     stream_events_dir,
 )
 from ..operators.warehouse import scd2_merge
+from ..operators.sketches import hll_rollup_windowed
+from ..operators.topk import (
+    topk_counts_to_rollup,
+    topk_merge,
+    topk_read,
+    topk_rollup_windowed,
+)
+from .ablock import _K, _M, Q143_SQL  # s15's cut/read knobs + oracle base
 
 
 def _fmt(col: str, alias: str) -> F.Column:
@@ -521,6 +529,81 @@ SELECT c_custkey, c_mktsegment, CAST(acctbal AS DOUBLE) AS acctbal,
 FROM j
 """
 
+# --------------------------------------------------------------------------
+# Round-10 promotions (docs/ROTATION_r10.md), moved verbatim from
+# queries/staging.py: s14 streaming windowed HLL rollup and s15 the
+# streaming-maintained top-k rollup (batch entries moved to ablock.py).
+# --------------------------------------------------------------------------
+
+def s14_hll_windowed_stream(spark, sf):
+    from ..streaming.core import run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf).select("event_type", "ts", "user_id")
+    rollup = run_to_memory(
+        hll_rollup_windowed(sdf, ["event_type"], "ts", "user_id", lgk=14),
+        "s14_hll_windowed",
+        n_state_partitions=8,
+    )
+    return rollup.select(
+        "event_type",
+        "bucket_start",
+        F.hll_sketch_estimate("hll_sketch").alias("n_users"),
+    )
+
+
+# Append mode emits a day's sketch when the watermark passes the window
+# END; the final no-data batch advances the watermark to max(ts), which
+# is inside the last day — so exactly the closed days are present and
+# the oracle excludes the final day.
+S14_SQL = """
+SELECT event_type,
+       date_trunc('day', ts) AS bucket_start,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE date_trunc('day', ts) < (SELECT date_trunc('day', max(ts)) FROM events)
+GROUP BY 1, 2
+"""
+
+def s15_topk_windowed_stream(spark, sf):
+    """Streaming-maintained top-k rollup (operators/topk.py): the
+    stream keeps EXACT per-(type x day x user) counts (a standard
+    windowed streaming aggregate, state bounded by open windows) and
+    append mode emits each closed day's counts once; the lossy top-m
+    cut + certified merge/read then run as a batch view over the
+    emitted table — q143's pipeline with the count stage streamed.
+    Oracle: Q143's SQL restricted to closed days (the s14 watermark
+    argument: the final no-data batch advances the watermark into the
+    last day, so exactly the earlier days' windows have flushed)."""
+    from ..streaming.core import run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf).select("event_type", "ts", "user_id")
+    counts = run_to_memory(
+        topk_rollup_windowed(sdf, ["event_type"], "ts", "user_id"),
+        "s15_topk_windowed",
+        n_state_partitions=8,
+    )
+    # topk_merge self-joins the rollup; Spark's self-join attribute
+    # dedup fails with INTERNAL_ERROR on a MemorySink view leaf, so
+    # cut lineage on the (tiny: groups x days x items) emitted table.
+    counts = counts.localCheckpoint(eager=True)
+    rollup = topk_counts_to_rollup(counts, ["event_type"], "bucket_start", m=_M)
+    merged = topk_merge(rollup, ["event_type"])
+    return topk_read(merged, ["event_type"], k=_K).select(
+        "event_type", "item", "est", "upper", "rank", "certified"
+    )
+
+
+# Q143's lossy-rollup twin verbatim, restricted to closed day windows
+# (built by replacement so the two stay coupled; the assert pins it).
+S15_SQL = Q143_SQL.replace(
+    "FROM events GROUP BY 1, 2, 3",
+    """FROM events
+  WHERE date_trunc('day', ts)
+        < (SELECT date_trunc('day', max(ts)) FROM events)
+  GROUP BY 1, 2, 3""",
+)
+assert "WHERE date_trunc" in S15_SQL
+
 
 QUERIES = {
     "s01_tumbling_candles": s01_tumbling_candles,
@@ -536,6 +619,8 @@ QUERIES = {
     "s11_python_stream_source": s11_python_stream_source,
     "s12_incremental_dedup": s12_incremental_dedup,
     "s13_scd2_stream_apply": s13_scd2_stream_apply,
+    "s14_hll_windowed_stream": s14_hll_windowed_stream,
+    "s15_topk_windowed_stream": s15_topk_windowed_stream,
 }
 
 # DuckDB twins of the drained streaming output (see module docstring for
@@ -739,4 +824,6 @@ ORACLE = {
     "s11_python_stream_source": _S11_ORACLE_SQL,
     "s12_incremental_dedup": S12_SQL,
     "s13_scd2_stream_apply": S13_SQL,
+    "s14_hll_windowed_stream": S14_SQL,
+    "s15_topk_windowed_stream": S15_SQL,
 }

@@ -136,3 +136,36 @@ def test_n_stage_generalization(spark):
     casc = funnel_stages(e, four, bounded=False).collect()[0]
     assert all(fold[f"t{i}"] is not None for i in range(1, 5))
     assert tuple(fold) == tuple(casc)
+
+
+def test_q172_gap_binds_on_the_fixture(spark):
+    """VERDICT r9 item 4: q172's discriminating term — the 48 h
+    conversion window — must BIND on the driver fixture (users stall
+    who convert unconstrained), otherwise the gate only re-proves the
+    unconstrained fold.  Pinned as an assertion so a fixture
+    regeneration cannot silently un-bind the constraint (measured at
+    r9 staging: stage-sum 2866 constrained vs 4500 unconstrained at
+    sf0.1; binds at every sf)."""
+    from conftest import SF001
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
+        _Q172_GAP_S,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (  # noqa: E501
+        load_table,
+    )
+
+    e = load_table(spark, SF001, "events")
+    stage_sum = lambda df: df.agg(
+        F.sum(
+            F.col("t1").isNotNull().cast("int")
+            + F.col("t2").isNotNull().cast("int")
+            + F.col("t3").isNotNull().cast("int")
+        )
+    ).collect()[0][0]
+    unconstrained = stage_sum(funnel_stages(e, STAGES, bounded=True))
+    constrained = stage_sum(
+        funnel_stages(e, STAGES, bounded=True, max_gap_s=_Q172_GAP_S)
+    )
+    assert constrained < unconstrained, (constrained, unconstrained)
+    assert constrained > 0

@@ -83,3 +83,29 @@ def test_no_python_in_plan(idx):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q173_not_term_binds_on_the_fixture(spark):
+    """VERDICT r9 item 4: q173's discriminating term — the must_not
+    exclusion — must BIND on the driver fixture (a large share of the
+    part-AND-filter docs contain 'vector' and are excluded), otherwise
+    the gate only re-proves the conjunction path.  Pinned as an
+    assertion so a fixture regeneration cannot silently un-bind the
+    exclusion (measured at r9 staging: 3098 -> 467 docs at sf0.1;
+    binds at every sf)."""
+    from conftest import SF001
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.index import (  # noqa: E501
+        boolean_search,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (  # noqa: E501
+        load_table,
+    )
+
+    docs = load_table(spark, SF001, "documents").select("doc_id", "text")
+    fixture_idx = positional_index(docs)
+    with_not = boolean_search(fixture_idx, ["part", "filter"], ["vector"])
+    without = boolean_search(fixture_idx, ["part", "filter"])
+    n_with, n_without = with_not.count(), without.count()
+    assert n_with < n_without, (n_with, n_without)
+    assert n_with > 0

@@ -138,6 +138,24 @@ def test_null_carrying_interval_rows_keep_their_counts(spark):
     assert got == {None: 2, 7: 0}
 
 
+def test_caller_columns_shadowing_guard_names_still_work(spark):
+    # r9 ADVICE: the duplicate-interval guard's internal helper names
+    # must not collide with caller columns — an intervals frame already
+    # carrying `_n_dup` / `_rj_dup`-style names gets a fresh prefix.
+    pts = [(_t(2), 1)]
+    p = spark.createDataFrame(pts, "p_ts timestamp, p_id long")
+    iv = spark.createDataFrame(
+        [(1, 9, 9, _t(1), _t(3))],
+        "iv_id long, _n_dup long, _rj_dup long, lo timestamp, hi timestamp",
+    )
+    out = range_count_binned(p, iv, "p_ts", "lo", "hi", 3600)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["iv_id"] == 1 and r["n_in_range"] == 1
+    assert r["_n_dup"] == 9 and r["_rj_dup"] == 9  # carried untouched
+
+
 def test_null_bound_interval_matches_nothing(spark):
     pts = [(_t(2), 1)]
     p = spark.createDataFrame(pts, "p_ts timestamp, p_id long")

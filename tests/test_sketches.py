@@ -57,6 +57,7 @@ def test_report_all_flags_true_and_exact(spark):
     ).collect()
     assert len(rows) == 5
     for r in rows:
+        assert r.regime == "coupon"
         assert r.rollup_eq_shard and r.rollup_eq_direct and r.est_ok
         assert r.n_exact == 150 and r.n_buckets == 30
 
@@ -131,6 +132,7 @@ def test_dense_regime_is_tolerance_only(spark):
     rows = hll_rollup_report(df, ["g"], "day", "u", lgk=10, tol=0.10).collect()
     assert len(rows) == 1
     r = rows[0]
+    assert r.regime == "dense"
     assert r.n_exact == n and r.est_ok
     # Do NOT assert the equality flags here: in the dense regime they
     # are estimator-path artifacts, not invariants.  What must hold is
@@ -144,18 +146,15 @@ def test_dense_regime_is_tolerance_only(spark):
     assert abs(est["g"] - n) <= 0.10 * n
 
 
-def test_auto_report_names_the_regime_and_switches_the_audit(spark):
-    """The regime detector (hll_rollup_report_auto): groups under the
-    ~2^lgk/10 coupon planning bound audit with EXACT equality flags;
-    groups past it (the 16x-scale-up failure mode the r8 verdict
-    flagged: lgk=14's coupon capacity is crossed and the plain
-    report's equality booleans can false-flag on healthy sketches)
-    are NAMED 'dense' and audited on the 10%-tolerance path only —
-    the only claim the order-dependent HIP estimator supports."""
-    from live_market_data_orderflow_analysis_big_data_project__spark.operators.sketches import (  # noqa: E501
-        hll_rollup_report_auto,
-    )
-
+def test_report_names_the_regime_and_switches_the_audit(spark):
+    """The regime detector (folded into hll_rollup_report in the round
+    q141 re-entered the window): groups under the ~2^lgk/10 coupon
+    planning bound audit with EXACT equality flags; groups past it
+    (the 16x-scale-up failure mode the r8 verdict flagged: lgk=14's
+    coupon capacity is crossed and equality booleans can false-flag
+    on healthy sketches) are NAMED 'dense' and audited on the
+    10%-tolerance path only — the only claim the order-dependent HIP
+    estimator supports."""
     n_dense, n_coupon = 20_000, 50  # vs lgk=10 capacity ~102
     df = (
         spark.range(0, 5 * n_dense)
@@ -173,7 +172,7 @@ def test_auto_report_names_the_regime_and_switches_the_audit(spark):
     )
     rows = {
         r.g: r
-        for r in hll_rollup_report_auto(
+        for r in hll_rollup_report(
             df, ["g"], "day", "u", lgk=10
         ).collect()
     }

@@ -180,6 +180,15 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    # VERDICT r9 item 7: run-to-run variance on unchanged code measured
+    # ~1.5x (host state), so a single sample can silently cherry-pick.
+    # The drain runs N times and the HEADLINE is the conservative end
+    # (min events/sec, max p50) COMPUTED here, not chosen by hand;
+    # min/median/max are all recorded.
+    n_repeats = int(
+        sys.argv[3] if len(sys.argv) > 3
+        else os.environ.get("SPARK_GRAFT_STREAMBENCH_REPEATS", "3")
+    )
 
     from pyspark.sql import functions as F
 
@@ -212,36 +221,46 @@ def main() -> None:
     ).parquet(src)
 
     schema = events.schema
-    ticks = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .select(
-            F.col("user_id").cast("string").alias("instrument"),
-            F.col("ts").alias("event_time"),
-            F.col("value").alias("ltp"),
-            F.lit(1).cast("long").alias("ltq"),
+
+    def _drain_once() -> tuple[float, list[int]]:
+        ticks = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select(
+                F.col("user_id").cast("string").alias("instrument"),
+                F.col("ts").alias("event_time"),
+                F.col("value").alias("ltp"),
+                F.lit(1).cast("long").alias("ltq"),
+            )
+            .withColumn(
+                "side",
+                aggressor_side(F.col("ltp"), F.lit(50.0), F.lit(150.0)),
+            )
         )
-        .withColumn("side", aggressor_side(F.col("ltp"), F.lit(50.0), F.lit(150.0)))
-    )
-    candles = ohlc_candles(ticks, window="1 minute", watermark="5 minutes")
+        candles = ohlc_candles(ticks, window="1 minute", watermark="5 minutes")
+        t0 = time.time()
+        q = (
+            candles.writeStream.format("noop")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("availableNow drain timed out after 600s")
+        wall = time.time() - t0
+        progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        return wall, sorted(
+            p["durationMs"].get("triggerExecution", 0) for p in progresses
+        )
 
-    t0 = time.time()
-    q = (
-        candles.writeStream.format("noop")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError("availableNow drain timed out after 600s")
-    wall = time.time() - t0
-
-    progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
-    batch_ms = sorted(
-        p["durationMs"].get("triggerExecution", 0) for p in progresses
-    )
+    runs = [_drain_once() for _ in range(max(1, n_repeats))]
+    # conservative headline run = the SLOWEST drain; batch_ms percentiles
+    # are computed from that run's own progress, so the (value, p50) pair
+    # stays internally consistent.
+    wall, batch_ms = max(runs, key=lambda r: r[0])
+    eps_runs = sorted(round(n_events / w, 1) for w, _ in runs)
 
     def pct(p: float) -> float:
         # nearest-rank percentile: ceil(p*n)-1 (int(p*n) overshoots to
@@ -290,10 +309,19 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "stream_events_per_sec",
+                # headline = the slowest of n_repeats drains — the
+                # conservative end is computed, not hand-picked
                 "value": round(n_events / wall, 1),
                 "unit": "events/sec",
                 "n_events": n_events,
                 "wall_sec": round(wall, 2),
+                "repeats": {
+                    "n": len(runs),
+                    "events_per_sec_min": eps_runs[0],
+                    "events_per_sec_median": eps_runs[len(eps_runs) // 2],
+                    "events_per_sec_max": eps_runs[-1],
+                    "statistic": "value/p50 reported from the slowest run",
+                },
                 "n_micro_batches": len(batch_ms),
                 "micro_batch_ms_p50": pct(0.5),
                 "micro_batch_ms_max": batch_ms[-1] if batch_ms else -1,

@@ -605,8 +605,9 @@ def main() -> None:
         "    shuffle carries ~kB sketches per (group, bucket, task), so",
         "    wall tracks the scan; at 16x users the lgk=14 gate fixture",
         "    crosses into the dense regime — the probe times it, the",
-        "    equality flags are only asserted at gate scale; r9 adds",
-        "    hll_rollup_report_auto, which NAMES each group's regime",
+        "    equality flags are only asserted at gate scale; the regime",
+        "    detector (folded INTO hll_rollup_report in r10, the round",
+        "    q141 re-entered the window) NAMES each group's regime",
         "    against the ~2^lgk/10 bound and switches dense groups to",
         "    the 10%-tolerance audit, so a growing corpus stops",
         "    false-flagging — regime switch pinned in",
