@@ -35,7 +35,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_stages"]
+__all__ = ["funnel_stages", "funnel_state_stream"]
 
 
 def _fold_expr(
@@ -132,3 +132,91 @@ def funnel_stages(
     for cur in stage_frames:
         out = out.join(cur, user_col, "left")
     return out
+
+
+def funnel_state_stream(
+    sdf: DataFrame,
+    stages: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_gap_s: int | None = None,
+) -> DataFrame:
+    """Streaming funnel via ``applyInPandasWithState`` — the stateful
+    twin of the ``bounded=True`` fold (the s16 pattern applied to the
+    MATCH_RECOGNIZE class): per user the state is the cascade's
+    partial ``(t1 .. tn)`` vector (constant size per key, NOT the
+    event history), each micro-batch sorts its rows by
+    ``(ts, event_type)`` — the fold's struct sort order — and
+    continues the cascade from the stored state, emitting the user's
+    CURRENT stage vector (update mode).
+
+    Because the cascade is a single forward pass and stage timestamps
+    only ever FILL (never change once set), the final emission per
+    user equals the batch fold over the whole history exactly — given
+    the engine's per-key time-ordered arrival across batches (the
+    file-replay / keyed-ingest assumption documented on
+    ``transition_increments``).  Selecting each user's most-advanced
+    emission (max stage; ties are identical rows) therefore
+    reproduces ``funnel_stages`` bit-for-bit — a stream==batch
+    equality gate, no window-closure restriction.
+
+    Output (update mode): ``user_col``, ``t1_us .. tn_us`` int64
+    microseconds (-1 = stage not reached; the sentinel stays internal
+    — convert with ``timestamp_micros`` + a NULL guard downstream).
+    """
+    import pandas as pd  # noqa: F401  (worker-side dependency)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n = len(stages)
+    if n == 0:
+        raise ValueError("stages must be non-empty")
+    stage_list = list(stages)
+    gap_us = None if max_gap_s is None else int(max_gap_s) * 1_000_000
+    out_schema = f"{user_col} long, " + ", ".join(
+        f"t{i}_us long" for i in range(1, n + 1)
+    )
+    state_schema = ", ".join(f"t{i}_us long" for i in range(1, n + 1))
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        batches = [p for p in pdf_iter if len(p)]
+        if not batches:
+            return
+        t = list(state.get) if state.exists else [-1] * n
+        rows = pd.concat(batches).sort_values([ts_col, type_col])
+        for ts_val, etype in zip(rows[ts_col], rows[type_col]):
+            ts_us = int(pd.Timestamp(ts_val).value) // 1000
+            # evaluate every stage's CASE against the PRE-event state
+            # (the fold's struct semantics), then apply
+            hit = None
+            for i in range(n):
+                if t[i] != -1 or etype != stage_list[i]:
+                    continue
+                if i == 0:
+                    hit = i
+                    break
+                if t[i - 1] == -1 or ts_us <= t[i - 1]:
+                    continue
+                if gap_us is not None and ts_us > t[i - 1] + gap_us:
+                    continue
+                hit = i
+                break
+            if hit is not None:
+                t[hit] = ts_us
+        state.update(tuple(t))
+        yield pd.DataFrame([[key[0], *t]], columns=out_schema.replace(
+            " long", ""
+        ).split(", "))
+
+    filtered = sdf.filter(F.col(type_col).isin(stage_list)).select(
+        user_col, ts_col, type_col
+    )
+    return filtered.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,78 @@
+"""Prefix-filtered set-similarity join (operators/setjoin.py): the
+prefix filter must be LOSSLESS — results equal the naive all-pairs
+token-set Jaccard join exactly (Bayardo et al.'s bound), including at
+threshold boundaries (exact rational arithmetic, no float epsilon)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from live_market_data_orderflow_analysis_big_data_project__spark.operators.setjoin import (  # noqa: E501
+    setsim_join,
+    token_sets,
+)
+
+DOCS = [
+    (1, "alpha beta gamma delta"),
+    (2, "alpha beta gamma epsilon"),          # j(1,2) = 3/5
+    (3, "alpha beta gamma delta"),            # j(1,3) = 1 exact dup
+    (4, "zeta eta theta"),                    # disjoint from 1-3
+    (5, "zeta eta theta iota kappa"),         # j(4,5) = 3/5
+    (6, "alpha zeta unique1 unique2"),        # low sim to all
+    (7, "the the the alpha"),                 # repeated tokens dedupe
+]
+
+
+def _naive(rows, t_num, t_den):
+    sets = {d: set(t.lower().split()) for d, t in rows}
+    out = {}
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter * t_den >= t_num * union:
+            out[(a, b)] = (len(sets[a]), len(sets[b]), inter)
+    return out
+
+
+@pytest.mark.parametrize("t_num,t_den", [(3, 5), (1, 2), (1, 1), (7, 10)])
+def test_equals_naive_all_pairs(spark, t_num, t_den):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_a, r.n_b, r.n_inter)
+        for r in setsim_join(df, t_num, t_den).collect()
+    }
+    assert got == _naive(DOCS, t_num, t_den), (t_num, t_den)
+
+
+def test_boundary_pair_is_exact_not_float(spark):
+    # j = 3/5 exactly: must be INCLUDED at t=3/5 (>=), excluded at 61/100
+    df = spark.createDataFrame(DOCS[:2], "doc_id long, text string")
+    at = setsim_join(df, 3, 5).collect()
+    above = setsim_join(df, 61, 100).collect()
+    assert [(r.doc_a, r.doc_b) for r in at] == [(1, 2)]
+    assert above == []
+
+
+def test_token_sets_dedupe(spark):
+    df = spark.createDataFrame([DOCS[6]], "doc_id long, text string")
+    toks = {r.tok for r in token_sets(df).collect()}
+    assert toks == {"the", "alpha"}
+
+
+def test_jaccard_value_is_two_integer_division(spark):
+    df = spark.createDataFrame(DOCS[:2], "doc_id long, text string")
+    r = setsim_join(df, 1, 2).collect()[0]
+    assert r.jaccard == 3 / 5
+
+
+def test_no_python_in_plan(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = (
+        setsim_join(df, 3, 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -57,6 +57,9 @@ NON_EQUI_OK = {
     "q159_basket_lift",         # 1-row basket-count crossJoin (zorder pattern)
     "q167_psi_drift",           # keys x n_bins(10)-row bin-grid broadcast
                                 # crossJoin (the gapfill grid pattern)
+    # Round-10 staged cohort (audited pre-promotion):
+    "q176_collocations",        # 1-row bigram-total scalar crossJoin
+                                # (the q117/q122 N-scalar pattern)
 }
 # queries whose purpose is the row-Python UDF surface
 # Declared row-Python API-surface proofs (never-hot-path documented):
