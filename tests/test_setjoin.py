@@ -76,3 +76,35 @@ def test_no_python_in_plan(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_shingle_mode_equals_naive_shingle_jaccard(spark):
+    # the q174 configuration: elements are 3-shingles, not tokens
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # high sim
+        (3, "a completely different sentence with other words"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def sh(text):
+        toks = text.lower().split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    sets = {d: sh(t) for d, t in docs}
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter * 2 >= 1 * union:  # t = 1/2
+                    want[(a, b)] = inter
+    got = {
+        (r.doc_a, r.doc_b): r.n_inter
+        for r in setsim_join(df, 1, 2, ngram=3).collect()
+    }
+    assert got == want
+    assert (1, 4) in got  # the exact dup survives
+    assert (1, 2) in got  # the near dup survives
