@@ -392,3 +392,127 @@ def test_range_count_binned_equals_brute_force(spark, points, spans, bin_s):
         for i, (lo, length) in enumerate(spans)
     }
     assert got == expect
+
+
+# --- round-10 staged operators vs pure-Python models ------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 200)),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 200)),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([1, 3, 11]),  # bin seconds over a µs-scaled domain
+)
+def test_interval_overlap_binned_equals_brute_force(spark, ls, rs, bin_s):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.overlapjoin import (  # noqa: E501
+        interval_overlap_binned,
+    )
+
+    sc = 700_000  # µs per unit: intervals straddle bins at every width
+    left = spark.createDataFrame(
+        [(i, _ts(lo * sc), _ts((lo + ln) * sc)) for i, (lo, ln) in enumerate(ls)],
+        "id long, lo timestamp, hi timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, _ts(lo * sc), _ts((lo + ln) * sc)) for i, (lo, ln) in enumerate(rs)],
+        "id long, lo timestamp, hi timestamp",
+    )
+    got = {
+        (r.l_id, r.r_id): r.overlap_us
+        for r in interval_overlap_binned(
+            left, right, bin_seconds=bin_s
+        ).collect()
+    }
+    expect = {}
+    for i, (alo, aln) in enumerate(ls):
+        for j, (blo, bln) in enumerate(rs):
+            if alo <= blo + bln and blo <= alo + aln:
+                expect[(i, j)] = (
+                    min(alo + aln, blo + bln) - max(alo, blo)
+                ) * sc
+    assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    ).map(lambda ps: [(a, b) for a, b in ps if a != b]),
+    st.integers(1, 4),
+    st.integers(1, 4),
+)
+def test_kcore_peel_equals_python_peeling(spark, pairs, k, rounds):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.kcore import (  # noqa: E501
+        kcore_peel,
+    )
+
+    if not pairs:
+        return
+    edges = {(min(a, b), max(a, b)) for a, b in pairs}
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    cur = set(edges)
+    for _ in range(rounds):
+        deg: dict[int, int] = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+    fdeg: dict[int, int] = {}
+    for a, b in cur:
+        fdeg[a] = fdeg.get(a, 0) + 1
+        fdeg[b] = fdeg.get(b, 0) + 1
+    got = {
+        r.node: (r.in_core, r.core_deg)
+        for r in kcore_peel(df, k=k, rounds=rounds).collect()
+    }
+    want = {
+        n: (n in fdeg, fdeg.get(n, 0)) for e in edges for n in e
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcde ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([(1, 2), (3, 5), (1, 1)]),
+)
+def test_setsim_join_equals_naive_token_jaccard(spark, texts, t):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.setjoin import (  # noqa: E501
+        setsim_join,
+    )
+
+    t_num, t_den = t
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = {
+        d: {w for w in re.split(r"\W+", txt.lower()) if w}
+        for d, txt in docs
+    }
+    want = {}
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter * t_den >= t_num * union:
+                    want[(a, b)] = inter
+    got = {
+        (r.doc_a, r.doc_b): r.n_inter
+        for r in setsim_join(df, t_num, t_den).collect()
+    }
+    assert got == want
