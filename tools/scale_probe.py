@@ -818,12 +818,15 @@ def main() -> None:
         "    (stage-sum 2866 vs 4500 unconstrained at sf0.1), so the",
         "    gate exercises the constraint, not just the fold.",
         "    NEWLY STAGED IN r9 (the graph family, operators/graph.py):",
-        "    q170_staged_triangles 9.9 -> 10.7 s (1.1x): the oriented",
-        "    wedge join's fan-out is bounded by per-node out-degree",
-        "    O(sqrt(2m)), and the fixture's distinct-edge set grows",
-        "    sub-linearly with events (node-pair density saturates), so",
-        "    the wall is scan + edge-build; the naive triple join this",
-        "    replaces is the oracle, hash-equal at 3 sfs.",
+        "    q170_staged_triangles 9.9 -> 10.7 s (1.1x; re-measured",
+        "    7.7 -> 9.3 s, 1.2x, after the r10 lineage cut — deg and",
+        "    oriented localCheckpointed, executed plan 114 -> 14",
+        "    exchanges, 1x wall improved): the oriented wedge join's",
+        "    fan-out is bounded by per-node out-degree O(sqrt(2m)), and",
+        "    the fixture's distinct-edge set grows sub-linearly with",
+        "    events (node-pair density saturates), so the wall is scan +",
+        "    edge-build; the naive triple join this replaces is the",
+        "    oracle, hash-equal at 3 sfs.",
         "    q171_staged_pagerank 9.1 -> 12.7 s (1.4x): 3 bounded",
         "    shuffle rounds of (dst, integer contribution) pairs — the",
         "    int64 micro-unit quantization that makes the iterations",
