@@ -839,14 +839,17 @@ def main() -> None:
         "    domain-bounded interval frame.",
         "",
         "14. NEWLY STAGED IN r10 (probed before entering any window):",
-        "    q174_staged_setsim 13.1 -> 108.3 s (8.3x at 16x docs): the",
-        "    prefix-filtered shingle-set join's scaling terms are the",
-        "    per-doc ordering windows (linear) and the candidate/verify",
-        "    volume; the alphabet-rotated replica keeps copies textually",
-        "    disjoint, so candidates grow ~16x and the verify join",
-        "    (candidates x doc shingles) dominates — sub-replication",
-        "    overall, no cross-copy quadratic term (a verbatim replica",
-        "    would fabricate one: the finding-2 rule).",
+        "    q174_staged_setsim 13.1 -> 108.3 s (8.3x at 16x docs).",
+        "    TERM DECOMPOSITION (tools/probe_q174_terms.py): every stage",
+        "    is EXACTLY 16.0x — elements 260k -> 4.17M, prefix rows 81k",
+        "    -> 1.29M, candidates 202k -> 3.24M, verify row traffic 13.0M",
+        "    -> 208.7M, output pairs 256 -> 4096, cross-copy candidates 0",
+        "    (asserted; the alphabet-rotated replica keeps copies",
+        "    textually disjoint — the finding-2 rule).  The 8.3x wall on",
+        "    16.0x work is sub-linear per unit; the dominant term is the",
+        "    verify join's candidates x element-list traffic, which is",
+        "    output-shaped, not a blocking artifact — no quadratic term",
+        "    anywhere.",
         "    q175_staged_kcore 7.1 -> 9.7 s (1.4x): six peel rounds =",
         "    twelve bounded keyed shuffles over a shrinking daily edge",
         "    frame; the graph is events-derived and day-bounded, so the",
