@@ -570,3 +570,77 @@ def test_s12_anti_join_drops_indexed_ids_in_every_batch(spark):
     )
     out = run_to_memory(deduped.select("event_id"), "t_s12_batches")
     assert sorted(r.event_id for r in out.collect()) == [3, 4, 5]
+
+
+def test_funnel_state_spans_micro_batches(spark):
+    """s18's core property under PROGRESSIVE delivery: a user whose
+    funnel stages arrive in DIFFERENT micro-batches still converts —
+    the stage-vector state carries across batches — and the final
+    per-user state is batch-count invariant (1 batch == 3 batches) and
+    equal to the batch fold (`funnel_stages`) over the same rows."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.funnel import (  # noqa: E501
+        funnel_stages,
+        funnel_state_stream,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (  # noqa: E501
+        stream_events_dir,
+    )
+
+    # user 1: view@m0, click@m1, purchase@m2 — one stage PER batch;
+    # user 2: click@m0 (pre-view, must not count), view@m1, click@m2;
+    # user 3: purchase-only — stage 0 forever.
+    rows = [
+        (1, _ts(0, 10), "view"), (1, _ts(1, 10), "click"),
+        (1, _ts(2, 10), "purchase"),
+        (2, _ts(0, 5), "click"), (2, _ts(1, 5), "view"),
+        (2, _ts(2, 5), "click"),
+        (3, _ts(0, 1), "purchase"),
+    ]
+    schema = "user_id long, ts timestamp, event_type string"
+    df = spark.createDataFrame(rows, schema)
+    tmp = tempfile.mkdtemp(prefix="funnel_batches_")
+    for m in range(3):
+        df.filter(F.minute("ts") == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(tmp)
+
+    def final_state(max_files):
+        sdf = stream_events_dir(
+            spark, tmp, df.schema, max_files_per_trigger=max_files
+        )
+        out = run_to_memory(
+            funnel_state_stream(sdf, ("view", "click", "purchase")),
+            f"t_funnel_{max_files}",
+            output_mode="update",
+        )
+        return {
+            (r.user_id, r.t1_us, r.t2_us, r.t3_us)
+            for r in out.groupBy("user_id")
+            .agg(
+                F.max("t1_us").alias("t1_us"),
+                F.max("t2_us").alias("t2_us"),
+                F.max("t3_us").alias("t3_us"),
+            )
+            .collect()
+        }
+
+    one, three = final_state(None), final_state(1)
+    assert one == three
+    batch = {
+        (
+            r.user_id,
+            *[
+                -1 if r[f"t{i}"] is None
+                else int(r[f"t{i}"].timestamp() * 1_000_000)
+                for i in (1, 2, 3)
+            ],
+        )
+        for r in funnel_stages(
+            df, ("view", "click", "purchase")
+        ).collect()
+    }
+    assert one == batch
+    by_user = {u: (a, b, c) for u, a, b, c in one}
+    assert by_user[1][2] != -1          # converted ACROSS three batches
+    assert by_user[2][0] != -1 and by_user[2][1] != -1  # pre-view click skipped, later click counts
+    assert by_user[3] == (-1, -1, -1)   # purchase-only: stage 0
