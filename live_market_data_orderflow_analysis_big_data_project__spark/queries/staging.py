@@ -36,6 +36,12 @@ staged at r9 close.  Staged during round 10 for the r11 window:
   stage-vector state via applyInPandasWithState, final emission ==
   the batch fold exactly, so the oracle is Q77's SQL verbatim (the
   s16 stream==batch equality pattern).
+- q178: join-key skew diagnostics (operators/skew.py skew_report) —
+  the measurement that picks the mitigation posture (broadcast / AQE
+  split / salted_join) and sizes the salt: exact integer max/p99
+  bucket, top-1 share ppm, x-mean skew factor; p99 rank-selected on
+  the bucket-size histogram (provably O(sqrt(2 n_rows)) rows), never
+  a global sort over the key frame.
 """
 
 from __future__ import annotations
@@ -350,12 +356,66 @@ def s18_funnel_stream(spark, sf):
 from .eblock import Q77_SQL as S18_SQL  # noqa: E402
 
 
+def q178_skew_report(spark, sf):
+    """Join-key skew diagnostics (operators/skew.py skew_report) over
+    three join keys of different shape: events by user_id (many keys,
+    near-uniform), events by event_type (5 keys, near-uniform),
+    lineitem by l_orderkey (1-7-row buckets).  Every output an exact
+    int64 (counts, rank-selected p99, integer-ppm share, ceil-div
+    skew factor) — the q161/q152 integer-selection conventions
+    applied to the operational question that sizes salted_join."""
+    from ..operators.skew import skew_report
+
+    ev = load_table(spark, sf, "events")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        skew_report(ev, "user_id")
+        .unionByName(skew_report(ev, "event_type"))
+        .unionByName(skew_report(li, "l_orderkey"))
+    )
+
+
+def _q178_one(table: str, key: str) -> str:
+    return f"""
+SELECT '{key}' AS keyset,
+       a.n_rows, a.n_keys, a.max_bucket, p.p99_bucket,
+       CAST(a.max_bucket * 1000000 // a.n_rows AS BIGINT)
+         AS top1_share_ppm,
+       CAST((a.max_bucket * a.n_keys + a.n_rows - 1) // a.n_rows
+            AS BIGINT) AS skew_factor
+FROM (
+  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(n) AS BIGINT) AS max_bucket
+  FROM (SELECT {key}, count(*) AS n FROM {table} GROUP BY 1)
+) a, (
+  SELECT CAST(min(n) AS BIGINT) AS p99_bucket
+  FROM (
+    SELECT n, sum(k) OVER (ORDER BY n) AS cum, sum(k) OVER () AS nk
+    FROM (SELECT n, count(*) AS k
+          FROM (SELECT {key}, count(*) AS n FROM {table} GROUP BY 1)
+          GROUP BY 1)
+  ) WHERE cum >= (99 * nk + 99) // 100
+) p
+"""
+
+
+Q178_SQL = (
+    _q178_one("events", "user_id")
+    + " UNION ALL "
+    + _q178_one("events", "event_type")
+    + " UNION ALL "
+    + _q178_one("lineitem", "l_orderkey")
+)
+
+
 STAGED_QUERIES = {
     "q174_setsim_join": q174_setsim_join,
     "q175_kcore": q175_kcore,
     "q176_collocations": q176_collocations,
     "q177_interval_overlap": q177_interval_overlap,
     "s18_funnel_stream": s18_funnel_stream,
+    "q178_skew_report": q178_skew_report,
 }
 
 STAGED_ORACLE = {
@@ -364,4 +424,5 @@ STAGED_ORACLE = {
     "q176_collocations": Q176_SQL,
     "q177_interval_overlap": Q177_SQL,
     "s18_funnel_stream": S18_SQL,
+    "q178_skew_report": Q178_SQL,
 }

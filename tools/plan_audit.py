@@ -60,6 +60,18 @@ NON_EQUI_OK = {
     # Round-10 staged cohort (audited pre-promotion):
     "q176_collocations",        # 1-row bigram-total scalar crossJoin
                                 # (the q117/q122 N-scalar pattern)
+    "q178_skew_report",         # 1-row p99-scalar broadcast crossJoin
+                                # (the q157 recombine pattern)
+}
+
+# Global sorts that are BOUNDED by construction (not whole-dataset):
+# flagging keys whose one global window runs over a provably small
+# frame would bury real whole-dataset sorts in noise.
+GLOBAL_SORT_OK = {
+    "q178_skew_report",  # cum-sum over the bucket-SIZE histogram:
+                         # distinct sizes sum to <= n_rows, so the
+                         # frame is O(sqrt(2 n_rows)) rows (operator
+                         # docstring carries the proof)
 }
 # queries whose purpose is the row-Python UDF surface
 # Declared row-Python API-surface proofs (never-hot-path documented):
@@ -104,7 +116,7 @@ def main() -> None:
         # window/merge-join sorts are partition-local ('false'), so any
         # global Sort here is an unbounded whole-dataset sort — a red flag.
         for m in re.finditer(r"Sort \[(.*?)\], true, 0", plan):
-            if "TakeOrderedAndProject" not in plan:
+            if "TakeOrderedAndProject" not in plan and key not in GLOBAL_SORT_OK:
                 flags.append(f"global sort on [{m.group(1)[:60]}]")
         rows.append((key, n_exchange, flags))
         if flags:

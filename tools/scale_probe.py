@@ -104,6 +104,7 @@ PROBE_QUERIES = [
     ("q175_staged_kcore", "STAGED r10: k-core peeling, 6 fixed rounds — two keyed shuffles per round on a shrinking edge frame, localCheckpoint lineage cuts"),
     ("q176_staged_collocations", "STAGED r10: collocation lift — one bigram count shuffle + vocabulary-sized margin joins + 1-row total crossJoin"),
     ("q177_staged_overlapjoin", "STAGED r10: bin-decomposed interval x interval overlap join — bin equi-join, first-shared-bin dedup, TRUE pair volume is the output term"),
+    ("q178_staged_skew_report", "STAGED r10: join-key skew diagnostics — one per-key count agg + a global window over the provably O(sqrt n) bucket-size histogram"),
 ]
 
 
@@ -310,6 +311,10 @@ def _custom_probes():
         "q177_staged_overlapjoin": (
             None,
             lambda spark, sf, ctx: staging.q177_interval_overlap(spark, sf),
+        ),
+        "q178_staged_skew_report": (
+            None,
+            lambda spark, sf, ctx: staging.q178_skew_report(spark, sf),
         ),
         "q147_staged_pps": (
             None,
@@ -863,6 +868,12 @@ def main() -> None:
         "    (~29M pairs at 16x — 16x the 1x volume, the honest output",
         "    term), per-bin candidates are spans-in-bin x windows-in-bin",
         "    with windows domain-bounded (types x 1 per hour).",
+        "    q178_staged_skew_report 4.5 -> 5.7 s (1.3x): one per-key",
+        "    count shuffle per diagnosed keyset is the data term; the p99",
+        "    selection's global window runs over the bucket-SIZE histogram",
+        "    (provably O(sqrt(2 n_rows)) rows — distinct sizes sum to at",
+        "    most n_rows), so nothing downstream of the count agg scales",
+        "    with keys, let alone rows.",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — the r9 regeneration itself recorded q106 at \"4.2x\" and",
