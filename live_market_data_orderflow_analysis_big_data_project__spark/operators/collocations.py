@@ -19,7 +19,10 @@ over it, two broadcast-sized joins on single-token keys.  Margin
 tables are vocabulary-sized; at corpus scale they stay far under the
 bigram table the counts reduce from.  int64 headroom: n_ab * N * 1e6
 needs n_ab * N < 9.2e12 — rescale ``scale`` down for corpora past
-~1e6 bigrams per hot pair (documented, like PR_SCALE).
+~1e6 bigrams per hot pair; the headroom is ENFORCED per-row with a
+``raise_error`` guard (the range_count_binned pattern), so Spark's
+ANSI-off silent int64 wrap can never diverge quietly from the
+oracle's loud BIGINT overflow.
 """
 
 from __future__ import annotations
@@ -70,6 +73,19 @@ def collocation_lift(
     left = bg.groupBy("tok_a").agg(F.sum("n_ab").alias("n_a"))
     right = bg.groupBy("tok_b").agg(F.sum("n_ab").alias("n_b"))
     total = bg.agg(F.sum("n_ab").alias("_nn"))
+    # int64 headroom guard (the range_count_binned pattern): with ANSI
+    # off Spark WRAPS n_ab * _nn * scale silently while the DuckDB
+    # oracle errors loudly — past the headroom the engines would
+    # diverge without a sound.  Overflow-free check: the product fits
+    # iff n_ab <= (MAX div scale) div _nn (positive integers, floor
+    # division on both steps is exact for the <= comparison).
+    lift = F.expr(
+        f"CASE WHEN n_ab > (9223372036854775807 div {int(scale)}) div _nn "
+        "THEN CAST(raise_error('collocation_lift: n_ab * N * scale "
+        "exceeds int64 headroom - rescale `scale` down (module "
+        "docstring)') AS BIGINT) "
+        f"ELSE (n_ab * _nn * {int(scale)}) div (n_a * n_b) END"
+    )
     return (
         bg.where(F.col("n_ab") >= F.lit(int(min_count)))
         .join(left, "tok_a")
@@ -81,8 +97,6 @@ def collocation_lift(
             F.col("n_ab").cast("long").alias("n_ab"),
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
-            F.expr(f"(n_ab * _nn * {int(scale)}) div (n_a * n_b)")
-            .cast("long")
-            .alias("lift_ppm"),
+            lift.cast("long").alias("lift_ppm"),
         )
     )

@@ -161,9 +161,11 @@ def funnel_state_stream(
     reproduces ``funnel_stages`` bit-for-bit — a stream==batch
     equality gate, no window-closure restriction.
 
-    Output (update mode): ``user_col``, ``t1_us .. tn_us`` int64
-    microseconds (-1 = stage not reached; the sentinel stays internal
-    — convert with ``timestamp_micros`` + a NULL guard downstream).
+    Output (update mode): ``user_col`` (the input column's own type —
+    string keys work exactly like the batch fold's), ``t1_us .. tn_us``
+    int64 microseconds (-1 = stage not reached; the sentinel stays
+    internal — convert with ``timestamp_micros`` + a NULL guard
+    downstream).
     """
     import pandas as pd  # noqa: F401  (worker-side dependency)
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -173,9 +175,11 @@ def funnel_state_stream(
         raise ValueError("stages must be non-empty")
     stage_list = list(stages)
     gap_us = None if max_gap_s is None else int(max_gap_s) * 1_000_000
-    out_schema = f"{user_col} long, " + ", ".join(
+    key_ddl = sdf.schema[user_col].dataType.simpleString()
+    out_schema = f"{user_col} {key_ddl}, " + ", ".join(
         f"t{i}_us long" for i in range(1, n + 1)
     )
+    out_cols = [user_col] + [f"t{i}_us" for i in range(1, n + 1)]
     state_schema = ", ".join(f"t{i}_us long" for i in range(1, n + 1))
 
     def update(key, pdf_iter, state):
@@ -206,9 +210,7 @@ def funnel_state_stream(
             if hit is not None:
                 t[hit] = ts_us
         state.update(tuple(t))
-        yield pd.DataFrame([[key[0], *t]], columns=out_schema.replace(
-            " long", ""
-        ).split(", "))
+        yield pd.DataFrame([[key[0], *t]], columns=out_cols)
 
     filtered = sdf.filter(F.col(type_col).isin(stage_list)).select(
         user_col, ts_col, type_col

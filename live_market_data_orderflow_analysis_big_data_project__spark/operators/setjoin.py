@@ -73,6 +73,7 @@ def setsim_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All pairs with token-set Jaccard >= t_num/t_den:
     (doc_a, doc_b, n_a, n_b, n_inter, jaccard), doc_a < doc_b.
@@ -84,6 +85,22 @@ def setsim_join(
     arithmetic — no float rounding can flip a boundary pair on either
     engine.  ``jaccard`` is emitted as the two-integer IEEE division,
     identical on both engines.
+
+    ``max_bucket`` is the verify-traffic circuit breaker (the q146
+    deletion-key cap applied to prefix postings): prefix tokens whose
+    posting bucket exceeds ``max_bucket`` docs are suppressed before
+    the candidate join, hard-bounding candidates per token at
+    ``max_bucket^2`` — and with it the dominant scale term, the verify
+    join's candidates x element-list traffic (the 16x probe's
+    decomposition, tools/probe_q174_terms.py).  The global
+    rarest-first order already makes prefix tokens the RARE ones, so
+    healthy corpora never populate a hot prefix bucket; a hot one
+    means docs whose rarest shingles are still corpus-common
+    (template floods) — exactly the input that needs the breaker.
+    Lossy only for a pair whose EVERY shared prefix token is hot.
+    Suppression is one count agg + a broadcast anti-join over the
+    tiny hot-key frame.  Default None = exact (the hash-gated
+    configuration).
     """
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
@@ -105,6 +122,14 @@ def setsim_join(
         + F.lit(1)
     )
     prefix = ranked.where(F.col("_pos") <= prefix_len).select("doc", "tok")
+    if max_bucket is not None:
+        hot = (
+            prefix.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .where(F.col("_bn") > max_bucket)
+            .select("tok")
+        )
+        prefix = prefix.join(F.broadcast(hot), "tok", "left_anti")
     cands = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")

@@ -1828,7 +1828,9 @@ def q173_boolean_search(spark, sf):
     'vector' — posting-set algebra, the capability between bag-of-
     words ranking (q96/q117) and positional phrases (q148).  Touches
     only the three queried terms' postings; the NOT set rides one
-    broadcast anti-join.  'vector' BINDS at every fixture sf (~85% of
+    AQE-decided anti-join sized by the excluded terms' document
+    frequency (broadcast iff actually small — operators/index.py).
+    'vector' BINDS at every fixture sf (~85% of
     the part-and-filter docs are excluded), so the gate exercises the
     exclusion path, not just the conjunction.  Hash-exact: the
     tokenizer is the shared q94-q96 oracle convention and every

@@ -78,6 +78,83 @@ def test_no_python_in_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_prefix_length_boundary_pair_survives(spark):
+    """The losslessness theorem's TIGHT case: a boundary pair (j == t
+    exactly) whose shared tokens are globally FREQUENT sorts them to
+    the tail of the rarest-first order, so the pair meets only at the
+    LAST prefix position — the ``+ 1`` in ``L - ceil(t*L) + 1``.  A
+    threshold/formula change that shortens either prefix by one token
+    loses this pair; pinning it here makes that an immediate named
+    failure, not a driver oracle diff."""
+    # A = {u, f1..f4} (u rare), B = {f1..f4}; j(A,B) = 4/5 = t.
+    # A's prefix len = 5 - ceil(4/5*5) + 1 = 2 -> {u, rarest f};
+    # B's prefix len = 4 - ceil(4/5*4) + 1 = 1 -> {rarest f}.
+    # One fewer token on either side and the prefixes are disjoint.
+    docs = [
+        (1, "u f1 f2 f3 f4"),
+        (2, "f1 f2 f3 f4"),
+    ] + [
+        # fillers raise every f's global df above u's without pairing
+        (10 + i, f"f{i + 1}") for i in range(4)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in setsim_join(df, 4, 5).collect()
+    }
+    assert (1, 2) in got, (
+        "boundary pair at j == t lost — the prefix length "
+        "L - ceil(t*L) + 1 is no longer lossless"
+    )
+    # and the full result still equals naive all-pairs on this corpus
+    assert got == set(_naive(docs, 4, 5))
+
+
+def test_prefix_boundary_across_lengths(spark):
+    """Sweep the tight construction across set sizes L and thresholds:
+    B ⊂ A with |B| = ceil(t*|A|) scaled so j(A,B) >= t exactly at the
+    minimum intersection — the engine must equal naive all-pairs at
+    every (L, t), exercising the integer prefix arithmetic at each
+    boundary length."""
+    for t_num, t_den in [(1, 2), (2, 3), (7, 10), (4, 5)]:
+        docs = []
+        fillers = []
+        did = 0
+        for la in (3, 5, 8, 13):
+            shared = [f"s{la}_{j}" for j in range(la)]
+            # subset doc sizes from la down: j = lb/la crosses t
+            for lb in range(1, la + 1):
+                did += 10
+                docs.append((did, " ".join(shared[:lb])))
+            docs.append((did + 1, " ".join([f"u{la}"] + shared[:la - 1])))
+            fillers += [(5000 + did + j, shared[j]) for j in range(la)]
+        corpus = docs + fillers
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {
+            (r.doc_a, r.doc_b): (r.n_a, r.n_b, r.n_inter)
+            for r in setsim_join(df, t_num, t_den).collect()
+        }
+        assert got == _naive(corpus, t_num, t_den), (t_num, t_den)
+
+
+def test_max_bucket_cap(spark):
+    """The verify-traffic circuit breaker: a cap above the largest
+    prefix bucket is the identity (the hash-gated configuration is
+    reachable with the knob set); a cap of 0 suppresses every prefix
+    posting and the join returns nothing."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in setsim_join(df, 3, 5).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in setsim_join(df, 3, 5, max_bucket=len(DOCS)).collect()
+    }
+    assert capped == exact
+    assert setsim_join(df, 3, 5, max_bucket=0).collect() == []
+
+
 def test_shingle_mode_equals_naive_shingle_jaccard(spark):
     # the q174 configuration: elements are 3-shingles, not tokens
     docs = [

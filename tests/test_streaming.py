@@ -644,3 +644,41 @@ def test_funnel_state_spans_micro_batches(spark):
     assert by_user[1][2] != -1          # converted ACROSS three batches
     assert by_user[2][0] != -1 and by_user[2][1] != -1  # pre-view click skipped, later click counts
     assert by_user[3] == (-1, -1, -1)   # purchase-only: stage 0
+
+
+def test_funnel_stream_string_keys(spark):
+    """The key column's type is DERIVED from the input schema (not
+    hard-coded long): a string-keyed events frame — which the batch
+    fold handles natively — streams through funnel_state_stream with
+    the key emitted back as a string."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.funnel import (  # noqa: E501
+        funnel_state_stream,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (  # noqa: E501
+        stream_events_dir,
+    )
+
+    rows = [
+        ("alice", _ts(0, 10), "view"), ("alice", _ts(1, 10), "click"),
+        ("bob", _ts(0, 5), "view"),
+    ]
+    schema = "user_id string, ts timestamp, event_type string"
+    df = spark.createDataFrame(rows, schema)
+    tmp = tempfile.mkdtemp(prefix="funnel_strkey_")
+    df.coalesce(1).write.mode("append").parquet(tmp)
+
+    sdf = stream_events_dir(spark, tmp, df.schema)
+    out = run_to_memory(
+        funnel_state_stream(sdf, ("view", "click", "purchase")),
+        "t_funnel_strkey",
+        output_mode="update",
+    )
+    assert dict(out.dtypes)["user_id"] == "string"
+    got = {
+        r.user_id: (r.t1_us != -1, r.t2_us != -1, r.t3_us != -1)
+        for r in out.collect()
+    }
+    assert got == {
+        "alice": (True, True, False),
+        "bob": (True, False, False),
+    }
