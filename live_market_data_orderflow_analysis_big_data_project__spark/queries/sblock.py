@@ -605,6 +605,63 @@ S15_SQL = Q143_SQL.replace(
 assert "WHERE date_trunc" in S15_SQL
 
 
+def s18_funnel_stream(spark, sf):
+    """Streaming funnel twin of q77 (operators/funnel.py
+    funnel_state_stream): per-user stage-vector state updated per
+    micro-batch; each user's most-advanced emission (max stage; ties
+    are identical rows) equals the batch fold exactly, so the oracle
+    is Q77's SQL VERBATIM — stream==batch equality, no window-closure
+    restriction (the s16 pattern for the MATCH_RECOGNIZE class)."""
+    from pyspark.sql import Window
+
+    from ..operators.funnel import funnel_state_stream
+    from ..streaming.core import run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf).select("user_id", "ts", "event_type")
+    em = run_to_memory(
+        funnel_state_stream(sdf, ("view", "click", "purchase")),
+        "s18_funnel",
+        output_mode="update",
+        n_state_partitions=8,
+    )
+    # tiny per-user emission table; cut lineage before the window
+    # (the s15/s16 MemorySink self-reference lesson)
+    em = em.localCheckpoint(eager=True).dropDuplicates()
+    ts_cols = [
+        F.when(
+            F.col(f"t{i}_us") >= 0, F.timestamp_micros(F.col(f"t{i}_us"))
+        ).alias(f"t{i}")
+        for i in (1, 2, 3)
+    ]
+    full = em.select("user_id", *ts_cols)
+    stage = (
+        F.col("t1").isNotNull().cast("int")
+        + F.col("t2").isNotNull().cast("int")
+        + F.col("t3").isNotNull().cast("int")
+    )
+    latest = (
+        full.withColumn("stage", stage)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("stage"))
+            ),
+        )
+        .where(F.col("_rk") == 1)
+    )
+    return latest.select(
+        "user_id",
+        "stage",
+        F.date_format("t1", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("t2", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("t3", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+# stream==batch equality: the oracle is q77's cascaded-min SQL verbatim
+from .eblock import Q77_SQL as S18_SQL  # noqa: E402
+
+
 QUERIES = {
     "s01_tumbling_candles": s01_tumbling_candles,
     "s02_sliding_window": s02_sliding_window,
@@ -621,6 +678,7 @@ QUERIES = {
     "s13_scd2_stream_apply": s13_scd2_stream_apply,
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
+    "s18_funnel_stream": s18_funnel_stream,
 }
 
 # DuckDB twins of the drained streaming output (see module docstring for
@@ -826,4 +884,5 @@ ORACLE = {
     "s13_scd2_stream_apply": S13_SQL,
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
+    "s18_funnel_stream": S18_SQL,
 }

@@ -245,7 +245,6 @@ def _custom_probes():
 
     from live_market_data_orderflow_analysis_big_data_project__spark.queries import (  # noqa: E501
         ablock,
-        staging,
     )
 
     return {
@@ -298,23 +297,23 @@ def _custom_probes():
         ),
         "q174_staged_setsim": (
             None,
-            lambda spark, sf, ctx: staging.q174_setsim_join(spark, sf),
+            lambda spark, sf, ctx: ablock.q174_setsim_join(spark, sf),
         ),
         "q175_staged_kcore": (
             None,
-            lambda spark, sf, ctx: staging.q175_kcore(spark, sf),
+            lambda spark, sf, ctx: ablock.q175_kcore(spark, sf),
         ),
         "q176_staged_collocations": (
             None,
-            lambda spark, sf, ctx: staging.q176_collocations(spark, sf),
+            lambda spark, sf, ctx: ablock.q176_collocations(spark, sf),
         ),
         "q177_staged_overlapjoin": (
             None,
-            lambda spark, sf, ctx: staging.q177_interval_overlap(spark, sf),
+            lambda spark, sf, ctx: ablock.q177_interval_overlap(spark, sf),
         ),
         "q178_staged_skew_report": (
             None,
-            lambda spark, sf, ctx: staging.q178_skew_report(spark, sf),
+            lambda spark, sf, ctx: ablock.q178_skew_report(spark, sf),
         ),
         "q147_staged_pps": (
             None,
@@ -823,10 +822,11 @@ def main() -> None:
         "    (stage-sum 2866 vs 4500 unconstrained at sf0.1), so the",
         "    gate exercises the constraint, not just the fold.",
         "    NEWLY STAGED IN r9 (the graph family, operators/graph.py):",
-        "    q170_staged_triangles 9.9 -> 10.7 s (1.1x; re-measured",
-        "    7.7 -> 9.3 s, 1.2x, after the r10 lineage cut — deg and",
-        "    oriented localCheckpointed, executed plan 114 -> 14",
-        "    exchanges, 1x wall improved): the oriented wedge join's",
+        "    q170_staged_triangles 7.7 -> 9.3 s (1.2x — the post-r10",
+        "    lineage-cut measurement, now also the main-table row: deg",
+        "    and oriented localCheckpointed, executed plan 114 -> 14",
+        "    exchanges; pre-cut it was 9.9 -> 10.7 s): the oriented",
+        "    wedge join's",
         "    fan-out is bounded by per-node out-degree O(sqrt(2m)), and",
         "    the fixture's distinct-edge set grows sub-linearly with",
         "    events (node-pair density saturates), so the wall is scan +",
