@@ -87,7 +87,7 @@ def test_q175_fixpoint_reached_and_k_binds_on_the_fixture(spark):
     from live_market_data_orderflow_analysis_big_data_project__spark.operators.graph import (  # noqa: E501
         cooccurrence_edges,
     )
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
         _Q175_DAY,
         _Q175_K,
         _Q175_ROUNDS,

@@ -94,7 +94,7 @@ def test_q177_overlap_predicate_binds_on_the_fixture(spark):
     degenerate the gate into a cross join."""
     from conftest import SF001
 
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
         q177_interval_overlap,
     )
     from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (  # noqa: E501

@@ -35,7 +35,7 @@ def terms(spark, sf: str) -> dict:
     from live_market_data_orderflow_analysis_big_data_project__spark.operators.setjoin import (  # noqa: E501
         token_sets,
     )
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
         _Q174_NGRAM,
         _Q174_T,
     )
@@ -84,7 +84,7 @@ def terms(spark, sf: str) -> dict:
             F.expr("doc_a div 1000000") != F.expr("doc_b div 1000000")
         ).count(),
     }
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
         q174_setsim_join,
     )
 
