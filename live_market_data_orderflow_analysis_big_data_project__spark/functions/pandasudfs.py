@@ -17,3 +17,24 @@ def rescale_half_minus_ten(v: pd.Series) -> pd.Series:
     deterministic IEEE subtraction, so the result is bit-identical to the
     built-in-expression twin ``value * 0.5 - 10.0``."""
     return v * 0.5 - 10.0
+
+
+@pandas_udf("long")
+def lower_median_cents(v: pd.Series) -> int:
+    """Exact lower median of an int64 cents column as a GROUPED-AGG
+    pandas UDF (Series -> scalar inside ``groupBy().agg()``) — the one
+    Python-UDF matrix cell q80-q84 leave uncovered (scalar row-UDF /
+    scalar pandas / grouped-map / mapInPandas / UDTF).  numpy sorts
+    the group's int64s and indexes (n-1)//2: every step exact integer,
+    so the result hash-matches the SQL rank-selection twin
+    bit-for-bit.  Scale posture: grouped-agg pandas UDFs get NO
+    partial aggregation (each whole group crosses to Python via
+    Arrow), so at 100 TB this cell is for group-local logic SQL can't
+    state (model scoring, solvers); an expressible median belongs in
+    the JVM rank window (the oracle's form) — the entry proves the
+    API cell, like q80/q84."""
+    a = v.dropna().to_numpy(dtype="int64")
+    if len(a) == 0:
+        return None
+    a.sort()
+    return int(a[(len(a) - 1) // 2])

@@ -48,7 +48,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pps_sample"]
+__all__ = ["pps_sample", "weighted_sample_race"]
 
 
 def pps_sample(
@@ -92,4 +92,74 @@ def pps_sample(
         out.select("*", tickets)
         .where(F.col("n_tickets") > 0)
         .drop("_ns_end", "_ns_start", "_w_tot")
+    )
+
+
+def weighted_sample_race(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    weight_col: str,
+    n: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-ES law, realized exactly in integers.
+
+    A-ES ranks items by u_i^(1/w_i) (u_i uniform) and keeps the top
+    n — successive draws proportional to weight, the weighted
+    reservoir law.  The exponent is a transcendental-float trap for
+    cross-engine hash parity, so this operator uses the
+    DISTRIBUTIONALLY IDENTICAL race form: give item i exactly w_i
+    integer tickets, hash each ticket (md5(id:t) — fixed-width hex,
+    so string order IS numeric order), and rank items by their
+    MINIMUM ticket hash.  min of w iid uniforms ~ 1 - (1-U)^(1/w)
+    beats a rival's minimum with probability w_i/(w_i+w_j) — exactly
+    A-ES's u^(1/w) race at every successive selection — and under
+    the hash-as-random model the whole sample is a pure function of
+    the data: rerun-stable across engines, partitionings and cluster
+    sizes (the q107/q147 reproducibility contract), hash-gateable
+    because both engines compute the identical md5 strings.
+
+    Output: the selected rows' ``strata_cols``, ``id_col``, the
+    weight, and ``rank`` (1..n by ascending min-ticket).  Rows with
+    NULL/non-positive weight carry no mass and are excluded.
+
+    Scale shape: the ticket explode is O(sum of weights) rows but
+    lives entirely map-side — the min() is algebraic, so the shuffle
+    carries ONE row per item (partial min per partition), and the
+    top-n per stratum is the q45 rank-window over the item frame.
+    Integer weights are the intended regime (chunk counts, shard
+    counts, doc multiplicities); for unbounded weights switch the
+    key to the float A-ES exponent at deployment and keep this exact
+    twin as the gated configuration.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = F.col(weight_col)
+    base = df.where(w.isNotNull() & (w > 0))
+    tickets = base.select(
+        *strata_cols,
+        id_col,
+        w.cast("long").alias("weight"),
+        F.explode(
+            F.sequence(F.lit(1), w.cast("int"))
+        ).alias("_t"),
+    )
+    key = F.md5(
+        F.concat_ws(
+            ":", F.col(id_col).cast("string"), F.col("_t").cast("string")
+        ).cast("binary")
+    )
+    best = (
+        tickets.withColumn("_tk", key)
+        .groupBy(*strata_cols, id_col, "weight")
+        .agg(F.min("_tk").alias("_k"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(*strata_cols).orderBy("_k", id_col)
+    )
+    return (
+        best.withColumn("rank", rank.cast("long"))
+        .where(F.col("rank") <= n)
+        .drop("_k")
     )

@@ -72,3 +72,120 @@ def test_no_python_in_plan(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_race — the A-ES law in exact integers (staged gate q181)
+# ---------------------------------------------------------------------------
+
+def _race_model(rows, n):
+    """Pure-Python reimplementation: per stratum, rank items by the
+    minimum md5(id:t) over t = 1..w and keep the top n."""
+    import hashlib
+    from collections import defaultdict
+
+    best = defaultdict(list)
+    for g, i, w in rows:
+        if w is None or w <= 0:
+            continue
+        mk = min(
+            hashlib.md5(f"{i}:{t}".encode()).hexdigest()
+            for t in range(1, w + 1)
+        )
+        best[g].append((mk, i, w))
+    out = {}
+    for g, items in best.items():
+        for rank, (mk, i, w) in enumerate(sorted(items), start=1):
+            if rank <= n:
+                out[(g, i)] = (w, rank)
+    return out
+
+
+def test_race_equals_python_model(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.sampling import (  # noqa: E501
+        weighted_sample_race,
+    )
+
+    rows = [("a", i, (i * 7) % 5 + 1) for i in range(40)] + [
+        ("b", 100 + i, 1 + (i % 3) * 10) for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, w long")
+    got = {
+        (r.g, r.id): (r.weight, r.rank)
+        for r in weighted_sample_race(df, ["g"], "w", 7, "id").collect()
+    }
+    assert got == _race_model(rows, 7)
+
+
+def test_race_exactly_n_per_stratum_when_enough_items(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.sampling import (  # noqa: E501
+        weighted_sample_race,
+    )
+
+    rows = [("g1", i, 3) for i in range(20)] + [("g2", 50, 5)]
+    df = spark.createDataFrame(rows, "g string, id long, w long")
+    out = weighted_sample_race(df, ["g"], "w", 4, "id")
+    counts = {r.g: r.c for r in
+              out.groupBy("g").agg(F.count("*").alias("c")).collect()}
+    # g1 has 20 candidates -> exactly 4; g2 has one -> all of it
+    assert counts == {"g1": 4, "g2": 1}
+    ranks = [r.rank for r in out.where(F.col("g") == "g1").collect()]
+    assert sorted(ranks) == [1, 2, 3, 4]
+
+
+def test_race_partitioning_invariance(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.sampling import (  # noqa: E501
+        weighted_sample_race,
+    )
+
+    rows = [("s", i, i % 6 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, id long, w long")
+    a = set(
+        (r.g, r.id, r.rank)
+        for r in weighted_sample_race(
+            df.repartition(1), ["g"], "w", 9, "id"
+        ).collect()
+    )
+    b = set(
+        (r.g, r.id, r.rank)
+        for r in weighted_sample_race(
+            df.repartition(13, "id"), ["g"], "w", 9, "id"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_race_weight_monotonicity_in_aggregate(spark):
+    """The law's direction, not its exact probabilities: over many
+    strata, items with weight 9 must be selected far more often than
+    weight-1 items (9x the tickets -> ~9x the win rate at n=1)."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.sampling import (  # noqa: E501
+        weighted_sample_race,
+    )
+
+    rows = []
+    for s in range(200):
+        rows.append((f"s{s}", s * 10, 9))       # one heavy item
+        rows += [(f"s{s}", s * 10 + j, 1) for j in range(1, 10)]
+    df = spark.createDataFrame(rows, "g string, id long, w long")
+    out = weighted_sample_race(df, ["g"], "w", 1, "id")
+    heavy_wins = out.where(F.col("weight") == 9).count()
+    # E[heavy wins] = 200 * 9/18 = 100; binomial sd ~ 7.  > 60 is a
+    # > 5-sigma floor — fails only if the law is wrong, not by luck.
+    assert heavy_wins > 60, heavy_wins
+
+
+def test_race_no_python_in_plan(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.sampling import (  # noqa: E501
+        weighted_sample_race,
+    )
+
+    df = spark.createDataFrame(
+        [("s", 1, 2), ("s", 2, 3)], "g string, id long, w long"
+    )
+    plan = (
+        weighted_sample_race(df, ["g"], "w", 1, "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
