@@ -105,6 +105,9 @@ PROBE_QUERIES = [
     ("q176_staged_collocations", "STAGED r10: collocation lift — one bigram count shuffle + vocabulary-sized margin joins + 1-row total crossJoin"),
     ("q177_staged_overlapjoin", "STAGED r10: bin-decomposed interval x interval overlap join — bin equi-join, first-shared-bin dedup, TRUE pair volume is the output term"),
     ("q178_staged_skew_report", "STAGED r10: join-key skew diagnostics — one per-key count agg + a global window over the provably O(sqrt n) bucket-size histogram"),
+    ("q179_staged_groupedagg", "STAGED r11 (queries/staging.py): grouped-agg pandas UDF cell — one keyed exchange into ArrowAggregatePython, whole groups cross to Python"),
+    ("q180_staged_quantile", "STAGED r11: mergeable rank-spaced quantile rollup — one (group,day,value) count shuffle + per-bucket windows over the histogram, report joins are group-sized"),
+    ("q181_staged_wsample", "STAGED r11: weighted ticket-race sample — O(sum w) map-side explode collapsed by algebraic min, one item-frame shuffle + per-stratum top-n window"),
 ]
 
 
@@ -245,6 +248,7 @@ def _custom_probes():
 
     from live_market_data_orderflow_analysis_big_data_project__spark.queries import (  # noqa: E501
         ablock,
+        staging,
     )
 
     return {
@@ -314,6 +318,18 @@ def _custom_probes():
         "q178_staged_skew_report": (
             None,
             lambda spark, sf, ctx: ablock.q178_skew_report(spark, sf),
+        ),
+        "q179_staged_groupedagg": (
+            None,
+            lambda spark, sf, ctx: staging.q179_grouped_agg_pandas(spark, sf),
+        ),
+        "q180_staged_quantile": (
+            None,
+            lambda spark, sf, ctx: staging.q180_quantile_rollup(spark, sf),
+        ),
+        "q181_staged_wsample": (
+            None,
+            lambda spark, sf, ctx: staging.q181_weighted_sample(spark, sf),
         ),
         "q147_staged_pps": (
             None,
@@ -874,6 +890,23 @@ def main() -> None:
         "    (provably O(sqrt(2 n_rows)) rows — distinct sizes sum to at",
         "    most n_rows), so nothing downstream of the count agg scales",
         "    with keys, let alone rows.",
+        "",
+        "15. NEWLY STAGED IN r11 (probed before entering any window):",
+        "    q179_staged_groupedagg 5.4 -> 7.7 s (1.4x): one keyed",
+        "    exchange into ArrowAggregatePython; whole groups cross to",
+        "    Python, so wall scales with rows-through-Arrow — the cell's",
+        "    inherent cost (the q82 lesson), explicitly repartitioned at",
+        "    cluster width so AQE's byte-sized coalescing cannot serialize",
+        "    the groups through one worker.",
+        "    q180_staged_quantile 8.3 -> 10.4 s (1.3x): the one data term",
+        "    is the (group, day, value) histogram count shuffle; the",
+        "    summary is k rows per bucket and every read/audit join is",
+        "    group- or domain-sized, so 16x the rows moves only the first",
+        "    shuffle.",
+        "    q181_staged_wsample 3.5 -> 5.2 s (1.5x): the O(sum w) ticket",
+        "    explode collapses map-side under the algebraic min partials,",
+        "    so the shuffle carries one row per ITEM; the per-stratum",
+        "    top-n window runs on the item frame.",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — the r9 regeneration itself recorded q106 at \"4.2x\" and",
