@@ -23,7 +23,10 @@ Scale shape: candidate volume is sum over PREFIX tokens of bucket^2,
 and the global rarest-first order makes prefix tokens the RARE ones —
 the frequency-skew immunity plain token blocking lacks (a stopword is
 in every doc's tail, never its prefix, so it never generates a single
-candidate).  Everything is equi-joins + integer arithmetic inside
+candidate).  Candidates then pass PPJoin's LENGTH FILTER
+(den*Lmin >= num*Lmax, exact integers — a qualifying pair's sizes
+cannot differ by more than the threshold ratio) BEFORE the verify
+join, so skewed-length pairs never generate verify traffic.  Everything is equi-joins + integer arithmetic inside
 whole-stage codegen; threshold comparison is cross-multiplied exact
 integers (no float epsilon at the boundary); the final jaccard column
 is the same two-integer IEEE division as the oracle's.
@@ -121,7 +124,9 @@ def setsim_join(
         - F.expr(f"({t_num} * _len + {t_den} - 1) div {t_den}")
         + F.lit(1)
     )
-    prefix = ranked.where(F.col("_pos") <= prefix_len).select("doc", "tok")
+    prefix = ranked.where(F.col("_pos") <= prefix_len).select(
+        "doc", "tok", "_len"
+    )
     if max_bucket is not None:
         hot = (
             prefix.groupBy("tok")
@@ -130,16 +135,30 @@ def setsim_join(
             .select("tok")
         )
         prefix = prefix.join(F.broadcast(hot), "tok", "left_anti")
+    # Candidates carry both set sizes straight off the prefix postings
+    # (no separate sizes join), and the PPJoin LENGTH FILTER prunes
+    # before the verify join: jaccard >= t forces
+    # min(L)*(den+num) >= num*(L_a+L_b)  <=>  den*Lmin >= num*Lmax
+    # (I <= Lmin substituted into the acceptance inequality) — exact
+    # integers, lossless, and it cuts verify traffic (candidates x
+    # element lists, the dominant 16x term) for every skewed-length
+    # pair the prefix filter alone lets through.
     cands = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
         .where(F.col("a.doc") < F.col("b.doc"))
         .select(
-            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a._len").alias("n_a"),
+            F.col("b._len").alias("n_b"),
+        )
+        .where(
+            F.least("n_a", "n_b") * F.lit(t_den)
+            >= F.lit(t_num) * F.greatest("n_a", "n_b")
         )
         .distinct()
     )
-    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("_n"))
     inter = (
         cands.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc"))
         .join(
@@ -147,24 +166,14 @@ def setsim_join(
             (F.col("doc_b") == F.col("tb.doc"))
             & (F.col("ta.tok") == F.col("tb.tok")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    out = (
-        inter.join(
-            sizes.select(F.col("doc").alias("doc_a"), F.col("_n").alias("n_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc").alias("doc_b"), F.col("_n").alias("n_b")),
-            "doc_b",
-        )
-        # inter/union >= t  <=>  inter*(den+num) >= num*(n_a+n_b),
-        # exact integers (union = n_a + n_b - inter)
-        .where(
-            F.col("n_inter") * F.lit(t_den + t_num)
-            >= F.lit(t_num) * (F.col("n_a") + F.col("n_b"))
-        )
+    # inter/union >= t  <=>  inter*(den+num) >= num*(n_a+n_b),
+    # exact integers (union = n_a + n_b - inter)
+    out = inter.where(
+        F.col("n_inter") * F.lit(t_den + t_num)
+        >= F.lit(t_num) * (F.col("n_a") + F.col("n_b"))
     )
     return out.select(
         "doc_a",

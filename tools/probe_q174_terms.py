@@ -8,7 +8,9 @@ the r10 cohort, so the ratio is decomposed into named stage terms at
   n_docs        input documents
   n_elems       distinct (doc, shingle) set elements      [linear map]
   n_prefix      prefix rows indexed (the L - ceil(t*L) + 1 cut)
-  n_cand        candidate pairs from the prefix join      [THE term]
+  n_cand_pool   candidate pairs from the prefix join alone
+  n_cand        after PPJoin's length filter (den*Lmin >= num*Lmax,
+                added r11) — what actually reaches verify  [THE term]
   sum_verify    SUM over candidates of |doc_a's elements| — the verify
                 join's row traffic (candidates x element lists)
   n_out         final qualifying pairs
@@ -61,25 +63,32 @@ def terms(spark, sf: str) -> dict:
         + F.lit(1)
     )
     prefix = ranked.where(F.col("_pos") <= prefix_len).select(
-        "doc", "tok"
+        "doc", "tok", "_len"
     ).localCheckpoint()
-    cands = (
+    pool = (
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
         .where(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a._len").alias("n_a"),
+            F.col("b._len").alias("n_b"),
+        )
         .distinct()
         .localCheckpoint()
     )
-    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("_n"))
+    cands = pool.where(
+        F.least("n_a", "n_b") * F.lit(t_den)
+        >= F.lit(t_num) * F.greatest("n_a", "n_b")
+    ).localCheckpoint()
     out = {
         "n_docs": docs.count(),
         "n_elems": toks.count(),
         "n_prefix": prefix.count(),
+        "n_cand_pool": pool.count(),
         "n_cand": cands.count(),
-        "sum_verify": cands.join(
-            sizes.select(F.col("doc").alias("doc_a"), "_n"), "doc_a"
-        ).agg(F.sum("_n")).collect()[0][0],
+        "sum_verify": cands.agg(F.sum("n_a")).collect()[0][0],
         "cross_copy_cands": cands.where(
             F.expr("doc_a div 1000000") != F.expr("doc_b div 1000000")
         ).count(),

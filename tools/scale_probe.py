@@ -100,7 +100,7 @@ PROBE_QUERIES = [
     ("q167_staged_psi", "STAGED: PSI drift — one reference rank window for edges, broadcast edge frame into both scans, map-side bin counts; keys x bins out"),
     ("q168_staged_rolling", "STAGED: rolling distinct actives — (user,day) distinct + factor-w explode of the ACTIVE-PAIR frame + one more distinct; no per-day rescans"),
     ("q169_staged_coalesce", "STAGED: interval coalescing — one per-(user,day) sorted sweep (running-max episode breaks), never the quadratic overlap pairing"),
-    ("q174_staged_setsim", "STAGED r10 (queries/staging.py): prefix-filtered shingle-set similarity join — rarest-first prefix postings join + bounded verify, never all-pairs"),
+    ("q174_staged_setsim", "STAGED r10 (queries/staging.py): prefix-filtered shingle-set similarity join — rarest-first prefix postings join + length filter + bounded verify, never all-pairs"),
     ("q175_staged_kcore", "STAGED r10: k-core peeling, 6 fixed rounds — two keyed shuffles per round on a shrinking edge frame, localCheckpoint lineage cuts"),
     ("q176_staged_collocations", "STAGED r10: collocation lift — one bigram count shuffle + vocabulary-sized margin joins + 1-row total crossJoin"),
     ("q177_staged_overlapjoin", "STAGED r10: bin-decomposed interval x interval overlap join — bin equi-join, first-shared-bin dedup, TRUE pair volume is the output term"),
@@ -860,17 +860,23 @@ def main() -> None:
         "    domain-bounded interval frame.",
         "",
         "14. NEWLY STAGED IN r10 (probed before entering any window):",
-        "    q174_staged_setsim 13.1 -> 108.3 s (8.3x at 16x docs).",
-        "    TERM DECOMPOSITION (tools/probe_q174_terms.py): every stage",
-        "    is EXACTLY 16.0x — elements 260k -> 4.17M, prefix rows 81k",
-        "    -> 1.29M, candidates 202k -> 3.24M, verify row traffic 13.0M",
-        "    -> 208.7M, output pairs 256 -> 4096, cross-copy candidates 0",
-        "    (asserted; the alphabet-rotated replica keeps copies",
-        "    textually disjoint — the finding-2 rule).  The 8.3x wall on",
-        "    16.0x work is sub-linear per unit; the dominant term is the",
-        "    verify join's candidates x element-list traffic, which is",
-        "    output-shaped, not a blocking artifact — no quadratic term",
-        "    anywhere.",
+        "    q174_staged_setsim 13.1 -> 108.3 s (8.3x at 16x docs) as",
+        "    staged; r11 added PPJoin's LENGTH FILTER before the verify",
+        "    join (den*Lmin >= num*Lmax, lossless) and carried set sizes",
+        "    through the prefix postings (two post-verify joins deleted):",
+        "    re-probed 11.0 -> 53.8 s (4.9x).",
+        "    TERM DECOMPOSITION (tools/probe_q174_terms.py, post-filter):",
+        "    every stage is EXACTLY 16.0x — elements 260k -> 4.17M, prefix",
+        "    rows 81k -> 1.29M, prefix-join pool 202k -> 3.24M, candidates",
+        "    AFTER the length filter 105k -> 1.67M (the filter halves the",
+        "    pool on this corpus), verify row traffic 7.5M -> 119.6M (was",
+        "    13.0M -> 208.7M pre-filter), output pairs 256 -> 4096,",
+        "    cross-copy candidates 0 (asserted; the alphabet-rotated",
+        "    replica keeps copies textually disjoint — the finding-2",
+        "    rule).  The 4.9x wall on 16.0x work is sub-linear per unit;",
+        "    the dominant term remains the verify join's candidates x",
+        "    element-list traffic, output-shaped, not a blocking artifact",
+        "    — no quadratic term anywhere.",
         "    q175_staged_kcore 7.1 -> 9.7 s (1.4x): six peel rounds =",
         "    twelve bounded keyed shuffles over a shrinking daily edge",
         "    frame; the graph is events-derived and day-bounded, so the",
