@@ -516,3 +516,104 @@ def test_setsim_join_equals_naive_token_jaccard(spark, texts, t):
         for r in setsim_join(df, t_num, t_den).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r11-staged operators: quantile summary + weighted ticket race
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.sampled_from(["b0", "b1", "b2"]),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_spaced_summary_read_within_bound(spark, rows, k):
+    """For ANY input and any k: per-bucket summaries hold <= k rows
+    with weights summing to n_b, and the merged read's exact rank
+    distance from the target is <= SUM_b(ceil(n_b/k) - 1) — the merge
+    theorem on arbitrary data, not the fixture."""
+    import math
+    from collections import Counter
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.quantsketch import (  # noqa: E501
+        quantile_report,
+        spaced_summary,
+        value_histogram,
+    )
+
+    df = spark.createDataFrame(rows, "g string, b string, v long")
+    hist = value_histogram(df, ["g"], "b", "v")
+    summ = spaced_summary(hist, ["g"], "b", "v", k)
+    n_b = Counter((g, b) for g, b, _ in rows)
+    per_bucket = {
+        (r.g, r.b): (r.c, r.w)
+        for r in summ.groupBy("g", "b")
+        .agg(F.count("*").alias("c"), F.sum("weight").alias("w"))
+        .collect()
+    }
+    assert set(per_bucket) == set(n_b)
+    for key, (c, w) in per_bucket.items():
+        assert c <= k and w == n_b[key], key
+    qs = {"p50": (1, 2), "p90": (9, 10)}
+    rep = quantile_report(hist, summ, ["g"], "b", "v", k, qs)
+    for r in rep.collect():
+        want_bound = sum(
+            math.ceil(n / k) - 1 for (g, _), n in n_b.items() if g == r.g
+        )
+        assert r.err_bound == want_bound, r.g
+        for name in qs:
+            assert r[f"err_{name}"] <= r.err_bound, (r.g, name)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.integers(min_value=0, max_value=400),
+            st.integers(min_value=-2, max_value=6),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_weighted_race_matches_model_on_arbitrary_inputs(spark, rows, n):
+    """weighted_sample_race == the pure-Python min-of-w-md5 model on
+    arbitrary (stratum, id, weight) inputs, including non-positive
+    weights (excluded) and strata smaller than n."""
+    import hashlib
+    from collections import defaultdict
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.sampling import (  # noqa: E501
+        weighted_sample_race,
+    )
+
+    df = spark.createDataFrame(rows, "g string, id long, w long")
+    got = {
+        (r.g, r.id): (r.weight, r.rank)
+        for r in weighted_sample_race(df, ["g"], "w", n, "id").collect()
+    }
+    per = defaultdict(list)
+    for g, i, w in rows:
+        if w > 0:
+            mk = min(
+                hashlib.md5(f"{i}:{t}".encode()).hexdigest()
+                for t in range(1, w + 1)
+            )
+            per[g].append((mk, i, w))
+    want = {}
+    for g, items in per.items():
+        for rank, (mk, i, w) in enumerate(sorted(items), start=1):
+            if rank <= n:
+                want[(g, i)] = (w, rank)
+    assert got == want
