@@ -44,7 +44,12 @@ from pyspark.sql import functions as F
 
 from .llmops import tokens_col
 
-__all__ = ["positional_index", "phrase_search", "boolean_search"]
+__all__ = [
+    "positional_index",
+    "phrase_search",
+    "boolean_search",
+    "proximity_search",
+]
 
 
 def positional_index(
@@ -145,4 +150,53 @@ def boolean_search(
         "doc_id",
         F.col("min_tf").cast("bigint").alias("min_tf"),
         F.col("sum_tf").cast("bigint").alias("sum_tf"),
+    )
+
+
+def proximity_search(
+    index: DataFrame, term_a: str, term_b: str, k: int
+) -> DataFrame:
+    """Proximity query (the classic NEAR/k): docs where an occurrence
+    of ``term_a`` lies within ``k`` token positions of an occurrence
+    of ``term_b`` (unordered) — the retrieval class between
+    ``phrase_search`` (exact adjacency, k fixed by the phrase) and
+    ``boolean_search`` (whole-document co-occurrence, k = infinity).
+
+    (doc_id, n_pairs, min_dist): qualifying occurrence PAIRS counted
+    (a doc mentioning the terms together three times outranks one
+    incidental co-mention — the proximity analogue of tf) and the
+    closest distance, both exact integers.
+
+    Pure-expression position algebra on the two posting lists (one
+    equi-join on doc_id, nested higher-order filter/aggregate — no
+    explode of the position lists, same idiom as phrase_search's
+    shifted filter); each side's input is one term's postings, so a
+    query touches two index buckets and never the corpus.  Pair
+    fan-out inside a row is |positions_a| x |positions_b| bounded by
+    the k-filter applied innermost.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if term_a == term_b:
+        raise ValueError("proximity terms must differ")
+    pa = index.where(F.col("term") == term_a).select(
+        "doc_id", F.col("positions").alias("_pa")
+    )
+    pb = index.where(F.col("term") == term_b).select(
+        "doc_id", F.col("positions").alias("_pb")
+    )
+    dists = F.expr(
+        "flatten(transform(_pa, q -> "
+        f"transform(filter(_pb, r -> abs(r - q) <= {int(k)}), "
+        "r -> abs(r - q))))"
+    )
+    return (
+        pa.join(pb, "doc_id")
+        .select("doc_id", dists.alias("_d"))
+        .where(F.size("_d") > 0)
+        .select(
+            "doc_id",
+            F.size("_d").cast("bigint").alias("n_pairs"),
+            F.array_min("_d").cast("bigint").alias("min_dist"),
+        )
     )

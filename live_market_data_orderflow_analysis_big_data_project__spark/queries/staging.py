@@ -42,6 +42,13 @@ that completes the streaming sketch family instead):
   closed days), the summary/read/audit stay a batch view over the
   emitted table (the s17 production split); oracle = Q180 restricted
   to closed days (the s14/s17 watermark-closure argument).
+- q182: proximity retrieval (operators/index.py
+  ``proximity_search``) — the NEAR/k query class between q148's
+  exact phrase (adjacency) and q173's boolean AND (whole-document):
+  occurrence pairs of two terms within k token positions, counted
+  per doc with the closest distance.  Pure position algebra on two
+  posting lists; k=5 BINDS at every fixture sf (188/186/1691 of the
+  322/321/3098-doc AND sets qualify).
 """
 
 from __future__ import annotations
@@ -306,11 +313,55 @@ S19_SQL = _q180_sql(
 assert "AND date_trunc('day', ts)" in S19_SQL
 
 
+_Q182_K = 5
+
+
+def q182_proximity_search(spark, sf):
+    """Proximity retrieval (operators/index.py proximity_search):
+    docs with 'part' within 5 token positions of 'filter' — counted
+    occurrence pairs + closest distance, the NEAR/k class between
+    exact phrases (q148) and whole-document booleans (q173).
+    Hash-exact: the shared q94-q96 tokenizer, 1-based positions
+    (generate_subscripts parity), every output an integer.  The k=5
+    gate BINDS at every sf: 188/186/1691 qualifying docs out of
+    322/321/3098 containing both terms."""
+    from ..operators.index import positional_index, proximity_search
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return proximity_search(
+        positional_index(docs), "part", "filter", _Q182_K
+    )
+
+
+_STAGE_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')"
+)
+
+Q182_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, {_STAGE_TOKS} AS arr FROM documents
+), toks AS (
+  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+  FROM docs
+), a AS (SELECT doc_id, pos FROM toks WHERE tok = 'part'),
+b AS (SELECT doc_id, pos FROM toks WHERE tok = 'filter'),
+pairs AS (
+  SELECT a.doc_id, abs(a.pos - b.pos) AS d
+  FROM a JOIN b USING (doc_id)
+  WHERE abs(a.pos - b.pos) <= {_Q182_K}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(d) AS BIGINT) AS min_dist
+FROM pairs GROUP BY 1
+"""
+
+
 STAGED_QUERIES = {
     "q179_grouped_agg_pandas": q179_grouped_agg_pandas,
     "q180_quantile_rollup": q180_quantile_rollup,
     "q181_weighted_sample": q181_weighted_sample,
     "s19_quantile_stream": s19_quantile_stream,
+    "q182_proximity_search": q182_proximity_search,
 }
 
 STAGED_ORACLE = {
@@ -318,4 +369,5 @@ STAGED_ORACLE = {
     "q180_quantile_rollup": Q180_SQL,
     "q181_weighted_sample": Q181_SQL,
     "s19_quantile_stream": S19_SQL,
+    "q182_proximity_search": Q182_SQL,
 }

@@ -109,3 +109,83 @@ def test_q173_not_term_binds_on_the_fixture(spark):
     n_with, n_without = with_not.count(), without.count()
     assert n_with < n_without, (n_with, n_without)
     assert n_with > 0
+
+
+# ---------------------------------------------------------------------------
+# proximity_search — NEAR/k (staged gate q182)
+# ---------------------------------------------------------------------------
+
+def test_proximity_semantics_hand_corpus(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.index import (  # noqa: E501
+        positional_index,
+        proximity_search,
+    )
+
+    docs = [
+        (1, "alpha x x beta"),           # dist 3: in at k=3, out at k=2
+        (2, "alpha x x x x x beta"),     # dist 6: out at k<=5
+        (3, "beta alpha"),               # unordered: dist 1
+        (4, "alpha alpha beta"),         # two pairs: dists 2 and 1
+        (5, "alpha only here"),          # one term only
+    ]
+    idx = positional_index(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    got = {
+        r.doc_id: (r.n_pairs, r.min_dist)
+        for r in proximity_search(idx, "alpha", "beta", 3).collect()
+    }
+    assert got == {1: (1, 3), 3: (1, 1), 4: (2, 1)}
+    at2 = {
+        r.doc_id
+        for r in proximity_search(idx, "alpha", "beta", 2).collect()
+    }
+    assert at2 == {3, 4}
+
+
+def test_proximity_k_binds_on_the_fixture(spark):
+    """The q172/q173 binding discipline: at the gate sf the k=5 bound
+    must exclude a real share of the docs containing BOTH terms —
+    otherwise q182 degenerates into the boolean AND it is supposed to
+    refine."""
+    from conftest import SF001
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.index import (  # noqa: E501
+        positional_index,
+        proximity_search,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+        _Q182_K,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (  # noqa: E501
+        load_table,
+    )
+
+    docs = load_table(spark, SF001, "documents").select("doc_id", "text")
+    idx = positional_index(docs).localCheckpoint()
+    both = (
+        idx.where(F.col("term") == "part")
+        .select("doc_id")
+        .join(idx.where(F.col("term") == "filter").select("doc_id"), "doc_id")
+        .count()
+    )
+    near = proximity_search(idx, "part", "filter", _Q182_K).count()
+    assert 0 < near < both, (near, both)
+
+
+def test_proximity_no_python_no_explode_of_positions(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.index import (  # noqa: E501
+        positional_index,
+        proximity_search,
+    )
+
+    idx = positional_index(
+        spark.createDataFrame([(1, "a b"), (2, "b a")],
+                              "doc_id long, text string")
+    )
+    plan = (
+        proximity_search(idx, "a", "b", 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
