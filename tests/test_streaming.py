@@ -682,3 +682,57 @@ def test_funnel_stream_string_keys(spark):
         "alice": (True, True, False),
         "bob": (True, False, False),
     }
+
+
+def test_quantile_histogram_stream_spans_micro_batches(spark):
+    """s19's core properties under PROGRESSIVE delivery: (a) the
+    emitted per-day value histograms are batch-count INVARIANT (all
+    files in one trigger == one file per trigger), (b) a day whose
+    rows arrive split across micro-batches still emits ONE exact
+    histogram when it closes, equal to the batch groupBy, and (c)
+    only CLOSED days emit (the day holding max(ts) is withheld — the
+    oracle's splice term)."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.quantsketch import (  # noqa: E501
+        value_histogram_windowed,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (  # noqa: E501
+        stream_events_dir,
+    )
+
+    def _d(day, h, v):
+        return (f"t{v % 2}", dt.datetime(2024, 1, day, h, 0, 0), v)
+
+    # day 1 split across two files; day 2 in the third file (its rows
+    # are the max-ts day -> must NOT emit)
+    b1 = [_d(1, 1, 10), _d(1, 2, 10), _d(1, 3, 7)]
+    b2 = [_d(1, 4, 10), _d(1, 5, 7), _d(1, 6, 3)]
+    b3 = [_d(2, 1, 99), _d(2, 2, 99)]
+    schema = "event_type string, ts timestamp, cents long"
+    tmp = tempfile.mkdtemp(prefix="s19_batches_")
+    for rows in (b1, b2, b3):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(tmp)
+
+    def drained(max_files):
+        sdf = stream_events_dir(
+            spark, tmp, schema, max_files_per_trigger=max_files
+        )
+        out = run_to_memory(
+            value_histogram_windowed(
+                sdf, ["event_type"], "ts", "cents", bucket="day"
+            ),
+            f"t_s19_{max_files}",
+        )
+        return {
+            (r.event_type, r.day, r.cents): r.n for r in out.collect()
+        }
+
+    one, per_file = drained(None), drained(1)
+    assert one == per_file                      # batch-count invariance
+    want = {
+        ("t0", "2024-01-01", 10): 3,
+        ("t1", "2024-01-01", 7): 2,
+        ("t1", "2024-01-01", 3): 1,
+    }
+    assert one == want                          # split day exact, open day withheld
