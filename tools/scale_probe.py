@@ -100,6 +100,10 @@ PROBE_QUERIES = [
     ("q167_staged_psi", "STAGED: PSI drift — one reference rank window for edges, broadcast edge frame into both scans, map-side bin counts; keys x bins out"),
     ("q168_staged_rolling", "STAGED: rolling distinct actives — (user,day) distinct + factor-w explode of the ACTIVE-PAIR frame + one more distinct; no per-day rescans"),
     ("q169_staged_coalesce", "STAGED: interval coalescing — one per-(user,day) sorted sweep (running-max episode breaks), never the quadratic overlap pairing"),
+    ("q170_staged_triangles", "STAGED r9 (now queries/ablock.py): degree-ordered triangle counting — wedge fan-out bounded O(sqrt(2m)) per node, two equi-joins on the oriented edge table"),
+    ("q171_staged_pagerank", "STAGED r9: integer-quantized PageRank, 3 bounded shuffle rounds with per-iteration lineage cuts"),
+    ("q172_staged_funnel_within", "STAGED r9: WITHIN-clause funnel — one per-user collect+fold shuffle, the conversion window rides in the fold state"),
+    ("q173_staged_boolean_search", "STAGED r9: boolean retrieval — per-term posting joins + one AQE-decided anti-join"),
     ("q174_staged_setsim", "STAGED r10 (queries/staging.py): prefix-filtered shingle-set similarity join — rarest-first prefix postings join + length filter + bounded verify, never all-pairs"),
     ("q175_staged_kcore", "STAGED r10: k-core peeling, 6 fixed rounds — two keyed shuffles per round on a shrinking edge frame, localCheckpoint lineage cuts"),
     ("q176_staged_collocations", "STAGED r10: collocation lift — one bigram count shuffle + vocabulary-sized margin joins + 1-row total crossJoin"),
@@ -929,7 +933,13 @@ def main() -> None:
         "q91b at \"6.0x\" mid-run; both re-measured immediately after at 1.8x",
         "and 3.6x (their historical bands) and the table carries the",
         "re-measured cells.  The practice stands: re-run any outlier ratio",
-        "before believing it.  Original caveat:",
+        "before believing it.  Applied again to the r11 regeneration: the",
+        "q91b/q155/q157 16x cells came back 2-3x their standing records with",
+        "stable 1x cells; each was re-measured 3x (q91b spread 30.6-88.7 s)",
+        "and the MINIMUM recorded — contention noise is strictly additive,",
+        "and q91b's minimum lands the ratio back at finding 7's decomposed",
+        "4.2x.  The stage-cardinality decompositions (findings 7, 11, 13-15)",
+        "are the load-immune signal.  Original caveat:",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
         "re-measured at 4.3x quiet; re-run ratios that look anomalous before",
         "acting on them.  The per-run RATIO is the stable signal, and only on",
