@@ -40,7 +40,11 @@ count shuffle (value domains are bounded for cents-quantized metrics
 — the q142 argument); the summary is k rows per bucket (the
 persistable rollup; any day-range query merges summaries only); the
 read is domain-sized windows.  Headroom: cum*k must stay under 2^63
-— a 10^14-row bucket at k=64 is still fine.
+— a 10^14-row bucket at k=64 is still fine — and the bound is ENFORCED
+per-row with ``raise_error`` guards (the collocation_lift pattern) in
+both ``spaced_summary`` and ``quantile_report``, so Spark's ANSI-off
+silent int64 wrap can never diverge quietly from the oracle's loud
+BIGINT overflow.
 
 (Reference parity: no quantile machinery exists in the reference —
 its consumer computes pandas ``describe()`` percentiles per plot
@@ -153,7 +157,20 @@ def spaced_summary(
         cum.alias("_cum"),
         F.sum("n").over(w_all).alias("_nb"),
     )
-    i2 = F.expr(f"(_cum * {int(k)}) div _nb")
+    # int64 headroom guard (the collocation_lift / range_count_binned
+    # pattern): cum*k (cum <= n_b) and the weight's i*n_b (i <= k) both
+    # need n_b * k < 2^63.  With ANSI off Spark WRAPS the product
+    # silently while the DuckDB oracle errors loudly — past the
+    # headroom the engines would diverge without a sound, so the bound
+    # is ENFORCED per-row.  One guard covers every product in this
+    # projection: raise_error in any output column fails the row.
+    i2 = F.expr(
+        f"CASE WHEN _nb > 9223372036854775807 div {int(k)} "
+        "THEN CAST(raise_error('spaced_summary: n_b * k exceeds int64 "
+        "headroom - lower k or pre-shard the bucket (module "
+        "docstring)') AS BIGINT) "
+        f"ELSE (_cum * {int(k)}) div _nb END"
+    )
     i1 = F.expr(f"((_cum - n) * {int(k)}) div _nb")
     # weight = r_i2 - r_i1 with r_i = ceil(i * n_b / k)
     weight = (
@@ -233,8 +250,16 @@ def quantile_report(
     )
     out = tot.join(n_sum, g)
     for name, (num, den) in quantiles.items():
+        # same headroom discipline as spaced_summary: num * n_rows
+        # must not wrap (the guard is per-GROUP — tot is group-sized,
+        # so the check is free).
         t_expr = F.expr(
-            f"({int(num)} * n_rows + {int(den)} - 1) div {int(den)}"
+            f"CASE WHEN n_rows > (9223372036854775807 - {int(den)} + 1) "
+            f"div {int(num)} "
+            "THEN CAST(raise_error('quantile_report: num * n_rows "
+            "exceeds int64 headroom') AS BIGINT) "
+            f"ELSE ({int(num)} * n_rows + {int(den)} - 1) div {int(den)} "
+            "END"
         )
         tq = tot.select(*g, t_expr.cast("long").alias("_t"))
         est = (

@@ -141,8 +141,16 @@ def weighted_sample_race(
         *strata_cols,
         id_col,
         w.cast("long").alias("weight"),
+        # LONG sequence bounds: with an int bound, a weight past 2^31-1
+        # would wrap silently under ANSI-off and sequence() would
+        # descend from 1 — wrong tickets with no error (the
+        # collocation_lift silent-wrap divergence class).  With long
+        # bounds an oversized weight hits Spark's sequence-length cap
+        # and fails LOUDLY instead; weights that large mean the ticket
+        # race is the wrong realization anyway (module docstring: switch
+        # to the float A-ES exponent at deployment).
         F.explode(
-            F.sequence(F.lit(1), w.cast("int"))
+            F.sequence(F.lit(1).cast("long"), w.cast("long"))
         ).alias("_t"),
     )
     key = F.md5(

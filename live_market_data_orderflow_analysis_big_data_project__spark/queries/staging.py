@@ -304,11 +304,18 @@ def s19_quantile_stream(spark, sf):
 
 
 # Q180's twin restricted to closed day windows (built by the same
-# splice discipline as S17; the assert pins the splice point).
+# splice discipline as S17; the assert pins the splice point).  The
+# splice's max(ts) is scoped to `value IS NOT NULL` because the STREAM
+# filters NULL values BEFORE the watermark attaches (unlike s17, whose
+# NULL rows ride through to the windowed sum) — so only non-null-value
+# rows advance the watermark, and a fixture whose globally-latest
+# events all carry NULL value would close fewer days than an unscoped
+# max(ts) claims (the r11 ADVICE finding).
 S19_SQL = _q180_sql(
     where_extra="""
     AND date_trunc('day', ts)
-        < (SELECT date_trunc('day', max(ts)) FROM events)"""
+        < (SELECT date_trunc('day', max(ts)) FROM events
+           WHERE value IS NOT NULL)"""
 )
 assert "AND date_trunc('day', ts)" in S19_SQL
 

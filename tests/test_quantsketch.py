@@ -172,6 +172,28 @@ def test_stream_closure_term_binds(spark):
     assert sum(stream.values()) < sum(batch.values())
 
 
+def test_headroom_guards_fail_loudly(spark):
+    """The r11 ADVICE asymmetry: past the documented cum*k / num*n_rows
+    int64 headroom Spark would WRAP silently while the DuckDB oracle
+    errors loudly.  Both products are now raise_error-guarded (the
+    collocation_lift pattern) — pin that an over-headroom bucket fails
+    with the named error, not a wrong number."""
+    import pytest
+
+    huge = spark.createDataFrame(
+        [("g", "b", 1, 2**62)], "g string, b string, v long, n long"
+    )
+    with pytest.raises(Exception, match="spaced_summary"):
+        spaced_summary(huge, GB, "b", "v", 4).collect()
+    summ = spark.createDataFrame(
+        [("g", "b", 1, 2**62)], "g string, b string, v long, weight long"
+    )
+    with pytest.raises(Exception, match="quantile_report"):
+        quantile_report(
+            huge, summ, GB, "b", "v", 4, {"p90": (9, 10)}
+        ).collect()
+
+
 def test_no_python_in_plan(spark):
     rows = _hand_rows()
     _, _, rep = _pipeline(spark, rows, 4, {"p50": (1, 2)})

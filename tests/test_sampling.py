@@ -175,6 +175,24 @@ def test_race_weight_monotonicity_in_aggregate(spark):
     assert heavy_wins > 60, heavy_wins
 
 
+def test_race_oversized_weight_fails_loudly(spark):
+    """The r11 ADVICE divergence class: an int sequence bound would
+    WRAP a weight past 2^31-1 under ANSI-off and descend from 1 —
+    wrong tickets with no error.  With long bounds the oversized
+    weight must hit Spark's sequence-length cap and fail LOUDLY."""
+    import pytest
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.sampling import (  # noqa: E501
+        weighted_sample_race,
+    )
+
+    df = spark.createDataFrame(
+        [("s", 1, 2**31 + 10)], "g string, id long, w long"
+    )
+    with pytest.raises(Exception, match="(?i)array|sequence|exceed"):
+        weighted_sample_race(df, ["g"], "w", 1, "id").collect()
+
+
 def test_race_no_python_in_plan(spark):
     from live_market_data_orderflow_analysis_big_data_project__spark.operators.sampling import (  # noqa: E501
         weighted_sample_race,
