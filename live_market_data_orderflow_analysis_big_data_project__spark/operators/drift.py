@@ -33,7 +33,92 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["psi_drift"]
+__all__ = ["psi_drift", "psi_from_histograms"]
+
+
+def psi_from_histograms(
+    ref: DataFrame,
+    cur: DataFrame,
+    keys: list[str],
+    period_col: str,
+    bin_col: str,
+    n_col: str = "n",
+) -> DataFrame:
+    """PSI per (keys…, period, bin) from PRE-BINNED histograms — the
+    monitoring read over a streamed rollup (s20's batch view), where
+    ``psi_drift`` above bins raw rows itself.
+
+    ``ref`` is (keys…, bin, n): the reference distribution per key.
+    ``cur`` is (keys…, period, bin, n): one histogram per period (e.g.
+    per closed day, as emitted by a windowed streaming count agg).
+    For each (key, period) the bin DOMAIN is the union of the
+    reference's bins and that period's bins — a bin present on either
+    side scores; Laplace smoothing ``(n + 1)/(N + n_bins)`` keeps the
+    other side finite (same rule as ``psi_drift``, with n_bins the
+    per-(key, period) domain size so shares still sum to 1).
+
+    Output: keys, period, bin, ``n_ref``/``n_cur`` (exact ints),
+    ``n_bins``, ``p_ref``/``p_cur`` (exact-int IEEE divisions),
+    ``psi_contrib`` (ROUND 4 — ln is the one transcendental; per-bin
+    rounding keeps the gate order-independent, the q167 rule).
+    Σ psi_contrib over a (key, period) is its PSI.
+
+    Scale shape: both inputs are domain-bounded (keys × bins[× days])
+    rollups, orders of magnitude below the rows they summarize; the
+    domain union, grid joins and totals are all on those frames.  The
+    raw-data pass happened upstream (the stream's one windowed count
+    shuffle).
+    """
+    r = ref.select(*keys, F.col(bin_col).alias("_bin"),
+                   F.col(n_col).alias("n_ref"))
+    c = cur.select(*keys, F.col(period_col).alias("_per"),
+                   F.col(bin_col).alias("_bin"),
+                   F.col(n_col).alias("n_cur"))
+    periods = c.select(*keys, "_per").distinct()
+    # (key, period, bin) grid = ref bins replicated to every period
+    # UNION that period's own bins — both frames domain-sized
+    grid = (
+        periods.join(r.select(*keys, "_bin"), keys)
+        .unionByName(c.select(*keys, "_per", "_bin"))
+        .distinct()
+    )
+    cells = (
+        grid.join(r, [*keys, "_bin"], "left")
+        .join(c, [*keys, "_per", "_bin"], "left")
+        .select(
+            *keys,
+            "_per",
+            "_bin",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tot = Window.partitionBy(*keys, "_per")
+    n_bins = F.count(F.lit(1)).over(tot)
+    p = (F.col("n_ref") + F.lit(1)).cast("double") / (
+        F.sum("n_ref").over(tot) + n_bins
+    ).cast("double")
+    q = (F.col("n_cur") + F.lit(1)).cast("double") / (
+        F.sum("n_cur").over(tot) + n_bins
+    ).cast("double")
+    shared = cells.select(
+        *keys,
+        F.col("_per").alias(period_col),
+        F.col("_bin").alias(bin_col),
+        "n_ref",
+        "n_cur",
+        n_bins.cast("long").alias("n_bins"),
+        p.alias("p_ref"),
+        q.alias("p_cur"),
+    )
+    return shared.withColumn(
+        "psi_contrib",
+        F.round(
+            (F.col("p_ref") - F.col("p_cur"))
+            * F.log(F.col("p_ref") / F.col("p_cur")),
+            4,
+        ),
+    )
 
 
 def psi_drift(

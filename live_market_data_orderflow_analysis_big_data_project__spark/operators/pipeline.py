@@ -49,6 +49,7 @@ __all__ = [
     "quantize_embeddings",
     "bm25_search",
     "unigram_nll_score",
+    "bigram_nll_score",
     "collapse_clusters",
     "rrf_fuse",
     "incremental_dedup",
@@ -767,6 +768,81 @@ def unigram_nll_score(
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_tokens"),
+            F.round(-F.avg("logp"), 4).alias("avg_nll"),
+        )
+    )
+
+
+def bigram_nll_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average negative log-likelihood under an
+    INTERPOLATED BIGRAM model of the corpus itself — the next step up
+    the KenLM ladder from ``unigram_nll_score`` (CCNet's perplexity
+    filter is exactly this shape at n=5): a doc is scored by how
+    predictable each token is GIVEN ITS PREDECESSOR, so shuffled-word
+    salad that fools the unigram filter (every token common, order
+    nonsense) scores high here.
+
+    Model: p(w2|w1) = 3/4 · c(w1 w2)/c(w1 ·) + 1/4 · c(w2)/N — Jelinek-
+    Mercer interpolation with a rational λ = 3/4, where c(w1 ·) is the
+    bigram-margin count (so the conditional sums to 1 over the seen
+    successors) and the unigram floor makes unseen bigrams finite.
+    Hash discipline: the probability is built with a FIXED
+    parenthesization of exact-integer operands —
+    (3·c12)/(4·c1) + c2/(4·N), two IEEE divisions and one add — and
+    only ``ln`` is transcendental, absorbed by the q118 rule (per-doc
+    ROUND 4 + sweep coverage).
+
+    Docs with < 2 tokens have no bigram events and are excluded (the
+    unigram score covers them).  Output: (id, n_bigrams, avg_nll).
+
+    100 TB: one bigram-instance frame (the q95/q176 adjacency shape),
+    three count aggregations over it; the LM is bigram-vocabulary-
+    sized, joined back keyed by (w1, w2) — broadcast when it fits,
+    AQE's shuffle join otherwise (uniform by construction after the
+    count agg).  No Python, no windows over raw rows.
+    """
+    toks = df.select(
+        F.col(id_col), tokens_col(text_col).alias("_arr")
+    ).where(F.size("_arr") >= 2)
+    m = F.size("_arr") - 1
+    pairs = F.zip_with(
+        F.slice("_arr", 1, m),
+        F.slice("_arr", 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = toks.select(
+        F.col(id_col), F.explode(pairs).alias("_p")
+    ).select(id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni = df.select(F.explode(tokens_col(text_col)).alias("tok")).groupBy(
+        "tok"
+    ).agg(F.count(F.lit(1)).alias("c2"))
+    n_tot = uni.agg(F.sum("c2").alias("n_tot"))
+    lm = (
+        c12.join(c1, "w1")
+        .join(uni.withColumnRenamed("tok", "w2"), "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.lit(3) * F.col("c12")).cast("double")
+                / (F.lit(4) * F.col("c1")).cast("double")
+                + F.col("c2").cast("double")
+                / (F.lit(4) * F.col("n_tot")).cast("double")
+            ).alias("logp"),
+        )
+    )
+    return (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
             F.round(-F.avg("logp"), 4).alias("avg_nll"),
         )
     )

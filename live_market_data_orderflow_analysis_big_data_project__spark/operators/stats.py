@@ -37,7 +37,90 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pairwise_corr"]
+__all__ = ["pairwise_corr", "group_trend"]
+
+
+def group_trend(
+    df: DataFrame, key_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit y = slope·x +
+    intercept — grouped linear regression, the trend-detection
+    capability Spark has no builtin for (MLlib fits ONE model per
+    call, not one per key).
+
+    Same exact-moment discipline as ``pairwise_corr``: ``x`` and ``y``
+    are exact int64 series (bucket indices, cents); the five moments
+    (n, Σx, Σy, Σxy, Σx²) are exact int64 sums; the closed-form
+    numerators/denominator
+
+        D = n·Σx² − Σx·Σx
+        slope·D     = n·Σxy − Σx·Σy
+        intercept·D = Σy·Σx² − Σx·Σxy
+
+    are exact int64 products of those sums, and slope/intercept are
+    ONE correctly-rounded IEEE division each — bit-identical across
+    engines and partitionings, no ROUND anywhere.  ``slope`` and
+    ``intercept`` are NULL when D = 0 (fewer than two distinct x).
+
+    int64 headroom: every product above pairs one of (n, |Σx|, |Σy|)
+    with one of (Σx², |Σxy|, |Σx|); the conservative A·B bound over
+    those groups is ENFORCED per-group with a raise_error guard (the
+    collocation_lift pattern) instead of wrapping silently under
+    ANSI-off — rescale y (coarser cents) or shorten the x range past
+    it.
+
+    At 100 TB: one map-side-combinable moment shuffle keyed by group
+    over one scan; everything after runs on the |groups|-row frame.
+
+    Output: key, ``n``, ``sum_x``, ``sum_y`` (exact anchors),
+    ``slope``, ``intercept``.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    m = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sum_x"),
+            F.sum(y).alias("sum_y"),
+            F.sum(x * y).alias("_sxy"),
+            F.sum(x * x).alias("_sxx"),
+        )
+    )
+    # int64 headroom guard, folded into the denominator so the
+    # optimizer can never prune it: every product above is (one of
+    # n, |Σx|, |Σy|) × (one of Σx², |Σxy|, |Σx|) — the conservative
+    # A·B bound covers all six.  Overflow-free check: A > 0 AND
+    # B > MAX div A (positive operands, floor division).
+    _MAX = 9223372036854775807
+    den = F.expr(
+        "CASE WHEN greatest(n, abs(sum_x), abs(sum_y)) > 0 "
+        "AND greatest(_sxx, abs(_sxy), abs(sum_x)) "
+        f"> {_MAX} div greatest(n, abs(sum_x), abs(sum_y)) "
+        "THEN CAST(raise_error('group_trend: moment product exceeds "
+        "int64 headroom - rescale y or shorten the x range (module "
+        "docstring)') AS BIGINT) "
+        "ELSE n * _sxx - sum_x * sum_x END"
+    )
+    s_num = F.col("n") * F.col("_sxy") - F.col("sum_x") * F.col("sum_y")
+    i_num = (
+        F.col("sum_y") * F.col("_sxx") - F.col("sum_x") * F.col("_sxy")
+    )
+    m = m.withColumn("_den", den)
+    return m.select(
+        key_col,
+        "n",
+        "sum_x",
+        "sum_y",
+        F.when(
+            F.col("_den") != 0,
+            s_num.cast("double") / F.col("_den").cast("double"),
+        ).alias("slope"),
+        F.when(
+            F.col("_den") != 0,
+            i_num.cast("double") / F.col("_den").cast("double"),
+        ).alias("intercept"),
+    )
 
 
 def pairwise_corr(

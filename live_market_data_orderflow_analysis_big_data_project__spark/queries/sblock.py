@@ -662,6 +662,68 @@ def s18_funnel_stream(spark, sf):
 from .eblock import Q77_SQL as S18_SQL  # noqa: E402
 
 
+# --------------------------------------------------------------------------
+# Round-12 promotion (docs/ROTATION_r12.md), moved verbatim from
+# queries/staging.py: s19 streaming quantile rollup — the batch twin
+# q180 lives in ablock.py; the oracle is built by ablock's _q180_sql
+# so the two stay coupled (the S17/Q150 splice pattern).
+# --------------------------------------------------------------------------
+
+from .ablock import _CENTS, _Q180_K, _Q180_QS, _q180_sql  # noqa: E402
+
+
+def s19_quantile_stream(spark, sf):
+    """Streaming twin of q180 — the streaming sketch family's
+    quantile member (s14 HLL distincts, s15 top-k, s19 quantiles):
+    the stream maintains the per-(type x day) VALUE HISTOGRAM
+    (windowed count agg — the data-sized reduction; state per open
+    (type, day, cents) is one count), append emits each day's
+    histogram once when it closes, and the mergeable summary +
+    p50/p90 read + exactness audit run as a batch view over the
+    emitted table (the s17 production split).  Oracle: Q180
+    restricted to closed days (watermark 0 + the final no-data batch
+    advance to max(ts) — the s14/s17 closure argument)."""
+    from ..operators.quantsketch import (
+        quantile_report,
+        spaced_summary,
+        value_histogram_windowed,
+    )
+
+    sdf = stream_events(spark, sf).select("event_type", "ts", "value")
+    sdf = sdf.where(F.col("value").isNotNull()).select(
+        "event_type", "ts", F.expr(_CENTS).alias("cents")
+    )
+    hist = run_to_memory(
+        value_histogram_windowed(
+            sdf, ["event_type"], "ts", "cents", bucket="day"
+        ),
+        "s19_quanthist",
+        n_state_partitions=8,
+    )
+    hist = hist.localCheckpoint(eager=True)  # the s15 lineage cut
+    summ = spaced_summary(hist, ["event_type"], "day", "cents", _Q180_K)
+    return quantile_report(
+        hist, summ, ["event_type"], "day", "cents", _Q180_K, _Q180_QS
+    )
+
+
+# Q180's twin restricted to closed day windows (built by the same
+# splice discipline as S17; the assert pins the splice point).  The
+# splice's max(ts) is scoped to `value IS NOT NULL` because the STREAM
+# filters NULL values BEFORE the watermark attaches (unlike s17, whose
+# NULL rows ride through to the windowed sum) — so only non-null-value
+# rows advance the watermark, and a fixture whose globally-latest
+# events all carry NULL value would close fewer days than an unscoped
+# max(ts) claims (the r11 ADVICE finding).
+S19_SQL = _q180_sql(
+    where_extra="""
+    AND date_trunc('day', ts)
+        < (SELECT date_trunc('day', max(ts)) FROM events
+           WHERE value IS NOT NULL)"""
+)
+assert "AND date_trunc('day', ts)" in S19_SQL
+
+
 QUERIES = {
     "s01_tumbling_candles": s01_tumbling_candles,
     "s02_sliding_window": s02_sliding_window,
@@ -679,6 +741,7 @@ QUERIES = {
     "s14_hll_windowed_stream": s14_hll_windowed_stream,
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
     "s18_funnel_stream": s18_funnel_stream,
+    "s19_quantile_stream": s19_quantile_stream,
 }
 
 # DuckDB twins of the drained streaming output (see module docstring for
@@ -885,4 +948,5 @@ ORACLE = {
     "s14_hll_windowed_stream": S14_SQL,
     "s15_topk_windowed_stream": S15_SQL,
     "s18_funnel_stream": S18_SQL,
+    "s19_quantile_stream": S19_SQL,
 }

@@ -10,45 +10,42 @@ the EXACT driver compare (check_oracle's normalize + hash) on every
 pytest run — and promoted into queries()/oracle_sql() when a window
 slot opens.  Promotion is a dict move, not new code.
 
-The round-11 rotation (docs/ROTATION_r11.md) promoted all 6 entries
-staged at r10 close (q174 set-similarity join, q175 k-core, q176
-collocation lift, q177 interval overlap join, s18 streaming funnel,
-q178 skew diagnostics).  Staged during round 11 for the r12 window
-(the r10 verdict's suggested cohort; its 4th suggestion — a
-stream-side interp twin for q150 — already exists: s17 emits
-``interp_sum``, so the streaming slot goes to the quantile rollup
-that completes the streaming sketch family instead):
+The round-12 rotation (docs/ROTATION_r12.md) promoted all 5 entries
+staged at r11 close (q179 grouped-agg pandas UDF, q180 rank-spaced
+quantile rollup, q181 weighted ticket-race sample, q182 NEAR/k
+proximity retrieval -> ablock.py; s19 streaming quantile rollup ->
+sblock.py).  Staged during round 12 for the r13 window:
 
-- q179: grouped-agg pandas UDF (functions/pandasudfs.py
-  ``lower_median_cents``) — the one Python-UDF matrix cell q80-q84
-  leave uncovered (Series -> scalar inside ``groupBy().agg()``).
-  Exact int64 lower median computed in numpy, so the API proof still
-  hash-gates against the SQL rank-selection twin.
-- q180: mergeable rank-spaced quantile summary rollup
-  (operators/quantsketch.py) — the KLL/MRL capability slot with a
-  DETERMINISTIC compaction (values at ranks ceil(i*n_b/k)), so the
-  estimate itself hash-gates (KLL's coin flips and GK's
-  order-dependent tuples never can); per-group report audits the
-  merged read against exact ranks with the closed-form error bound
-  SUM_b(ceil(n_b/k) - 1).
-- q181: deterministic weighted sampling without replacement
-  (operators/sampling.py ``weighted_sample_race``) — the
-  Efraimidis-Spirakis A-ES law realized exactly in integers: w
-  tickets per item, md5 ticket keys, rank by minimum ticket (min of
-  w uniforms ~ the u^(1/w) race, distributionally identical), no
-  transcendental floats anywhere.
-- s19: streaming quantile rollup — the stream maintains the
-  per-(type x day) VALUE HISTOGRAM (windowed count agg, append emits
-  closed days), the summary/read/audit stay a batch view over the
-  emitted table (the s17 production split); oracle = Q180 restricted
-  to closed days (the s14/s17 watermark-closure argument).
-- q182: proximity retrieval (operators/index.py
-  ``proximity_search``) — the NEAR/k query class between q148's
-  exact phrase (adjacency) and q173's boolean AND (whole-document):
-  occurrence pairs of two terms within k token positions, counted
-  per doc with the closest distance.  Pure position algebra on two
-  posting lists; k=5 BINDS at every fixture sf (188/186/1691 of the
-  322/321/3098-doc AND sets qualify).
+- q183: integer-quantized Lloyd's k-means (operators/cluster.py) —
+  the iterative-clustering capability slot (the SemDeDup cluster step
+  before q121's within-cluster pruning), hash-gateable because
+  quantization, seeding, assignment and centroid updates are all
+  exact integer arithmetic with total-order tie-breaks; fixed
+  iterations with per-round lineage cuts (the q171/q175 class).
+- q184: multi-touch conversion attribution
+  (operators/attribution.py) — last-touch + first-touch credit within
+  a 72 h lookback as ONE per-user RANGE-frame window pass over exact
+  integer microseconds; oracle IS the naive conversions × touches
+  inequality join (the q155/q177 proof pattern).
+- q185: interpolated-bigram LM fluency score
+  (operators/pipeline.py ``bigram_nll_score``) — the next rung of the
+  KenLM perplexity-filter ladder above q118's unigram; Jelinek-Mercer
+  λ = 3/4 with a fixed exact-integer parenthesization, ln the one
+  transcendental (q118's ROUND-4 + sweep rule).
+- q186: grouped OLS trend (operators/stats.py ``group_trend``) —
+  per-type slope/intercept of daily cents totals on the day index;
+  exact int64 moments, closed-form integer numerators/denominator,
+  one IEEE division each (the pairwise_corr discipline — no ROUND),
+  int64 headroom raise_error-guarded.
+- s20: streaming PSI drift monitor — the stream maintains the
+  per-(type × day) binned VALUE histogram (windowed count agg, append
+  emits closed days), the PSI read vs the pre-split reference runs as
+  a batch view (operators/drift.py ``psi_from_histograms``) — the
+  monitoring loop of q167 with the data-sized stage streamed (the s17
+  production split).  Bin NULLs are filtered INSIDE the windowed
+  operator (post-watermark), so every event advances the watermark
+  and the oracle splice is the plain unscoped max(ts) — the
+  documented contrast with s19's pre-watermark filter.
 """
 
 from __future__ import annotations
@@ -59,322 +56,389 @@ from ..sources.tables import load_table
 
 _CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
+_Q183_K = 4
+_Q183_ITERS = 3
 
-def q179_grouped_agg_pandas(spark, sf):
-    """Grouped-agg pandas UDF surface proof (functions/pandasudfs.py
-    lower_median_cents): per-user exact lower median of event value
-    cents via a Series->scalar UDF in groupBy().agg().  Hash-gateable
-    because numpy's int64 sort + index (n-1)//2 is the same exact
-    rank selection as the oracle's window arithmetic (the q82 pattern
-    at the grouped-AGG cell).  The q82 parallelism lesson applies
-    verbatim: AQE sizes the exchange by shuffle BYTES and would
-    coalesce this small frame onto one Python worker, so the grouped
-    exchange is repartitioned at cluster width explicitly."""
-    from ..functions.pandasudfs import lower_median_cents
 
-    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
-    width = spark.sparkContext.defaultParallelism
-    return (
-        ev.select("user_id", F.expr(_CENTS).alias("cents"))
-        .repartition(width, "user_id")
-        .groupBy("user_id")
-        .agg(lower_median_cents("cents").alias("med_cents"))
+def q183_kmeans(spark, sf):
+    """Integer-quantized k-means over the embeddings table
+    (operators/cluster.py kmeans_quantized): k=4 clusters, 3 Lloyd
+    iterations, deterministic md5(vec_id) seeding — final assignment
+    (vec_id, cluster, d2) hash-gated against the oracle's unrolled
+    MATERIALIZED-CTE iterations (the q175 pattern).  Exactness: floor
+    quantization to a shifted non-negative grid (no round-half or
+    floor-vs-truncate ambiguity anywhere), argmin with cluster-id
+    tie-break, centroid floor-means of non-negative ints."""
+    from ..operators.cluster import kmeans_quantized
+
+    emb = load_table(spark, sf, "embeddings")
+    return kmeans_quantized(
+        emb, "vec_id", "embedding", _Q183_K, _Q183_ITERS
     )
 
 
-Q179_SQL = f"""
-WITH c AS (
-  SELECT user_id, {_CENTS} AS cents
-  FROM events WHERE value IS NOT NULL
-), r AS (
-  SELECT user_id, cents,
-         row_number() OVER (PARTITION BY user_id ORDER BY cents) AS rn,
-         count(*) OVER (PARTITION BY user_id) AS n
-  FROM c
-)
-SELECT user_id, cents AS med_cents FROM r WHERE rn = (n + 1) // 2
-"""
-
-
-_Q180_K = 4
-_Q180_QS = {"p50": (1, 2), "p90": (9, 10)}
-
-
-def q180_quantile_rollup(spark, sf):
-    """Mergeable rank-spaced quantile summary rollup
-    (operators/quantsketch.py): per-(event_type x day) summaries of
-    value cents at k=4 (the knob chosen so the compaction BINDS at
-    the smallest fixture — day buckets hold ~7 rows at sf0.001, so
-    n_summary < n_rows and err_bound > 0 at EVERY sf; deployment ks
-    are 64-512, the gate proves the arithmetic not the accuracy
-    ceiling), merged across days, read at p50/p90 and
-    audited against the exact ranks — est/exact/err all exact int64,
-    err <= the closed-form merge bound SUM_b(ceil(n_b/k) - 1) (the
-    audit booleans are theorems, not tolerances).  Deterministic
-    compaction = full hash gate; see the module docstring for why
-    KLL/GK never can."""
-    from ..operators.quantsketch import (
-        quantile_report,
-        spaced_summary,
-        value_histogram,
-    )
-
-    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
-    base = ev.select(
-        "event_type",
-        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
-        .alias("day"),
-        F.expr(_CENTS).alias("cents"),
-    )
-    hist = value_histogram(base, ["event_type"], "day", "cents")
-    summ = spaced_summary(hist, ["event_type"], "day", "cents", _Q180_K)
-    return quantile_report(
-        hist, summ, ["event_type"], "day", "cents", _Q180_K, _Q180_QS
-    )
-
-
-def _q180_sql(where_extra: str = "") -> str:
-    k = _Q180_K
+def _q183_sql(k: int = _Q183_K, iters: int = _Q183_ITERS) -> str:
     parts = [f"""
-WITH c AS (
-  SELECT event_type AS g,
-         strftime(date_trunc('day', ts), '%Y-%m-%d') AS b,
-         {_CENTS} AS v
-  FROM events WHERE value IS NOT NULL{where_extra}
-), hist AS (
-  SELECT g, b, v, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2, 3
-), hb AS (
-  SELECT g, b, v, n,
-         CAST(sum(n) OVER (PARTITION BY g, b ORDER BY v
-                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-         CAST(sum(n) OVER (PARTITION BY g, b) AS BIGINT) AS nb
-  FROM hist
-), sw AS (
-  SELECT g, v,
-         ((i2 * nb + {k} - 1) // {k})
-           - ((i1 * nb + {k} - 1) // {k}) AS w
-  FROM (
-    SELECT g, v, nb,
-           (cum * {k}) // nb AS i2,
-           ((cum - n) * {k}) // nb AS i1
-    FROM hb
-  ) WHERE i2 > i1
-), nsum AS (
-  SELECT g, CAST(count(*) AS BIGINT) AS n_summary FROM sw GROUP BY 1
-), pb AS (
-  SELECT g, b, CAST(sum(n) AS BIGINT) AS nb FROM hist GROUP BY 1, 2
-), tot AS (
-  SELECT g, CAST(sum(nb) AS BIGINT) AS n_rows,
-         CAST(count(*) AS BIGINT) AS n_buckets,
-         CAST(sum((nb + {k} - 1) // {k} - 1) AS BIGINT) AS err_bound
-  FROM pb GROUP BY 1
-), mc AS (
-  SELECT g, v, CAST(sum(mw) OVER (PARTITION BY g ORDER BY v
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
-  FROM (SELECT g, v, sum(w) AS mw FROM sw GROUP BY 1, 2)
-), fc AS (
-  SELECT g, v, CAST(fcn AS BIGINT) AS fcn,
-         CAST(sum(fcn) OVER (PARTITION BY g ORDER BY v
-              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-  FROM (SELECT g, v, sum(n) AS fcn FROM hist GROUP BY 1, 2)
+WITH q AS MATERIALIZED (
+  SELECT vec_id, dim,
+         CAST(floor(CAST(val AS DOUBLE) * 10000) AS BIGINT) + 10000 AS v
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings WHERE embedding IS NOT NULL)
+), seeds AS MATERIALIZED (
+  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cluster
+  FROM (SELECT vec_id,
+               row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM (SELECT DISTINCT vec_id FROM q))
+  WHERE rn <= {k}
+), c0 AS MATERIALIZED (
+  SELECT s.cluster, q.dim, q.v FROM seeds s JOIN q USING (vec_id)
 )"""]
-    sel = ["tot.g AS event_type", "n_rows", "n_buckets", "n_summary",
-           "err_bound"]
-    joins = ["tot JOIN nsum USING (g)"]
-    for name, (num, den) in _Q180_QS.items():
-        parts.append(f""", t_{name} AS (
-  SELECT g, CAST(({num} * n_rows + {den} - 1) // {den} AS BIGINT) AS t
-  FROM tot
-), est_{name} AS (
-  SELECT mc.g, min(v) AS est FROM mc JOIN t_{name} USING (g)
-  WHERE cw >= t GROUP BY 1
-), ex_{name} AS (
-  SELECT fc.g, min(v) AS exact FROM fc JOIN t_{name} USING (g)
-  WHERE cum >= t GROUP BY 1
-), er_{name} AS (
-  SELECT fc.g,
-         CAST(greatest(0, (cum - fcn + 1) - tq.t, tq.t - cum) AS BIGINT) AS err
-  FROM fc JOIN est_{name} e ON fc.g = e.g AND fc.v = e.est
-  JOIN t_{name} tq ON fc.g = tq.g
+    for i in range(1, iters + 1):
+        parts.append(f""", d{i} AS MATERIALIZED (
+  SELECT q.vec_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM q JOIN c{i - 1} c ON q.dim = c.dim GROUP BY 1, 2
+), a{i} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rk
+    FROM d{i}
+  ) WHERE rk = 1
+), u{i} AS MATERIALIZED (
+  SELECT a.cluster, q.dim, CAST(sum(q.v) // count(*) AS BIGINT) AS v
+  FROM a{i} a JOIN q USING (vec_id) GROUP BY 1, 2
+), c{i} AS MATERIALIZED (
+  SELECT c.cluster, c.dim, COALESCE(u.v, c.v) AS v
+  FROM c{i - 1} c
+  LEFT JOIN u{i} u ON c.cluster = u.cluster AND c.dim = u.dim
 )""")
-        sel += [f"est_{name}.est AS est_{name}",
-                f"ex_{name}.exact AS exact_{name}",
-                f"er_{name}.err AS err_{name}",
-                f"er_{name}.err <= err_bound AS {name}_ok"]
-        joins.append(
-            f"JOIN est_{name} ON tot.g = est_{name}.g "
-            f"JOIN ex_{name} ON tot.g = ex_{name}.g "
-            f"JOIN er_{name} ON tot.g = er_{name}.g"
-        )
-    return (
-        "".join(parts)
-        + "\nSELECT " + ",\n       ".join(sel)
-        + "\nFROM " + " ".join(joins)
-    )
-
-
-Q180_SQL = _q180_sql()
-
-
-_Q181_N = 10
-
-
-def q181_weighted_sample(spark, sf):
-    """Deterministic weighted sampling without replacement
-    (operators/sampling.py weighted_sample_race): 10 documents per
-    language, inclusion following the A-ES u^(1/w) law with weight =
-    512-char chunk count — realized as the exact-integer ticket race
-    (min-of-w md5 keys), so the oracle recomputes the identical
-    sample and the gate is a full hash pass (no RNG, no
-    transcendental floats — the q147 reproducibility contract
-    extended from systematic PPS to the reservoir law)."""
-    from ..operators.sampling import weighted_sample_race
-
-    docs = (
-        load_table(spark, sf, "documents")
-        .select("doc_id", "lang", "n_chars")
-        .where(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
-    )
-    wdf = docs.select(
-        "doc_id", "lang", F.expr("(n_chars + 511) div 512").alias("w")
-    )
-    out = weighted_sample_race(wdf, ["lang"], "w", _Q181_N, "doc_id")
-    return out.select(
-        "lang", "doc_id", "weight", F.col("rank").alias("sample_rank")
-    )
-
-
-Q181_SQL = f"""
-WITH b AS (
-  SELECT doc_id, lang, CAST((n_chars + 511) // 512 AS BIGINT) AS weight
-  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
-), t AS (
-  SELECT doc_id, lang, weight,
-         unnest(generate_series(1, CAST(weight AS INT))) AS tick
-  FROM b
-), k AS (
-  SELECT doc_id, lang, weight,
-         min(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(tick AS VARCHAR)))
-           AS mk
-  FROM t GROUP BY 1, 2, 3
-), r AS (
-  SELECT lang, doc_id, weight,
-         row_number() OVER (PARTITION BY lang ORDER BY mk, doc_id) AS rn
-  FROM k
+    parts.append(f""", df AS (
+  SELECT q.vec_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM q JOIN c{iters} c ON q.dim = c.dim GROUP BY 1, 2
 )
-SELECT lang, doc_id, weight, CAST(rn AS BIGINT) AS sample_rank
-FROM r WHERE rn <= {_Q181_N}
+SELECT vec_id, cluster, d2 FROM (
+  SELECT vec_id, cluster, d2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cluster) AS rk
+  FROM df
+) WHERE rk = 1""")
+    return "".join(parts)
+
+
+Q183_SQL = _q183_sql()
+
+
+_Q184_LOOKBACK_S = 72 * 3600
+_Q184_TOUCHES = ("view", "click")
+_Q184_CONV = "purchase"
+
+
+def q184_attribution(spark, sf):
+    """Last-touch + first-touch conversion attribution
+    (operators/attribution.py touch_attribution): each purchase is
+    credited to the latest and earliest view/click of the same user
+    within 72 h (strictly before, integer-microsecond order, event_id
+    tie-break), rolled up per (conversion day × last × first channel)
+    with the summed last-touch gap.  The lookback BINDS at every
+    fixture sf (attributed AND unattributed conversions both present
+    — pinned by test).  Oracle IS the naive conversions × touches
+    inequality join — proving the window rewrite exact."""
+    from ..operators.attribution import touch_attribution
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    conv = touch_attribution(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        _Q184_TOUCHES,
+        _Q184_CONV,
+        _Q184_LOOKBACK_S,
+    )
+    return conv.groupBy(
+        F.date_format(F.date_trunc("day", F.col("conv_ts")), "yyyy-MM-dd")
+        .alias("day"),
+        F.coalesce("last_channel", F.lit("none")).alias("last_channel"),
+        F.coalesce("first_channel", F.lit("none")).alias("first_channel"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.coalesce(F.sum("last_gap_s"), F.lit(0))
+        .cast("long")
+        .alias("sum_last_gap_s"),
+    )
+
+
+Q184_SQL = f"""
+WITH conv AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us
+  FROM events WHERE event_type = '{_Q184_CONV}'
+), tch AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('view', 'click')
+), cand AS (
+  SELECT c.event_id AS cid, t.us AS tus, t.event_id AS tid,
+         t.event_type AS ch
+  FROM conv c JOIN tch t ON c.user_id = t.user_id
+   AND t.us <= c.us - 1
+   AND t.us >= c.us - {_Q184_LOOKBACK_S * 1_000_000}
+), lastt AS (
+  SELECT cid, ch, tus FROM (
+    SELECT cid, ch, tus, row_number() OVER (
+      PARTITION BY cid ORDER BY tus DESC, tid DESC) AS rk FROM cand
+  ) WHERE rk = 1
+), firstt AS (
+  SELECT cid, ch FROM (
+    SELECT cid, ch, row_number() OVER (
+      PARTITION BY cid ORDER BY tus ASC, tid ASC) AS rk FROM cand
+  ) WHERE rk = 1
+)
+SELECT strftime(date_trunc('day', c.ts), '%Y-%m-%d') AS day,
+       COALESCE(l.ch, 'none') AS last_channel,
+       COALESCE(f.ch, 'none') AS first_channel,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(COALESCE(sum((c.us - l.tus) // 1000000), 0) AS BIGINT)
+         AS sum_last_gap_s
+FROM conv c
+LEFT JOIN lastt l ON c.event_id = l.cid
+LEFT JOIN firstt f ON c.event_id = f.cid
+GROUP BY 1, 2, 3
 """
 
 
-def s19_quantile_stream(spark, sf):
-    """Streaming twin of q180 — the streaming sketch family's
-    quantile member (s14 HLL distincts, s15 top-k, s19 quantiles):
-    the stream maintains the per-(type x day) VALUE HISTOGRAM
-    (windowed count agg — the data-sized reduction; state per open
-    (type, day, cents) is one count), append emits each day's
-    histogram once when it closes, and the mergeable summary +
-    p50/p90 read + exactness audit run as a batch view over the
-    emitted table (the s17 production split).  Oracle: Q180
-    restricted to closed days (watermark 0 + the final no-data batch
-    advance to max(ts) — the s14/s17 closure argument)."""
-    from ..operators.quantsketch import (
-        quantile_report,
-        spaced_summary,
-        value_histogram_windowed,
-    )
-    from ..streaming.core import run_to_memory, stream_events
-
-    sdf = stream_events(spark, sf).select("event_type", "ts", "value")
-    sdf = sdf.where(F.col("value").isNotNull()).select(
-        "event_type", "ts", F.expr(_CENTS).alias("cents")
-    )
-    hist = run_to_memory(
-        value_histogram_windowed(
-            sdf, ["event_type"], "ts", "cents", bucket="day"
-        ),
-        "s19_quanthist",
-        n_state_partitions=8,
-    )
-    hist = hist.localCheckpoint(eager=True)  # the s15 lineage cut
-    summ = spaced_summary(hist, ["event_type"], "day", "cents", _Q180_K)
-    return quantile_report(
-        hist, summ, ["event_type"], "day", "cents", _Q180_K, _Q180_QS
-    )
-
-
-# Q180's twin restricted to closed day windows (built by the same
-# splice discipline as S17; the assert pins the splice point).  The
-# splice's max(ts) is scoped to `value IS NOT NULL` because the STREAM
-# filters NULL values BEFORE the watermark attaches (unlike s17, whose
-# NULL rows ride through to the windowed sum) — so only non-null-value
-# rows advance the watermark, and a fixture whose globally-latest
-# events all carry NULL value would close fewer days than an unscoped
-# max(ts) claims (the r11 ADVICE finding).
-S19_SQL = _q180_sql(
-    where_extra="""
-    AND date_trunc('day', ts)
-        < (SELECT date_trunc('day', max(ts)) FROM events
-           WHERE value IS NOT NULL)"""
-)
-assert "AND date_trunc('day', ts)" in S19_SQL
-
-
-_Q182_K = 5
-
-
-def q182_proximity_search(spark, sf):
-    """Proximity retrieval (operators/index.py proximity_search):
-    docs with 'part' within 5 token positions of 'filter' — counted
-    occurrence pairs + closest distance, the NEAR/k class between
-    exact phrases (q148) and whole-document booleans (q173).
-    Hash-exact: the shared q94-q96 tokenizer, 1-based positions
-    (generate_subscripts parity), every output an integer.  The k=5
-    gate BINDS at every sf: 188/186/1691 qualifying docs out of
-    322/321/3098 containing both terms."""
-    from ..operators.index import positional_index, proximity_search
-
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    return proximity_search(
-        positional_index(docs), "part", "filter", _Q182_K
-    )
-
-
-_STAGE_TOKS = (
+_Q185_TOKS = (
     "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')"
 )
 
-Q182_SQL = f"""
-WITH docs AS (
-  SELECT doc_id, {_STAGE_TOKS} AS arr FROM documents
-), toks AS (
-  SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
-  FROM docs
-), a AS (SELECT doc_id, pos FROM toks WHERE tok = 'part'),
-b AS (SELECT doc_id, pos FROM toks WHERE tok = 'filter'),
-pairs AS (
-  SELECT a.doc_id, abs(a.pos - b.pos) AS d
-  FROM a JOIN b USING (doc_id)
-  WHERE abs(a.pos - b.pos) <= {_Q182_K}
+
+def q185_bigram_nll(spark, sf):
+    """Interpolated-bigram LM fluency score
+    (operators/pipeline.py bigram_nll_score): per-doc avg NLL under
+    p(w2|w1) = 3/4·c12/c1 + 1/4·c2/N — the KenLM perplexity-filter
+    shape one rung above q118's unigram (word-salad that fools a
+    unigram model scores high here).  Fixed exact-integer
+    parenthesization (3·c12)/(4·c1) + c2/(4·N); ln + avg absorbed by
+    ROUND 4 (the q118 rule, sweep-covered)."""
+    from ..operators.pipeline import bigram_nll_score
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return bigram_nll_score(docs)
+
+
+Q185_SQL = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, {_Q185_TOKS} AS arr FROM documents
+), tk AS MATERIALIZED (
+  SELECT doc_id, unnest(arr) AS tok,
+         generate_subscripts(arr, 1) AS pos
+  FROM t
+), bg AS MATERIALIZED (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+), uni AS (
+  SELECT tok AS w2, CAST(count(*) AS BIGINT) AS c2 FROM tk GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tot FROM tk
+), lm AS (
+  SELECT w1, w2,
+         ln(CAST(3 * c12 AS DOUBLE) / CAST(4 * c1 AS DOUBLE)
+            + CAST(c2 AS DOUBLE) / CAST(4 * n_tot AS DOUBLE)) AS logp
+  FROM c12 JOIN c1 USING (w1) JOIN uni USING (w2), tot
 )
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
-       CAST(min(d) AS BIGINT) AS min_dist
-FROM pairs GROUP BY 1
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       ROUND(-AVG(logp), 4) AS avg_nll
+FROM bg JOIN lm USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+_Q186_EPOCH = "2024-01-01"
+
+
+def q186_group_trend(spark, sf):
+    """Grouped OLS trend (operators/stats.py group_trend): per-type
+    least-squares line of daily cents totals on the day index (days
+    since {epoch}) — slope = drift per day, intercept = fitted day-0
+    level.  Exact int64 moments, closed-form integer numerators /
+    denominator, one IEEE division each (the pairwise_corr
+    discipline): slope/intercept hash with NO ROUND."""
+    from ..operators.stats import group_trend
+
+    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("_day"),
+        )
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+        .select(
+            "event_type",
+            F.datediff(F.col("_day"), F.lit(_Q186_EPOCH))
+            .cast("long")
+            .alias("x"),
+            F.col("y").cast("long").alias("y"),
+        )
+    )
+    return group_trend(daily, "event_type", "x", "y")
+
+
+Q186_SQL = f"""
+WITH d AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '{_Q186_EPOCH}',
+                       date_trunc('day', ts)) AS BIGINT) AS x,
+         CAST(sum({_CENTS}) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, date_trunc('day', ts)
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM d GROUP BY 1
+)
+SELECT event_type, n, sum_x, sum_y,
+       CASE WHEN n * sxx - sum_x * sum_x <> 0
+            THEN CAST(n * sxy - sum_x * sum_y AS DOUBLE)
+                 / CAST(n * sxx - sum_x * sum_x AS DOUBLE) END AS slope,
+       CASE WHEN n * sxx - sum_x * sum_x <> 0
+            THEN CAST(sum_y * sxx - sum_x * sxy AS DOUBLE)
+                 / CAST(n * sxx - sum_x * sum_x AS DOUBLE) END
+         AS intercept
+FROM m
+"""
+
+
+_S20_SPLIT = "2024-01-16"
+_S20_BIN_CENTS = 500
+
+
+def s20_psi_drift_stream(spark, sf):
+    """Streaming PSI drift monitor — q167's monitoring loop with the
+    data-sized stage streamed (the s17/s19 production split): the
+    stream maintains per-(type × day) BINNED value histograms
+    (windowed count agg over cents div 500; state per open
+    (type, day, bin) is one count), append emits closed days, and the
+    PSI read vs the pre-{split} reference runs as a batch view
+    (operators/drift.py psi_from_histograms, per-bin ROUND-4
+    contributions — the q167 order-independence rule).  The bin
+    expression guards negative cents with raise_error (Spark div
+    truncates, DuckDB // floors — they agree only on non-negatives);
+    bin NULLs are filtered INSIDE the windowed operator
+    (post-watermark), so every event advances the watermark and the
+    closed-day splice is the plain unscoped max(ts) — the documented
+    contrast with s19's pre-watermark value filter."""
+    from ..operators.drift import psi_from_histograms
+    from ..operators.quantsketch import value_histogram_windowed
+    from ..streaming.core import run_to_memory, stream_events
+
+    bin_expr = (
+        f"CASE WHEN {_CENTS} < 0 THEN CAST(raise_error('s20: negative "
+        "cents - floor/truncate division diverges across engines') "
+        f"AS BIGINT) ELSE {_CENTS} div {_S20_BIN_CENTS} END"
+    )
+    sdf = stream_events(spark, sf).select(
+        "event_type", "ts", F.expr(bin_expr).alias("bin")
+    )
+    hist = run_to_memory(
+        value_histogram_windowed(
+            sdf, ["event_type"], "ts", "bin", bucket="day"
+        ),
+        "s20_psihist",
+        n_state_partitions=8,
+    )
+    hist = hist.localCheckpoint(eager=True)  # the s15 lineage cut
+    ref = (
+        hist.where(F.col("day") < _S20_SPLIT)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    cur = hist.where(F.col("day") >= _S20_SPLIT)
+    return psi_from_histograms(
+        ref, cur, ["event_type"], "day", "bin", "n"
+    )
+
+
+S20_SQL = f"""
+WITH h AS MATERIALIZED (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         {_CENTS} // {_S20_BIN_CENTS} AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events
+  WHERE value IS NOT NULL
+    AND date_trunc('day', ts)
+        < (SELECT date_trunc('day', max(ts)) FROM events)
+  GROUP BY 1, 2, 3
+), ref AS (
+  SELECT event_type, bin, CAST(sum(n) AS BIGINT) AS n_ref0
+  FROM h WHERE day < '{_S20_SPLIT}' GROUP BY 1, 2
+), cur AS (
+  SELECT event_type, day, bin, n FROM h WHERE day >= '{_S20_SPLIT}'
+), days AS (
+  SELECT DISTINCT event_type, day FROM cur
+), grid AS (
+  SELECT d.event_type, d.day, r.bin
+  FROM days d JOIN ref r ON d.event_type = r.event_type
+  UNION
+  SELECT event_type, day, bin FROM cur
+), cells AS (
+  SELECT g.event_type, g.day, g.bin,
+         CAST(COALESCE(r.n_ref0, 0) AS BIGINT) AS n_ref,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cur
+  FROM grid g
+  LEFT JOIN ref r ON g.event_type = r.event_type AND g.bin = r.bin
+  LEFT JOIN cur c ON g.event_type = c.event_type AND g.day = c.day
+                 AND g.bin = c.bin
+), tot AS (
+  SELECT event_type, day,
+         CAST(count(*) AS BIGINT) AS n_bins,
+         CAST(sum(n_ref) AS BIGINT) AS t_ref,
+         CAST(sum(n_cur) AS BIGINT) AS t_cur
+  FROM cells GROUP BY 1, 2
+)
+SELECT c.event_type, c.day, c.bin, c.n_ref, c.n_cur, t.n_bins,
+       CAST(c.n_ref + 1 AS DOUBLE) / CAST(t.t_ref + t.n_bins AS DOUBLE)
+         AS p_ref,
+       CAST(c.n_cur + 1 AS DOUBLE) / CAST(t.t_cur + t.n_bins AS DOUBLE)
+         AS p_cur,
+       ROUND((CAST(c.n_ref + 1 AS DOUBLE)
+                / CAST(t.t_ref + t.n_bins AS DOUBLE)
+              - CAST(c.n_cur + 1 AS DOUBLE)
+                / CAST(t.t_cur + t.n_bins AS DOUBLE))
+             * ln((CAST(c.n_ref + 1 AS DOUBLE)
+                     / CAST(t.t_ref + t.n_bins AS DOUBLE))
+                  / (CAST(c.n_cur + 1 AS DOUBLE)
+                       / CAST(t.t_cur + t.n_bins AS DOUBLE))), 4)
+         AS psi_contrib
+FROM cells c JOIN tot t ON c.event_type = t.event_type AND c.day = t.day
 """
 
 
 STAGED_QUERIES = {
-    "q179_grouped_agg_pandas": q179_grouped_agg_pandas,
-    "q180_quantile_rollup": q180_quantile_rollup,
-    "q181_weighted_sample": q181_weighted_sample,
-    "s19_quantile_stream": s19_quantile_stream,
-    "q182_proximity_search": q182_proximity_search,
+    "q183_kmeans": q183_kmeans,
+    "q184_attribution": q184_attribution,
+    "q185_bigram_nll": q185_bigram_nll,
+    "q186_group_trend": q186_group_trend,
+    "s20_psi_drift_stream": s20_psi_drift_stream,
 }
 
 STAGED_ORACLE = {
-    "q179_grouped_agg_pandas": Q179_SQL,
-    "q180_quantile_rollup": Q180_SQL,
-    "q181_weighted_sample": Q181_SQL,
-    "s19_quantile_stream": S19_SQL,
-    "q182_proximity_search": Q182_SQL,
+    "q183_kmeans": Q183_SQL,
+    "q184_attribution": Q184_SQL,
+    "q185_bigram_nll": Q185_SQL,
+    "q186_group_trend": Q186_SQL,
+    "s20_psi_drift_stream": S20_SQL,
 }

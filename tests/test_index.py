@@ -154,7 +154,7 @@ def test_proximity_k_binds_on_the_fixture(spark):
         positional_index,
         proximity_search,
     )
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
         _Q182_K,
     )
     from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (  # noqa: E501

@@ -140,7 +140,7 @@ def test_compaction_binds_on_the_fixtures(spark):
     summary must actually compress (n_summary < n_rows) and the merge
     bound must be a real tolerance (err_bound > 0) — otherwise the
     driver gate degenerates to comparing exact quantiles."""
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
         q180_quantile_rollup,
     )
 
@@ -155,8 +155,10 @@ def test_stream_closure_term_binds(spark):
     restriction excludes at least one day's rows at the gate sf (the
     stream genuinely holds the open day back, so the WHERE clause is
     load-bearing, not vacuous)."""
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
         q180_quantile_rollup,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.sblock import (  # noqa: E501
         s19_quantile_stream,
     )
 

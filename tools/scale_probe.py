@@ -109,7 +109,7 @@ PROBE_QUERIES = [
     ("q176_staged_collocations", "STAGED r10: collocation lift — one bigram count shuffle + vocabulary-sized margin joins + 1-row total crossJoin"),
     ("q177_staged_overlapjoin", "STAGED r10: bin-decomposed interval x interval overlap join — bin equi-join, first-shared-bin dedup, TRUE pair volume is the output term"),
     ("q178_staged_skew_report", "STAGED r10: join-key skew diagnostics — one per-key count agg + a global window over the provably O(sqrt n) bucket-size histogram"),
-    ("q179_staged_groupedagg", "STAGED r11 (queries/staging.py): grouped-agg pandas UDF cell — one keyed exchange into ArrowAggregatePython, whole groups cross to Python"),
+    ("q179_staged_groupedagg", "STAGED r11 (now queries/ablock.py): grouped-agg pandas UDF cell — one keyed exchange into ArrowAggregatePython, whole groups cross to Python"),
     ("q180_staged_quantile", "STAGED r11: mergeable rank-spaced quantile rollup — one (group,day,value) count shuffle + per-bucket windows over the histogram, report joins are group-sized"),
     ("q181_staged_wsample", "STAGED r11: weighted ticket-race sample — O(sum w) map-side explode collapsed by algebraic min, one item-frame shuffle + per-stratum top-n window"),
     ("q182_staged_proximity", "STAGED r11: NEAR/k proximity retrieval — two posting-bucket scans + one doc_id equi-join, nested HOF position algebra, no explode"),
@@ -326,19 +326,19 @@ def _custom_probes():
         ),
         "q179_staged_groupedagg": (
             None,
-            lambda spark, sf, ctx: staging.q179_grouped_agg_pandas(spark, sf),
+            lambda spark, sf, ctx: ablock.q179_grouped_agg_pandas(spark, sf),
         ),
         "q180_staged_quantile": (
             None,
-            lambda spark, sf, ctx: staging.q180_quantile_rollup(spark, sf),
+            lambda spark, sf, ctx: ablock.q180_quantile_rollup(spark, sf),
         ),
         "q181_staged_wsample": (
             None,
-            lambda spark, sf, ctx: staging.q181_weighted_sample(spark, sf),
+            lambda spark, sf, ctx: ablock.q181_weighted_sample(spark, sf),
         ),
         "q182_staged_proximity": (
             None,
-            lambda spark, sf, ctx: staging.q182_proximity_search(spark, sf),
+            lambda spark, sf, ctx: ablock.q182_proximity_search(spark, sf),
         ),
         "q147_staged_pps": (
             None,
