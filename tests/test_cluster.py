@@ -1,0 +1,182 @@
+"""operators/cluster.py — integer-quantized Lloyd's k-means.
+
+The staged gate (q183) proves row parity with the unrolled-CTE SQL
+oracle at two sfs; these pin the algorithm itself against a pure-Python
+model (quantization, md5 seeding, argmin tie-break, floor-mean update,
+empty-cluster carry), the |x| <= 1 guard, partitioning invariance, the
+fixture-binding discipline, and plan purity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from live_market_data_orderflow_analysis_big_data_project__spark.operators.cluster import (  # noqa: E501
+    kmeans_quantized,
+    quantize_vectors,
+)
+
+from conftest import SF0001, SF001
+
+_SCALE, _SHIFT = 10_000, 10_000
+
+
+def _model(rows, k, iters):
+    """Pure-Python twin of kmeans_quantized: rows = [(id, [floats])].
+
+    The DataFrame column is array<FLOAT> — the engine (and the DuckDB
+    oracle reading the same storage) quantizes the float32 value, so
+    the model must round-trip through float32 before flooring or it
+    tests numpy literals, not the operator."""
+    import numpy as np
+
+    q = {
+        i: [
+            math.floor(float(np.float32(x)) * _SCALE) + _SHIFT
+            for x in v
+        ]
+        for i, v in rows
+    }
+    seeds = sorted(q, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:k]
+    cent = {c: list(q[i]) for c, i in enumerate(seeds)}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def assign():
+        return {
+            i: min(cent, key=lambda c: (d2(q[i], cent[c]), c)) for i in q
+        }
+
+    for _ in range(iters):
+        a = assign()
+        for c in cent:
+            members = [q[i] for i in q if a[i] == c]
+            if members:
+                cent[c] = [
+                    sum(col) // len(members) for col in zip(*members)
+                ]
+    a = assign()
+    return {i: (a[i], d2(q[i], cent[a[i]])) for i in q}
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def _pts():
+    # two visible 3-D blobs + a couple of stragglers, deterministic
+    rows = []
+    for i in range(8):
+        rows.append((i, [0.1 + i * 0.01, 0.2, -0.3]))
+    for i in range(8, 15):
+        rows.append((i, [-0.7, -0.1 - (i - 8) * 0.02, 0.6]))
+    rows.append((15, [0.9, 0.9, -0.9]))
+    return rows
+
+
+def test_kmeans_equals_python_model(spark):
+    rows = _pts()
+    for k, iters in ((2, 2), (3, 3), (4, 1)):
+        got = {
+            r.vec_id: (r.cluster, r.d2)
+            for r in kmeans_quantized(
+                _df(spark, rows), "vec_id", "embedding", k, iters
+            ).collect()
+        }
+        assert got == _model(rows, k, iters), (k, iters)
+
+
+def test_empty_cluster_keeps_centroid(spark):
+    # identical points: every point ties to both seeds, the cluster-id
+    # tie-break sends all of them to cluster 0, cluster 1 empties and
+    # must carry its centroid (no crash, no schema shrink, model parity)
+    rows = [(i, [0.5, -0.5]) for i in range(5)]
+    got = {
+        r.vec_id: (r.cluster, r.d2)
+        for r in kmeans_quantized(
+            _df(spark, rows), "vec_id", "embedding", 2, 2
+        ).collect()
+    }
+    assert got == _model(rows, 2, 2)
+    assert {c for c, _ in got.values()} == {0}
+
+
+def test_coordinate_guard_fails_loudly(spark):
+    rows = [(1, [0.5, 1.5])]
+    with pytest.raises(Exception, match="kmeans_quantized"):
+        quantize_vectors(_df(spark, rows), "vec_id", "embedding").collect()
+
+
+def test_partitioning_invariance(spark):
+    rows = _pts()
+    base = _df(spark, rows)
+    a = {
+        (r.vec_id, r.cluster, r.d2)
+        for r in kmeans_quantized(
+            base.repartition(1), "vec_id", "embedding", 3, 2
+        ).collect()
+    }
+    b = {
+        (r.vec_id, r.cluster, r.d2)
+        for r in kmeans_quantized(
+            base.repartition(7, "vec_id"), "vec_id", "embedding", 3, 2
+        ).collect()
+    }
+    assert a == b
+
+
+def test_fixture_binding(spark):
+    """The q172/q182 binding discipline at BOTH gate sfs: multiple
+    clusters hold members (k-means did something) and the iterations
+    moved assignments off the seed partition (iters=0 != iters=3) —
+    otherwise the gate degenerates to nearest-seed assignment."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+        _Q183_ITERS,
+        _Q183_K,
+        q183_kmeans,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (  # noqa: E501
+        load_table,
+    )
+
+    for sf in (SF0001, SF001):
+        out = q183_kmeans(spark, sf)
+        sizes = {
+            r.cluster: r.c
+            for r in out.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        assert len(sizes) >= 2, (sf, sizes)
+        seed_only = {
+            (r.vec_id, r.cluster)
+            for r in kmeans_quantized(
+                load_table(spark, sf, "embeddings"),
+                "vec_id",
+                "embedding",
+                _Q183_K,
+                0,
+            ).collect()
+        }
+        final = {(r.vec_id, r.cluster) for r in out.collect()}
+        assert final != seed_only, sf
+
+
+def test_no_python_in_plan(spark):
+    plan = (
+        kmeans_quantized(_df(spark, _pts()), "vec_id", "embedding", 2, 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # the centroid cross join must stay a BROADCAST of the k-row frame
+    assert "CartesianProduct" not in plan

@@ -97,3 +97,119 @@ def test_new_segment_surfaced_not_dropped(spark):
     assert r["psi_contrib"] is None
     # the established segment's rows are untouched by the new arm
     assert sum(1 for k in got if k[0] == "a") == 4
+
+
+# ---------------------------------------------------------------------------
+# psi_from_histograms — the streamed-rollup PSI read (staged gate s20)
+# ---------------------------------------------------------------------------
+
+def _hist_frames(spark, ref_rows, cur_rows):
+    r = spark.createDataFrame(ref_rows, "g string, bin long, n long")
+    c = spark.createDataFrame(
+        cur_rows, "g string, day string, bin long, n long"
+    )
+    return r, c
+
+
+def _run_hist(spark, ref_rows, cur_rows):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.drift import (  # noqa: E501
+        psi_from_histograms,
+    )
+
+    r, c = _hist_frames(spark, ref_rows, cur_rows)
+    out = psi_from_histograms(r, c, ["g"], "day", "bin", "n")
+    return {(x["g"], x["day"], x["bin"]): x for x in out.collect()}
+
+
+def test_hist_psi_identical_distributions_near_zero(spark):
+    ref = [("a", b, 25) for b in range(4)]
+    cur = [("a", "d1", b, 50) for b in range(4)]
+    got = _run_hist(spark, ref, cur)
+    assert len(got) == 4
+    for x in got.values():
+        assert x.n_bins == 4
+        # equal shares -> p == q exactly -> contribution exactly 0
+        assert x.psi_contrib == 0.0
+
+
+def test_hist_psi_domain_is_union_of_ref_and_day_bins(spark):
+    # bin 9 exists only in the reference, bin 7 only on day d1 — BOTH
+    # must appear in d1's domain (n_bins = 3) and score; a bin on
+    # neither side must not.
+    ref = [("a", 1, 10), ("a", 9, 10)]
+    cur = [("a", "d1", 1, 5), ("a", "d1", 7, 5)]
+    got = _run_hist(spark, ref, cur)
+    assert set(got) == {("a", "d1", 1), ("a", "d1", 7), ("a", "d1", 9)}
+    for x in got.values():
+        assert x.n_bins == 3
+    assert got[("a", "d1", 7)].n_ref == 0
+    assert got[("a", "d1", 9)].n_cur == 0
+    # one-sided bins are exactly where drift lives: both contribute > 0
+    assert got[("a", "d1", 7)].psi_contrib > 0
+    assert got[("a", "d1", 9)].psi_contrib > 0
+
+
+def test_hist_psi_matches_python_model(spark):
+    ref = [("a", 0, 30), ("a", 1, 10), ("a", 2, 5)]
+    cur = [
+        ("a", "d1", 0, 2),
+        ("a", "d1", 1, 20),
+        ("a", "d2", 0, 30),
+        ("a", "d2", 1, 10),
+        ("a", "d2", 2, 5),
+    ]
+    got = _run_hist(spark, ref, cur)
+
+    refc = {b: n for _, b, n in ref}
+    for day in ("d1", "d2"):
+        dayc = {b: n for g, d, b, n in cur if d == day}
+        bins = sorted(set(refc) | set(dayc))
+        t_ref = sum(refc.values())
+        t_cur = sum(dayc.values())
+        for b in bins:
+            p = (refc.get(b, 0) + 1) / (t_ref + len(bins))
+            q = (dayc.get(b, 0) + 1) / (t_cur + len(bins))
+            x = got[("a", day, b)]
+            assert x.n_ref == refc.get(b, 0) and x.n_cur == dayc.get(b, 0)
+            assert x.p_ref == p and x.p_cur == q
+            assert x.psi_contrib == round((p - q) * math.log(p / q), 4)
+
+
+def test_hist_psi_per_day_domains_are_independent(spark):
+    # a bin private to d1 must not enter d2's domain
+    ref = [("a", 0, 10)]
+    cur = [("a", "d1", 5, 10), ("a", "d2", 0, 10)]
+    got = _run_hist(spark, ref, cur)
+    assert got[("a", "d1", 5)].n_bins == 2
+    assert got[("a", "d2", 0)].n_bins == 1
+    assert ("a", "d2", 5) not in got
+
+
+def test_s20_split_and_closure_bind(spark):
+    """The s19 closure lesson applied to s20: at the gate sf the
+    reference (pre-split closed days) and the monitored side (post-
+    split closed days) are both non-empty, and the open final day is
+    withheld by the stream — the splice and the split are both
+    load-bearing."""
+    from conftest import SF0001
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+        _S20_SPLIT,
+        s20_psi_drift_stream,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (  # noqa: E501
+        load_table,
+    )
+
+    rows = s20_psi_drift_stream(spark, SF0001).collect()
+    days = {r.day for r in rows}
+    assert days and min(days) >= _S20_SPLIT
+    assert any(r.n_ref > 0 for r in rows)
+    last_day = (
+        load_table(spark, SF0001, "events")
+        .agg(F.date_format(F.max(F.date_trunc("day", "ts")),
+                           "yyyy-MM-dd").alias("d"))
+        .collect()[0]
+        .d
+    )
+    assert last_day not in days  # the open day is withheld

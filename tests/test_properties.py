@@ -617,3 +617,126 @@ def test_weighted_race_matches_model_on_arbitrary_inputs(spark, rows, n):
             if rank <= n:
                 want[(g, i)] = (w, rank)
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(-1000, 1000).map(lambda v: v / 1000.0),
+            min_size=2, max_size=2,
+        ),
+        min_size=1, max_size=12,
+    ),
+    st.integers(1, 3),
+    st.integers(0, 2),
+)
+def test_kmeans_equals_python_model_on_arbitrary_points(spark, vecs, k, iters):
+    """kmeans_quantized == the pure-Python Lloyd model (float32
+    round-trip, md5 seeding, argmin tie-break, floor-mean update,
+    empty-cluster carry) on arbitrary 2-D point sets."""
+    from test_cluster import _model
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.cluster import (  # noqa: E501
+        kmeans_quantized,
+    )
+
+    rows = list(enumerate(vecs))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: (r.cluster, r.d2)
+        for r in kmeans_quantized(
+            df, "vec_id", "embedding", k, iters
+        ).collect()
+    }
+    assert got == _model(rows, k, iters)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),            # user
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(0, 500),          # microsecond offset (collisions likely)
+        ),
+        min_size=1, max_size=25,
+    ),
+    st.integers(1, 300),                  # lookback seconds
+)
+def test_attribution_equals_brute_force(spark, events, lookback_s):
+    """touch_attribution == the naive inequality-join model on
+    arbitrary event tapes with heavy timestamp collisions."""
+    import datetime as dt
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.attribution import (  # noqa: E501
+        touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, i, ty, t0 + dt.timedelta(seconds=s))
+        for i, (u, ty, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r.conv_id: (r.last_channel, r.last_gap_s,
+                    r.first_channel, r.first_gap_s)
+        for r in touch_attribution(
+            df, "user_id", "ts", "event_type", "event_id",
+            ("view", "click"), "purchase", lookback_s,
+        ).collect()
+    }
+
+    want = {}
+    tape = [(u, i, ty, s) for i, (u, ty, s) in enumerate(events)]
+    for (u, i, ty, s) in tape:
+        if ty != "purchase":
+            continue
+        cand = [
+            (s2, i2, ty2)
+            for (u2, i2, ty2, s2) in tape
+            if u2 == u and ty2 in ("view", "click")
+            and s2 < s and s2 >= s - lookback_s
+        ]
+        if cand:
+            ls, li, lch = max(cand)
+            fs, fi, fch = min(cand)
+            want[i] = (lch, s - ls, fch, s - fs)
+        else:
+            want[i] = (None, None, None, None)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(-10_000, 10_000)),
+        min_size=1, max_size=30,
+    )
+)
+def test_group_trend_matches_fraction_arithmetic(spark, pts):
+    """group_trend's slope/intercept == one IEEE division of the exact
+    Fraction numerator/denominator on arbitrary integer series."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.stats import (  # noqa: E501
+        group_trend,
+    )
+
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], "g string, x long, y long"
+    )
+    out = group_trend(df, "g", "x", "y").collect()[0]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    den = n * sxx - sx * sx
+    assert out.n == n and out.sum_x == sx and out.sum_y == sy
+    if den == 0:
+        assert out.slope is None and out.intercept is None
+    else:
+        assert out.slope == (n * sxy - sx * sy) / den
+        assert out.intercept == (sy * sxx - sx * sxy) / den
