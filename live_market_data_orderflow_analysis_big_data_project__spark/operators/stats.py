@@ -62,12 +62,11 @@ def group_trend(
     engines and partitionings, no ROUND anywhere.  ``slope`` and
     ``intercept`` are NULL when D = 0 (fewer than two distinct x).
 
-    int64 headroom: every product above pairs one of (n, |Σx|, |Σy|)
-    with one of (Σx², |Σxy|, |Σx|); the conservative A·B bound over
-    those groups is ENFORCED per-group with a raise_error guard (the
-    collocation_lift pattern) instead of wrapping silently under
-    ANSI-off — rescale y (coarser cents) or shorten the x range past
-    it.
+    int64 headroom: the six products the closed forms compute (n·Σx²,
+    n·Σxy, Σx·Σx, Σx·Σy, Σy·Σx², Σx·Σxy) are each ENFORCED per-group
+    with a raise_error guard (the collocation_lift pattern) instead
+    of wrapping silently under ANSI-off — rescale y (coarser cents)
+    or shorten/re-anchor the x range past it.
 
     At 100 TB: one map-side-combinable moment shuffle keyed by group
     over one scan; everything after runs on the |groups|-row frame.
@@ -88,15 +87,28 @@ def group_trend(
         )
     )
     # int64 headroom guard, folded into the denominator so the
-    # optimizer can never prune it: every product above is (one of
-    # n, |Σx|, |Σy|) × (one of Σx², |Σxy|, |Σx|) — the conservative
-    # A·B bound covers all six.  Overflow-free check: A > 0 AND
-    # B > MAX div A (positive operands, floor division).
+    # optimizer can never prune it: exactly the SIX products the
+    # closed forms compute are checked, each with the overflow-free
+    # rule a > 0 AND b > MAX div a (positive operands, floor
+    # division).  A first draft used one conservative A·B bound over
+    # the moment groups — it fired on the 16x scale probe for the
+    # never-computed Σy·Σxy pairing while every real product had four
+    # orders of magnitude of headroom; per-product checks keep the
+    # guard honest (fires iff a real product would wrap).
     _MAX = 9223372036854775807
+    _checks = " OR ".join(
+        f"({a} > 0 AND {b} > {_MAX} div {a})"
+        for a, b in (
+            ("n", "_sxx"),                      # n·Σx²
+            ("n", "abs(_sxy)"),                 # n·Σxy
+            ("abs(sum_x)", "abs(sum_x)"),       # Σx·Σx
+            ("abs(sum_x)", "abs(sum_y)"),       # Σx·Σy
+            ("abs(sum_y)", "_sxx"),             # Σy·Σx²
+            ("abs(sum_x)", "abs(_sxy)"),        # Σx·Σxy
+        )
+    )
     den = F.expr(
-        "CASE WHEN greatest(n, abs(sum_x), abs(sum_y)) > 0 "
-        "AND greatest(_sxx, abs(_sxy), abs(sum_x)) "
-        f"> {_MAX} div greatest(n, abs(sum_x), abs(sum_y)) "
+        f"CASE WHEN {_checks} "
         "THEN CAST(raise_error('group_trend: moment product exceeds "
         "int64 headroom - rescale y or shorten the x range (module "
         "docstring)') AS BIGINT) "

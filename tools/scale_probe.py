@@ -113,6 +113,10 @@ PROBE_QUERIES = [
     ("q180_staged_quantile", "STAGED r11: mergeable rank-spaced quantile rollup — one (group,day,value) count shuffle + per-bucket windows over the histogram, report joins are group-sized"),
     ("q181_staged_wsample", "STAGED r11: weighted ticket-race sample — O(sum w) map-side explode collapsed by algebraic min, one item-frame shuffle + per-stratum top-n window"),
     ("q182_staged_proximity", "STAGED r11: NEAR/k proximity retrieval — two posting-bucket scans + one doc_id equi-join, nested HOF position algebra, no explode"),
+    ("q183_staged_kmeans", "STAGED r12 (queries/staging.py): integer-quantized k-means — per-iteration broadcast of k centroid rows + one (cluster,dim) update shuffle; the assignment scan is the only data term"),
+    ("q184_staged_attribution", "STAGED r12: last/first-touch attribution — ONE per-user RANGE-frame window pass over integer microseconds, never the touches x conversions pair join"),
+    ("q185_staged_bigramlm", "STAGED r12: interpolated-bigram NLL — one bigram-instance frame, three count aggs over it, LM joined back keyed by (w1,w2)"),
+    ("q186_staged_trend", "STAGED r12: grouped OLS trend — one map-side-combinable moment shuffle; everything downstream is |groups|-sized"),
 ]
 
 
@@ -339,6 +343,22 @@ def _custom_probes():
         "q182_staged_proximity": (
             None,
             lambda spark, sf, ctx: ablock.q182_proximity_search(spark, sf),
+        ),
+        "q183_staged_kmeans": (
+            None,
+            lambda spark, sf, ctx: staging.q183_kmeans(spark, sf),
+        ),
+        "q184_staged_attribution": (
+            None,
+            lambda spark, sf, ctx: staging.q184_attribution(spark, sf),
+        ),
+        "q185_staged_bigramlm": (
+            None,
+            lambda spark, sf, ctx: staging.q185_bigram_nll(spark, sf),
+        ),
+        "q186_staged_trend": (
+            None,
+            lambda spark, sf, ctx: staging.q186_group_trend(spark, sf),
         ),
         "q147_staged_pps": (
             None,
@@ -927,6 +947,30 @@ def main() -> None:
         "    posting buckets on doc_id with nested HOF position algebra —",
         "    scan-dominated at any scale, the persisted-index posture",
         "    makes the per-query cost independent of corpus size.",
+        "",
+        "16. NEWLY STAGED IN r12 (probed before entering any window):",
+        "    q183_staged_kmeans 7.2 -> 7.7 s (1.1x): per iteration = one",
+        "    assignment scan against a BROADCAST of k centroid rows + one",
+        "    (cluster, dim) update shuffle of k*d rows; 16x vectors move",
+        "    only the scan, and the fixture frame is so far inside fixed",
+        "    session cost that the wall barely moves.",
+        "    q184_staged_attribution 4.3 -> 5.1 s (1.2x): one shuffle by",
+        "    user + one ordered RANGE-frame pass; the frame is bounded by",
+        "    the lookback, so no term grows faster than the tape.",
+        "    q185_staged_bigramlm 5.2 -> 10.3 s (2.0x): the bigram-",
+        "    instance frame and its three count aggs are the data terms",
+        "    (all ~16x rows); wall lands at 2x because the 1x run is",
+        "    fixed-cost-dominated — the same sub-linear-by-overhead shape",
+        "    as q109/q139, whose n-gram machinery this extends.",
+        "    q186_staged_trend 6.9 -> 8.4 s (1.2x): one map-side-",
+        "    combinable moment shuffle; everything downstream is",
+        "    |groups|-sized.  THE PROBE EARNED ITS KEEP here: the first",
+        "    guard draft bounded the moment products with one conservative",
+        "    A*B test over the moment groups, and the 16x run raised it on",
+        "    the never-computed sum_y*sxy pairing while every REAL product",
+        "    had ~4 orders of magnitude of headroom — the guard now checks",
+        "    exactly the six products the closed forms compute, so it",
+        "    fires iff a real product would wrap (operators/stats.py).",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — the r9 regeneration itself recorded q106 at \"4.2x\" and",
