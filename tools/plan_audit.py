@@ -62,6 +62,13 @@ NON_EQUI_OK = {
                                 # (the q117/q122 N-scalar pattern)
     "q178_skew_report",         # 1-row p99-scalar broadcast crossJoin
                                 # (the q157 recombine pattern)
+    # Round-12 staged cohort (audited pre-promotion):
+    "q183_kmeans",              # k-row centroid-frame broadcast crossJoin
+                                # per assignment pass — the distance argmin
+                                # IS vectors x k centroids by design
+                                # (operators/cluster.py docstring)
+    "q185_bigram_nll",          # 1-row corpus-total scalar crossJoin
+                                # (the q176/q117 N-scalar pattern)
 }
 
 # Global sorts that are BOUNDED by construction (not whole-dataset):
