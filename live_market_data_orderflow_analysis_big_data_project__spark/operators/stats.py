@@ -95,9 +95,13 @@ def group_trend(
     # never-computed Σy·Σxy pairing while every real product had four
     # orders of magnitude of headroom; per-product checks keep the
     # guard honest (fires iff a real product would wrap).
+    # CASE (not AND) around each division: conjuncts do not guarantee
+    # conditional evaluation, so `a > 0 AND b > MAX div a` still throws
+    # DIVIDE_BY_ZERO under ANSI when a = 0 (hypothesis found it on the
+    # single-point group (0, 0)); CASE branches are evaluated lazily.
     _MAX = 9223372036854775807
     _checks = " OR ".join(
-        f"({a} > 0 AND {b} > {_MAX} div {a})"
+        f"(CASE WHEN {a} > 0 THEN {b} > {_MAX} div {a} ELSE false END)"
         for a, b in (
             ("n", "_sxx"),                      # n·Σx²
             ("n", "abs(_sxy)"),                 # n·Σxy

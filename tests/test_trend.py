@@ -80,6 +80,15 @@ def test_null_rows_carry_no_moment(spark):
     assert out.n == 2 and out.sum_x == 2 and out.sum_y == 30
 
 
+def test_single_zero_point_does_not_divide_by_zero(spark):
+    """Regression (hypothesis-found): the headroom guard's overflow-free
+    check divides by abs(sum_x); on the single-point group (0, 0) an
+    AND-guarded division still threw DIVIDE_BY_ZERO under ANSI —
+    conjuncts are not conditionally evaluated, CASE branches are."""
+    out = group_trend(_df(spark, [("g", 0, 0)]), "g", "x", "y").collect()
+    assert out[0].slope is None and out[0].n == 1
+
+
 def test_headroom_guard_fails_loudly(spark):
     # values sized so the MOMENT SUMS stay inside int64 (no ANSI
     # overflow upstream of the guard) while the conservative A*B
