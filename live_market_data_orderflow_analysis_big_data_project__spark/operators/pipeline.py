@@ -45,6 +45,7 @@ __all__ = [
     "stratified_sample",
     "embedding_centroids",
     "split_assign",
+    "cluster_safe_split",
     "chunk_documents",
     "quantize_embeddings",
     "bm25_search",
@@ -559,6 +560,65 @@ def split_assign(
     return df.select(
         F.col(id_col),
         key.alias("split_key"),
+        F.when(key < val_hex, "val")
+        .when(key < test_hex, "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    val_hex: str = "0a",
+    test_hex: str = "14",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Leakage-free train/val/test split: every near-dup CLUSTER is
+    assigned atomically to one split.
+
+    ``split_assign`` hashes each doc independently, so two near-dup
+    docs can land one in train and one in val — and the eval split
+    then scores memorization, not generalization (the classic
+    contaminated-split failure).  Here the split key is the md5 of the
+    cluster REPRESENTATIVE's text (cluster id = min doc id of the
+    component, so its text always exists): all members inherit the
+    rep's assignment, and singletons degrade to exactly
+    ``split_assign`` semantics on their own text.
+
+    ``clusters`` is a (doc_id, cluster_id) frame as produced by
+    ``dedup_clusters`` — it may cover only docs that HAVE an edge;
+    uncovered docs become their own singleton cluster.
+
+    At 100 TB: two keyed equi-joins (cluster lookup, rep-text lookup)
+    plus one narrow CASE — no window, no all-pairs.  A giant cluster
+    makes its rep a hot join key on the text lookup; that join is
+    many-to-one onto a deduped rep frame, so AQE's skew split handles
+    it without salting.
+    """
+    full = docs.select(id_col).join(
+        clusters.select(
+            F.col(id_col).alias("_cid"), F.col(cluster_col).alias("_cl")
+        ),
+        on=F.col(id_col) == F.col("_cid"),
+        how="left",
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("_cl"), F.col(id_col)).alias(cluster_col),
+    )
+    reps = docs.select(
+        F.col(id_col).alias(cluster_col),
+        F.substring(F.md5(F.col(text_col).cast("binary")), 1, 2).alias(
+            "split_key"
+        ),
+    )
+    key = F.col("split_key")
+    return full.join(reps, cluster_col).select(
+        id_col,
+        cluster_col,
+        "split_key",
         F.when(key < val_hex, "val")
         .when(key < test_hex, "test")
         .otherwise("train")

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pairwise_corr", "group_trend"]
+__all__ = ["autocorr_lags", "pairwise_corr", "group_trend"]
 
 
 def group_trend(
@@ -186,6 +186,82 @@ def pairwise_corr(
         "sum_b",
         (sxd / nd).alias("mean_a"),
         (syd / nd).alias("mean_b"),
+        F.when(
+            (varx > F.lit(0.0)) & (vary > F.lit(0.0)),
+            num / F.sqrt(varx * vary),
+        ).alias("corr"),
+    )
+
+
+def autocorr_lags(
+    df: DataFrame,
+    key_col: str,
+    idx_col: str,
+    x_col: str,
+    lags: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Per-key autocorrelation of an integer series at fixed lags —
+    the serial-dependence diagnostic (is today's flow predicted by
+    yesterday's?) next to ``pairwise_corr``'s cross-key one.
+
+    ``df`` is long-format ``(key, idx, x)``: ``idx`` an int64 series
+    index (e.g. days since an epoch), ``x`` an exact int64 value, one
+    row per (key, idx).  For each lag k the pairs (x_t, x_{t+k}) are
+    aligned BY INDEX (self-join on ``idx + k``), not by row order —
+    gaps in the series pair only what truly sits k steps apart; feed a
+    densified 0-filled frame (the gapfill grid) when the statistic
+    should treat missing buckets as zeros.
+
+    Same exactness contract as ``pairwise_corr``: moments (n, Σx, Σy,
+    Σxy, Σx², Σy²) are exact int64 sums; r is derived with a fixed
+    parenthesization of IEEE ops over those bit-identical operands
+    (IEEE sqrt is correctly rounded), so the output hashes with NO
+    ROUND.  Σx² < 2^63 is the caller's bound (module docstring) —
+    rescale x (coarser units) past it.
+
+    At 100 TB: the lag side is the SAME domain-bounded (keys × idx)
+    frame replicated |lags| times with shifted join keys — one keyed
+    equi-join plus a map-side-combinable moment agg; never a window
+    sort over raw rows, never all-pairs.
+
+    Output per (key, lag): ``key``, ``lag``, ``n_pairs``, ``sum_x``,
+    ``sum_y`` (exact anchors), ``corr`` (NULL when either slice is
+    constant — zero variance).
+    """
+    if not lags or any(int(k) < 1 for k in lags):
+        raise ValueError(f"lags must be positive ints, got {lags!r}")
+    k, i, x = F.col(key_col), F.col(idx_col), F.col(x_col)
+    # the series frame feeds both join sides; domain-bounded by
+    # contract, so cut the lineage once (the pairwise_corr idiom)
+    df = df.localCheckpoint(eager=True)
+    lag_arr = F.array(*[F.lit(int(v)).cast("long") for v in lags])
+    a_side = df.select(k.alias("_k"), i.alias("_i"), x.alias("_xa"))
+    b_side = (
+        df.select(k.alias("_k"), i.alias("_bi"), x.alias("_xb"))
+        .withColumn("lag", F.explode(lag_arr))
+        .select("_k", (F.col("_bi") - F.col("lag")).alias("_i"), "_xb", "lag")
+    )
+    pairs = a_side.join(b_side, ["_k", "_i"])
+    xa, xb = F.col("_xa"), F.col("_xb")
+    m = pairs.groupBy("_k", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(xa).alias("sum_x"),
+        F.sum(xb).alias("sum_y"),
+        F.sum(xa * xb).alias("_sxy"),
+        F.sum(xa * xa).alias("_sxx"),
+        F.sum(xb * xb).alias("_syy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sxd, syd = F.col("sum_x").cast("double"), F.col("sum_y").cast("double")
+    num = nd * F.col("_sxy").cast("double") - sxd * syd
+    varx = nd * F.col("_sxx").cast("double") - sxd * sxd
+    vary = nd * F.col("_syy").cast("double") - syd * syd
+    return m.select(
+        F.col("_k").alias(key_col),
+        "lag",
+        "n_pairs",
+        "sum_x",
+        "sum_y",
         F.when(
             (varx > F.lit(0.0)) & (vary > F.lit(0.0)),
             num / F.sqrt(varx * vary),

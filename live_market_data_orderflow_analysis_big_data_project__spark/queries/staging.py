@@ -427,12 +427,158 @@ FROM cells c JOIN tot t ON c.event_type = t.event_type AND c.day = t.day
 """
 
 
+_Q187_LAGS = (1, 2, 3)
+
+
+def q187_autocorr(spark, sf):
+    """Per-type autocorrelation of the daily cents series at lags
+    1/2/3 (operators/stats.py autocorr_lags): is today's flow
+    predicted by yesterday's?  The series is densified first — a
+    type × full-day-span grid 0-fills silent days (a gap is a real
+    zero in a flow series, not a missing observation), so lag-k pairs
+    every day against the day truly k back.  Exact int64 moments +
+    the pairwise_corr fixed IEEE parenthesization: corr hashes with
+    NO ROUND.  The grid crossJoin is a 1-row broadcast bounds frame
+    (the gapfill idiom, PLAN_AUDIT-whitelisted)."""
+    from ..operators.stats import autocorr_lags
+
+    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("_d")
+    ).agg(F.sum(F.expr(_CENTS)).alias("x"))
+    bounds = daily.agg(F.min("_d").alias("_d0"), F.max("_d").alias("_d1"))
+    # both crossJoins broadcast the SAME 1-row bounds frame (the
+    # gapfill idiom); everything downstream equi-joins on (type, idx)
+    grid = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.datediff(F.col("_d1"), F.col("_d0")).cast("long"),
+                )
+            ).alias("idx"),
+        )
+    )
+    daily_idx = daily.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.datediff(F.col("_d"), F.col("_d0")).cast("long").alias("idx"),
+        "x",
+    )
+    dense = grid.join(daily_idx, ["event_type", "idx"], "left").select(
+        "event_type",
+        "idx",
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+    )
+    return autocorr_lags(dense, "event_type", "idx", "x", _Q187_LAGS)
+
+
+Q187_SQL = f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(sum({_CENTS}) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), b AS (
+  SELECT min(d) AS d0, max(d) AS d1 FROM daily
+), grid AS (
+  SELECT t.event_type, CAST(g AS BIGINT) AS idx
+  FROM (SELECT DISTINCT event_type FROM daily) t, b,
+       unnest(range(0, datediff('day', b.d0, b.d1) + 1)) AS s(g)
+), dense AS MATERIALIZED (
+  SELECT g.event_type, g.idx,
+         CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+  FROM grid g
+  LEFT JOIN b ON true
+  LEFT JOIN daily ON daily.event_type = g.event_type
+                 AND daily.d = b.d0 + g.idx * INTERVAL 1 DAY
+), lags AS (
+  SELECT CAST(l AS BIGINT) AS lag
+  FROM (VALUES ({_Q187_LAGS[0]}), ({_Q187_LAGS[1]}),
+               ({_Q187_LAGS[2]})) v(l)
+), pairs AS (
+  SELECT a.event_type, l.lag, a.x AS xa, c.x AS xb
+  FROM dense a
+  CROSS JOIN lags l
+  JOIN dense c ON c.event_type = a.event_type
+              AND c.idx = a.idx + l.lag
+), m AS (
+  SELECT event_type, lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(xa) AS BIGINT) AS sum_x,
+         CAST(sum(xb) AS BIGINT) AS sum_y,
+         CAST(sum(xa * xb) AS BIGINT) AS sxy,
+         CAST(sum(xa * xa) AS BIGINT) AS sxx,
+         CAST(sum(xb * xb) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag, n_pairs, sum_x, sum_y,
+       CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) > 0
+             AND (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)) > 0
+            THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                 / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                        * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sum_y AS DOUBLE)
+                             * CAST(sum_y AS DOUBLE)))
+       END AS corr
+FROM m
+"""
+
+
+def q188_cluster_split(spark, sf):
+    """Leakage-free train/val/test split (operators/pipeline.py
+    cluster_safe_split): q114's content-hash split assigns each doc
+    independently, so a near-dup pair can straddle train and val and
+    the eval measures memorization.  Here q111's dedup clusters
+    (exact-dup star edges + verified Jaccard near-dup pairs,
+    min-label components) are assigned ATOMICALLY: the split key is
+    the md5 of the cluster representative's text, members inherit it,
+    singletons degrade to exact q114 semantics.  Fully hash-gated —
+    the oracle recomputes components with Q111's recursive CTE and
+    re-derives the same rep-hash CASE."""
+    from ..operators.pipeline import cluster_safe_split
+    from .pblock import q111_dedup_clusters
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    clusters = q111_dedup_clusters(spark, sf)
+    return cluster_safe_split(d, clusters)
+
+
+def _q188_sql() -> str:
+    from .pblock import Q111_SQL
+
+    return f"""
+WITH comp AS MATERIALIZED ({Q111_SQL}),
+full_docs AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT f.doc_id, f.cluster_id,
+       substring(md5(r.text), 1, 2) AS split_key,
+       CASE WHEN substring(md5(r.text), 1, 2) < '0a' THEN 'val'
+            WHEN substring(md5(r.text), 1, 2) < '14' THEN 'test'
+            ELSE 'train' END AS split
+FROM full_docs f JOIN documents r ON r.doc_id = f.cluster_id
+"""
+
+
+Q188_SQL = _q188_sql()
+
+
 STAGED_QUERIES = {
     "q183_kmeans": q183_kmeans,
     "q184_attribution": q184_attribution,
     "q185_bigram_nll": q185_bigram_nll,
     "q186_group_trend": q186_group_trend,
     "s20_psi_drift_stream": s20_psi_drift_stream,
+    "q187_autocorr": q187_autocorr,
+    "q188_cluster_split": q188_cluster_split,
 }
 
 STAGED_ORACLE = {
@@ -441,4 +587,6 @@ STAGED_ORACLE = {
     "q185_bigram_nll": Q185_SQL,
     "q186_group_trend": Q186_SQL,
     "s20_psi_drift_stream": S20_SQL,
+    "q187_autocorr": Q187_SQL,
+    "q188_cluster_split": Q188_SQL,
 }
