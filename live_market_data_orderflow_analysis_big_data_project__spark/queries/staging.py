@@ -46,6 +46,34 @@ sblock.py).  Staged during round 12 for the r13 window:
   operator (post-watermark), so every event advances the watermark
   and the oracle splice is the plain unscoped max(ts) — the
   documented contrast with s19's pre-watermark filter.
+
+Staged during round 12 AHEAD of schedule for the r14 window (the
+r13 window is already fixed by docs/ROTATION_r13.md; earlier staging
+= more rounds of standing pytest evidence before promotion):
+
+- q187: lag-k autocorrelation (operators/stats.py ``autocorr_lags``)
+  — per-type serial correlation of the daily cents series at lags
+  1/2/3 over a densified 0-filled day grid; exact int64 moments +
+  the pairwise_corr fixed IEEE parenthesization, NO ROUND.
+- q188: cluster-safe split (operators/pipeline.py
+  ``cluster_safe_split``) — leakage-free train/val/test assignment:
+  q111's near-dup clusters inherit the cluster REP's content-hash
+  split atomically; singletons degrade to exact q114 semantics.
+- q189: daily VWAP + realized volatility (operators/twap.py
+  ``vwap_realized_vol``) — exact-anchor Σ(cents·qty)/Σqty with one
+  IEEE division, plus the standard RV estimator
+  sqrt(Σ ln(p_t/p_{t-1})²) ROUND-4 both sides (the q118/q185 ln
+  rule, sweep-covered).
+- q190: BPE tokenizer training (operators/bpe.py ``bpe_merges``) —
+  learn k=3 merge rules via the word-frequency factorization
+  (corpus-sized work = ONE token count; the merge loop runs on the
+  vocab frame); the q111/q171/q183 bounded driver-loop class;
+  merge semantics = engine-native single-pass replace, pinned
+  identical Spark-vs-DuckDB by test.
+- s21: streaming point-in-time enrichment (operators/pit.py) —
+  stream-static interval join (key + valid_from <= ts < valid_to)
+  against the prev-day user-tier dimension; STATELESS, so no splice
+  at all — the third point on the s19/s20 splice spectrum.
 """
 
 from __future__ import annotations
@@ -571,6 +599,199 @@ FROM full_docs f JOIN documents r ON r.doc_id = f.cluster_id
 Q188_SQL = _q188_sql()
 
 
+_Q189_QTY = "(event_id % 7) + 1"
+
+
+def q189_vwap_vol(spark, sf):
+    """Daily per-type VWAP + realized volatility
+    (operators/twap.py vwap_realized_vol) — the execution-benchmark
+    pair next to q156's TWAP: Σ(cents·qty)/Σqty exact-anchored with
+    one IEEE division (NO ROUND), and the standard high-frequency RV
+    estimator sqrt(Σ ln(p_t/p_{t-1})²) over the (ts, event_id)-
+    total-ordered tick sequence, ROUND-4 on both sides (the q118/q185
+    ln rule, sweep-covered).  Lot sizes are the deterministic fixture
+    synth (event_id % 7) + 1 — the q110 contact_text pattern: the
+    events table has no qty column, so one is derived identically on
+    both sides.  Ticks with non-positive value are dropped as invalid
+    (a zero price is indicative, not tradable — the operator's ln
+    domain guard rightly raises on it; sf0.1 carries 6 such rows)."""
+    from ..operators.robust import cents
+    from ..operators.twap import vwap_realized_vol
+
+    ev = load_table(spark, sf, "events").where(F.col("value") > 0)
+    return vwap_realized_vol(
+        ev,
+        ["event_type"],
+        "ts",
+        cents("value"),
+        F.expr(_Q189_QTY).cast("long"),
+        "event_id",
+    )
+
+
+Q189_SQL = f"""
+WITH t AS (
+  SELECT event_type, date_trunc('day', ts) AS d, ts, event_id,
+         {_CENTS} AS c, CAST({_Q189_QTY} AS BIGINT) AS q
+  FROM events WHERE value > 0
+), r AS (
+  SELECT event_type, d, c, q,
+         lag(c) OVER (PARTITION BY event_type, d
+                      ORDER BY ts, event_id) AS pc
+  FROM t
+), rr AS (
+  SELECT event_type, d, c, q,
+         CASE WHEN pc IS NOT NULL
+              THEN ln(CAST(c AS DOUBLE) / CAST(pc AS DOUBLE)) END AS lr
+  FROM r
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(sum(q) AS BIGINT) AS sum_qty,
+       CAST(sum(c * q) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(c * q) AS DOUBLE) / CAST(sum(q) AS DOUBLE) AS vwap_cents,
+       CAST(count(lr) AS BIGINT) AS n_returns,
+       CASE WHEN count(lr) > 0
+            THEN ROUND(sqrt(sum(lr * lr)), 4) END AS rv4
+FROM rr GROUP BY 1, 2
+"""
+
+
+def s21_pit_enrich_stream(spark, sf):
+    """Streaming point-in-time enrichment (operators/pit.py): each
+    streamed event joins the user-profile dimension version valid AT
+    ITS TIMESTAMP — key equality + valid_from <= ts < valid_to, the
+    feature-store lookup that prevents feature time-travel (an s05-
+    style key-only join would enrich Jan-3 events with Jan-20
+    profiles).  The dimension is daily_tier_dim's (user × day) grid
+    of PREV-day activity counts/tiers, built batch-side (the nightly
+    feature job) and localCheckpoint-cut; the stream side is
+    STATELESS (stream-static inner join, no watermark, no state
+    store), so append emits every enriched event and the oracle is
+    the plain batch join — no closed-day splice at all, the
+    documented third point on the s19/s20 splice spectrum."""
+    from ..operators.pit import daily_tier_dim, pit_join
+    from ..streaming.core import run_to_memory, stream_events
+
+    ev = load_table(spark, sf, "events")
+    dim = daily_tier_dim(ev, "user_id", "ts").localCheckpoint(eager=True)
+    s = stream_events(spark, sf)
+    joined = pit_join(s, dim, "user_id", "ts")
+    out = joined.select(
+        F.col("_f.event_id").alias("event_id"),
+        F.col("_f.user_id").alias("user_id"),
+        F.col("_f.event_type").alias("event_type"),
+        F.date_format(F.col("_dim.valid_from"), "yyyy-MM-dd").alias("day"),
+        F.col("_dim.prev_cnt").alias("prev_cnt"),
+        F.col("_dim.tier").alias("tier"),
+    )
+    return run_to_memory(out, "s21_pit", n_state_partitions=8)
+
+
+def _s21_sql() -> str:
+    from ..operators.pit import TIER_CASE
+
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT min(d) AS d0, max(d) AS d1 FROM daily
+), grid AS (
+  SELECT u.user_id, b.d0 + g * INTERVAL 1 DAY AS valid_from
+  FROM (SELECT DISTINCT user_id FROM daily) u, b,
+       unnest(range(0, datediff('day', b.d0, b.d1) + 1)) AS s(g)
+), dim AS (
+  SELECT g.user_id, g.valid_from,
+         g.valid_from + INTERVAL 1 DAY AS valid_to,
+         CAST(COALESCE(p.cnt, 0) AS BIGINT) AS prev_cnt
+  FROM grid g LEFT JOIN daily p
+    ON p.user_id = g.user_id AND p.d + INTERVAL 1 DAY = g.valid_from
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       strftime(dim.valid_from, '%Y-%m-%d') AS day, dim.prev_cnt,
+       {TIER_CASE} AS tier
+FROM events e JOIN dim ON dim.user_id = e.user_id
+  AND e.ts >= dim.valid_from AND e.ts < dim.valid_to
+"""
+
+
+S21_SQL = _s21_sql()
+
+
+_Q190_MERGES = 3
+_Q190_TOP = 20
+
+
+def q190_bpe_merges(spark, sf):
+    """BPE tokenizer training (operators/bpe.py bpe_merges): learn 3
+    byte-pair merge rules over the documents corpus and report them
+    plus the top-20 final vocabulary symbols — the subword-vocab step
+    of every LLM pipeline, distributed via the standard word-
+    frequency factorization (corpus-sized work = ONE token count; the
+    merge loop runs on the vocab frame).  The q111/q171/q183 bounded
+    driver-loop class: k=3 iterations, 1-row argmax collect each,
+    lineage cuts per round.  Merge semantics are the engine-native
+    single-pass replace (pinned identical Spark vs DuckDB, run-
+    overlap corner included); all counts exact int64 — hash-gated
+    against the oracle's unrolled per-iteration CTEs."""
+    from ..operators.bpe import bpe_merges
+
+    docs = load_table(spark, sf, "documents").select("text")
+    return bpe_merges(docs, _Q190_MERGES, _Q190_TOP)
+
+
+def _q190_sql(k: int = _Q190_MERGES, top: int = _Q190_TOP) -> str:
+    duck_syms = "list_filter(string_split(sym, '|'), x -> x <> '')"
+    parts = [f"""
+WITH w0 AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|'
+           AS sym
+  FROM (SELECT unnest({_Q185_TOKS}) AS w FROM documents)
+  GROUP BY w
+)"""]
+    for i in range(1, k + 1):
+        parts.append(f""", t{i} AS MATERIALIZED (
+  SELECT sym, cnt, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT sym, cnt, {duck_syms} AS arr FROM w{i - 1})
+), p{i} AS (
+  SELECT x.tok AS l, y.tok AS r, CAST(sum(x.cnt) AS BIGINT) AS freq
+  FROM t{i} x JOIN t{i} y ON x.sym = y.sym AND y.pos = x.pos + 1
+  GROUP BY 1, 2
+), b{i} AS MATERIALIZED (
+  SELECT l, r, freq FROM p{i} ORDER BY freq DESC, l, r LIMIT 1
+), w{i} AS MATERIALIZED (
+  SELECT p.cnt,
+         replace(p.sym, '|' || b.l || '|' || b.r || '|',
+                 '|' || b.l || b.r || '|') AS sym
+  FROM w{i - 1} p, b{i} b
+)""")
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT 'merge' AS kind, CAST({i} AS BIGINT) AS rank, "
+        f"l || ' ' || r AS token, freq FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f""", fin AS MATERIALIZED (
+  SELECT cnt, unnest({duck_syms}) AS token FROM w{k}
+), vocab AS (
+  SELECT token, CAST(sum(cnt) AS BIGINT) AS freq FROM fin GROUP BY 1
+), topv AS (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rk
+  FROM vocab
+)
+{merge_rows}
+UNION ALL
+SELECT 'symbol' AS kind, CAST(rk AS BIGINT) AS rank, token, freq
+FROM topv WHERE rk <= {top}""")
+    return "".join(parts)
+
+
+Q190_SQL = _q190_sql()
+
+
 STAGED_QUERIES = {
     "q183_kmeans": q183_kmeans,
     "q184_attribution": q184_attribution,
@@ -579,6 +800,9 @@ STAGED_QUERIES = {
     "s20_psi_drift_stream": s20_psi_drift_stream,
     "q187_autocorr": q187_autocorr,
     "q188_cluster_split": q188_cluster_split,
+    "q189_vwap_vol": q189_vwap_vol,
+    "s21_pit_enrich_stream": s21_pit_enrich_stream,
+    "q190_bpe_merges": q190_bpe_merges,
 }
 
 STAGED_ORACLE = {
@@ -589,4 +813,7 @@ STAGED_ORACLE = {
     "s20_psi_drift_stream": S20_SQL,
     "q187_autocorr": Q187_SQL,
     "q188_cluster_split": Q188_SQL,
+    "q189_vwap_vol": Q189_SQL,
+    "s21_pit_enrich_stream": S21_SQL,
+    "q190_bpe_merges": Q190_SQL,
 }

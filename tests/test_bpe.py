@@ -1,0 +1,110 @@
+"""operators/bpe.py — distributed BPE merge learning.
+
+The staged gate (q190) proves hash parity with the unrolled-CTE
+oracle at two sfs; these pin the merge algebra on hand-computed
+corpora, the frequency weighting, the lexicographic tie-break, the
+early-exhaustion failure, and — critically — that Spark's and
+DuckDB's literal ``replace`` share the left-to-right non-overlapping
+resume-after-replacement semantics the operator's merge step is
+DEFINED by (the run-overlap corner included).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from live_market_data_orderflow_analysis_big_data_project__spark.operators.bpe import (  # noqa: E501
+    bpe_merges,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(t,) for t in texts], "text string")
+
+
+def _run(spark, texts, k=3, top=20):
+    out = bpe_merges(_docs(spark, texts), k, top).collect()
+    merges = [
+        (r.rank, r.token, r.freq) for r in out if r.kind == "merge"
+    ]
+    syms = {r.token: (r.rank, r.freq) for r in out if r.kind == "symbol"}
+    return sorted(merges), syms
+
+
+def test_hand_computed_merges(spark):
+    # corpus: "the the the cat" -> words {the:3, cat:1}
+    # pairs: (t,h)=3, (h,e)=3, (c,a)=1, (a,t)=1+... wait: 'cat' has
+    # (c,a) and (a,t); 'the' has (t,h) and (h,e).
+    # merge 1: freq 3 tie (h,e) vs (t,h) -> lexicographic: ('h','e')
+    # wins over ('t','h').  'the' -> |t|he|
+    # merge 2: (t,he)=3 beats (a,t)=1, (c,a)=1 -> 'the' -> |the|
+    # merge 3: freq-1 pairs left: (a,t) vs (c,a) -> ('a','t') wins
+    merges, syms = _run(spark, ["the the the cat"])
+    assert merges == [(1, "h e", 3), (2, "t he", 3), (3, "a t", 1)]
+    # final words: the -> [the] x3; cat -> [c, at]
+    assert syms["the"] == (1, 3)
+    assert {s for s in syms} == {"the", "c", "at"}
+
+
+def test_frequency_weighting_across_docs(spark):
+    # 'ab' appears 5 times across docs, 'cd' twice: (a,b) must win
+    merges, _ = _run(spark, ["ab ab cd", "ab ab ab cd"], k=1)
+    assert merges == [(1, "a b", 5)]
+
+
+def test_run_overlap_single_pass_semantics(spark):
+    # word 'aaaa' (x2) + 'ab' (x3): merge 1 is (a,a) with freq
+    # 3 pairs x 2 = 6.  Single-pass replace on |a|a|a|a| consumes the
+    # shared pipe: -> |aa|a|a| (NOT |aa|aa|) — so the post-merge vocab
+    # of 'aaaa' is {aa:1, a:2} per occurrence.
+    merges, syms = _run(spark, ["aaaa aaaa ab ab ab"], k=1)
+    assert merges == [(1, "a a", 6)]
+    # aaaa x2 -> aa:2, a:4 ; ab x3 -> a:3, b:3  => a:7, aa:2, b:3
+    assert syms["a"][1] == 7
+    assert syms["aa"][1] == 2
+    assert syms["b"][1] == 3
+
+
+def test_replace_semantics_pinned_cross_engine(spark):
+    # the operator's merge step is DEFINED by engine replace()
+    # semantics — prove Spark and DuckDB agree on the corners
+    cases = [
+        ("|a|a|a|a|", "|a|a|", "|aa|"),   # run overlap
+        ("|a|b|a|b|", "|a|b|", "|ab|"),   # boundary-pipe consumption
+        ("|x|a|b|y|", "|a|b|", "|ab|"),   # interior match
+        ("|xa|b|y|", "|a|b|", "|ab|"),    # no false partial-symbol hit
+    ]
+    con = duckdb.connect()
+    df = spark.createDataFrame(cases, "s string, f string, t string")
+    got = df.select(
+        "s", "f", "t", F.replace("s", "f", "t").alias("r")
+    ).collect()
+    for row in got:
+        duck = con.execute(
+            "select replace(?, ?, ?)", [row.s, row.f, row.t]
+        ).fetchone()[0]
+        assert row.r == duck, (row.s, row.f, row.t, row.r, duck)
+    con.close()
+
+
+def test_tie_break_is_lexicographic(spark):
+    # (x,y) and (p,q) both freq 2 -> (p,q) first
+    merges, _ = _run(spark, ["xy xy pq pq"], k=2)
+    assert merges[0] == (1, "p q", 2)
+    assert merges[1] == (2, "x y", 2)
+
+
+def test_exhaustion_raises(spark):
+    # single-char words have no pairs at all
+    with pytest.raises(ValueError, match="exhausted"):
+        _run(spark, ["a b c a b"], k=1)
+
+
+def test_top_symbols_rank_and_cap(spark):
+    _, syms = _run(spark, ["the the the cat"], k=3, top=2)
+    assert len(syms) == 2
+    assert syms["the"][0] == 1  # freq 3
+    # freq-1 tie between 'at' and 'c' -> 'at' < 'c' lexicographically
+    assert syms["at"][0] == 2
