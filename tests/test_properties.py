@@ -740,3 +740,130 @@ def test_group_trend_matches_fraction_arithmetic(spark, pts):
     else:
         assert out.slope == (n * sxy - sx * sy) / den
         assert out.intercept == (sy * sxx - sx * sxy) / den
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(0, 30), st.integers(-10_000, 10_000),
+        min_size=1, max_size=25,
+    ),
+    st.integers(1, 4),
+)
+def test_autocorr_matches_python_model(spark, series, lag):
+    """autocorr_lags on an arbitrary SPARSE integer series == the
+    hand model: index-aligned pairs, exact moments, one fixed IEEE
+    expression (bit-equal, not approx)."""
+    import math
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.stats import (  # noqa: E501
+        autocorr_lags,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in series.items()], "k string, i long, x long"
+    )
+    rows = autocorr_lags(df, "k", "i", "x", (lag,)).collect()
+    pairs = [
+        (series[i], series[i + lag]) for i in series if i + lag in series
+    ]
+    if not pairs:
+        assert rows == []
+        return
+    (r,) = rows
+    n = len(pairs)
+    sx = sum(p[0] for p in pairs)
+    sy = sum(p[1] for p in pairs)
+    assert (r.n_pairs, r.sum_x, r.sum_y) == (n, sx, sy)
+    sxy = float(sum(p[0] * p[1] for p in pairs))
+    sxx = float(sum(p[0] * p[0] for p in pairs))
+    syy = float(sum(p[1] * p[1] for p in pairs))
+    nf, sxf, syf = float(n), float(sx), float(sy)
+    varx = nf * sxx - sxf * sxf
+    vary = nf * syy - syf * syf
+    if varx > 0 and vary > 0:
+        assert r.corr == (nf * sxy - sxf * syf) / math.sqrt(varx * vary)
+    else:
+        assert r.corr is None
+
+
+def _bpe_model_merge(arr, left, right):
+    """The pinned single-pass replace semantics on a symbol array:
+    left-to-right, a merge consumes the boundary that would start a
+    match at the IMMEDIATELY following position."""
+    out, i, blocked = [], 0, -1
+    while i < len(arr):
+        if (
+            i + 1 < len(arr)
+            and arr[i] == left
+            and arr[i + 1] == right
+            and i != blocked
+        ):
+            out.append(left + right)
+            blocked = i + 2
+            i += 2
+        else:
+            out.append(arr[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=5),
+        min_size=1, max_size=15,
+    ),
+    st.integers(1, 3),
+)
+def test_bpe_matches_python_model(spark, words, k):
+    """bpe_merges on arbitrary corpora == the pure-python trainer:
+    overlap-counted pair frequencies, (freq desc, l, r) argmax, and
+    the exact single-pass merge model above."""
+    import collections
+
+    import pytest as _pytest
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.bpe import (  # noqa: E501
+        bpe_merges,
+    )
+
+    docs = spark.createDataFrame([(" ".join(words),)], "text string")
+    wc = collections.Counter(words)
+    state = {w: list(w) for w in wc}
+    want_merges = []
+    exhausted = False
+    for rank in range(1, k + 1):
+        pc: collections.Counter = collections.Counter()
+        for w, arr in state.items():
+            for j in range(len(arr) - 1):
+                pc[(arr[j], arr[j + 1])] += wc[w]
+        if not pc:
+            exhausted = True
+            break
+        (left, right), freq = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want_merges.append((rank, f"{left} {right}", freq))
+        state = {
+            w: _bpe_model_merge(arr, left, right)
+            for w, arr in state.items()
+        }
+    if exhausted:
+        with _pytest.raises(ValueError, match="exhausted"):
+            bpe_merges(docs, k, 20).collect()
+        return
+    out = bpe_merges(docs, k, 20).collect()
+    got_merges = sorted(
+        (r.rank, r.token, r.freq) for r in out if r.kind == "merge"
+    )
+    assert got_merges == want_merges
+    vocab: collections.Counter = collections.Counter()
+    for w, arr in state.items():
+        for s in arr:
+            vocab[s] += wc[w]
+    want_top = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got_top = sorted(
+        ((r.rank, r.token, r.freq) for r in out if r.kind == "symbol")
+    )
+    assert [(t, f) for _, t, f in got_top] == want_top

@@ -69,6 +69,10 @@ NON_EQUI_OK = {
                                 # (operators/cluster.py docstring)
     "q185_bigram_nll",          # 1-row corpus-total scalar crossJoin
                                 # (the q176/q117 N-scalar pattern)
+    # Round-12 staged r14 cohort (audited pre-promotion):
+    "q187_autocorr",            # two 1-row [d0, d1] day-span-bounds
+                                # broadcast crossJoins building the dense
+                                # grid (the q150 gapfill pattern)
 }
 
 # Global sorts that are BOUNDED by construction (not whole-dataset):
@@ -79,6 +83,9 @@ GLOBAL_SORT_OK = {
                          # distinct sizes sum to <= n_rows, so the
                          # frame is O(sqrt(2 n_rows)) rows (operator
                          # docstring carries the proof)
+    "q190_bpe_merges",   # top-symbol rank window over the final VOCAB
+                         # frame: |symbols| <= |charset| + n_merges
+                         # rows by construction (operators/bpe.py)
 }
 # queries whose purpose is the row-Python UDF surface
 # Declared row-Python API-surface proofs (never-hot-path documented):

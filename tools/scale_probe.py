@@ -117,6 +117,10 @@ PROBE_QUERIES = [
     ("q184_staged_attribution", "STAGED r12: last/first-touch attribution — ONE per-user RANGE-frame window pass over integer microseconds, never the touches x conversions pair join"),
     ("q185_staged_bigramlm", "STAGED r12: interpolated-bigram NLL — one bigram-instance frame, three count aggs over it, LM joined back keyed by (w1,w2)"),
     ("q186_staged_trend", "STAGED r12: grouped OLS trend — one map-side-combinable moment shuffle; everything downstream is |groups|-sized"),
+    ("q187_staged_autocorr", "STAGED r12 (r14 cohort): lag-k autocorrelation — one daily-cents shuffle; grid fill + lag join run on the domain-bounded (type x day) frame"),
+    ("q188_staged_clustersplit", "STAGED r12 (r14 cohort): cluster-safe split — q111's star-edge + bounded near-dup CC, then two keyed lookups (cluster, rep text)"),
+    ("q189_staged_vwapvol", "STAGED r12 (r14 cohort): VWAP + realized vol — one (type, day) shuffle shared by the lag window and the agg (the q156 TWAP plan shape)"),
+    ("q190_staged_bpe", "STAGED r12 (r14 cohort): BPE merge learning — corpus-sized work is ONE token count; 3 merge rounds on the vocab frame, 1-row argmax collects"),
 ]
 
 
@@ -359,6 +363,22 @@ def _custom_probes():
         "q186_staged_trend": (
             None,
             lambda spark, sf, ctx: staging.q186_group_trend(spark, sf),
+        ),
+        "q187_staged_autocorr": (
+            None,
+            lambda spark, sf, ctx: staging.q187_autocorr(spark, sf),
+        ),
+        "q188_staged_clustersplit": (
+            None,
+            lambda spark, sf, ctx: staging.q188_cluster_split(spark, sf),
+        ),
+        "q189_staged_vwapvol": (
+            None,
+            lambda spark, sf, ctx: staging.q189_vwap_vol(spark, sf),
+        ),
+        "q190_staged_bpe": (
+            None,
+            lambda spark, sf, ctx: staging.q190_bpe_merges(spark, sf),
         ),
         "q147_staged_pps": (
             None,
@@ -971,6 +991,26 @@ def main() -> None:
         "    had ~4 orders of magnitude of headroom — the guard now checks",
         "    exactly the six products the closed forms compute, so it",
         "    fires iff a real product would wrap (operators/stats.py).",
+        "",
+        "17. The r14-bound cohort staged mid-r12 (probed before entering",
+        "    any window):",
+        "    q187_staged_autocorr 4.4 -> 5.0 s (1.1x): the only data term",
+        "    is the daily-cents shuffle; grid fill and the lag self-join",
+        "    run on the domain-bounded (type x day) frame, so 16x rows",
+        "    barely move the wall.",
+        "    q188_staged_clustersplit 7.6 -> 8.6 s (1.1x): rides q111's",
+        "    linear star edges + bounded near-dup slice (finding 10), then",
+        "    two keyed lookups on the |docs| frame.",
+        "    q189_staged_vwapvol 3.0 -> 4.6 s (1.5x): one (type, day)",
+        "    shuffle shared by the lag window and the moment agg (the q156",
+        "    TWAP plan shape); the tick tape is the only 16x term.",
+        "    q190_staged_bpe 9.6 -> 12.5 s (1.3x): the corpus pays exactly",
+        "    ONE token-count shuffle; the 3 merge rounds run on the vocab",
+        "    frame (which the alphabet-rotated replica also grows ~16x —",
+        "    disjoint copies have disjoint vocabularies — and the loop",
+        "    still lands at 1.3x, confirming the vocab-not-corpus cost",
+        "    model).  The 1-row argmax collects are TakeOrdered, never a",
+        "    global sort.",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — the r9 regeneration itself recorded q106 at \"4.2x\" and",
