@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["quantize_vectors", "kmeans_quantized"]
+__all__ = ["quantize_vectors", "kmeans_quantized", "pq_adc_topk"]
 
 _SCALE = 10_000
 _SHIFT = 10_000
@@ -79,25 +79,37 @@ def quantize_vectors(
     )
 
 
-def kmeans_quantized(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int,
-    iters: int,
-) -> DataFrame:
-    """Fixed-iteration integer k-means; returns the final assignment
-    ``(id, cluster, d2)`` — cluster in 0..k-1 (seed hash order), d2
-    the exact int64 squared distance to the final centroid.
-
-    ``iters`` full (assign, update) rounds run, then one final assign
-    against the last centroids.  Deterministic given (data, k, iters):
-    rerun-stable across engines, partitionings and cluster sizes."""
-    if k < 1 or iters < 0:
-        raise ValueError("k must be >= 1 and iters >= 0")
-    vecs = quantize_vectors(df, id_col, vec_col).localCheckpoint(
-        eager=True
+def _d2() -> F.Column:
+    # built lazily — higher-order functions need an active session,
+    # so a module-level Column would break import-before-SparkSession
+    return F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
+
+
+def _assign(vecs: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """Argmin assignment of a quantized frame against a centroid frame
+    (broadcast of k rows; exact int64 d2; cluster-id tie-break)."""
+    rk = F.row_number().over(
+        Window.partitionBy(id_col).orderBy("d2", "cluster")
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cent))
+        .select(id_col, "qv", "cluster", _d2().alias("d2"))
+        .withColumn("_rk", rk)
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def _fit_centroids(
+    vecs: DataFrame, id_col: str, k: int, iters: int
+) -> DataFrame:
+    """Lloyd loop over an (id, qv) quantized frame; returns the final
+    ``(cluster, cv)`` centroid frame.  Caller localCheckpoints the
+    input (it is scanned once per iteration)."""
     seeds = (
         vecs.select(
             id_col,
@@ -114,26 +126,8 @@ def kmeans_quantized(
         F.col("qv").alias("cv"),
     ).localCheckpoint(eager=True)
 
-    d2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-
-    def assign(c: DataFrame) -> DataFrame:
-        rk = F.row_number().over(
-            Window.partitionBy(id_col).orderBy("d2", "cluster")
-        )
-        return (
-            vecs.crossJoin(F.broadcast(c))
-            .select(id_col, "qv", "cluster", d2.alias("d2"))
-            .withColumn("_rk", rk)
-            .where(F.col("_rk") == 1)
-            .drop("_rk")
-        )
-
     for _ in range(iters):
-        a = assign(cent)
+        a = _assign(vecs, cent, id_col)
         upd = (
             a.select("cluster", F.posexplode("qv").alias("dim", "v"))
             .groupBy("cluster", "dim")
@@ -158,7 +152,139 @@ def kmeans_quantized(
             )
             .localCheckpoint(eager=True)  # the q171 per-iteration cut
         )
+    return cent
 
-    return assign(cent).select(
-        id_col, "cluster", "d2"
+
+def kmeans_quantized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+) -> DataFrame:
+    """Fixed-iteration integer k-means; returns the final assignment
+    ``(id, cluster, d2)`` — cluster in 0..k-1 (seed hash order), d2
+    the exact int64 squared distance to the final centroid.
+
+    ``iters`` full (assign, update) rounds run, then one final assign
+    against the last centroids.  Deterministic given (data, k, iters):
+    rerun-stable across engines, partitionings and cluster sizes."""
+    if k < 1 or iters < 0:
+        raise ValueError("k must be >= 1 and iters >= 0")
+    vecs = quantize_vectors(df, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    cent = _fit_centroids(vecs, id_col, k, iters)
+    return _assign(vecs, cent, id_col).select(id_col, "cluster", "d2")
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    n_queries: int = 3,
+    topk: int = 10,
+) -> DataFrame:
+    """Product-quantization ADC search (Jégou et al. 2011): compress
+    each vector to ``m`` subspace codes via per-subspace integer
+    k-means, then answer top-k by Asymmetric Distance Computation —
+    the classic memory-bound ANN rung between q116's scalar int8
+    quantization and the IVF/LSH bucketing paths, here fully
+    HASH-GATEABLE because codebooks, codes, and ADC sums are exact
+    int64 end to end (the kmeans_quantized discipline per subspace).
+
+    Queries are the ``n_queries`` dataset vectors with the smallest
+    md5(id) (the q112/q181 content-hash reproducibility contract).
+    For each query, every vector's ADC distance is the sum over
+    subspaces of the exact d2 between the query's sub-vector and the
+    centroid the vector's code names — m table lookups per vector,
+    never a d-dimensional scan.  Output per query: ``query_id``,
+    ``rank`` (ADC distance asc, id tie-break), ``id_col``, ``adc_d2``.
+
+    At 100 TB: codebooks are m·k rows (broadcast); encoding is m
+    bounded Lloyd loops over the vector frame (each the
+    kmeans_quantized shape — broadcast assign + (cluster, dim) update
+    shuffle); the search joins the CODES frame (m ints per vector,
+    the whole point of PQ) against an n_queries·m·k-row broadcast
+    table and aggregates m rows per (query, vector) — map-side
+    combinable, no full-vector traffic at query time.  The dimension
+    guard is folded into every slice bound so the optimizer can never
+    prune it.
+    """
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    if n_queries < 1 or topk < 1:
+        raise ValueError("n_queries and topk must be >= 1")
+    sub_d = dim // m
+    vecs = quantize_vectors(df, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    queries = (
+        vecs.select(
+            F.col(id_col).alias("query_id"),
+            "qv",
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("_h"),
+        )
+        .orderBy("_h", "query_id")
+        .limit(n_queries)
+        .drop("_h")
+        .localCheckpoint(eager=True)
+    )
+
+    def sub_slice(s: int) -> F.Column:
+        # the dim contract rides in the slice LENGTH argument — a
+        # wrong-width vector raises instead of silently mis-slicing
+        return F.expr(
+            f"slice(qv, {s * sub_d + 1}, "
+            f"CASE WHEN size(qv) <> {dim} THEN "
+            f"CAST(raise_error('pq_adc_topk: vector dimension <> {dim}"
+            " - pass the actual dim (operator docstring)') AS INT) "
+            f"ELSE {sub_d} END)"
+        )
+
+    codes_parts, table_parts = [], []
+    for s in range(m):
+        sub = vecs.select(
+            id_col, sub_slice(s).alias("qv")
+        ).localCheckpoint(eager=True)
+        cent_s = _fit_centroids(sub, id_col, k, iters)
+        codes_parts.append(
+            _assign(sub, cent_s, id_col).select(
+                id_col,
+                F.lit(s).cast("long").alias("sub"),
+                F.col("cluster").alias("code"),
+            )
+        )
+        table_parts.append(
+            queries.select("query_id", sub_slice(s).alias("qv"))
+            .crossJoin(F.broadcast(cent_s))
+            .select(
+                "query_id",
+                F.lit(s).cast("long").alias("sub"),
+                F.col("cluster").alias("code"),
+                _d2().alias("d2"),
+            )
+        )
+    codes = codes_parts[0]
+    for p in codes_parts[1:]:
+        codes = codes.unionByName(p)
+    table = table_parts[0]
+    for p in table_parts[1:]:
+        table = table.unionByName(p)
+    scores = (
+        codes.join(F.broadcast(table), ["sub", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("adc_d2", id_col)
+    )
+    return (
+        scores.withColumn("rank", rk.cast("long"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "rank", id_col, "adc_d2")
     )

@@ -74,6 +74,11 @@ r13 window is already fixed by docs/ROTATION_r13.md; earlier staging
   stream-static interval join (key + valid_from <= ts < valid_to)
   against the prev-day user-tier dimension; STATELESS, so no splice
   at all — the third point on the s19/s20 splice spectrum.
+- q191: product-quantization ADC top-k (operators/cluster.py
+  ``pq_adc_topk``) — m=4 per-subspace integer-k-means codes + exact
+  int64 asymmetric distances; the memory-bound ANN rung, fully
+  hash-gated against an oracle that unrolls all four Lloyd chains
+  (the q183 pattern × m).
 """
 
 from __future__ import annotations
@@ -792,6 +797,140 @@ FROM topv WHERE rk <= {top}""")
 Q190_SQL = _q190_sql()
 
 
+_Q191_DIM = 64
+_Q191_M = 4
+_Q191_K = 4
+_Q191_ITERS = 2
+_Q191_NQ = 3
+_Q191_TOPK = 10
+
+
+def q191_pq_topk(spark, sf):
+    """Product-quantization ADC top-k (operators/cluster.py
+    pq_adc_topk): each embedding compressed to m=4 subspace codes via
+    per-subspace integer k-means (k=4, 2 Lloyd iterations), queries =
+    the 3 smallest-md5(vec_id) vectors, distances answered by exact
+    int64 Asymmetric Distance Computation over the m-lookup code
+    frame — the classic memory-bound ANN rung (Jégou et al. 2011)
+    between q116's int8 scalar quantization and the q92b/q93b
+    bucketing paths, and unlike those it is FULLY hash-gated: the
+    oracle unrolls all four per-subspace Lloyd chains as MATERIALIZED
+    CTEs (the q183 pattern × m) and replays the ADC join."""
+    from ..operators.cluster import pq_adc_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return pq_adc_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        _Q191_DIM,
+        _Q191_M,
+        _Q191_K,
+        _Q191_ITERS,
+        _Q191_NQ,
+        _Q191_TOPK,
+    )
+
+
+def _q191_sql() -> str:
+    k, iters, m = _Q191_K, _Q191_ITERS, _Q191_M
+    sub_d = _Q191_DIM // m
+    parts = [f"""
+WITH qfull AS MATERIALIZED (
+  SELECT vec_id, dim,
+         CAST(floor(CAST(val AS DOUBLE) * 10000) AS BIGINT) + 10000 AS v
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings WHERE embedding IS NOT NULL)
+), ordv AS MATERIALIZED (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM (SELECT DISTINCT vec_id FROM qfull)
+), seeds AS MATERIALIZED (
+  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cluster FROM ordv
+  WHERE rn <= {k}
+), qrs AS MATERIALIZED (
+  SELECT vec_id AS query_id FROM ordv WHERE rn <= {_Q191_NQ}
+)"""]
+    for s in range(m):
+        lo, hi = s * sub_d, (s + 1) * sub_d
+        parts.append(f""", q_s{s} AS MATERIALIZED (
+  SELECT vec_id, dim - {lo} AS dim, v FROM qfull
+  WHERE dim >= {lo} AND dim < {hi}
+), c0_s{s} AS MATERIALIZED (
+  SELECT s.cluster, q.dim, q.v FROM seeds s JOIN q_s{s} q USING (vec_id)
+)""")
+        for i in range(1, iters + 1):
+            parts.append(f""", d{i}_s{s} AS MATERIALIZED (
+  SELECT q.vec_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM q_s{s} q JOIN c{i - 1}_s{s} c ON q.dim = c.dim GROUP BY 1, 2
+), a{i}_s{s} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rk
+    FROM d{i}_s{s}
+  ) WHERE rk = 1
+), u{i}_s{s} AS MATERIALIZED (
+  SELECT a.cluster, q.dim, CAST(sum(q.v) // count(*) AS BIGINT) AS v
+  FROM a{i}_s{s} a JOIN q_s{s} q USING (vec_id) GROUP BY 1, 2
+), c{i}_s{s} AS MATERIALIZED (
+  SELECT c.cluster, c.dim, COALESCE(u.v, c.v) AS v
+  FROM c{i - 1}_s{s} c
+  LEFT JOIN u{i}_s{s} u ON c.cluster = u.cluster AND c.dim = u.dim
+)""")
+        parts.append(f""", fd_s{s} AS MATERIALIZED (
+  SELECT q.vec_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM q_s{s} q JOIN c{iters}_s{s} c ON q.dim = c.dim GROUP BY 1, 2
+), code_s{s} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rk
+    FROM fd_s{s}
+  ) WHERE rk = 1
+), tab_s{s} AS MATERIALIZED (
+  SELECT r.query_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM qrs r
+  JOIN q_s{s} q ON q.vec_id = r.query_id
+  JOIN c{iters}_s{s} c ON q.dim = c.dim
+  GROUP BY 1, 2
+)""")
+    codes_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, CAST({s} AS BIGINT) AS sub, cluster"
+        f" FROM code_s{s}"
+        for s in range(m)
+    )
+    tab_union = "\n  UNION ALL\n".join(
+        f"  SELECT query_id, CAST({s} AS BIGINT) AS sub, cluster, d2"
+        f" FROM tab_s{s}"
+        for s in range(m)
+    )
+    parts.append(f""", codes AS (
+{codes_union}
+), tab AS (
+{tab_union}
+), scores AS (
+  SELECT t.query_id, c.vec_id, CAST(SUM(t.d2) AS BIGINT) AS adc_d2
+  FROM codes c JOIN tab t ON t.sub = c.sub AND t.cluster = c.cluster
+  GROUP BY 1, 2
+)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id, adc_d2 FROM (
+  SELECT query_id, vec_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, vec_id) AS rk
+  FROM scores
+) WHERE rk <= {_Q191_TOPK}""")
+    return "".join(parts)
+
+
+Q191_SQL = _q191_sql()
+
+
 STAGED_QUERIES = {
     "q183_kmeans": q183_kmeans,
     "q184_attribution": q184_attribution,
@@ -803,6 +942,7 @@ STAGED_QUERIES = {
     "q189_vwap_vol": q189_vwap_vol,
     "s21_pit_enrich_stream": s21_pit_enrich_stream,
     "q190_bpe_merges": q190_bpe_merges,
+    "q191_pq_topk": q191_pq_topk,
 }
 
 STAGED_ORACLE = {
@@ -816,4 +956,5 @@ STAGED_ORACLE = {
     "q189_vwap_vol": Q189_SQL,
     "s21_pit_enrich_stream": S21_SQL,
     "q190_bpe_merges": Q190_SQL,
+    "q191_pq_topk": Q191_SQL,
 }

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from live_market_data_orderflow_analysis_big_data_project__spark.operators.cluster import (  # noqa: E501
     kmeans_quantized,
+    pq_adc_topk,
     quantize_vectors,
 )
 
@@ -179,4 +180,130 @@ def test_no_python_in_plan(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     # the centroid cross join must stay a BROADCAST of the k-row frame
+    assert "CartesianProduct" not in plan
+
+
+def _pq_model(rows, dim, m, k, iters, n_queries, topk):
+    """Pure-Python twin of pq_adc_topk (same float32 round-trip,
+    same md5 seed/query ordering, same per-subspace Lloyd loop and
+    exact-int ADC)."""
+    import numpy as np
+
+    q = {
+        i: [
+            math.floor(float(np.float32(x)) * _SCALE) + _SHIFT
+            for x in v
+        ]
+        for i, v in rows
+    }
+    sub_d = dim // m
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    order = sorted(
+        q, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    queries, seeds = order[:n_queries], order[:k]
+    codes, cents = {}, {}
+    for s in range(m):
+        sq = {i: v[s * sub_d:(s + 1) * sub_d] for i, v in q.items()}
+        cent = {c: list(sq[i]) for c, i in enumerate(seeds)}
+
+        def assign():
+            return {
+                i: min(cent, key=lambda c: (d2(sq[i], cent[c]), c))
+                for i in sq
+            }
+
+        for _ in range(iters):
+            a = assign()
+            for c in cent:
+                members = [sq[i] for i in sq if a[i] == c]
+                if members:
+                    cent[c] = [
+                        sum(col) // len(members) for col in zip(*members)
+                    ]
+        a = assign()
+        for i in sq:
+            codes[(i, s)] = a[i]
+        for c in cent:
+            cents[(s, c)] = cent[c]
+
+    out = {}
+    for qi in queries:
+        scored = sorted(
+            (
+                sum(
+                    d2(
+                        q[qi][s * sub_d:(s + 1) * sub_d],
+                        cents[(s, codes[(i, s)])],
+                    )
+                    for s in range(m)
+                ),
+                i,
+            )
+            for i in q
+        )
+        out[qi] = {
+            rank + 1: (i, dd)
+            for rank, (dd, i) in enumerate(scored[:topk])
+        }
+    return out
+
+
+def test_pq_adc_equals_python_model(spark):
+    rows = [
+        (i, [((i * 7 + j * 3) % 19 - 9) / 10.0 for j in range(8)])
+        for i in range(12)
+    ]
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.adc_d2)
+        for r in pq_adc_topk(
+            _df(spark, rows), "vec_id", "embedding", 8,
+            m=2, k=2, iters=1, n_queries=2, topk=5,
+        ).collect()
+    }
+    want = _pq_model(rows, 8, 2, 2, 1, 2, 5)
+    assert got == {
+        (qi, rank): pair
+        for qi, ranks in want.items()
+        for rank, pair in ranks.items()
+    }
+
+
+def test_pq_dim_guard_fails_loudly(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    rows = [(1, [0.1, 0.2, 0.3, 0.4]), (2, [0.0, 0.1, 0.2, 0.3])]
+    with pytest.raises(SparkRuntimeException, match="dimension"):
+        pq_adc_topk(
+            _df(spark, rows), "vec_id", "embedding", 8,
+            m=2, k=2, iters=0, n_queries=1, topk=3,
+        ).collect()
+
+
+def test_pq_param_validation():
+    with pytest.raises(ValueError, match="divide"):
+        pq_adc_topk(None, "vec_id", "embedding", 10, m=4)
+    with pytest.raises(ValueError):
+        pq_adc_topk(None, "vec_id", "embedding", 8, m=2, topk=0)
+
+
+def test_pq_no_python_no_cartesian_in_plan(spark):
+    rows = [
+        (i, [((i * 5 + j) % 11 - 5) / 10.0 for j in range(8)])
+        for i in range(10)
+    ]
+    plan = (
+        pq_adc_topk(
+            _df(spark, rows), "vec_id", "embedding", 8,
+            m=2, k=2, iters=1, n_queries=1, topk=3,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan

@@ -73,6 +73,10 @@ NON_EQUI_OK = {
     "q187_autocorr",            # two 1-row [d0, d1] day-span-bounds
                                 # broadcast crossJoins building the dense
                                 # grid (the q150 gapfill pattern)
+    "q191_pq_topk",             # the q183 k-row centroid broadcast per
+                                # subspace assign, plus the n_queries x k
+                                # ADC-table crossJoin (both domain-bounded
+                                # broadcast frames by design)
 }
 
 # Global sorts that are BOUNDED by construction (not whole-dataset):

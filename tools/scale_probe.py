@@ -121,6 +121,7 @@ PROBE_QUERIES = [
     ("q188_staged_clustersplit", "STAGED r12 (r14 cohort): cluster-safe split — q111's star-edge + bounded near-dup CC, then two keyed lookups (cluster, rep text)"),
     ("q189_staged_vwapvol", "STAGED r12 (r14 cohort): VWAP + realized vol — one (type, day) shuffle shared by the lag window and the agg (the q156 TWAP plan shape)"),
     ("q190_staged_bpe", "STAGED r12 (r14 cohort): BPE merge learning — corpus-sized work is ONE token count; 3 merge rounds on the vocab frame, 1-row argmax collects"),
+    ("q191_staged_pq", "STAGED r12 (r14 cohort): PQ-ADC top-k — m bounded Lloyd loops (broadcast assigns + (cluster,dim) update shuffles), then the CODES frame joins an n_queries*m*k-row broadcast table; no full-vector traffic at query time"),
 ]
 
 
@@ -379,6 +380,10 @@ def _custom_probes():
         "q190_staged_bpe": (
             None,
             lambda spark, sf, ctx: staging.q190_bpe_merges(spark, sf),
+        ),
+        "q191_staged_pq": (
+            None,
+            lambda spark, sf, ctx: staging.q191_pq_topk(spark, sf),
         ),
         "q147_staged_pps": (
             None,
@@ -1011,6 +1016,12 @@ def main() -> None:
         "    still lands at 1.3x, confirming the vocab-not-corpus cost",
         "    model).  The 1-row argmax collects are TakeOrdered, never a",
         "    global sort.",
+        "    q191_staged_pq 10.8 -> 13.2 s (1.2x): m=4 per-subspace Lloyd",
+        "    loops are broadcast-assign scans + (cluster, dim) update",
+        "    shuffles (the q183 shape x4); the ADC search joins the",
+        "    m-ints-per-vector CODES frame against an n_queries*m*k-row",
+        "    broadcast table — no full-vector traffic at query time, which",
+        "    is the entire point of PQ.",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — the r9 regeneration itself recorded q106 at \"4.2x\" and",
