@@ -1033,7 +1033,11 @@ def main() -> None:
         "stable 1x cells; each was re-measured 3x (q91b spread 30.6-88.7 s)",
         "and the MINIMUM recorded — contention noise is strictly additive,",
         "and q91b's minimum lands the ratio back at finding 7's decomposed",
-        "4.2x.  The stage-cardinality decompositions (findings 7, 11, 13-15)",
+        "4.2x.  Applied again to the r12 regeneration: every cell landed at",
+        "or below its standing record except q161's 16x (12.97 s vs the",
+        "8.45 s record), which re-measured twice at 7.12/6.75 s — the table",
+        "carried the minimum (ratio 1.3, its historical band).  The",
+        "stage-cardinality decompositions (findings 7, 11, 13-15)",
         "are the load-immune signal.  Original caveat:",
         "host load — a loaded-host probe once recorded q91b at \"19.5x\" that",
         "re-measured at 4.3x quiet; re-run ratios that look anomalous before",
