@@ -230,6 +230,10 @@ def autocorr_lags(
     """
     if not lags or any(int(k) < 1 for k in lags):
         raise ValueError(f"lags must be positive ints, got {lags!r}")
+    if len(set(lags)) != len(lags):
+        # a duplicated lag would explode into duplicate pair rows and
+        # the moment groupBy would silently DOUBLE them — fail loudly
+        raise ValueError(f"lags must be distinct, got {lags!r}")
     k, i, x = F.col(key_col), F.col(idx_col), F.col(x_col)
     # the series frame feeds both join sides; domain-bounded by
     # contract, so cut the lineage once (the pairwise_corr idiom)

@@ -93,6 +93,9 @@ def test_bad_lags_raise():
         autocorr_lags(None, "k", "i", "x", ())
     with pytest.raises(ValueError):
         autocorr_lags(None, "k", "i", "x", (0,))
+    with pytest.raises(ValueError, match="distinct"):
+        # a duplicated lag would silently double the moments
+        autocorr_lags(None, "k", "i", "x", (1, 1))
 
 
 def test_corr_is_one_fixed_float_expression(spark):
