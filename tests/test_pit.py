@@ -85,3 +85,67 @@ def test_pit_join_matches_exactly_one_version_per_event(spark):
         .collect()
     )
     assert len(hit) == 1 and hit[0].valid_from.day == 2
+
+
+def test_pit_enrich_stream_spans_micro_batches(spark):
+    """s21's core property under PROGRESSIVE delivery: the
+    stream-static PIT join is STATELESS, so enrichment is batch-count
+    INVARIANT (all files in one trigger == one file per trigger) and
+    equal to the batch join — an event arriving in a later
+    micro-batch still hits exactly its own day's dimension version,
+    never a newer one."""
+    import tempfile
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (  # noqa: E501
+        run_to_memory,
+        stream_events_dir,
+    )
+
+    schema = "event_id long, user_id long, ts timestamp"
+    # user 1 active on days 1..3 (counts 2, 1, 1), user 2 on day 2 —
+    # split so day boundaries cross micro-batch boundaries
+    b1 = [(1, 1, _t(1, 9)), (2, 1, _t(1, 15))]
+    b2 = [(3, 1, _t(2, 10)), (4, 2, _t(2, 11))]
+    b3 = [(5, 1, _t(3, 12))]
+    rows = b1 + b2 + b3
+    tmp = tempfile.mkdtemp(prefix="s21_batches_")
+    for part in (b1, b2, b3):
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(tmp)
+
+    batch = spark.createDataFrame(rows, schema)
+    dim = daily_tier_dim(batch, "user_id", "ts").localCheckpoint(
+        eager=True
+    )
+    want = {
+        (r.event_id, r.valid_from.day, r.prev_cnt, r.tier)
+        for r in pit_join(batch, dim, "user_id", "ts")
+        .select("_f.event_id", "_dim.valid_from", "_dim.prev_cnt", "_dim.tier")
+        .collect()
+    }
+    assert len(want) == len(rows)
+    # day-2 events must carry day-1 profiles (prev_cnt 2 for user 1,
+    # 0/idle for user 2), day-3 events day-2 profiles
+    assert (3, 2, 2, "light") in want
+    assert (4, 2, 0, "idle") in want
+    assert (5, 3, 1, "light") in want
+
+    for max_files in (None, 1):
+        sdf = stream_events_dir(
+            spark, tmp, schema, max_files_per_trigger=max_files
+        )
+        out = run_to_memory(
+            pit_join(sdf, dim, "user_id", "ts").select(
+                "_f.event_id",
+                "_dim.valid_from",
+                "_dim.prev_cnt",
+                "_dim.tier",
+            ),
+            f"t_s21_{max_files}",
+        )
+        got = {
+            (r.event_id, r.valid_from.day, r.prev_cnt, r.tier)
+            for r in out.collect()
+        }
+        assert got == want, max_files
