@@ -867,3 +867,128 @@ def test_bpe_matches_python_model(spark, words, k):
         ((r.rank, r.token, r.freq) for r in out if r.kind == "symbol")
     )
     assert [(t, f) for _, t, f in got_top] == want_top
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),            # day
+            st.integers(0, 86_399),       # second of day
+            st.integers(1, 50_000),       # cents (positive: ln domain)
+            st.integers(1, 9),            # qty
+        ),
+        min_size=1, max_size=25,
+    )
+)
+def test_vwap_rv_matches_python_model(spark, ticks):
+    """vwap_realized_vol on arbitrary tick tapes == the hand model:
+    exact Fraction VWAP (bit-equal), RV from math.log over the same
+    (ts, id) total order (ROUND-4 tolerance, the ln rule)."""
+    import datetime as dt
+    import math
+    from fractions import Fraction
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.twap import (  # noqa: E501
+        vwap_realized_vol,
+    )
+
+    rows = [
+        (
+            i,
+            dt.datetime(2024, 1, day, 0, 0, 0)
+            + dt.timedelta(seconds=sec),
+            c,
+            q,
+        )
+        for i, (day, sec, c, q) in enumerate(ticks)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ts timestamp, c long, q long"
+    ).withColumn("k", F.lit("X"))
+    got = {
+        r.day: r
+        for r in vwap_realized_vol(
+            df, ["k"], "ts", F.col("c"), F.col("q"), "id"
+        ).collect()
+    }
+    by_day: dict = {}
+    for i, ts, c, q in rows:
+        by_day.setdefault(ts.date(), []).append((ts, i, c, q))
+    assert set(got) == {d.strftime("%Y-%m-%d") for d in by_day}
+    for d, tape in by_day.items():
+        tape.sort()  # (ts, id) total order
+        r = got[d.strftime("%Y-%m-%d")]
+        num = sum(c * q for _, _, c, q in tape)
+        den = sum(q for _, _, _, q in tape)
+        assert r.n_ticks == len(tape)
+        assert r.sum_qty == den and r.sum_qty_cents == num
+        assert r.vwap_cents == float(Fraction(num, den))
+        lrs = [
+            math.log(tape[i][2] / tape[i - 1][2])
+            for i in range(1, len(tape))
+        ]
+        assert r.n_returns == len(lrs)
+        if lrs:
+            assert abs(
+                r.rv4 - round(math.sqrt(sum(x * x for x in lrs)), 4)
+            ) <= 1e-4  # last-ulp ln differences can flip the ROUND
+        else:
+            assert r.rv4 is None
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.integers(3, 20),
+    st.lists(st.tuples(st.integers(0, 19), st.integers(0, 19)),
+             max_size=12),
+)
+def test_cluster_safe_split_matches_python_model(spark, n_docs, edges):
+    """cluster_safe_split on arbitrary edge sets == the hand model:
+    union-find components, min-id rep, md5-of-rep-text split; every
+    cluster lands atomically in one split."""
+    import hashlib
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.pipeline import (  # noqa: E501
+        cluster_safe_split,
+    )
+
+    docs = [(i, f"text body number {i}") for i in range(n_docs)]
+    edges = [(a % n_docs, b % n_docs) for a, b in edges]
+    parent = list(range(n_docs))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {i: find(i) for i in range(n_docs)}
+    # normalize: rep = min doc id of the component
+    groups: dict = {}
+    for i, r in comp.items():
+        groups.setdefault(r, []).append(i)
+    rep = {i: min(groups[r]) for r, ms in groups.items() for i in ms
+           for r in [comp[i]]}
+
+    def split_of(text):
+        h = hashlib.md5(text.encode()).hexdigest()[:2]
+        return "val" if h < "0a" else "test" if h < "14" else "train"
+
+    want = {
+        i: (rep[i], split_of(docs[rep[i]][1])) for i in range(n_docs)
+    }
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    cdf = spark.createDataFrame(
+        [(i, rep[i]) for i in range(n_docs) if rep[i] != i],
+        "doc_id long, cluster_id long",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.split)
+        for r in cluster_safe_split(ddf, cdf).collect()
+    }
+    assert got == want
