@@ -34,7 +34,12 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cents", "mad_outlier_stats", "weighted_quantile_stats"]
+__all__ = [
+    "cents",
+    "mad_outlier_stats",
+    "seasonal_outliers",
+    "weighted_quantile_stats",
+]
 
 
 def cents(col: Column | str) -> Column:
@@ -175,3 +180,64 @@ def weighted_quantile_stats(
             ).alias(alias)
         )
     return r.groupBy(*keys).agg(*aggs)
+
+
+def seasonal_outliers(
+    df: DataFrame,
+    groups: Sequence[str],
+    season_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-ROW robust outlier flags against the row's SEASONAL
+    baseline — the seasonal twin of ``mad_outlier_stats``: a Monday is
+    judged against other Mondays, so weekly rhythm (quiet Sundays,
+    busy Mondays) stops masquerading as anomaly and a genuinely odd
+    Monday stops hiding inside the all-days spread.
+
+    ``value_col`` is an EXACT int64 series (already cents-fixed —
+    unlike ``mad_outlier_stats`` this does not re-fix, because the
+    typical input is an aggregated daily-totals frame); median and
+    MAD are lower medians by explicit rank selection, totally ordered
+    by (value, ``id_col``) — the module's engine-identical selection
+    discipline, no ``median()``/``quantile()`` calls.
+
+    Output: one row per input row — groups…, ``season_col``,
+    ``id_col``, ``x`` (the value), ``med_x``/``mad_x`` (the seasonal
+    baseline), ``dev_x`` (= |x − med|), ``is_outlier``
+    (dev > k·MAD).  All exact ints + a boolean: fully hash-gateable.
+
+    At 100 TB: two selection windows keyed by (groups, season) over
+    the input frame plus two broadcast joins of the |groups × seasons|
+    baseline — when the input is a daily-totals frame the whole
+    computation is DOMAIN-bounded (keys × days), with the one
+    corpus-sized shuffle paid upstream by the totals groupBy.
+    """
+    glist = [*groups, season_col]
+    c = df.select(
+        *glist, F.col(id_col).alias("_id"), F.col(value_col).alias("_x")
+    )
+    med = _lower_median(c, glist, "_x", "_id").withColumnRenamed(
+        "med__x", "med_x"
+    )
+    dev = c.join(F.broadcast(med), glist).withColumn(
+        "_dev", F.abs(F.col("_x") - F.col("med_x"))
+    )
+    mad = _lower_median(dev, glist, "_dev", "_id").withColumnRenamed(
+        "med__dev", "mad_x"
+    )
+    return (
+        dev.join(F.broadcast(mad), glist)
+        .select(
+            *glist,
+            F.col("_id").alias(id_col),
+            F.col("_x").alias("x"),
+            "med_x",
+            "mad_x",
+            F.col("_dev").alias("dev_x"),
+            (F.col("_dev") > F.lit(int(k)) * F.col("mad_x")).alias(
+                "is_outlier"
+            ),
+        )
+    )

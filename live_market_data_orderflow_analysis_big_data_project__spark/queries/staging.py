@@ -79,6 +79,10 @@ r13 window is already fixed by docs/ROTATION_r13.md; earlier staging
   int64 asymmetric distances; the memory-bound ANN rung, fully
   hash-gated against an oracle that unrolls all four Lloyd chains
   (the q183 pattern × m).
+- q192: seasonal day-of-week outlier screen (operators/robust.py
+  ``seasonal_outliers``) — per-day flags vs the day's own-weekday
+  median/MAD baseline within its type; exact lower-median selection,
+  ints + boolean, the seasonal twin of q152.
 """
 
 from __future__ import annotations
@@ -931,6 +935,85 @@ SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id, adc_d2 FROM (
 Q191_SQL = _q191_sql()
 
 
+_Q192_K = 3
+
+
+def q192_seasonal_outliers(spark, sf):
+    """Seasonal (day-of-week) robust outlier screen
+    (operators/robust.py seasonal_outliers): each day's cents total
+    is judged against the MEDIAN/MAD of ITS OWN WEEKDAY within its
+    type — weekly rhythm stops masquerading as anomaly and a
+    genuinely odd Monday stops hiding inside the all-days spread (the
+    seasonal twin of q152's per-type screen).  Lower medians by
+    explicit rank selection, |x−med| deviations, dev > 3·MAD flags —
+    exact ints + a boolean, fully hash-gated.  Weekday convention:
+    Spark dayofweek()−1 == DuckDB dayofweek() (0 = Sunday), pinned
+    in the oracle.  The flag BINDS at every fixture sf (24-40 of 150
+    day rows flagged)."""
+    from ..operators.robust import seasonal_outliers
+
+    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("_d")
+    ).agg(F.sum(F.expr(_CENTS)).alias("x"))
+    daily = daily.select(
+        "event_type",
+        (F.dayofweek(F.col("_d")) - 1).cast("long").alias("dow"),
+        F.date_format("_d", "yyyy-MM-dd").alias("day"),
+        F.col("x").cast("long").alias("x"),
+    )
+    out = seasonal_outliers(
+        daily, ["event_type"], "dow", "x", "day", _Q192_K
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "dow",
+        F.col("x").alias("x_cents"),
+        F.col("med_x").alias("med_cents"),
+        F.col("mad_x").alias("mad_cents"),
+        F.col("dev_x").alias("dev_cents"),
+        "is_outlier",
+    )
+
+
+Q192_SQL = f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS dday,
+         CAST(sum({_CENTS}) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), dd AS (
+  SELECT event_type,
+         CAST(dayofweek(dday) AS BIGINT) AS dow,
+         strftime(dday, '%Y-%m-%d') AS day, x
+  FROM d
+), med AS (
+  SELECT event_type, dow, x AS med_x FROM (
+    SELECT event_type, dow, x, day,
+           row_number() OVER (PARTITION BY event_type, dow
+                              ORDER BY x, day) AS rn,
+           count(*) OVER (PARTITION BY event_type, dow) AS n
+    FROM dd) WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT dd.event_type, dd.day, dd.dow, dd.x, m.med_x,
+         abs(dd.x - m.med_x) AS dv
+  FROM dd JOIN med m USING (event_type, dow)
+), mad AS (
+  SELECT event_type, dow, dv AS mad_x FROM (
+    SELECT event_type, dow, dv, day,
+           row_number() OVER (PARTITION BY event_type, dow
+                              ORDER BY dv, day) AS rn,
+           count(*) OVER (PARTITION BY event_type, dow) AS n
+    FROM dev) WHERE rn = (n + 1) // 2
+)
+SELECT v.event_type, v.day, v.dow, v.x AS x_cents,
+       v.med_x AS med_cents, m.mad_x AS mad_cents,
+       v.dv AS dev_cents,
+       v.dv > {_Q192_K} * m.mad_x AS is_outlier
+FROM dev v JOIN mad m USING (event_type, dow)
+"""
+
+
 STAGED_QUERIES = {
     "q183_kmeans": q183_kmeans,
     "q184_attribution": q184_attribution,
@@ -943,6 +1026,7 @@ STAGED_QUERIES = {
     "s21_pit_enrich_stream": s21_pit_enrich_stream,
     "q190_bpe_merges": q190_bpe_merges,
     "q191_pq_topk": q191_pq_topk,
+    "q192_seasonal_outliers": q192_seasonal_outliers,
 }
 
 STAGED_ORACLE = {
@@ -957,4 +1041,5 @@ STAGED_ORACLE = {
     "s21_pit_enrich_stream": S21_SQL,
     "q190_bpe_merges": Q190_SQL,
     "q191_pq_topk": Q191_SQL,
+    "q192_seasonal_outliers": Q192_SQL,
 }

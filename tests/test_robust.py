@@ -5,6 +5,7 @@ from __future__ import annotations
 from live_market_data_orderflow_analysis_big_data_project__spark.operators.robust import (
     cents,
     mad_outlier_stats,
+    seasonal_outliers,
 )
 
 
@@ -124,3 +125,60 @@ def test_weighted_quantiles_equal_weights_match_unweighted_median(spark):
     wq = weighted_quantile_stats(df, ["g"], "v", "w", "id").collect()[0]
     mad = mad_outlier_stats(df, ["g"], "v", "id").collect()[0]
     assert wq["wmedian_cents"] == mad["med_cents"] == 500
+
+
+def _sdf(spark, rows):
+    # rows: (g, season, id, x) with x already an exact int64
+    return spark.createDataFrame(
+        rows, "g string, season long, id long, x long"
+    )
+
+
+def test_seasonal_outliers_matches_hand_model(spark):
+    # season 0: {10, 12, 14, 100} -> med 12 (lower), devs {2,0,2,88},
+    # MAD = 2 (lower of {0,2,2,88}) -> only 100 flags at k=3
+    rows = [("g", 0, i, x) for i, x in enumerate([10, 12, 14, 100])]
+    out = {
+        r.id: r
+        for r in seasonal_outliers(
+            _sdf(spark, rows), ["g"], "season", "x", "id", 3
+        ).collect()
+    }
+    assert out[3].med_x == 12 and out[3].mad_x == 2
+    assert out[3].dev_x == 88 and out[3].is_outlier is True
+    assert [out[i].is_outlier for i in range(3)] == [False] * 3
+
+
+def test_seasonality_unmasks_and_excuses(spark):
+    # Mondays (season 1) run ~100, Sundays (season 0) run ~10.
+    # A 100 on a SUNDAY is seasonal-anomalous even though 100 is
+    # globally common; a 100 on a Monday is seasonal-normal.
+    rows = (
+        [("g", 1, i, 100 + (i % 3)) for i in range(6)]     # Mondays
+        + [("g", 0, 10 + i, 10 + (i % 3)) for i in range(6)]  # Sundays
+        + [("g", 0, 99, 100)]                              # odd Sunday
+    )
+    out = {
+        r.id: r
+        for r in seasonal_outliers(
+            _sdf(spark, rows), ["g"], "season", "x", "id", 3
+        ).collect()
+    }
+    assert out[99].is_outlier is True        # unmasked by seasonality
+    assert all(not out[i].is_outlier for i in range(6))  # excused
+    # sanity: the whole frame comes back, one row per input
+    assert len(out) == len(rows)
+
+
+def test_seasonal_groups_and_seasons_are_independent(spark):
+    rows = [
+        ("a", 0, 1, 10), ("a", 0, 2, 12), ("a", 0, 3, 14),
+        ("a", 1, 4, 1000), ("a", 1, 5, 1002), ("a", 1, 6, 1004),
+        ("b", 0, 7, 5), ("b", 0, 8, 6), ("b", 0, 9, 7),
+    ]
+    out = seasonal_outliers(
+        _sdf(spark, rows), ["g"], "season", "x", "id", 3
+    ).collect()
+    meds = {(r.g, r.season): r.med_x for r in out}
+    assert meds == {("a", 0): 12, ("a", 1): 1002, ("b", 0): 6}
+    assert not any(r.is_outlier for r in out)

@@ -122,6 +122,7 @@ PROBE_QUERIES = [
     ("q189_staged_vwapvol", "STAGED r12 (r14 cohort): VWAP + realized vol — one (type, day) shuffle shared by the lag window and the agg (the q156 TWAP plan shape)"),
     ("q190_staged_bpe", "STAGED r12 (r14 cohort): BPE merge learning — corpus-sized work is ONE token count; 3 merge rounds on the vocab frame, 1-row argmax collects"),
     ("q191_staged_pq", "STAGED r12 (r14 cohort): PQ-ADC top-k — m bounded Lloyd loops (broadcast assigns + (cluster,dim) update shuffles), then the CODES frame joins an n_queries*m*k-row broadcast table; no full-vector traffic at query time"),
+    ("q192_staged_seasonal", "STAGED r12 (r14 cohort): seasonal day-of-week MAD screen — one daily-totals shuffle, then two keyed selection windows + two broadcast baseline joins on the domain-bounded (type x day) frame"),
 ]
 
 
@@ -384,6 +385,10 @@ def _custom_probes():
         "q191_staged_pq": (
             None,
             lambda spark, sf, ctx: staging.q191_pq_topk(spark, sf),
+        ),
+        "q192_staged_seasonal": (
+            None,
+            lambda spark, sf, ctx: staging.q192_seasonal_outliers(spark, sf),
         ),
         "q147_staged_pps": (
             None,
@@ -1022,6 +1027,10 @@ def main() -> None:
         "    m-ints-per-vector CODES frame against an n_queries*m*k-row",
         "    broadcast table — no full-vector traffic at query time, which",
         "    is the entire point of PQ.",
+        "    q192_staged_seasonal 4.5 -> 5.6 s (1.3x): one daily-totals",
+        "    shuffle is the only data term; the selection windows and",
+        "    baseline broadcasts run on the domain-bounded (type x day)",
+        "    frame.",
         "",
         "Caveats: absolute seconds vary (up to ~3x run-to-run) with external",
         "host load — the r9 regeneration itself recorded q106 at \"4.2x\" and",
