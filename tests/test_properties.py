@@ -992,3 +992,49 @@ def test_cluster_safe_split_matches_python_model(spark, n_docs, edges):
         for r in cluster_safe_split(ddf, cdf).collect()
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(-5_000, 5_000)),
+        min_size=1, max_size=30,
+    ),
+    st.integers(1, 4),
+)
+def test_seasonal_outliers_matches_python_model(spark, pts, k):
+    """seasonal_outliers on arbitrary (season, value) frames == the
+    hand model: per-season lower median by (value, id) rank, lower
+    MAD, strict k-MAD flags."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.robust import (  # noqa: E501
+        seasonal_outliers,
+    )
+
+    rows = [("g", s, i, x) for i, (s, x) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "g string, season long, id long, x long"
+    )
+    got = {
+        r.id: (r.med_x, r.mad_x, r.dev_x, r.is_outlier)
+        for r in seasonal_outliers(
+            df, ["g"], "season", "x", "id", k
+        ).collect()
+    }
+
+    def lower_med(vals):
+        # lower median of (value, id)-ordered list
+        vals = sorted(vals)
+        return vals[(len(vals) + 1) // 2 - 1][0]
+
+    by_season: dict = {}
+    for i, (s, x) in enumerate(pts):
+        by_season.setdefault(s, []).append((x, i))
+    want = {}
+    for s, members in by_season.items():
+        med = lower_med(members)
+        devs = [(abs(x - med), i) for x, i in members]
+        mad = lower_med(devs)
+        for x, i in members:
+            dv = abs(x - med)
+            want[i] = (med, mad, dv, dv > k * mad)
+    assert got == want
