@@ -108,3 +108,31 @@ def test_top_symbols_rank_and_cap(spark):
     assert syms["the"][0] == 1  # freq 3
     # freq-1 tie between 'at' and 'c' -> 'at' < 'c' lexicographically
     assert syms["at"][0] == 2
+
+
+def test_fixture_binding(spark):
+    """The q172/q183 binding discipline at BOTH gate sfs: the learned
+    merges must actually restructure the vocabulary (some multi-char
+    symbol appears in the top-20 with the full 3-merge chain applied)
+    and the merge frequencies must be strictly positive and
+    non-increasing in rank order — otherwise the gate degenerates to
+    a char-frequency count."""
+    from conftest import SF0001, SF001
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+        q190_bpe_merges,
+    )
+
+    for sf in (SF0001, SF001):
+        out = q190_bpe_merges(spark, sf).collect()
+        merges = sorted(
+            (r.rank, r.freq) for r in out if r.kind == "merge"
+        )
+        assert len(merges) == 3, sf
+        assert all(f > 0 for _, f in merges), sf
+        assert all(
+            merges[i][1] >= merges[i + 1][1] for i in range(len(merges) - 1)
+        ), (sf, merges)
+        syms = [r.token for r in out if r.kind == "symbol"]
+        assert len(syms) == 20, sf
+        assert any(len(s) >= 2 for s in syms), (sf, syms)

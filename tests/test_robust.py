@@ -182,3 +182,20 @@ def test_seasonal_groups_and_seasons_are_independent(spark):
     meds = {(r.g, r.season): r.med_x for r in out}
     assert meds == {("a", 0): 12, ("a", 1): 1002, ("b", 0): 6}
     assert not any(r.is_outlier for r in out)
+
+
+def test_q192_fixture_binding(spark):
+    """Binding discipline at BOTH gate sfs: the seasonal screen must
+    flag SOME days and pass others (a gate whose boolean column is
+    constant degenerates to the integer columns alone)."""
+    from conftest import SF0001, SF001
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+        q192_seasonal_outliers,
+    )
+
+    for sf in (SF0001, SF001):
+        flags = [
+            r.is_outlier for r in q192_seasonal_outliers(spark, sf).collect()
+        ]
+        assert any(flags) and not all(flags), (sf, sum(flags), len(flags))
