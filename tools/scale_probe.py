@@ -113,10 +113,10 @@ PROBE_QUERIES = [
     ("q180_staged_quantile", "STAGED r11: mergeable rank-spaced quantile rollup — one (group,day,value) count shuffle + per-bucket windows over the histogram, report joins are group-sized"),
     ("q181_staged_wsample", "STAGED r11: weighted ticket-race sample — O(sum w) map-side explode collapsed by algebraic min, one item-frame shuffle + per-stratum top-n window"),
     ("q182_staged_proximity", "STAGED r11: NEAR/k proximity retrieval — two posting-bucket scans + one doc_id equi-join, nested HOF position algebra, no explode"),
-    ("q183_staged_kmeans", "STAGED r12 (queries/staging.py): integer-quantized k-means — per-iteration broadcast of k centroid rows + one (cluster,dim) update shuffle; the assignment scan is the only data term"),
-    ("q184_staged_attribution", "STAGED r12: last/first-touch attribution — ONE per-user RANGE-frame window pass over integer microseconds, never the touches x conversions pair join"),
-    ("q185_staged_bigramlm", "STAGED r12: interpolated-bigram NLL — one bigram-instance frame, three count aggs over it, LM joined back keyed by (w1,w2)"),
-    ("q186_staged_trend", "STAGED r12: grouped OLS trend — one map-side-combinable moment shuffle; everything downstream is |groups|-sized"),
+    ("q183_staged_kmeans", "STAGED r12 (now queries/ablock.py): integer-quantized k-means — per-iteration broadcast of k centroid rows + one (cluster,dim) update shuffle; the assignment scan is the only data term"),
+    ("q184_staged_attribution", "STAGED r12 (now queries/ablock.py): last/first-touch attribution — ONE per-user RANGE-frame window pass over integer microseconds, never the touches x conversions pair join"),
+    ("q185_staged_bigramlm", "STAGED r12 (now queries/ablock.py): interpolated-bigram NLL — one bigram-instance frame, three count aggs over it, LM joined back keyed by (w1,w2)"),
+    ("q186_staged_trend", "STAGED r12 (now queries/ablock.py): grouped OLS trend — one map-side-combinable moment shuffle; everything downstream is |groups|-sized"),
     ("q187_staged_autocorr", "STAGED r12 (r14 cohort): lag-k autocorrelation — one daily-cents shuffle; grid fill + lag join run on the domain-bounded (type x day) frame"),
     ("q188_staged_clustersplit", "STAGED r12 (r14 cohort): cluster-safe split — q111's star-edge + bounded near-dup CC, then two keyed lookups (cluster, rep text)"),
     ("q189_staged_vwapvol", "STAGED r12 (r14 cohort): VWAP + realized vol — one (type, day) shuffle shared by the lag window and the agg (the q156 TWAP plan shape)"),
@@ -352,19 +352,19 @@ def _custom_probes():
         ),
         "q183_staged_kmeans": (
             None,
-            lambda spark, sf, ctx: staging.q183_kmeans(spark, sf),
+            lambda spark, sf, ctx: ablock.q183_kmeans(spark, sf),
         ),
         "q184_staged_attribution": (
             None,
-            lambda spark, sf, ctx: staging.q184_attribution(spark, sf),
+            lambda spark, sf, ctx: ablock.q184_attribution(spark, sf),
         ),
         "q185_staged_bigramlm": (
             None,
-            lambda spark, sf, ctx: staging.q185_bigram_nll(spark, sf),
+            lambda spark, sf, ctx: ablock.q185_bigram_nll(spark, sf),
         ),
         "q186_staged_trend": (
             None,
-            lambda spark, sf, ctx: staging.q186_group_trend(spark, sf),
+            lambda spark, sf, ctx: ablock.q186_group_trend(spark, sf),
         ),
         "q187_staged_autocorr": (
             None,
