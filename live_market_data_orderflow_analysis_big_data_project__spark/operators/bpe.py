@@ -92,9 +92,20 @@ def bpe_merges(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .select(
             "cnt",
+            # Spark's split(w, '') keeps a trailing empty element; the
+            # filter drops it so the sym string is byte-identical to
+            # the oracle's ('|c|a|t|', never '|c|a|t||') — _SYMS /
+            # _PAIRS already filter empties, but the replace() merge
+            # step matches on the RAW string, so the representations
+            # must agree exactly, not just after filtering.
             F.concat(
                 F.lit("|"),
-                F.concat_ws("|", F.split(F.col("w"), "")),
+                F.array_join(
+                    F.filter(
+                        F.split(F.col("w"), ""), lambda x: x != ""
+                    ),
+                    "|",
+                ),
                 F.lit("|"),
             ).alias("sym"),
         )

@@ -125,6 +125,15 @@ def _fit_centroids(
         ).cast("long").alias("cluster"),
         F.col("qv").alias("cv"),
     ).localCheckpoint(eager=True)
+    # the seed LIMIT under-fills silently when the frame holds fewer
+    # than k vectors — fail loudly like the operator's other guards
+    # (the checkpointed frame is k rows, so the count is free)
+    n_seeds = cent.count()
+    if n_seeds < k:
+        raise ValueError(
+            f"_fit_centroids: only {n_seeds} distinct vectors for "
+            f"k={k} seeds - k is bounded by the vector count"
+        )
 
     for _ in range(iters):
         a = _assign(vecs, cent, id_col)
@@ -234,6 +243,15 @@ def pq_adc_topk(
         .drop("_h")
         .localCheckpoint(eager=True)
     )
+    # LIMIT under-fills silently when fewer than n_queries vectors
+    # exist — fail loudly like the dim/param guards (the checkpointed
+    # frame is n_queries rows, so the count is free)
+    n_q = queries.count()
+    if n_q < n_queries:
+        raise ValueError(
+            f"pq_adc_topk: only {n_q} vectors available for "
+            f"n_queries={n_queries}"
+        )
 
     def sub_slice(s: int) -> F.Column:
         # the dim contract rides in the slice LENGTH argument — a

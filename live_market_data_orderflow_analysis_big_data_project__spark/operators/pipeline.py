@@ -590,7 +590,11 @@ def cluster_safe_split(
 
     ``clusters`` is a (doc_id, cluster_id) frame as produced by
     ``dedup_clusters`` — it may cover only docs that HAVE an edge;
-    uncovered docs become their own singleton cluster.
+    uncovered docs become their own singleton cluster.  Every
+    cluster_id MUST name a doc present in ``docs`` (dedup_clusters
+    guarantees it: cluster id = min member doc id); a clusters frame
+    violating that raises per-row instead of silently dropping the
+    orphaned members (the repo's loud contract-guard pattern).
 
     At 100 TB: two keyed equi-joins (cluster lookup, rep-text lookup)
     plus one narrow CASE — no window, no all-pairs.  A giant cluster
@@ -614,11 +618,20 @@ def cluster_safe_split(
             "split_key"
         ),
     )
-    key = F.col("split_key")
-    return full.join(reps, cluster_col).select(
+    # LEFT join + per-row raise: a cluster_id with no doc in ``docs``
+    # is a broken contract (rep text must exist), and an inner join
+    # would swallow every member of that cluster without a sound.
+    key = F.expr(
+        "CASE WHEN split_key IS NULL THEN "
+        "CAST(raise_error('cluster_safe_split: cluster_id has no "
+        "matching doc in docs - clusters must come from dedup_clusters "
+        "over the same corpus (docstring)') AS STRING) "
+        "ELSE split_key END"
+    )
+    return full.join(reps, cluster_col, "left").select(
         id_col,
         cluster_col,
-        "split_key",
+        key.alias("split_key"),
         F.when(key < val_hex, "val")
         .when(key < test_hex, "test")
         .otherwise("train")

@@ -109,14 +109,35 @@ def pit_join(
     static side is per-micro-batch state-free) — inner join, so facts
     outside the dimension's validity span drop rather than silently
     carrying NULL features.
+
+    Returns a DISAMBIGUATED schema: every ``facts`` column under its
+    original name, followed by ``dim``'s attribute columns (all but
+    its copy of ``key_col``) — so the result selects and writes
+    cleanly with unqualified names.  A non-key column name shared by
+    both inputs would make that projection ambiguous, so it raises
+    up front (rename the dim attribute before joining).
     """
+    dup = sorted((set(facts.columns) & set(dim.columns)) - {key_col})
+    if dup:
+        raise ValueError(
+            f"pit_join: facts and dim share non-key columns {dup}; "
+            "rename the dim attributes before joining"
+        )
     d = dim.alias("_dim")
     f = facts.alias("_f")
     ts = F.col(f"_f.{ts_col}")
-    return f.join(
+    joined = f.join(
         d,
         (F.col(f"_f.{key_col}") == F.col(f"_dim.{key_col}"))
         & (ts >= F.col("_dim.valid_from"))
         & (ts < F.col("_dim.valid_to")),
         "inner",
+    )
+    return joined.select(
+        *[F.col(f"_f.{c}").alias(c) for c in facts.columns],
+        *[
+            F.col(f"_dim.{c}").alias(c)
+            for c in dim.columns
+            if c != key_col
+        ],
     )

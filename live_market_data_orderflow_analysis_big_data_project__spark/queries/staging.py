@@ -292,12 +292,12 @@ def s21_pit_enrich_stream(spark, sf):
     s = stream_events(spark, sf)
     joined = pit_join(s, dim, "user_id", "ts")
     out = joined.select(
-        F.col("_f.event_id").alias("event_id"),
-        F.col("_f.user_id").alias("user_id"),
-        F.col("_f.event_type").alias("event_type"),
-        F.date_format(F.col("_dim.valid_from"), "yyyy-MM-dd").alias("day"),
-        F.col("_dim.prev_cnt").alias("prev_cnt"),
-        F.col("_dim.tier").alias("tier"),
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format(F.col("valid_from"), "yyyy-MM-dd").alias("day"),
+        "prev_cnt",
+        "tier",
     )
     return run_to_memory(out, "s21_pit", n_state_partitions=8)
 

@@ -80,8 +80,8 @@ def test_pit_join_matches_exactly_one_version_per_event(spark):
     # midnight boundary: an event AT 00:00 of day 2 belongs to day 2
     # (valid_from inclusive, valid_to exclusive)
     hit = (
-        out.where("_f.ts = timestamp'2024-01-02 00:00:00'")
-        .select("_dim.valid_from")
+        out.where("ts = timestamp'2024-01-02 00:00:00'")
+        .select("valid_from")
         .collect()
     )
     assert len(hit) == 1 and hit[0].valid_from.day == 2
@@ -121,7 +121,7 @@ def test_pit_enrich_stream_spans_micro_batches(spark):
     want = {
         (r.event_id, r.valid_from.day, r.prev_cnt, r.tier)
         for r in pit_join(batch, dim, "user_id", "ts")
-        .select("_f.event_id", "_dim.valid_from", "_dim.prev_cnt", "_dim.tier")
+        .select("event_id", "valid_from", "prev_cnt", "tier")
         .collect()
     }
     assert len(want) == len(rows)
@@ -137,10 +137,10 @@ def test_pit_enrich_stream_spans_micro_batches(spark):
         )
         out = run_to_memory(
             pit_join(sdf, dim, "user_id", "ts").select(
-                "_f.event_id",
-                "_dim.valid_from",
-                "_dim.prev_cnt",
-                "_dim.tier",
+                "event_id",
+                "valid_from",
+                "prev_cnt",
+                "tier",
             ),
             f"t_s21_{max_files}",
         )
