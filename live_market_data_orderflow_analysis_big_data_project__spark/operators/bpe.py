@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from .llmops import tokens_col
 
-__all__ = ["bpe_merges"]
+__all__ = ["bpe_merges", "bpe_merges_batched"]
 
 # symbols of a pipe-delimited word string, empties (the string's
 # sentinel ends) dropped — oracle twin:
@@ -145,6 +145,127 @@ def bpe_merges(
     )
     merge_df = spark.createDataFrame(
         [(i, f"{l} {r}", freq) for i, l, r, freq in merges],
+        "rank long, token string, freq long",
+    ).select(F.lit("merge").alias("kind"), "rank", "token", "freq")
+    return merge_df.unionByName(top)
+
+
+def bpe_merges_batched(
+    docs: DataFrame,
+    n_rounds: int = 2,
+    m_per_round: int = 2,
+    top_symbols: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batched BPE training — the ``bpe_merges`` scale shortcut for
+    real tokenizer runs (30k+ merges): each round learns the top
+    ``m_per_round`` pairs in ONE pair count + ONE m-row collect, then
+    applies all m replaces in rank order in a single pass over the
+    vocab frame — collect count drops from k to k/m, the standard
+    production-trainer batching.
+
+    Batch selection is GREEDY IN RANK ORDER (freq desc, then (l, r) —
+    the q190 tie-break): accept a pair iff it is SYMBOL-DISJOINT from
+    every pair already accepted this round ({l, r} sets disjoint),
+    stop at m — the standard trainer shortcut (on natural text the
+    raw top-m always shares a symbol: 'e r'/'o r'-style collisions,
+    measured on the fixtures).  Disjointness makes the round's
+    replaces commute on each other's counts AND on the string itself
+    (two patterns ``|a|b|`` / ``|c|d|`` over disjoint symbols can
+    never overlap beyond a shared boundary pipe), so applying them in
+    rank order within one projection is well-defined.  The greedy
+    scan runs over the round's top ``8·m`` candidates only (ONE m-row
+    collect stays the point); a round that cannot fill m disjoint
+    pairs from that prefix raises loudly (the fuzzy.py max_bucket
+    circuit-breaker pattern) rather than silently shrinking the
+    batch.  Note what greedy batching does NOT promise: a merged
+    symbol's NEW pairs could out-rank the batch's tail in a fully
+    sequential retrain, so batched == sequential is a per-corpus
+    fact (checked by test on the fixtures), not a theorem; the
+    batched semantics themselves are deterministic and
+    oracle-replayable either way.
+
+    Output schema matches ``bpe_merges``: merge rows carry the GLOBAL
+    rank (round-major, rank-within-batch minor) and the pair's count
+    at ROUND start; then the top ``top_symbols`` final symbols.
+
+    At 100 TB: identical shape to ``bpe_merges`` (the corpus pays one
+    token-count shuffle; rounds run on the vocab frame) with 1/m the
+    driver round-trips and lineage cuts.
+    """
+    if n_rounds < 1 or m_per_round < 1:
+        raise ValueError("n_rounds and m_per_round must be >= 1")
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens_col(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "cnt",
+            F.concat(
+                F.lit("|"),
+                F.array_join(
+                    F.filter(F.split(F.col("w"), ""), lambda x: x != ""),
+                    "|",
+                ),
+                F.lit("|"),
+            ).alias("sym"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    rank = 0
+    for i in range(1, n_rounds + 1):
+        pc = (
+            words.select("cnt", F.explode(F.expr(_PAIRS)).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("freq"))
+        )
+        cand = (
+            pc.orderBy(F.desc("freq"), "l", "r")
+            .limit(8 * m_per_round)
+            .collect()
+        )
+        batch = []
+        seen: set[str] = set()
+        for row in cand:
+            if row["l"] in seen or row["r"] in seen:
+                continue
+            batch.append(row)
+            seen.update((row["l"], row["r"]))
+            if len(batch) == m_per_round:
+                break
+        if len(batch) < m_per_round:
+            raise ValueError(
+                f"bpe_merges_batched: round {i} found only "
+                f"{len(batch)} symbol-disjoint pairs in the top "
+                f"{8 * m_per_round} candidates (m={m_per_round}) - "
+                "corpus exhausted or pathologically collided; lower "
+                "m_per_round or use bpe_merges"
+            )
+        col = F.col("sym")
+        for row in batch:
+            rank += 1
+            merges.append((rank, row["l"], row["r"], int(row["freq"])))
+            col = F.replace(
+                col,
+                F.lit(f"|{row['l']}|{row['r']}|"),
+                F.lit(f"|{row['l']}{row['r']}|"),
+            )
+        words = words.withColumn("sym", col).localCheckpoint(eager=True)
+    vocab = (
+        words.select("cnt", F.explode(F.expr(_SYMS)).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("freq"), "token"))
+    top = (
+        vocab.withColumn("rank", rk.cast("long"))
+        .where(F.col("rank") <= top_symbols)
+        .select(F.lit("symbol").alias("kind"), "rank", "token", "freq")
+    )
+    merge_df = spark.createDataFrame(
+        [(r, f"{l} {x}", freq) for r, l, x, freq in merges],
         "rank long, token string, freq long",
     ).select(F.lit("merge").alias("kind"), "rank", "token", "freq")
     return merge_df.unionByName(top)

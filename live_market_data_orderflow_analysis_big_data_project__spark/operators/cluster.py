@@ -45,7 +45,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["quantize_vectors", "kmeans_quantized", "pq_adc_topk"]
+__all__ = [
+    "quantize_vectors",
+    "kmeans_quantized",
+    "pq_adc_topk",
+    "ivf_pq_topk",
+]
 
 _SCALE = 10_000
 _SHIFT = 10_000
@@ -305,4 +310,155 @@ def pq_adc_topk(
         scores.withColumn("rank", rk.cast("long"))
         .where(F.col("rank") <= topk)
         .select("query_id", "rank", id_col, "adc_d2")
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    coarse_k: int = 4,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    nprobe: int = 2,
+    n_queries: int = 3,
+    topk: int = 10,
+) -> DataFrame:
+    """IVF-PQ search — the composition of the engine's two exact ANN
+    rungs (the production FAISS index shape): a COARSE integer k-means
+    partitions the corpus into ``coarse_k`` inverted lists, each query
+    probes only its ``nprobe`` nearest lists, and candidates inside
+    the probed lists are ranked by the PQ Asymmetric Distance over
+    ``m`` per-subspace integer codebooks (flat-PQ codes over the raw
+    vectors, not residuals — the variant whose codebooks are shared
+    across lists, which is what keeps the oracle replayable).  Unlike
+    q92b's float-KMeans IVF this is FULLY hash-gateable: coarse chain,
+    probe selection, codes, and ADC sums are exact int64 end to end
+    with total-order tie-breaks everywhere (d2 then cluster/id).
+
+    Queries are the ``n_queries`` dataset vectors with the smallest
+    md5(id) (the q112/q181 contract).  Output per query: ``query_id``,
+    ``rank`` (ADC asc, id tie-break), ``id_col``, ``bucket`` (the
+    candidate's inverted list), ``adc_d2``.  A query scores ONLY
+    vectors whose coarse list it probes — the recall/scan trade the
+    nprobe knob buys; at these fixture knobs the restriction BINDS
+    (probed-bucket candidates < corpus, pinned by test).
+
+    At 100 TB: coarse fit is ``coarse_iters`` broadcast-assign +
+    (cluster, dim) update shuffles (the kmeans_quantized shape); PQ
+    encode is m of the same over sub-vectors; the SEARCH touches the
+    codes frame (m ints per vector) filtered by an
+    n_queries·nprobe-row broadcast of probed lists, then an
+    n_queries·m·k-row broadcast ADC table — per-query work is
+    proportional to the probed lists' population, never the corpus,
+    which is the entire point of IVF.
+    """
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    if min(n_queries, topk, nprobe, coarse_k, coarse_iters) < 1:
+        raise ValueError(
+            "n_queries, topk, nprobe, coarse_k, coarse_iters must be >= 1"
+        )
+    if nprobe > coarse_k:
+        raise ValueError(f"nprobe={nprobe} exceeds coarse_k={coarse_k}")
+    sub_d = dim // m
+    vecs = quantize_vectors(df, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    queries = (
+        vecs.select(
+            F.col(id_col).alias("query_id"),
+            "qv",
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias("_h"),
+        )
+        .orderBy("_h", "query_id")
+        .limit(n_queries)
+        .drop("_h")
+        .localCheckpoint(eager=True)
+    )
+    n_q = queries.count()
+    if n_q < n_queries:
+        raise ValueError(
+            f"ivf_pq_topk: only {n_q} vectors available for "
+            f"n_queries={n_queries}"
+        )
+
+    # ---- coarse quantizer: corpus -> inverted lists --------------------
+    cent_c = _fit_centroids(vecs, id_col, coarse_k, coarse_iters)
+    buckets = _assign(vecs, cent_c, id_col).select(
+        id_col, F.col("cluster").alias("bucket")
+    )
+    probe_rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("d2", "cluster")
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(cent_c))
+        .select("query_id", "cluster", _d2().alias("d2"))
+        .withColumn("_rk", probe_rk)
+        .where(F.col("_rk") <= nprobe)
+        .select("query_id", F.col("cluster").alias("bucket"))
+        .localCheckpoint(eager=True)  # n_queries * nprobe rows
+    )
+
+    def sub_slice(s: int) -> F.Column:
+        # the dim contract rides in the slice LENGTH argument — a
+        # wrong-width vector raises instead of silently mis-slicing
+        return F.expr(
+            f"slice(qv, {s * sub_d + 1}, "
+            f"CASE WHEN size(qv) <> {dim} THEN "
+            f"CAST(raise_error('ivf_pq_topk: vector dimension <> {dim}"
+            " - pass the actual dim (operator docstring)') AS INT) "
+            f"ELSE {sub_d} END)"
+        )
+
+    # ---- PQ codebooks + codes (shared across lists) --------------------
+    codes_parts, table_parts = [], []
+    for s in range(m):
+        sub = vecs.select(
+            id_col, sub_slice(s).alias("qv")
+        ).localCheckpoint(eager=True)
+        cent_s = _fit_centroids(sub, id_col, k, iters)
+        codes_parts.append(
+            _assign(sub, cent_s, id_col).select(
+                id_col,
+                F.lit(s).cast("long").alias("sub"),
+                F.col("cluster").alias("code"),
+            )
+        )
+        table_parts.append(
+            queries.select("query_id", sub_slice(s).alias("qv"))
+            .crossJoin(F.broadcast(cent_s))
+            .select(
+                "query_id",
+                F.lit(s).cast("long").alias("sub"),
+                F.col("cluster").alias("code"),
+                _d2().alias("d2"),
+            )
+        )
+    codes = codes_parts[0]
+    for p in codes_parts[1:]:
+        codes = codes.unionByName(p)
+    table = table_parts[0]
+    for p in table_parts[1:]:
+        table = table.unionByName(p)
+
+    # ---- ADC restricted to probed lists ---------------------------------
+    cand = codes.join(buckets, id_col).join(
+        F.broadcast(probed), "bucket"
+    )
+    scores = (
+        cand.join(F.broadcast(table), ["query_id", "sub", "code"])
+        .groupBy("query_id", id_col, "bucket")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("adc_d2", id_col)
+    )
+    return (
+        scores.withColumn("rank", rk.cast("long"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "rank", id_col, "bucket", "adc_d2")
     )

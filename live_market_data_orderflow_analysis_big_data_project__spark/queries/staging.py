@@ -55,6 +55,25 @@ staging = more rounds of standing pytest evidence before promotion):
   ``seasonal_outliers``) — per-day flags vs the day's own-weekday
   median/MAD baseline within its type; exact lower-median selection,
   ints + boolean, the seasonal twin of q152.
+
+Staged during round 13 for the r15 window (docs/ROTATION_r14.md
+carries the r14 plan; these wait one extra round by design):
+
+- q193: IVF-PQ top-k (operators/cluster.py ``ivf_pq_topk``) — the
+  composition of the integer coarse quantizer (q183 machinery) with
+  PQ ADC (q191 machinery) into the production FAISS index shape;
+  FULLY hash-gated (unlike q92b's float IVF) against an oracle that
+  unrolls the coarse chain AND all m sub-chains; nprobe restriction
+  BINDS at every sf (pinned by test); 16x probe 1.04x.
+- s22: streaming as-of enrichment (streaming/core.py
+  ``asof_quote_enrich``) — trade <- latest quote strictly before it,
+  per key, as applyInPandasWithState with EventTimeTimeout: trades
+  held until the watermark passes them, flushed by timeout (armed AT
+  the pending trade's ms — Spark fires strictly-below, the last-ms
+  edge is test-pinned).  Splice scoped to the filtered set because
+  Catalyst pushes deterministic non-event-time predicates BELOW
+  EventTimeWatermark (measured at sf0.1 — see the entry docstring);
+  cross-batch quote-after-trade arrival pinned by behavioral test.
 """
 
 from __future__ import annotations
@@ -619,6 +638,381 @@ FROM dev v JOIN mad m USING (event_type, dow)
 """
 
 
+_Q193_DIM = 64
+_Q193_CK = 4       # coarse inverted lists
+_Q193_CI = 2       # coarse Lloyd iterations
+_Q193_M = 4        # PQ subspaces
+_Q193_K = 4        # PQ codebook size per subspace
+_Q193_ITERS = 2    # PQ Lloyd iterations
+_Q193_NPROBE = 2
+_Q193_NQ = 3
+_Q193_TOPK = 10
+
+
+def q193_ivfpq_topk(spark, sf):
+    """IVF-PQ top-k (operators/cluster.py ivf_pq_topk): the
+    composition of the engine's two exact ANN rungs into the
+    production FAISS index shape — an integer-k-means coarse
+    quantizer (4 inverted lists, 2 Lloyd iterations) restricts each
+    query to its nprobe=2 nearest lists, and PQ ADC (m=4 subspace
+    codebooks shared across lists) ranks the candidates inside them.
+    Unlike q92b's float-KMeans IVF this is FULLY hash-gated: the
+    oracle unrolls the coarse chain AND all four per-subspace Lloyd
+    chains as MATERIALIZED CTEs (the q183/q191 pattern), replays the
+    probe selection, and re-runs the list-restricted ADC join.  The
+    restriction BINDS at every fixture sf (probed-list candidates <
+    corpus — pinned by test)."""
+    from ..operators.cluster import ivf_pq_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_pq_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        _Q193_DIM,
+        _Q193_CK,
+        _Q193_CI,
+        _Q193_M,
+        _Q193_K,
+        _Q193_ITERS,
+        _Q193_NPROBE,
+        _Q193_NQ,
+        _Q193_TOPK,
+    )
+
+
+def _q193_sql() -> str:
+    ck, ci = _Q193_CK, _Q193_CI
+    k, iters, m = _Q193_K, _Q193_ITERS, _Q193_M
+    sub_d = _Q193_DIM // m
+    parts = [f"""
+WITH qfull AS MATERIALIZED (
+  SELECT vec_id, dim,
+         CAST(floor(CAST(val AS DOUBLE) * 10000) AS BIGINT) + 10000 AS v
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings WHERE embedding IS NOT NULL)
+), ordv AS MATERIALIZED (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM (SELECT DISTINCT vec_id FROM qfull)
+), seeds_c AS MATERIALIZED (
+  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cluster FROM ordv
+  WHERE rn <= {ck}
+), seeds_p AS MATERIALIZED (
+  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cluster FROM ordv
+  WHERE rn <= {k}
+), qrs AS MATERIALIZED (
+  SELECT vec_id AS query_id FROM ordv WHERE rn <= {_Q193_NQ}
+), cc0 AS MATERIALIZED (
+  SELECT s.cluster, q.dim, q.v FROM seeds_c s JOIN qfull q USING (vec_id)
+)"""]
+    # coarse Lloyd chain over the FULL vectors
+    for i in range(1, ci + 1):
+        parts.append(f""", cd{i} AS MATERIALIZED (
+  SELECT q.vec_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM qfull q JOIN cc{i - 1} c ON q.dim = c.dim GROUP BY 1, 2
+), ca{i} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rk
+    FROM cd{i}
+  ) WHERE rk = 1
+), cu{i} AS MATERIALIZED (
+  SELECT a.cluster, q.dim, CAST(sum(q.v) // count(*) AS BIGINT) AS v
+  FROM ca{i} a JOIN qfull q USING (vec_id) GROUP BY 1, 2
+), cc{i} AS MATERIALIZED (
+  SELECT c.cluster, c.dim, COALESCE(u.v, c.v) AS v
+  FROM cc{i - 1} c
+  LEFT JOIN cu{i} u ON c.cluster = u.cluster AND c.dim = u.dim
+)""")
+    parts.append(f""", bfd AS MATERIALIZED (
+  SELECT q.vec_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM qfull q JOIN cc{ci} c ON q.dim = c.dim GROUP BY 1, 2
+), bkt AS MATERIALIZED (
+  SELECT vec_id, cluster AS bucket FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rk
+    FROM bfd
+  ) WHERE rk = 1
+), probed AS MATERIALIZED (
+  SELECT query_id, cluster AS bucket FROM (
+    SELECT r.query_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY r.query_id
+             ORDER BY SUM((q.v - c.v) * (q.v - c.v)), c.cluster) AS rk
+    FROM qrs r
+    JOIN qfull q ON q.vec_id = r.query_id
+    JOIN cc{ci} c ON q.dim = c.dim
+    GROUP BY r.query_id, c.cluster
+  ) WHERE rk <= {_Q193_NPROBE}
+)""")
+    # PQ sub-chains (the q191 pattern, seeds_p)
+    for s in range(m):
+        lo, hi = s * sub_d, (s + 1) * sub_d
+        parts.append(f""", q_s{s} AS MATERIALIZED (
+  SELECT vec_id, dim - {lo} AS dim, v FROM qfull
+  WHERE dim >= {lo} AND dim < {hi}
+), c0_s{s} AS MATERIALIZED (
+  SELECT s.cluster, q.dim, q.v
+  FROM seeds_p s JOIN q_s{s} q USING (vec_id)
+)""")
+        for i in range(1, iters + 1):
+            parts.append(f""", d{i}_s{s} AS MATERIALIZED (
+  SELECT q.vec_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM q_s{s} q JOIN c{i - 1}_s{s} c ON q.dim = c.dim GROUP BY 1, 2
+), a{i}_s{s} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rk
+    FROM d{i}_s{s}
+  ) WHERE rk = 1
+), u{i}_s{s} AS MATERIALIZED (
+  SELECT a.cluster, q.dim, CAST(sum(q.v) // count(*) AS BIGINT) AS v
+  FROM a{i}_s{s} a JOIN q_s{s} q USING (vec_id) GROUP BY 1, 2
+), c{i}_s{s} AS MATERIALIZED (
+  SELECT c.cluster, c.dim, COALESCE(u.v, c.v) AS v
+  FROM c{i - 1}_s{s} c
+  LEFT JOIN u{i}_s{s} u ON c.cluster = u.cluster AND c.dim = u.dim
+)""")
+        parts.append(f""", fd_s{s} AS MATERIALIZED (
+  SELECT q.vec_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM q_s{s} q JOIN c{iters}_s{s} c ON q.dim = c.dim GROUP BY 1, 2
+), code_s{s} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rk
+    FROM fd_s{s}
+  ) WHERE rk = 1
+), tab_s{s} AS MATERIALIZED (
+  SELECT r.query_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM qrs r
+  JOIN q_s{s} q ON q.vec_id = r.query_id
+  JOIN c{iters}_s{s} c ON q.dim = c.dim
+  GROUP BY 1, 2
+)""")
+    codes_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, CAST({s} AS BIGINT) AS sub, cluster"
+        f" FROM code_s{s}"
+        for s in range(m)
+    )
+    tab_union = "\n  UNION ALL\n".join(
+        f"  SELECT query_id, CAST({s} AS BIGINT) AS sub, cluster, d2"
+        f" FROM tab_s{s}"
+        for s in range(m)
+    )
+    parts.append(f""", codes AS (
+{codes_union}
+), tab AS (
+{tab_union}
+), scores AS (
+  SELECT t.query_id, c.vec_id, b.bucket,
+         CAST(SUM(t.d2) AS BIGINT) AS adc_d2
+  FROM codes c
+  JOIN bkt b ON b.vec_id = c.vec_id
+  JOIN probed p ON p.bucket = b.bucket
+  JOIN tab t ON t.query_id = p.query_id
+            AND t.sub = c.sub AND t.cluster = c.cluster
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id, bucket, adc_d2
+FROM (
+  SELECT query_id, vec_id, bucket, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, vec_id) AS rk
+  FROM scores
+) WHERE rk <= {_Q193_TOPK}""")
+    return "".join(parts)
+
+
+Q193_SQL = _q193_sql()
+
+
+def s22_asof_enrich_stream(spark, sf):
+    """Streaming as-of enrichment (streaming/core.py
+    asof_quote_enrich): every purchase is emitted exactly once
+    carrying the latest view of the same user STRICTLY before it —
+    the batch asof_join/q25 capability as a custom stateful operator
+    (applyInPandasWithState keyed by user, EventTimeTimeout), the
+    fourth point on the streaming-state spectrum after s08 (running
+    scalar state), s19/s20 (windowed aggs) and s21 (stateless
+    stream-static).  Trades are held in state until the watermark
+    passes their event time (only then is the quote set at-or-before
+    them closed) and flush via event-time timeout — under the
+    single-file replay EVERY emission rides the final no-data batch's
+    timeout path, so the gate exercises the timeout machinery by
+    construction.  SPLICE SCOPING (measured, not assumed): the
+    watermark is attached before the side/value filters in code, but
+    Catalyst's PushPredicateThroughNonJoin moves deterministic
+    predicates that don't reference the event-time column BELOW the
+    EventTimeWatermark node — so filtered rows never advance the
+    watermark REGARDLESS of call order, and the splice must be the
+    max(ts) OVER THE FILTERED SET (the s19 class; the unscoped form
+    was exactly one row generous at sf0.1 — the globally-latest
+    view/purchase row itself), truncated to Spark's whole-ms
+    watermark granularity.  Only a filter evaluated INSIDE a stateful
+    operator (s20's agg-side NULL handling) escapes that pushdown.
+    Unquoted trades surface with NULL quote columns (never dropped);
+    quote choice is strictly-before with the (us, event_id) tie-break
+    — the q184 contract.  Both the enriched and the NULL bucket BIND
+    at every fixture sf (pinned by test)."""
+    from ..streaming.core import (
+        asof_quote_enrich,
+        run_to_memory,
+        stream_events,
+    )
+
+    sdf = stream_events(spark, sf).withWatermark("ts", "0 seconds")
+    sdf = sdf.where(
+        F.col("event_type").isin("view", "purchase")
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.expr(_CENTS).alias("cents"),
+    )
+    return run_to_memory(
+        asof_quote_enrich(sdf, "view", "purchase"),
+        "s22_asof",
+        n_state_partitions=8,
+    )
+
+
+S22_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+         {_CENTS} AS c
+  FROM events
+  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+), wm AS MATERIALIZED (
+  -- the final watermark: max event time over the FILTERED set —
+  -- Catalyst pushes the deterministic side/value filter below the
+  -- EventTimeWatermark node, so only view/purchase non-null-value
+  -- rows advance the watermark (see the query docstring); truncated
+  -- to whole ms (Spark tracks event-time stats in milliseconds)
+  SELECT (max(us) // 1000) * 1000 AS w_us FROM base
+), tr AS (
+  SELECT user_id, event_id, us, c FROM base, wm
+  WHERE event_type = 'purchase' AND us < wm.w_us
+), qt AS (
+  SELECT user_id, event_id, us, c FROM base WHERE event_type = 'view'
+), last_q AS (
+  SELECT tid, qid, qus, qc FROM (
+    SELECT t.event_id AS tid, q.event_id AS qid, q.us AS qus,
+           q.c AS qc,
+           row_number() OVER (PARTITION BY t.event_id
+                              ORDER BY q.us DESC, q.event_id DESC)
+             AS rk
+    FROM tr t JOIN qt q ON q.user_id = t.user_id AND q.us < t.us
+  ) WHERE rk = 1
+)
+SELECT t.user_id, t.event_id, CAST(t.us AS BIGINT) AS t_us,
+       t.c AS trade_cents,
+       l.qid AS quote_event_id, l.qc AS quote_cents,
+       CAST(t.us - l.qus AS BIGINT) AS gap_us
+FROM tr t LEFT JOIN last_q l ON l.tid = t.event_id
+"""
+
+
+_Q194_ROUNDS = 2
+_Q194_M = 2
+_Q194_TOP = 20
+
+
+def q194_bpe_batched(spark, sf):
+    """Batched BPE training (operators/bpe.py bpe_merges_batched) —
+    q190's production scale shortcut: each round learns the top m=2
+    SYMBOL-DISJOINT pairs (greedy in (freq desc, l, r) rank order —
+    on natural text the raw top-m always shares a symbol, measured)
+    in ONE m-row collect, applying both replaces in rank order in a
+    single vocab pass — collect count k/m, the shortcut real
+    tokenizer runs (30k+ merges) need.  Batched == sequential is NOT
+    claimed (a merged symbol's new pairs can out-rank the batch tail
+    — observed at both gate sfs, documented in the operator); the
+    batched semantics are deterministic and fully hash-gated: the
+    oracle replays the greedy selection (top-1, then top-1 among
+    symbol-disjoint survivors) and the same replace chain per round
+    as MATERIALIZED CTEs."""
+    from ..operators.bpe import bpe_merges_batched
+
+    docs = load_table(spark, sf, "documents").select("text")
+    return bpe_merges_batched(docs, _Q194_ROUNDS, _Q194_M, _Q194_TOP)
+
+
+def _q194_sql(rounds: int = _Q194_ROUNDS, top: int = _Q194_TOP) -> str:
+    duck_syms = "list_filter(string_split(sym, '|'), x -> x <> '')"
+    parts = [f"""
+WITH w0 AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|'
+           AS sym
+  FROM (SELECT unnest({_Q185_TOKS}) AS w FROM documents)
+  GROUP BY w
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", t{i} AS MATERIALIZED (
+  SELECT sym, cnt, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT sym, cnt, {duck_syms} AS arr FROM w{i - 1})
+), p{i} AS MATERIALIZED (
+  SELECT x.tok AS l, y.tok AS r, CAST(sum(x.cnt) AS BIGINT) AS freq
+  FROM t{i} x JOIN t{i} y ON x.sym = y.sym AND y.pos = x.pos + 1
+  GROUP BY 1, 2
+), b{i}a AS MATERIALIZED (
+  SELECT l, r, freq FROM p{i} ORDER BY freq DESC, l, r LIMIT 1
+), b{i}b AS MATERIALIZED (
+  -- greedy rank-order selection: the best pair symbol-disjoint from
+  -- the round's first pick (the operator's batch rule)
+  SELECT p.l, p.r, p.freq FROM p{i} p, b{i}a a
+  WHERE p.l <> a.l AND p.l <> a.r AND p.r <> a.l AND p.r <> a.r
+  ORDER BY p.freq DESC, p.l, p.r LIMIT 1
+), w{i} AS MATERIALIZED (
+  SELECT p.cnt,
+         replace(replace(p.sym,
+                 '|' || a.l || '|' || a.r || '|',
+                 '|' || a.l || a.r || '|'),
+                 '|' || b.l || '|' || b.r || '|',
+                 '|' || b.l || b.r || '|') AS sym
+  FROM w{i - 1} p, b{i}a a, b{i}b b
+)""")
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT 'merge' AS kind, CAST({(i - 1) * 2 + 1} AS BIGINT) "
+        f"AS rank, l || ' ' || r AS token, freq FROM b{i}a\n"
+        "UNION ALL\n"
+        f"SELECT 'merge' AS kind, CAST({(i - 1) * 2 + 2} AS BIGINT) "
+        f"AS rank, l || ' ' || r AS token, freq FROM b{i}b"
+        for i in range(1, rounds + 1)
+    )
+    parts.append(f""", fin AS MATERIALIZED (
+  SELECT cnt, unnest({duck_syms}) AS token FROM w{rounds}
+), vocab AS (
+  SELECT token, CAST(sum(cnt) AS BIGINT) AS freq FROM fin GROUP BY 1
+), topv AS (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rk
+  FROM vocab
+)
+{merge_rows}
+UNION ALL
+SELECT 'symbol' AS kind, CAST(rk AS BIGINT) AS rank, token, freq
+FROM topv WHERE rk <= {top}""")
+    return "".join(parts)
+
+
+Q194_SQL = _q194_sql()
+
+
 STAGED_QUERIES = {
     "q187_autocorr": q187_autocorr,
     "q188_cluster_split": q188_cluster_split,
@@ -627,6 +1021,9 @@ STAGED_QUERIES = {
     "q190_bpe_merges": q190_bpe_merges,
     "q191_pq_topk": q191_pq_topk,
     "q192_seasonal_outliers": q192_seasonal_outliers,
+    "q193_ivfpq_topk": q193_ivfpq_topk,
+    "s22_asof_enrich_stream": s22_asof_enrich_stream,
+    "q194_bpe_batched": q194_bpe_batched,
 }
 
 STAGED_ORACLE = {
@@ -637,4 +1034,7 @@ STAGED_ORACLE = {
     "q190_bpe_merges": Q190_SQL,
     "q191_pq_topk": Q191_SQL,
     "q192_seasonal_outliers": Q192_SQL,
+    "q193_ivfpq_topk": Q193_SQL,
+    "s22_asof_enrich_stream": S22_SQL,
+    "q194_bpe_batched": Q194_SQL,
 }

@@ -393,6 +393,142 @@ def running_vwap(
     )
 
 
+def asof_quote_enrich(
+    df: DataFrame,
+    quote_side: str = "view",
+    trade_side: str = "purchase",
+) -> DataFrame:
+    """Streaming as-of enrichment: each TRADE is emitted exactly once,
+    carrying the latest QUOTE of the same key strictly before it — the
+    orderflow capability q25/asof_join covers in batch, as a custom
+    stateful operator (``applyInPandasWithState`` keyed by user,
+    EventTimeTimeout — the s08 surface with real event-time state).
+
+    Input: a streaming frame with a WATERMARK already attached to
+    ``ts`` and columns (user_id, event_id, ts, event_type, cents);
+    rows whose event_type is neither side must be filtered by the
+    caller AFTER the watermark attaches (the s20 splice discipline —
+    every event advances the watermark).
+
+    Emission discipline (what makes the drained output deterministic
+    and batch-equal): a trade is held in state until the WATERMARK
+    passes its event time (trade_us < watermark_ms·1000 — Spark
+    tracks event-time stats in whole milliseconds), because only then
+    is the quote set at-or-before it closed — any later-arriving
+    quote strictly before an emitted trade would be late beyond the
+    watermark and dropped at the EventTimeWatermark node, never
+    reaching this operator.  Held trades flush via event-time TIMEOUT
+    (armed at the earliest pending trade's ms + 1) when the watermark
+    advances on other keys' data or on the AvailableNow final no-data
+    batch — the same mechanism that closes the reference's candle
+    windows.  Under a single-file replay the entire corpus lands in
+    micro-batch 1 with watermark 0, so EVERY emission rides the
+    timeout path of the final no-data batch — the gate exercises the
+    timeout machinery by construction.
+
+    As-of semantics (exact, integer microseconds): quote strictly
+    before trade (quote_us < trade_us), latest by (us, event_id) —
+    the q184 strictly-before / id tie-break contract; trades with no
+    prior quote emit with NULL quote columns (surfaced, not dropped).
+
+    State per key: the pending-trade buffer (trades above the
+    watermark — bounded by the disorder window) plus the quote buffer
+    pruned to the single latest quote below the watermark + quotes at
+    or above it (any future trade has ts >= watermark, so older
+    quotes are dominated) — bounded state at any scale, the
+    watermark-bounded-buffer shape the reference's processor never
+    achieves (its debug sinks buffer unboundedly).
+    """
+    import bisect
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, event_id long, t_us long, trade_cents long, "
+        "quote_event_id long, quote_cents long, gap_us long"
+    )
+    state_schema = (
+        "qus array<long>, qid array<long>, qpx array<long>, "
+        "tus array<long>, tid array<long>, tpx array<long>"
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            qus, qid, qpx, tus, tid, tpx = (list(a) for a in state.get)
+        else:
+            qus, qid, qpx, tus, tid, tpx = [], [], [], [], [], []
+        for pdf in pdf_iter:
+            us = (pdf["ts"].astype("int64") // 1000).tolist()
+            for u, i, px, side in zip(
+                us, pdf["event_id"], pdf["cents"], pdf["event_type"]
+            ):
+                if side == quote_side:
+                    qus.append(int(u)); qid.append(int(i)); qpx.append(int(px))  # noqa: E702
+                elif side == trade_side:
+                    tus.append(int(u)); tid.append(int(i)); tpx.append(int(px))  # noqa: E702
+        w_us = state.getCurrentWatermarkMs() * 1000
+        quotes = sorted(zip(qus, qid, qpx))
+        rows, pend = [], []
+        for u, i, px in sorted(zip(tus, tid, tpx)):
+            if u >= w_us:
+                pend.append((u, i, px))
+                continue
+            pos = bisect.bisect_left(quotes, (u,))
+            if pos:
+                q_u, q_i, q_px = quotes[pos - 1]
+                rows.append((key[0], i, u, px, q_i, q_px, u - q_u))
+            else:
+                rows.append((key[0], i, u, px, None, None, None))
+        # prune: latest quote below the watermark + everything at/above
+        cut = bisect.bisect_left(quotes, (w_us,))
+        quotes = quotes[max(0, cut - 1):]
+        if pend or quotes:
+            state.update((
+                [q[0] for q in quotes],
+                [q[1] for q in quotes],
+                [q[2] for q in quotes],
+                [t[0] for t in pend],
+                [t[1] for t in pend],
+                [t[2] for t in pend],
+            ))
+            if pend:
+                # arm at the earliest pending trade's ms EXACTLY: Spark
+                # fires event-time timeouts when timeout < watermark
+                # STRICTLY, and this trade becomes emittable when
+                # t_ms < watermark — the two edges coincide only if the
+                # timeout IS t_ms (t_ms + 1 would permanently hold a
+                # trade in the final millisecond before max(ts)).  The
+                # API allows == current watermark (only < raises), and
+                # pend us >= watermark us guarantees >=.
+                state.setTimeoutTimestamp(min(t[0] for t in pend) // 1000)
+        else:
+            state.remove()
+        if rows:
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id", "event_id", "t_us", "trade_cents",
+                    "quote_event_id", "quote_cents", "gap_us",
+                ],
+            )
+            for c in ("quote_event_id", "quote_cents", "gap_us"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return (
+        df.select("user_id", "event_id", "ts", "event_type", "cents")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def order_flow_state(df: DataFrame) -> DataFrame:
     """Custom per-key state via ``transformWithStateInPandas`` (Spark 4's
     arbitrary-stateful API, successor to ``applyInPandasWithState``):

@@ -307,3 +307,118 @@ def test_pq_no_python_no_cartesian_in_plan(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- IVF-PQ composition (staged gate q193) ---------------------------------
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """With nprobe == coarse_k every inverted list is probed, so the
+    IVF restriction is a no-op and the composition must reproduce
+    pq_adc_topk exactly (same codebooks: seeds_p are the same k
+    smallest-md5 ids either way) — the equivalence that proves the
+    bucket machinery only RESTRICTS, never re-ranks."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.cluster import (  # noqa: E501
+        ivf_pq_topk,
+    )
+
+    rows = [
+        (i, [((i * 7 + j * 3) % 19 - 9) / 10.0 for j in range(8)])
+        for i in range(12)
+    ]
+    pq = {
+        (r.query_id, r.rank): (r.vec_id, r.adc_d2)
+        for r in pq_adc_topk(
+            _df(spark, rows), "vec_id", "embedding", 8,
+            m=2, k=2, iters=1, n_queries=2, topk=5,
+        ).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): (r.vec_id, r.adc_d2)
+        for r in ivf_pq_topk(
+            _df(spark, rows), "vec_id", "embedding", 8,
+            coarse_k=3, coarse_iters=1, m=2, k=2, iters=1,
+            nprobe=3, n_queries=2, topk=5,
+        ).collect()
+    }
+    assert ivf == pq
+
+
+def test_ivfpq_restriction_binds_on_fixture(spark):
+    """The q193 knobs (nprobe=2 of coarse_k=4 lists) must actually
+    restrict at every gate sf: with topk unbounded the per-query
+    candidate count is the probed lists' population — assert it is
+    strictly below the corpus size and above zero, so the gate is
+    exercising the IVF path, not degenerate full-scan PQ."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.cluster import (  # noqa: E501
+        ivf_pq_topk,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+        _Q193_CI,
+        _Q193_CK,
+        _Q193_DIM,
+        _Q193_ITERS,
+        _Q193_K,
+        _Q193_M,
+        _Q193_NPROBE,
+        _Q193_NQ,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (  # noqa: E501
+        load_table,
+    )
+
+    for sf in (SF0001, SF001):
+        emb = load_table(spark, sf, "embeddings")
+        n_vecs = emb.where(F.col("embedding").isNotNull()).count()
+        cand = (
+            ivf_pq_topk(
+                emb, "vec_id", "embedding", _Q193_DIM,
+                _Q193_CK, _Q193_CI, _Q193_M, _Q193_K, _Q193_ITERS,
+                _Q193_NPROBE, _Q193_NQ, topk=10**9,
+            )
+            .groupBy("query_id")
+            .count()
+            .collect()
+        )
+        assert len(cand) == _Q193_NQ, sf
+        for r in cand:
+            assert 0 < r["count"] < n_vecs, (sf, r)
+
+
+def test_ivfpq_param_validation():
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.cluster import (  # noqa: E501
+        ivf_pq_topk,
+    )
+
+    with pytest.raises(ValueError, match="divide"):
+        ivf_pq_topk(None, "vec_id", "embedding", 10, m=4)
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_pq_topk(
+            None, "vec_id", "embedding", 8, coarse_k=2, nprobe=3, m=2
+        )
+    with pytest.raises(ValueError):
+        ivf_pq_topk(None, "vec_id", "embedding", 8, m=2, topk=0)
+
+
+def test_ivfpq_no_python_no_cartesian_in_plan(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.cluster import (  # noqa: E501
+        ivf_pq_topk,
+    )
+
+    rows = [
+        (i, [((i * 5 + j) % 11 - 5) / 10.0 for j in range(8)])
+        for i in range(10)
+    ]
+    plan = (
+        ivf_pq_topk(
+            _df(spark, rows), "vec_id", "embedding", 8,
+            coarse_k=2, coarse_iters=1, m=2, k=2, iters=1,
+            nprobe=1, n_queries=1, topk=3,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan

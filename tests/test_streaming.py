@@ -436,8 +436,8 @@ def test_order_flow_state_api(spark):
     google.protobuf for the state-server protocol, absent in this
     container — skip the run (not the build) when it is missing.
 
-    Environment block, verified round 6, re-verified rounds 7, 8 and 9
-    (r9: ``import google.protobuf`` still ModuleNotFoundError;
+    Environment block, verified round 6, re-verified rounds 7, 8, 9
+    and 13 (r13: ``import google.protobuf`` still ModuleNotFoundError;
     KAFKA_BOOTSTRAP still unset, so the broker round-trip tests in
     tests/test_kafka_broker.py stay gated too — unskip the moment the
     env provides either).

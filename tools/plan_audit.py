@@ -77,6 +77,11 @@ NON_EQUI_OK = {
                                 # subspace assign, plus the n_queries x k
                                 # ADC-table crossJoin (both domain-bounded
                                 # broadcast frames by design)
+    # Round-13 staged r15 cohort (audited pre-promotion):
+    "q193_ivfpq_topk",          # q191's centroid/ADC-table broadcast
+                                # crossJoins plus the coarse-probe
+                                # n_queries x coarse_k crossJoin — all
+                                # domain-bounded broadcast frames
 }
 
 # Global sorts that are BOUNDED by construction (not whole-dataset):

@@ -123,6 +123,8 @@ PROBE_QUERIES = [
     ("q190_staged_bpe", "STAGED r12 (r14 cohort): BPE merge learning — corpus-sized work is ONE token count; 3 merge rounds on the vocab frame, 1-row argmax collects"),
     ("q191_staged_pq", "STAGED r12 (r14 cohort): PQ-ADC top-k — m bounded Lloyd loops (broadcast assigns + (cluster,dim) update shuffles), then the CODES frame joins an n_queries*m*k-row broadcast table; no full-vector traffic at query time"),
     ("q192_staged_seasonal", "STAGED r12 (r14 cohort): seasonal day-of-week MAD screen — one daily-totals shuffle, then two keyed selection windows + two broadcast baseline joins on the domain-bounded (type x day) frame"),
+    ("q193_staged_ivfpq", "STAGED r13 (r15 cohort): IVF-PQ top-k — coarse + m PQ Lloyd loops (broadcast assigns + (cluster,dim) update shuffles), search joins the codes frame against an n_queries*nprobe broadcast of probed lists then the broadcast ADC table; per-query work proportional to probed-list population, never the corpus"),
+    ("q194_staged_bpebatch", "STAGED r13 (r15 cohort): batched BPE — one corpus token-count shuffle, then n_rounds vocab-frame pair counts with ONE m-row collect each (k/m driver round-trips, the q190 shape batched)"),
 ]
 
 
@@ -389,6 +391,14 @@ def _custom_probes():
         "q192_staged_seasonal": (
             None,
             lambda spark, sf, ctx: staging.q192_seasonal_outliers(spark, sf),
+        ),
+        "q193_staged_ivfpq": (
+            None,
+            lambda spark, sf, ctx: staging.q193_ivfpq_topk(spark, sf),
+        ),
+        "q194_staged_bpebatch": (
+            None,
+            lambda spark, sf, ctx: staging.q194_bpe_batched(spark, sf),
         ),
         "q147_staged_pps": (
             None,
