@@ -745,11 +745,19 @@ def s20_psi_drift_stream(spark, sf):
     (operators/drift.py psi_from_histograms, per-bin ROUND-4
     contributions — the q167 order-independence rule).  The bin
     expression guards negative cents with raise_error (Spark div
-    truncates, DuckDB // floors — they agree only on non-negatives);
-    bin NULLs are filtered INSIDE the windowed operator
-    (post-watermark), so every event advances the watermark and the
-    closed-day splice is the plain unscoped max(ts) — the documented
-    contrast with s19's pre-watermark value filter."""
+    truncates, DuckDB // floors — they agree only on non-negatives).
+    SPLICE SCOPING (corrected r13, the s22 lesson measured in this
+    very plan): the bin-NULL filter is written inside the windowed
+    operator AFTER withWatermark, but Catalyst's
+    PushPredicateThroughNonJoin moves it BELOW the EventTimeWatermark
+    node — verified in the optimized logical plan — so only
+    non-null-value rows advance the watermark and the closed-day
+    splice must scope its max(ts) to ``value IS NOT NULL`` (same
+    class as s19; the two differ only in where the filter is written,
+    not in watermark behavior).  At day granularity the scoped and
+    unscoped forms diverge only when the corpus's final day carries
+    exclusively NULL values — a fixture accident away from a silent
+    gate mismatch, hence the explicit scoping."""
     from ..operators.drift import psi_from_histograms
     from ..operators.quantsketch import value_histogram_windowed
 
@@ -789,7 +797,8 @@ WITH h AS MATERIALIZED (
   FROM events
   WHERE value IS NOT NULL
     AND date_trunc('day', ts)
-        < (SELECT date_trunc('day', max(ts)) FROM events)
+        < (SELECT date_trunc('day', max(ts)) FROM events
+           WHERE value IS NOT NULL)
   GROUP BY 1, 2, 3
 ), ref AS (
   SELECT event_type, bin, CAST(sum(n) AS BIGINT) AS n_ref0
