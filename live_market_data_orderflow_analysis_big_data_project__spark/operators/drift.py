@@ -33,7 +33,109 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["psi_drift", "psi_from_histograms"]
+__all__ = ["psi_drift", "psi_from_histograms", "topk_drift"]
+
+
+def topk_drift(
+    hist: DataFrame,
+    keys: list[str],
+    period_col: str,
+    item_col: str,
+    n_col: str,
+    split: str,
+    k: int,
+) -> DataFrame:
+    """Top-k RANKING drift per (keys…, period) from a pre-counted
+    (keys…, period, item, n) rollup — the monitor family's ranking
+    member next to ``psi_from_histograms``'s distribution member: PSI
+    answers "did the value distribution move", this answers "did the
+    heavy hitters change" (a day whose per-bin shares look stable can
+    still have swapped its top accounts — and vice versa).
+
+    Reference = per key the top-k items by TOTAL count over periods
+    before ``split``; current = per (key, period >= split) the top-k
+    by that period's count; ties break (count desc, item asc) — the
+    q143 total-order rule.  Output per (key, period): ``n_ref_k`` /
+    ``n_cur_k`` (actual list sizes — a thin key may have fewer than k
+    items, surfaced not padded), ``n_common``, ``jaccard_ppm`` (exact
+    integer ppm of |∩|/|∪| — the q176 integer-argument rule: no float
+    ratio in the gate), ``ref_top1`` / ``cur_top1`` and null-safe
+    ``top1_same``.  Keys with NO pre-split history surface with
+    n_ref_k = 0 and NULL ref_top1 (never dropped — the q167 new-
+    segment rule).
+
+    Scale shape: ``hist`` is the domain-bounded rollup a windowed
+    streaming count agg emits (the data-sized pass already happened
+    upstream); ref/cur top-k are rank windows over it, and every
+    join afterwards is on (keys × k)-sized frames.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    per, item = F.col(period_col), F.col(item_col)
+    ref_rk = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(F.desc("n_ref"), item)
+    )
+    ref_k = (
+        hist.where(per < split)
+        .groupBy(*keys, item_col)
+        .agg(F.sum(n_col).cast("long").alias("n_ref"))
+        .withColumn("_rk", ref_rk)
+        .where(F.col("_rk") <= k)
+        .select(*keys, item_col, F.col("_rk").alias("_ref_rk"))
+    )
+    cur_rk = F.row_number().over(
+        Window.partitionBy(*keys, period_col).orderBy(
+            F.desc(n_col), item
+        )
+    )
+    cur_k = (
+        hist.where(per >= split)
+        .withColumn("_rk", cur_rk)
+        .where(F.col("_rk") <= k)
+        .select(*keys, period_col, item_col, F.col("_rk").alias("_cur_rk"))
+    )
+    cur_stats = cur_k.groupBy(*keys, period_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cur_k"),
+        F.min_by(item_col, "_cur_rk").alias("cur_top1"),
+    )
+    ref_stats = ref_k.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ref_k"),
+        F.min_by(item_col, "_ref_rk").alias("ref_top1"),
+    )
+    common = (
+        cur_k.join(ref_k.select(*keys, item_col), [*keys, item_col])
+        .groupBy(*keys, period_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    out = (
+        cur_stats.join(F.broadcast(ref_stats), keys, "left")
+        .join(common, [*keys, period_col], "left")
+        .select(
+            *keys,
+            period_col,
+            F.coalesce("n_ref_k", F.lit(0)).cast("long").alias("n_ref_k"),
+            "n_cur_k",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            "ref_top1",
+            "cur_top1",
+        )
+    )
+    return out.select(
+        *keys,
+        period_col,
+        "n_ref_k",
+        "n_cur_k",
+        "n_common",
+        F.expr(
+            "CAST(n_common * 1000000 DIV "
+            "(n_ref_k + n_cur_k - n_common) AS BIGINT)"
+        ).alias("jaccard_ppm"),
+        "ref_top1",
+        "cur_top1",
+        F.expr("ref_top1 IS NOT DISTINCT FROM cur_top1").alias(
+            "top1_same"
+        ),
+    )
 
 
 def psi_from_histograms(

@@ -74,6 +74,20 @@ carries the r14 plan; these wait one extra round by design):
   Catalyst pushes deterministic non-event-time predicates BELOW
   EventTimeWatermark (measured at sf0.1 — see the entry docstring);
   cross-batch quote-after-trade arrival pinned by behavioral test.
+- q194: batched BPE training (operators/bpe.py ``bpe_merges_batched``)
+  — q190's production shortcut: greedy SYMBOL-DISJOINT top-m pairs
+  per round in one m-row collect (k/m driver round-trips), replaces
+  commuting by disjointness, top-8m candidate circuit breaker;
+  oracle replays the greedy selection; batched == sequential is NOT
+  claimed (per-corpus fact, documented).
+- s23: streaming top-k ranking drift (operators/drift.py
+  ``topk_drift``) — the monitor family's ranking member (s14/s15/
+  s19/s20 spectrum complete): per (type × closed day) top-5 users vs
+  the pre-split reference top-5, exact counts + integer-ppm Jaccard
+  + null-safe top1_same; the stream owns the (type, day, user)
+  windowed count agg, the read is domain-bounded; splice scoped to
+  ``user_id IS NOT NULL`` (the s20/s22 pushdown lesson, vacuous on
+  this fixture, scoped anyway).
 """
 
 from __future__ import annotations
@@ -1013,6 +1027,104 @@ FROM topv WHERE rk <= {top}""")
 Q194_SQL = _q194_sql()
 
 
+_S23_SPLIT = "2024-01-16"
+_S23_K = 5
+
+
+def s23_topk_drift_stream(spark, sf):
+    """Streaming top-k RANKING drift monitor (operators/drift.py
+    topk_drift) — the monitor family's ranking member, completing the
+    s14 (distincts) / s15 (top-k emit) / s19 (quantiles) / s20
+    (distribution PSI) spectrum: per (type × closed day), the day's
+    top-5 users by event count compared against the pre-split
+    reference top-5 — PSI answers "did the distribution move", this
+    answers "did the heavy hitters change".  The stream owns the
+    data-sized stage (the per-(type, day, user) windowed count agg,
+    append emits closed days); the ranking/overlap read runs as a
+    domain-bounded batch view.  Exact gate: counts, integer-ppm
+    Jaccard (the q176 integer-argument rule), null-safe top1_same
+    boolean.  Splice scoped to ``user_id IS NOT NULL`` — the
+    operator's NULL-item filter sits below EventTimeWatermark after
+    Catalyst's pushdown (the s20/s22 lesson; vacuous on this fixture
+    where user_id is never NULL, scoped anyway so a fixture accident
+    cannot silently diverge the gate)."""
+    from ..operators.drift import topk_drift
+    from ..operators.quantsketch import value_histogram_windowed
+    from ..streaming.core import run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf).select(
+        "event_type", "ts", F.col("user_id").alias("item")
+    )
+    hist = run_to_memory(
+        value_histogram_windowed(
+            sdf, ["event_type"], "ts", "item", bucket="day"
+        ),
+        "s23_topkhist",
+        n_state_partitions=8,
+    )
+    hist = hist.localCheckpoint(eager=True)  # the s15 lineage cut
+    return topk_drift(
+        hist, ["event_type"], "day", "item", "n", _S23_SPLIT, _S23_K
+    )
+
+
+S23_SQL = f"""
+WITH h AS MATERIALIZED (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         user_id AS item, CAST(count(*) AS BIGINT) AS n
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND date_trunc('day', ts)
+        < (SELECT date_trunc('day', max(ts)) FROM events
+           WHERE user_id IS NOT NULL)
+  GROUP BY 1, 2, 3
+), reft AS (
+  SELECT event_type, item, CAST(sum(n) AS BIGINT) AS n_ref
+  FROM h WHERE day < '{_S23_SPLIT}' GROUP BY 1, 2
+), refk AS MATERIALIZED (
+  SELECT event_type, item, rk FROM (
+    SELECT event_type, item,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY n_ref DESC, item) AS rk
+    FROM reft
+  ) WHERE rk <= {_S23_K}
+), curk AS MATERIALIZED (
+  SELECT event_type, day, item, rk FROM (
+    SELECT event_type, day, item,
+           row_number() OVER (PARTITION BY event_type, day
+                              ORDER BY n DESC, item) AS rk
+    FROM h WHERE day >= '{_S23_SPLIT}'
+  ) WHERE rk <= {_S23_K}
+), curstats AS (
+  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_cur_k,
+         arg_min(item, rk) AS cur_top1
+  FROM curk GROUP BY 1, 2
+), refstats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_ref_k,
+         arg_min(item, rk) AS ref_top1
+  FROM refk GROUP BY 1
+), com AS (
+  SELECT c.event_type, c.day, CAST(count(*) AS BIGINT) AS n_common
+  FROM curk c JOIN refk r ON r.event_type = c.event_type
+                         AND r.item = c.item
+  GROUP BY 1, 2
+)
+SELECT cs.event_type, cs.day,
+       CAST(COALESCE(rs.n_ref_k, 0) AS BIGINT) AS n_ref_k,
+       cs.n_cur_k,
+       CAST(COALESCE(m.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(m.n_common, 0) * 1000000
+            // (COALESCE(rs.n_ref_k, 0) + cs.n_cur_k
+                - COALESCE(m.n_common, 0)) AS BIGINT) AS jaccard_ppm,
+       rs.ref_top1, cs.cur_top1,
+       (rs.ref_top1 IS NOT DISTINCT FROM cs.cur_top1) AS top1_same
+FROM curstats cs
+LEFT JOIN refstats rs ON rs.event_type = cs.event_type
+LEFT JOIN com m ON m.event_type = cs.event_type AND m.day = cs.day
+"""
+
+
 STAGED_QUERIES = {
     "q187_autocorr": q187_autocorr,
     "q188_cluster_split": q188_cluster_split,
@@ -1024,6 +1136,7 @@ STAGED_QUERIES = {
     "q193_ivfpq_topk": q193_ivfpq_topk,
     "s22_asof_enrich_stream": s22_asof_enrich_stream,
     "q194_bpe_batched": q194_bpe_batched,
+    "s23_topk_drift_stream": s23_topk_drift_stream,
 }
 
 STAGED_ORACLE = {
@@ -1037,4 +1150,5 @@ STAGED_ORACLE = {
     "q193_ivfpq_topk": Q193_SQL,
     "s22_asof_enrich_stream": S22_SQL,
     "q194_bpe_batched": Q194_SQL,
+    "s23_topk_drift_stream": S23_SQL,
 }

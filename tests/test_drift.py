@@ -213,3 +213,89 @@ def test_s20_split_and_closure_bind(spark):
         .d
     )
     assert last_day not in days  # the open day is withheld
+
+
+# --- top-k ranking drift (staged gate s23) ----------------------------------
+
+
+def test_topk_drift_hand_model(spark):
+    """Hand-computed drift: ref (periods < split) top-2 of key A is
+    {u1, u2} (u1 first on total 5 vs 3); day d2's top-2 is {u2, u3}
+    -> n_common 1, union 3, jaccard 333333 ppm, top1 changed.  Key B
+    appears ONLY post-split -> surfaced with n_ref_k 0, NULL
+    ref_top1, top1_same false (null-safe)."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.drift import (  # noqa: E501
+        topk_drift,
+    )
+
+    rows = [
+        # key, day, item, n
+        ("A", "d1", 1, 5),
+        ("A", "d1", 2, 3),
+        ("A", "d1", 3, 1),
+        ("A", "d2", 2, 4),   # post-split day
+        ("A", "d2", 3, 2),
+        ("A", "d2", 1, 1),
+        ("B", "d2", 9, 7),   # no pre-split history
+    ]
+    hist = spark.createDataFrame(
+        rows, "k string, day string, item long, n long"
+    )
+    got = {
+        (r.k, r.day): (
+            r.n_ref_k, r.n_cur_k, r.n_common, r.jaccard_ppm,
+            r.ref_top1, r.cur_top1, r.top1_same,
+        )
+        for r in topk_drift(hist, ["k"], "day", "item", "n", "d2", 2)
+        .collect()
+    }
+    assert got[("A", "d2")] == (2, 2, 1, 333333, 1, 2, False)
+    # B holds a single item post-split: the top-2 list under-fills to
+    # 1 (surfaced, not padded), jaccard 0/1, NULL ref side
+    assert got[("B", "d2")] == (0, 1, 0, 0, None, 9, False)
+    assert set(got) == {("A", "d2"), ("B", "d2")}
+
+
+def test_topk_drift_tiebreak_and_identical_ranking(spark):
+    """Equal counts break on item asc (the q143 rule); a day whose
+    top-k equals the reference scores jaccard 1e6 and top1_same."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.drift import (  # noqa: E501
+        topk_drift,
+    )
+
+    rows = [
+        ("A", "d1", 7, 2),
+        ("A", "d1", 4, 2),  # ties 7 on count: item 4 ranks first
+        ("A", "d2", 7, 2),
+        ("A", "d2", 4, 2),
+    ]
+    hist = spark.createDataFrame(
+        rows, "k string, day string, item long, n long"
+    )
+    out = topk_drift(hist, ["k"], "day", "item", "n", "d2", 2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.ref_top1, r.cur_top1, r.top1_same) == (4, 4, True)
+    assert (r.n_common, r.jaccard_ppm) == (2, 1_000_000)
+
+
+def test_s23_gate_binding(spark):
+    """At both gate sfs the drift signal BINDS in both directions:
+    some day shares at least one heavy hitter with the reference and
+    some day loses at least one — the gate exercises overlap and
+    divergence simultaneously (the q172 binding discipline)."""
+    from conftest import SF0001, SF001
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+        _S23_K,
+        s23_topk_drift_stream,
+    )
+
+    for sf in (SF0001, SF001):
+        rows = s23_topk_drift_stream(spark, sf).collect()
+        assert rows, sf
+        assert all(r.n_cur_k <= _S23_K for r in rows), sf
+        assert any(r.n_common > 0 for r in rows), sf
+        assert any(r.n_common < min(r.n_ref_k, r.n_cur_k) or
+                   r.n_common == 0 for r in rows), sf
+        assert {r.top1_same for r in rows} == {True, False}, sf
