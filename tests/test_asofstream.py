@@ -146,3 +146,81 @@ def test_gate_binding(spark):
         n_null = out.where(F.col("quote_event_id").isNull()).count()
         n_hit = out.where(F.col("quote_event_id").isNotNull()).count()
         assert n_null > 0 and n_hit > 0, (sf, n_null, n_hit)
+
+
+# --- randomized batch-split property (hypothesis) ---------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ROW = st.tuples(
+    st.integers(min_value=1, max_value=3),          # user
+    st.sampled_from(["view", "purchase"]),           # side
+    st.integers(min_value=0, max_value=500),         # minute offset
+    st.integers(min_value=1, max_value=999),         # cents
+)
+
+
+@given(
+    rows=st.lists(_ROW, min_size=5, max_size=22),
+    cuts=st.lists(
+        st.integers(min_value=1, max_value=21),
+        min_size=0,
+        max_size=2,
+        unique=True,
+    ),
+)
+@settings(max_examples=5, deadline=None)
+def test_property_replay_equals_python_asof_model(spark, rows, cuts):
+    """Any event set, delivered as any ts-contiguous batch sequence
+    (1-3 micro-batches), must drain to exactly the python as-of
+    model: emitted = trades strictly below the final whole-ms
+    watermark, each enriched with the latest strictly-before quote
+    ((us, event_id) order), NULL bucket for unquoted trades —
+    exactly-once, batching-invariant."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    tagged = [
+        (u, eid + 1, base + dt.timedelta(minutes=m), side, cents)
+        for eid, (u, side, m, cents) in enumerate(rows)
+    ]
+    ordered = sorted(tagged, key=lambda r: (r[2], r[1]))
+    bounds = sorted({c for c in cuts if c < len(ordered)})
+    parts, lo = [], 0
+    for c in bounds:
+        parts.append(ordered[lo:c])
+        lo = c
+    parts.append(ordered[lo:])
+    parts = [p for p in parts if p]
+
+    # python model: final watermark = floor(max_us/1000)*1000 over all
+    # (epoch math is tz-free — naive .timestamp() would read host tz)
+    epoch = dt.datetime(1970, 1, 1)
+    us = {
+        eid: int((ts - epoch).total_seconds() * 1_000_000)
+        for _, eid, ts, _, _ in tagged
+    }
+    w_us = (max(us.values()) // 1000) * 1000
+    by_user_quotes = {}
+    for u, eid, ts, side, cents in tagged:
+        if side == "view":
+            by_user_quotes.setdefault(u, []).append((us[eid], eid, cents))
+    want = {}
+    for u, eid, ts, side, cents in tagged:
+        if side != "purchase" or us[eid] >= w_us:
+            continue
+        prior = sorted(
+            q for q in by_user_quotes.get(u, []) if q[0] < us[eid]
+        )
+        if prior:
+            q_us, q_id, q_c = prior[-1]
+            want[eid] = (q_id, q_c, us[eid] - q_us)
+        else:
+            want[eid] = (None, None, None)
+
+    path = _write_batches(
+        spark,
+        [[(u, eid, ts, side, cents) for u, eid, ts, side, cents in p]
+         for p in parts],
+    )
+    got = _run(spark, path, max_files=1)
+    assert got == want
