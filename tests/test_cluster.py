@@ -422,3 +422,119 @@ def test_ivfpq_no_python_no_cartesian_in_plan(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def _ivfpq_model(
+    rows, dim, coarse_k, coarse_iters, m, k, iters, nprobe, n_queries, topk
+):
+    """Pure-Python twin of ivf_pq_topk: the _pq_model machinery plus a
+    coarse Lloyd loop over the FULL vectors, per-query top-nprobe list
+    selection (d2 asc, cluster asc), and the list-restricted ADC."""
+    import numpy as np
+
+    q = {
+        i: [
+            math.floor(float(np.float32(x)) * _SCALE) + _SHIFT
+            for x in v
+        ]
+        for i, v in rows
+    }
+    sub_d = dim // m
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    order = sorted(
+        q, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    queries = order[:n_queries]
+
+    def lloyd(vecs, kk, it):
+        cent = {c: list(vecs[i]) for c, i in enumerate(order[:kk])}
+
+        def assign():
+            return {
+                i: min(cent, key=lambda c: (d2(vecs[i], cent[c]), c))
+                for i in vecs
+            }
+
+        for _ in range(it):
+            a = assign()
+            for c in cent:
+                members = [vecs[i] for i in vecs if a[i] == c]
+                if members:
+                    cent[c] = [
+                        sum(col) // len(members) for col in zip(*members)
+                    ]
+        return cent, assign()
+
+    cent_c, buckets = lloyd(q, coarse_k, coarse_iters)
+    probed = {
+        qi: {
+            c
+            for _, c in sorted(
+                (d2(q[qi], cent_c[c]), c) for c in cent_c
+            )[:nprobe]
+        }
+        for qi in queries
+    }
+
+    codes, cents = {}, {}
+    for s in range(m):
+        sq = {i: v[s * sub_d:(s + 1) * sub_d] for i, v in q.items()}
+        cent, a = lloyd(sq, k, iters)
+        for i in sq:
+            codes[(i, s)] = a[i]
+        for c in cent:
+            cents[(s, c)] = cent[c]
+
+    out, out_cand = {}, {}
+    for qi in queries:
+        cand = [i for i in q if buckets[i] in probed[qi]]
+        scored = sorted(
+            (
+                sum(
+                    d2(
+                        q[qi][s * sub_d:(s + 1) * sub_d],
+                        cents[(s, codes[(i, s)])],
+                    )
+                    for s in range(m)
+                ),
+                i,
+            )
+            for i in cand
+        )
+        out[qi] = {
+            rank + 1: (i, buckets[i], dd)
+            for rank, (dd, i) in enumerate(scored[:topk])
+        }
+        out_cand[qi] = len(cand)
+    return out, out_cand
+
+
+def test_ivfpq_equals_python_model(spark):
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.cluster import (  # noqa: E501
+        ivf_pq_topk,
+    )
+
+    rows = [
+        (i, [((i * 7 + j * 3) % 19 - 9) / 10.0 for j in range(8)])
+        for i in range(14)
+    ]
+    args = dict(coarse_k=3, coarse_iters=1, m=2, k=2, iters=1,
+                nprobe=2, n_queries=2, topk=6)
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.bucket, r.adc_d2)
+        for r in ivf_pq_topk(
+            _df(spark, rows), "vec_id", "embedding", 8, **args
+        ).collect()
+    }
+    want, n_cand = _ivfpq_model(rows, 8, **args)
+    assert got == {
+        (qi, rank): trip
+        for qi, ranks in want.items()
+        for rank, trip in ranks.items()
+    }
+    # the restriction binds on this fixture: some vector is excluded
+    # from some query's candidate set (counted pre-topk in the model)
+    assert any(v < len(rows) for v in n_cand.values())
