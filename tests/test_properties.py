@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F  # noqa: F401  (parity with peers)
@@ -643,6 +644,13 @@ def test_kmeans_equals_python_model_on_arbitrary_points(spark, vecs, k, iters):
 
     rows = list(enumerate(vecs))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    if len(rows) < k:
+        # fewer vectors than seeds is a CONTRACT violation: the
+        # operator's under-fill guard must raise loudly (silently
+        # under-filled codebooks were the r12 ADVICE class)
+        with pytest.raises(ValueError, match="distinct vectors for"):
+            kmeans_quantized(df, "vec_id", "embedding", k, iters)
+        return
     got = {
         r.vec_id: (r.cluster, r.d2)
         for r in kmeans_quantized(
