@@ -2689,6 +2689,505 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# Round-14 promotions (docs/ROTATION_r14.md), moved verbatim from
+# queries/staging.py: q187 lag-k autocorrelation, q188 cluster-safe
+# train/val/test split, q189 daily VWAP + realized volatility, q190 BPE
+# tokenizer training, q191 product-quantization ADC top-k, q192 seasonal
+# day-of-week outlier screen.  s21 (streaming PIT enrichment) moves to
+# sblock.py.  Each was staged at r12 close and carries two rounds of
+# standing pytest oracle evidence (tests/test_next_rotation.py at 2 sfs)
+# plus a hand sf0.1 hash-pass, a 16x scale probe (SCALING.md finding 17),
+# and plan/determinism/dtype audits — promotion is the planned dict move.
+# --------------------------------------------------------------------------
+
+_Q187_LAGS = (1, 2, 3)
+
+
+def q187_autocorr(spark, sf):
+    """Per-type autocorrelation of the daily cents series at lags
+    1/2/3 (operators/stats.py autocorr_lags): is today's flow
+    predicted by yesterday's?  The series is densified first — a
+    type × full-day-span grid 0-fills silent days (a gap is a real
+    zero in a flow series, not a missing observation), so lag-k pairs
+    every day against the day truly k back.  Exact int64 moments +
+    the pairwise_corr fixed IEEE parenthesization: corr hashes with
+    NO ROUND.  The grid crossJoin is a 1-row broadcast bounds frame
+    (the gapfill idiom, PLAN_AUDIT-whitelisted)."""
+    from ..operators.stats import autocorr_lags
+
+    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("_d")
+    ).agg(F.sum(F.expr(_CENTS)).alias("x"))
+    bounds = daily.agg(F.min("_d").alias("_d0"), F.max("_d").alias("_d1"))
+    # both crossJoins broadcast the SAME 1-row bounds frame (the
+    # gapfill idiom); everything downstream equi-joins on (type, idx)
+    grid = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.datediff(F.col("_d1"), F.col("_d0")).cast("long"),
+                )
+            ).alias("idx"),
+        )
+    )
+    daily_idx = daily.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.datediff(F.col("_d"), F.col("_d0")).cast("long").alias("idx"),
+        "x",
+    )
+    dense = grid.join(daily_idx, ["event_type", "idx"], "left").select(
+        "event_type",
+        "idx",
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("x"),
+    )
+    return autocorr_lags(dense, "event_type", "idx", "x", _Q187_LAGS)
+
+
+Q187_SQL = f"""
+WITH daily AS MATERIALIZED (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(sum({_CENTS}) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), b AS (
+  SELECT min(d) AS d0, max(d) AS d1 FROM daily
+), grid AS (
+  SELECT t.event_type, CAST(g AS BIGINT) AS idx
+  FROM (SELECT DISTINCT event_type FROM daily) t, b,
+       unnest(range(0, datediff('day', b.d0, b.d1) + 1)) AS s(g)
+), dense AS MATERIALIZED (
+  SELECT g.event_type, g.idx,
+         CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+  FROM grid g
+  LEFT JOIN b ON true
+  LEFT JOIN daily ON daily.event_type = g.event_type
+                 AND daily.d = b.d0 + g.idx * INTERVAL 1 DAY
+), lags AS (
+  SELECT CAST(l AS BIGINT) AS lag
+  FROM (VALUES ({_Q187_LAGS[0]}), ({_Q187_LAGS[1]}),
+               ({_Q187_LAGS[2]})) v(l)
+), pairs AS (
+  SELECT a.event_type, l.lag, a.x AS xa, c.x AS xb
+  FROM dense a
+  CROSS JOIN lags l
+  JOIN dense c ON c.event_type = a.event_type
+              AND c.idx = a.idx + l.lag
+), m AS (
+  SELECT event_type, lag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(xa) AS BIGINT) AS sum_x,
+         CAST(sum(xb) AS BIGINT) AS sum_y,
+         CAST(sum(xa * xb) AS BIGINT) AS sxy,
+         CAST(sum(xa * xa) AS BIGINT) AS sxx,
+         CAST(sum(xb * xb) AS BIGINT) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag, n_pairs, sum_x, sum_y,
+       CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE)) > 0
+             AND (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)) > 0
+            THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))
+                 / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))
+                        * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sum_y AS DOUBLE)
+                             * CAST(sum_y AS DOUBLE)))
+       END AS corr
+FROM m
+"""
+
+
+def q188_cluster_split(spark, sf):
+    """Leakage-free train/val/test split (operators/pipeline.py
+    cluster_safe_split): q114's content-hash split assigns each doc
+    independently, so a near-dup pair can straddle train and val and
+    the eval measures memorization.  Here q111's dedup clusters
+    (exact-dup star edges + verified Jaccard near-dup pairs,
+    min-label components) are assigned ATOMICALLY: the split key is
+    the md5 of the cluster representative's text, members inherit it,
+    singletons degrade to exact q114 semantics.  Fully hash-gated —
+    the oracle recomputes components with Q111's recursive CTE and
+    re-derives the same rep-hash CASE."""
+    from ..operators.pipeline import cluster_safe_split
+    from .pblock import q111_dedup_clusters
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    clusters = q111_dedup_clusters(spark, sf)
+    return cluster_safe_split(d, clusters)
+
+
+def _q188_sql() -> str:
+    from .pblock import Q111_SQL
+
+    return f"""
+WITH comp AS MATERIALIZED ({Q111_SQL}),
+full_docs AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT f.doc_id, f.cluster_id,
+       substring(md5(r.text), 1, 2) AS split_key,
+       CASE WHEN substring(md5(r.text), 1, 2) < '0a' THEN 'val'
+            WHEN substring(md5(r.text), 1, 2) < '14' THEN 'test'
+            ELSE 'train' END AS split
+FROM full_docs f JOIN documents r ON r.doc_id = f.cluster_id
+"""
+
+
+Q188_SQL = _q188_sql()
+
+
+_Q189_QTY = "(event_id % 7) + 1"
+
+
+def q189_vwap_vol(spark, sf):
+    """Daily per-type VWAP + realized volatility
+    (operators/twap.py vwap_realized_vol) — the execution-benchmark
+    pair next to q156's TWAP: Σ(cents·qty)/Σqty exact-anchored with
+    one IEEE division (NO ROUND), and the standard high-frequency RV
+    estimator sqrt(Σ ln(p_t/p_{t-1})²) over the (ts, event_id)-
+    total-ordered tick sequence, ROUND-4 on both sides (the q118/q185
+    ln rule, sweep-covered).  Lot sizes are the deterministic fixture
+    synth (event_id % 7) + 1 — the q110 contact_text pattern: the
+    events table has no qty column, so one is derived identically on
+    both sides.  Ticks with non-positive value are dropped as invalid
+    (a zero price is indicative, not tradable — the operator's ln
+    domain guard rightly raises on it; sf0.1 carries 6 such rows)."""
+    from ..operators.robust import cents
+    from ..operators.twap import vwap_realized_vol
+
+    ev = load_table(spark, sf, "events").where(F.col("value") > 0)
+    return vwap_realized_vol(
+        ev,
+        ["event_type"],
+        "ts",
+        cents("value"),
+        F.expr(_Q189_QTY).cast("long"),
+        "event_id",
+    )
+
+
+Q189_SQL = f"""
+WITH t AS (
+  SELECT event_type, date_trunc('day', ts) AS d, ts, event_id,
+         {_CENTS} AS c, CAST({_Q189_QTY} AS BIGINT) AS q
+  FROM events WHERE value > 0
+), r AS (
+  SELECT event_type, d, c, q,
+         lag(c) OVER (PARTITION BY event_type, d
+                      ORDER BY ts, event_id) AS pc
+  FROM t
+), rr AS (
+  SELECT event_type, d, c, q,
+         CASE WHEN pc IS NOT NULL
+              THEN ln(CAST(c AS DOUBLE) / CAST(pc AS DOUBLE)) END AS lr
+  FROM r
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(sum(q) AS BIGINT) AS sum_qty,
+       CAST(sum(c * q) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(c * q) AS DOUBLE) / CAST(sum(q) AS DOUBLE) AS vwap_cents,
+       CAST(count(lr) AS BIGINT) AS n_returns,
+       CASE WHEN count(lr) > 0
+            THEN ROUND(sqrt(sum(lr * lr)), 4) END AS rv4
+FROM rr GROUP BY 1, 2
+"""
+
+
+_Q190_MERGES = 3
+_Q190_TOP = 20
+
+
+def q190_bpe_merges(spark, sf):
+    """BPE tokenizer training (operators/bpe.py bpe_merges): learn 3
+    byte-pair merge rules over the documents corpus and report them
+    plus the top-20 final vocabulary symbols — the subword-vocab step
+    of every LLM pipeline, distributed via the standard word-
+    frequency factorization (corpus-sized work = ONE token count; the
+    merge loop runs on the vocab frame).  The q111/q171/q183 bounded
+    driver-loop class: k=3 iterations, 1-row argmax collect each,
+    lineage cuts per round.  Merge semantics are the engine-native
+    single-pass replace (pinned identical Spark vs DuckDB, run-
+    overlap corner included); all counts exact int64 — hash-gated
+    against the oracle's unrolled per-iteration CTEs."""
+    from ..operators.bpe import bpe_merges
+
+    docs = load_table(spark, sf, "documents").select("text")
+    return bpe_merges(docs, _Q190_MERGES, _Q190_TOP)
+
+
+def _q190_sql(k: int = _Q190_MERGES, top: int = _Q190_TOP) -> str:
+    duck_syms = "list_filter(string_split(sym, '|'), x -> x <> '')"
+    parts = [f"""
+WITH w0 AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|'
+           AS sym
+  FROM (SELECT unnest({_Q185_TOKS}) AS w FROM documents)
+  GROUP BY w
+)"""]
+    for i in range(1, k + 1):
+        parts.append(f""", t{i} AS MATERIALIZED (
+  SELECT sym, cnt, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT sym, cnt, {duck_syms} AS arr FROM w{i - 1})
+), p{i} AS (
+  SELECT x.tok AS l, y.tok AS r, CAST(sum(x.cnt) AS BIGINT) AS freq
+  FROM t{i} x JOIN t{i} y ON x.sym = y.sym AND y.pos = x.pos + 1
+  GROUP BY 1, 2
+), b{i} AS MATERIALIZED (
+  SELECT l, r, freq FROM p{i} ORDER BY freq DESC, l, r LIMIT 1
+), w{i} AS MATERIALIZED (
+  SELECT p.cnt,
+         replace(p.sym, '|' || b.l || '|' || b.r || '|',
+                 '|' || b.l || b.r || '|') AS sym
+  FROM w{i - 1} p, b{i} b
+)""")
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT 'merge' AS kind, CAST({i} AS BIGINT) AS rank, "
+        f"l || ' ' || r AS token, freq FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f""", fin AS MATERIALIZED (
+  SELECT cnt, unnest({duck_syms}) AS token FROM w{k}
+), vocab AS (
+  SELECT token, CAST(sum(cnt) AS BIGINT) AS freq FROM fin GROUP BY 1
+), topv AS (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rk
+  FROM vocab
+)
+{merge_rows}
+UNION ALL
+SELECT 'symbol' AS kind, CAST(rk AS BIGINT) AS rank, token, freq
+FROM topv WHERE rk <= {top}""")
+    return "".join(parts)
+
+
+Q190_SQL = _q190_sql()
+
+
+_Q191_DIM = 64
+_Q191_M = 4
+_Q191_K = 4
+_Q191_ITERS = 2
+_Q191_NQ = 3
+_Q191_TOPK = 10
+
+
+def q191_pq_topk(spark, sf):
+    """Product-quantization ADC top-k (operators/cluster.py
+    pq_adc_topk): each embedding compressed to m=4 subspace codes via
+    per-subspace integer k-means (k=4, 2 Lloyd iterations), queries =
+    the 3 smallest-md5(vec_id) vectors, distances answered by exact
+    int64 Asymmetric Distance Computation over the m-lookup code
+    frame — the classic memory-bound ANN rung (Jégou et al. 2011)
+    between q116's int8 scalar quantization and the q92b/q93b
+    bucketing paths, and unlike those it is FULLY hash-gated: the
+    oracle unrolls all four per-subspace Lloyd chains as MATERIALIZED
+    CTEs (the q183 pattern × m) and replays the ADC join."""
+    from ..operators.cluster import pq_adc_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return pq_adc_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        _Q191_DIM,
+        _Q191_M,
+        _Q191_K,
+        _Q191_ITERS,
+        _Q191_NQ,
+        _Q191_TOPK,
+    )
+
+
+def _q191_sql() -> str:
+    k, iters, m = _Q191_K, _Q191_ITERS, _Q191_M
+    sub_d = _Q191_DIM // m
+    parts = [f"""
+WITH qfull AS MATERIALIZED (
+  SELECT vec_id, dim,
+         CAST(floor(CAST(val AS DOUBLE) * 10000) AS BIGINT) + 10000 AS v
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings WHERE embedding IS NOT NULL)
+), ordv AS MATERIALIZED (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM (SELECT DISTINCT vec_id FROM qfull)
+), seeds AS MATERIALIZED (
+  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cluster FROM ordv
+  WHERE rn <= {k}
+), qrs AS MATERIALIZED (
+  SELECT vec_id AS query_id FROM ordv WHERE rn <= {_Q191_NQ}
+)"""]
+    for s in range(m):
+        lo, hi = s * sub_d, (s + 1) * sub_d
+        parts.append(f""", q_s{s} AS MATERIALIZED (
+  SELECT vec_id, dim - {lo} AS dim, v FROM qfull
+  WHERE dim >= {lo} AND dim < {hi}
+), c0_s{s} AS MATERIALIZED (
+  SELECT s.cluster, q.dim, q.v FROM seeds s JOIN q_s{s} q USING (vec_id)
+)""")
+        for i in range(1, iters + 1):
+            parts.append(f""", d{i}_s{s} AS MATERIALIZED (
+  SELECT q.vec_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM q_s{s} q JOIN c{i - 1}_s{s} c ON q.dim = c.dim GROUP BY 1, 2
+), a{i}_s{s} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rk
+    FROM d{i}_s{s}
+  ) WHERE rk = 1
+), u{i}_s{s} AS MATERIALIZED (
+  SELECT a.cluster, q.dim, CAST(sum(q.v) // count(*) AS BIGINT) AS v
+  FROM a{i}_s{s} a JOIN q_s{s} q USING (vec_id) GROUP BY 1, 2
+), c{i}_s{s} AS MATERIALIZED (
+  SELECT c.cluster, c.dim, COALESCE(u.v, c.v) AS v
+  FROM c{i - 1}_s{s} c
+  LEFT JOIN u{i}_s{s} u ON c.cluster = u.cluster AND c.dim = u.dim
+)""")
+        parts.append(f""", fd_s{s} AS MATERIALIZED (
+  SELECT q.vec_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM q_s{s} q JOIN c{iters}_s{s} c ON q.dim = c.dim GROUP BY 1, 2
+), code_s{s} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rk
+    FROM fd_s{s}
+  ) WHERE rk = 1
+), tab_s{s} AS MATERIALIZED (
+  SELECT r.query_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM qrs r
+  JOIN q_s{s} q ON q.vec_id = r.query_id
+  JOIN c{iters}_s{s} c ON q.dim = c.dim
+  GROUP BY 1, 2
+)""")
+    codes_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, CAST({s} AS BIGINT) AS sub, cluster"
+        f" FROM code_s{s}"
+        for s in range(m)
+    )
+    tab_union = "\n  UNION ALL\n".join(
+        f"  SELECT query_id, CAST({s} AS BIGINT) AS sub, cluster, d2"
+        f" FROM tab_s{s}"
+        for s in range(m)
+    )
+    parts.append(f""", codes AS (
+{codes_union}
+), tab AS (
+{tab_union}
+), scores AS (
+  SELECT t.query_id, c.vec_id, CAST(SUM(t.d2) AS BIGINT) AS adc_d2
+  FROM codes c JOIN tab t ON t.sub = c.sub AND t.cluster = c.cluster
+  GROUP BY 1, 2
+)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id, adc_d2 FROM (
+  SELECT query_id, vec_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, vec_id) AS rk
+  FROM scores
+) WHERE rk <= {_Q191_TOPK}""")
+    return "".join(parts)
+
+
+Q191_SQL = _q191_sql()
+
+
+_Q192_K = 3
+
+
+def q192_seasonal_outliers(spark, sf):
+    """Seasonal (day-of-week) robust outlier screen
+    (operators/robust.py seasonal_outliers): each day's cents total
+    is judged against the MEDIAN/MAD of ITS OWN WEEKDAY within its
+    type — weekly rhythm stops masquerading as anomaly and a
+    genuinely odd Monday stops hiding inside the all-days spread (the
+    seasonal twin of q152's per-type screen).  Lower medians by
+    explicit rank selection, |x−med| deviations, dev > 3·MAD flags —
+    exact ints + a boolean, fully hash-gated.  Weekday convention:
+    Spark dayofweek()−1 == DuckDB dayofweek() (0 = Sunday), pinned
+    in the oracle.  The flag BINDS at every fixture sf (24-40 of 150
+    day rows flagged)."""
+    from ..operators.robust import seasonal_outliers
+
+    ev = load_table(spark, sf, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("_d")
+    ).agg(F.sum(F.expr(_CENTS)).alias("x"))
+    daily = daily.select(
+        "event_type",
+        (F.dayofweek(F.col("_d")) - 1).cast("long").alias("dow"),
+        F.date_format("_d", "yyyy-MM-dd").alias("day"),
+        F.col("x").cast("long").alias("x"),
+    )
+    out = seasonal_outliers(
+        daily, ["event_type"], "dow", "x", "day", _Q192_K
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "dow",
+        F.col("x").alias("x_cents"),
+        F.col("med_x").alias("med_cents"),
+        F.col("mad_x").alias("mad_cents"),
+        F.col("dev_x").alias("dev_cents"),
+        "is_outlier",
+    )
+
+
+Q192_SQL = f"""
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS dday,
+         CAST(sum({_CENTS}) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), dd AS (
+  SELECT event_type,
+         CAST(dayofweek(dday) AS BIGINT) AS dow,
+         strftime(dday, '%Y-%m-%d') AS day, x
+  FROM d
+), med AS (
+  SELECT event_type, dow, x AS med_x FROM (
+    SELECT event_type, dow, x, day,
+           row_number() OVER (PARTITION BY event_type, dow
+                              ORDER BY x, day) AS rn,
+           count(*) OVER (PARTITION BY event_type, dow) AS n
+    FROM dd) WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT dd.event_type, dd.day, dd.dow, dd.x, m.med_x,
+         abs(dd.x - m.med_x) AS dv
+  FROM dd JOIN med m USING (event_type, dow)
+), mad AS (
+  SELECT event_type, dow, dv AS mad_x FROM (
+    SELECT event_type, dow, dv, day,
+           row_number() OVER (PARTITION BY event_type, dow
+                              ORDER BY dv, day) AS rn,
+           count(*) OVER (PARTITION BY event_type, dow) AS n
+    FROM dev) WHERE rn = (n + 1) // 2
+)
+SELECT v.event_type, v.day, v.dow, v.x AS x_cents,
+       v.med_x AS med_cents, m.mad_x AS mad_cents,
+       v.dv AS dev_cents,
+       v.dv > {_Q192_K} * m.mad_x AS is_outlier
+FROM dev v JOIN mad m USING (event_type, dow)
+"""
+
+
 QUERIES = {
     "q145_kmv_setops": q145_kmv_setops,
     "q146_fuzzy_match": q146_fuzzy_match,
@@ -2737,6 +3236,12 @@ QUERIES = {
     "q184_attribution": q184_attribution,
     "q185_bigram_nll": q185_bigram_nll,
     "q186_group_trend": q186_group_trend,
+    "q187_autocorr": q187_autocorr,
+    "q188_cluster_split": q188_cluster_split,
+    "q189_vwap_vol": q189_vwap_vol,
+    "q190_bpe_merges": q190_bpe_merges,
+    "q191_pq_topk": q191_pq_topk,
+    "q192_seasonal_outliers": q192_seasonal_outliers,
 }
 
 ORACLE = {
@@ -2787,4 +3292,10 @@ ORACLE = {
     "q184_attribution": Q184_SQL,
     "q185_bigram_nll": Q185_SQL,
     "q186_group_trend": Q186_SQL,
+    "q187_autocorr": Q187_SQL,
+    "q188_cluster_split": Q188_SQL,
+    "q189_vwap_vol": Q189_SQL,
+    "q190_bpe_merges": Q190_SQL,
+    "q191_pq_topk": Q191_SQL,
+    "q192_seasonal_outliers": Q192_SQL,
 }

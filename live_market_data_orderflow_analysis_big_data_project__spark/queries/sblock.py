@@ -845,6 +845,76 @@ FROM cells c JOIN tot t ON c.event_type = t.event_type AND c.day = t.day
 """
 
 
+# --------------------------------------------------------------------------
+# Round-14 promotion (docs/ROTATION_r14.md), moved verbatim from
+# queries/staging.py: s21 streaming point-in-time enrichment — the
+# STATELESS stream-static interval join (no watermark, no state store,
+# no splice), the third point on the s19/s20 splice spectrum.
+# --------------------------------------------------------------------------
+
+def s21_pit_enrich_stream(spark, sf):
+    """Streaming point-in-time enrichment (operators/pit.py): each
+    streamed event joins the user-profile dimension version valid AT
+    ITS TIMESTAMP — key equality + valid_from <= ts < valid_to, the
+    feature-store lookup that prevents feature time-travel (an s05-
+    style key-only join would enrich Jan-3 events with Jan-20
+    profiles).  The dimension is daily_tier_dim's (user × day) grid
+    of PREV-day activity counts/tiers, built batch-side (the nightly
+    feature job) and localCheckpoint-cut; the stream side is
+    STATELESS (stream-static inner join, no watermark, no state
+    store), so append emits every enriched event and the oracle is
+    the plain batch join — no closed-day splice at all, the
+    documented third point on the s19/s20 splice spectrum."""
+    from ..operators.pit import daily_tier_dim, pit_join
+    from ..streaming.core import run_to_memory, stream_events
+
+    ev = load_table(spark, sf, "events")
+    dim = daily_tier_dim(ev, "user_id", "ts").localCheckpoint(eager=True)
+    s = stream_events(spark, sf)
+    joined = pit_join(s, dim, "user_id", "ts")
+    out = joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format(F.col("valid_from"), "yyyy-MM-dd").alias("day"),
+        "prev_cnt",
+        "tier",
+    )
+    return run_to_memory(out, "s21_pit", n_state_partitions=8)
+
+
+def _s21_sql() -> str:
+    from ..operators.pit import TIER_CASE
+
+    return f"""
+WITH daily AS MATERIALIZED (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT min(d) AS d0, max(d) AS d1 FROM daily
+), grid AS (
+  SELECT u.user_id, b.d0 + g * INTERVAL 1 DAY AS valid_from
+  FROM (SELECT DISTINCT user_id FROM daily) u, b,
+       unnest(range(0, datediff('day', b.d0, b.d1) + 1)) AS s(g)
+), dim AS (
+  SELECT g.user_id, g.valid_from,
+         g.valid_from + INTERVAL 1 DAY AS valid_to,
+         CAST(COALESCE(p.cnt, 0) AS BIGINT) AS prev_cnt
+  FROM grid g LEFT JOIN daily p
+    ON p.user_id = g.user_id AND p.d + INTERVAL 1 DAY = g.valid_from
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       strftime(dim.valid_from, '%Y-%m-%d') AS day, dim.prev_cnt,
+       {TIER_CASE} AS tier
+FROM events e JOIN dim ON dim.user_id = e.user_id
+  AND e.ts >= dim.valid_from AND e.ts < dim.valid_to
+"""
+
+
+S21_SQL = _s21_sql()
+
+
 QUERIES = {
     "s01_tumbling_candles": s01_tumbling_candles,
     "s02_sliding_window": s02_sliding_window,
@@ -864,6 +934,7 @@ QUERIES = {
     "s18_funnel_stream": s18_funnel_stream,
     "s19_quantile_stream": s19_quantile_stream,
     "s20_psi_drift_stream": s20_psi_drift_stream,
+    "s21_pit_enrich_stream": s21_pit_enrich_stream,
 }
 
 # DuckDB twins of the drained streaming output (see module docstring for
@@ -1072,4 +1143,5 @@ ORACLE = {
     "s18_funnel_stream": S18_SQL,
     "s19_quantile_stream": S19_SQL,
     "s20_psi_drift_stream": S20_SQL,
+    "s21_pit_enrich_stream": S21_SQL,
 }

@@ -119,7 +119,7 @@ def test_fixture_binding(spark):
     a char-frequency count."""
     from conftest import SF0001, SF001
 
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
         q190_bpe_merges,
     )
 

@@ -190,7 +190,7 @@ def test_q192_fixture_binding(spark):
     constant degenerates to the integer columns alone)."""
     from conftest import SF0001, SF001
 
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
         q192_seasonal_outliers,
     )
 

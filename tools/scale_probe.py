@@ -72,7 +72,7 @@ PROBE_QUERIES = [
     ("q140b_zorder_rank_tiles", "rank-tile z-order: domain-sized tile maps broadcast + two layout writes"),
     ("q141_hll_sketch_rollup", "HLL sketch rollup: map-side sketch partials, ~kB per (group,bucket) shuffled (16x users crosses the lgk=14 coupon capacity into the dense regime — flags may be false there, wall is the probe)"),
     ("q106b_decontaminate_bloom", "bloom-prefiltered decontamination: one-row bitmap broadcast + codegen probe in the shingle explode stage (vs q106's exact broadcast join)"),
-    ("q142_staged_hist_report", "STAGED (queries/staging.py): sparse histogram rollup report — one (group,bucket,bin) count shuffle + map packs + audit joins"),
+    ("q142_staged_hist_report", "STAGED r8 (now queries/ablock.py): sparse histogram rollup report — one (group,bucket,bin) count shuffle + map packs + audit joins"),
     ("q143_staged_topk", "STAGED: certified top-k rollup — one (group,bucket,item) count shuffle + per-bucket top-m window, never a global sort"),
     ("q145_staged_kmv", "STAGED: KMV theta set-ops — distinct-hash shuffle + bottom-k windows; pair joins on the |labels|-row sketch frame (16x users saturates k=4096: times the estimation regime)"),
     ("q146_staged_fuzzy", "STAGED: FastSS deletion-neighborhood fuzzy match — bounded |s|+1 variant explode + neighbor-bounded bucket join + levenshtein verify, never all-pairs"),
@@ -104,7 +104,7 @@ PROBE_QUERIES = [
     ("q171_staged_pagerank", "STAGED r9: integer-quantized PageRank, 3 bounded shuffle rounds with per-iteration lineage cuts"),
     ("q172_staged_funnel_within", "STAGED r9: WITHIN-clause funnel — one per-user collect+fold shuffle, the conversion window rides in the fold state"),
     ("q173_staged_boolean_search", "STAGED r9: boolean retrieval — per-term posting joins + one AQE-decided anti-join"),
-    ("q174_staged_setsim", "STAGED r10 (queries/staging.py): prefix-filtered shingle-set similarity join — rarest-first prefix postings join + length filter + bounded verify, never all-pairs"),
+    ("q174_staged_setsim", "STAGED r10 (now queries/ablock.py): prefix-filtered shingle-set similarity join — rarest-first prefix postings join + length filter + bounded verify, never all-pairs"),
     ("q175_staged_kcore", "STAGED r10: k-core peeling, 6 fixed rounds — two keyed shuffles per round on a shrinking edge frame, localCheckpoint lineage cuts"),
     ("q176_staged_collocations", "STAGED r10: collocation lift — one bigram count shuffle + vocabulary-sized margin joins + 1-row total crossJoin"),
     ("q177_staged_overlapjoin", "STAGED r10: bin-decomposed interval x interval overlap join — bin equi-join, first-shared-bin dedup, TRUE pair volume is the output term"),
@@ -117,12 +117,12 @@ PROBE_QUERIES = [
     ("q184_staged_attribution", "STAGED r12 (now queries/ablock.py): last/first-touch attribution — ONE per-user RANGE-frame window pass over integer microseconds, never the touches x conversions pair join"),
     ("q185_staged_bigramlm", "STAGED r12 (now queries/ablock.py): interpolated-bigram NLL — one bigram-instance frame, three count aggs over it, LM joined back keyed by (w1,w2)"),
     ("q186_staged_trend", "STAGED r12 (now queries/ablock.py): grouped OLS trend — one map-side-combinable moment shuffle; everything downstream is |groups|-sized"),
-    ("q187_staged_autocorr", "STAGED r12 (r14 cohort): lag-k autocorrelation — one daily-cents shuffle; grid fill + lag join run on the domain-bounded (type x day) frame"),
-    ("q188_staged_clustersplit", "STAGED r12 (r14 cohort): cluster-safe split — q111's star-edge + bounded near-dup CC, then two keyed lookups (cluster, rep text)"),
-    ("q189_staged_vwapvol", "STAGED r12 (r14 cohort): VWAP + realized vol — one (type, day) shuffle shared by the lag window and the agg (the q156 TWAP plan shape)"),
-    ("q190_staged_bpe", "STAGED r12 (r14 cohort): BPE merge learning — corpus-sized work is ONE token count; 3 merge rounds on the vocab frame, 1-row argmax collects"),
-    ("q191_staged_pq", "STAGED r12 (r14 cohort): PQ-ADC top-k — m bounded Lloyd loops (broadcast assigns + (cluster,dim) update shuffles), then the CODES frame joins an n_queries*m*k-row broadcast table; no full-vector traffic at query time"),
-    ("q192_staged_seasonal", "STAGED r12 (r14 cohort): seasonal day-of-week MAD screen — one daily-totals shuffle, then two keyed selection windows + two broadcast baseline joins on the domain-bounded (type x day) frame"),
+    ("q187_staged_autocorr", "STAGED r12 (now queries/ablock.py): lag-k autocorrelation — one daily-cents shuffle; grid fill + lag join run on the domain-bounded (type x day) frame"),
+    ("q188_staged_clustersplit", "STAGED r12 (now queries/ablock.py): cluster-safe split — q111's star-edge + bounded near-dup CC, then two keyed lookups (cluster, rep text)"),
+    ("q189_staged_vwapvol", "STAGED r12 (now queries/ablock.py): VWAP + realized vol — one (type, day) shuffle shared by the lag window and the agg (the q156 TWAP plan shape)"),
+    ("q190_staged_bpe", "STAGED r12 (now queries/ablock.py): BPE merge learning — corpus-sized work is ONE token count; 3 merge rounds on the vocab frame, 1-row argmax collects"),
+    ("q191_staged_pq", "STAGED r12 (now queries/ablock.py): PQ-ADC top-k — m bounded Lloyd loops (broadcast assigns + (cluster,dim) update shuffles), then the CODES frame joins an n_queries*m*k-row broadcast table; no full-vector traffic at query time"),
+    ("q192_staged_seasonal", "STAGED r12 (now queries/ablock.py): seasonal day-of-week MAD screen — one daily-totals shuffle, then two keyed selection windows + two broadcast baseline joins on the domain-bounded (type x day) frame"),
     ("q193_staged_ivfpq", "STAGED r13 (r15 cohort): IVF-PQ top-k — coarse + m PQ Lloyd loops (broadcast assigns + (cluster,dim) update shuffles), search joins the codes frame against an n_queries*nprobe broadcast of probed lists then the broadcast ADC table; per-query work proportional to probed-list population, never the corpus"),
     ("q194_staged_bpebatch", "STAGED r13 (r15 cohort): batched BPE — one corpus token-count shuffle, then n_rounds vocab-frame pair counts with ONE m-row collect each (k/m driver round-trips, the q190 shape batched)"),
 ]
@@ -370,27 +370,27 @@ def _custom_probes():
         ),
         "q187_staged_autocorr": (
             None,
-            lambda spark, sf, ctx: staging.q187_autocorr(spark, sf),
+            lambda spark, sf, ctx: ablock.q187_autocorr(spark, sf),
         ),
         "q188_staged_clustersplit": (
             None,
-            lambda spark, sf, ctx: staging.q188_cluster_split(spark, sf),
+            lambda spark, sf, ctx: ablock.q188_cluster_split(spark, sf),
         ),
         "q189_staged_vwapvol": (
             None,
-            lambda spark, sf, ctx: staging.q189_vwap_vol(spark, sf),
+            lambda spark, sf, ctx: ablock.q189_vwap_vol(spark, sf),
         ),
         "q190_staged_bpe": (
             None,
-            lambda spark, sf, ctx: staging.q190_bpe_merges(spark, sf),
+            lambda spark, sf, ctx: ablock.q190_bpe_merges(spark, sf),
         ),
         "q191_staged_pq": (
             None,
-            lambda spark, sf, ctx: staging.q191_pq_topk(spark, sf),
+            lambda spark, sf, ctx: ablock.q191_pq_topk(spark, sf),
         ),
         "q192_staged_seasonal": (
             None,
-            lambda spark, sf, ctx: staging.q192_seasonal_outliers(spark, sf),
+            lambda spark, sf, ctx: ablock.q192_seasonal_outliers(spark, sf),
         ),
         "q193_staged_ivfpq": (
             None,
