@@ -1,0 +1,199 @@
+"""Hyperplane bit-LSH (sign-random-projection) top-k — the BINARY
+quantization rung of the ANN family, fully hash-gated.
+
+The engine's ANN spectrum so far: q116 int8 scalar quantization
+(8 bits/coordinate), q191 product quantization (m codes/vector),
+q92b/q93b/q136 bucketed approximate paths, q193 IVF-PQ.  This operator
+adds the remaining classic rung — Charikar's sign-random-projection
+sketch (SimHash for real vectors): each vector compresses to B sign
+bits (one per hyperplane), candidate generation runs on the B-bit
+signatures alone (Hamming distance via XOR + popcount — one bigint per
+vector, a 64x byte reduction at B=16 over the raw float64[64]), and
+the final ranking re-scores only the top-C Hamming candidates with
+exact int64 squared distance on the quantized grid.
+
+Determinism end to end (every stage engine-replayable):
+
+- hyperplanes are pseudo-random +-1 weight rows derived from
+  ``md5('h{h}:d{d}')`` (first hex digit < 8 -> +1 else -1) — a
+  deterministic constant both engines can recompute (the md5 of the
+  same ASCII string is identical everywhere; pinned cross-engine by
+  test against DuckDB's md5());
+- coordinates quantize on the q183 grid (``quantize_vectors``: floor
+  to int64, +10^4 shift, |x| <= 1 raise_error-enforced).  Sign bits
+  need the UNSHIFTED dot, so bit_h tests
+  ``sum_d w(h,d) * qv_d  >=  SHIFT * sum_d w(h,d)`` — the shift term
+  is an exact per-hyperplane integer constant;
+- signatures pack little-endian into one BIGINT (bit h at weight 2^h);
+  Hamming = ``bit_count(sig_a XOR sig_b)`` — exact on both engines;
+- top-C candidates per query by (hamming, vec_id) total order; final
+  top-k by (exact d2, vec_id).  Queries are the ``n_queries``
+  smallest-md5(id) vectors (the q112/q181/q191 content-hash contract).
+
+Approximation surface: ONLY the top-C Hamming cut (like q191's ADC or
+q193's nprobe, the pipeline is deterministic and oracle-replayable;
+"approximate" refers to recall vs exact brute force, which is a
+measured per-corpus fact, not part of the gate).
+
+At 100 TB: the signature stage is one narrow projection (B aggregate
+HOFs per row, JVM codegen, no shuffle, no explode); candidate
+generation scans (n_queries x n) SIGNATURE rows — bigints, not
+vectors — through one per-query top-C window (skinny shuffle); only
+n_queries x C rows ever touch full vectors again (broadcast join).
+The scale extension when n_queries grows is Hamming-band bucketing
+(the q91b/q91d band trick on signature bytes), which changes candidate
+generation only — the rerank contract stays.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .cluster import _SHIFT, quantize_vectors
+
+__all__ = ["hyperplane_weights", "bit_lsh_topk"]
+
+
+def hyperplane_weights(n_planes: int, dim: int) -> list[list[int]]:
+    """The deterministic +-1 hyperplane matrix, row h = plane h.
+
+    w(h, d) = +1 iff the first hex digit of md5('h{h}:d{d}') is < 8
+    (i.e. the top bit of the first nibble is 0 — an unbiased coin on
+    uniformly-distributed hex).  Both engines can replay this: DuckDB
+    ``md5('h0:d1')`` equals Python ``hashlib.md5(b'h0:d1')`` equals
+    Spark ``md5(CAST('h0:d1' AS BINARY))`` (pinned by test)."""
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"h{h}:d{d}".encode()).hexdigest()[0], 16
+            )
+            < 8
+            else -1
+            for d in range(dim)
+        ]
+        for h in range(n_planes)
+    ]
+
+
+def bit_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_candidates: int,
+    n_queries: int,
+    topk: int,
+) -> DataFrame:
+    """Per query: ``(query_id, rank, vec_id, hamming, d2)`` — the
+    top-``topk`` of the top-``n_candidates`` Hamming candidates,
+    reranked by exact int64 squared distance.
+
+    Contract guards (all loud): n_planes in [1, 63] (the signature
+    must fit a BIGINT with room for the sign bit), topk <=
+    n_candidates (a rerank that can emit un-reranked rows is a lie),
+    dim enforced per-row by the signature expression, n_queries
+    under-fill checked after the LIMIT."""
+    if not 1 <= n_planes <= 63:
+        raise ValueError("bit_lsh_topk: n_planes must be in [1, 63]")
+    if topk > n_candidates:
+        raise ValueError(
+            f"bit_lsh_topk: topk={topk} > n_candidates={n_candidates}"
+        )
+    weights = hyperplane_weights(n_planes, dim)
+
+    vecs = quantize_vectors(df, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+
+    def sig_col() -> F.Column:
+        # the dim contract rides in the guard so the optimizer can
+        # never prune it (the q191 slice-length pattern)
+        guard = F.when(
+            F.size("qv") != dim,
+            F.expr(
+                f"CAST(raise_error('bit_lsh_topk: vector dimension <> "
+                f"{dim} - pass the actual dim (operator docstring)') "
+                "AS BIGINT)"
+            ),
+        )
+        bits = []
+        for h, row in enumerate(weights):
+            warr = F.array(*[F.lit(w) for w in row])
+            dot = F.aggregate(
+                F.zip_with("qv", warr, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            thresh = _SHIFT * sum(row)  # exact shift correction
+            bits.append(
+                F.when(dot >= F.lit(thresh), F.lit(1 << h)).otherwise(
+                    F.lit(0)
+                )
+            )
+        packed = bits[0]
+        for b in bits[1:]:
+            packed = packed + b
+        return guard.otherwise(packed.cast("long"))
+
+    sigs = vecs.select(
+        id_col, "qv", sig_col().alias("sig")
+    ).localCheckpoint(eager=True)
+
+    queries = (
+        sigs.select(
+            F.col(id_col).alias("query_id"),
+            F.col("qv").alias("q_qv"),
+            F.col("sig").alias("q_sig"),
+            F.md5(F.col(id_col).cast("string").cast("binary")).alias(
+                "_h"
+            ),
+        )
+        .orderBy("_h", "query_id")
+        .limit(n_queries)
+        .drop("_h")
+        .localCheckpoint(eager=True)
+    )
+    n_q = queries.count()
+    if n_q < n_queries:
+        raise ValueError(
+            f"bit_lsh_topk: only {n_q} vectors available for "
+            f"n_queries={n_queries}"
+        )
+
+    # candidate generation on SIGNATURES only: broadcast the
+    # n_queries-row frame (sans vectors) against the (id, sig) frame
+    ham = F.expr("bit_count(q_sig ^ sig)").cast("long")
+    cand_rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("hamming", id_col)
+    )
+    cands = (
+        sigs.drop("qv")
+        .crossJoin(F.broadcast(queries.select("query_id", "q_sig")))
+        .select("query_id", id_col, ham.alias("hamming"))
+        .withColumn("_rk", cand_rk)
+        .where(F.col("_rk") <= n_candidates)
+        .drop("_rk")
+    )
+
+    # exact rerank of the n_queries x n_candidates survivors only
+    d2 = F.aggregate(
+        F.zip_with("qv", "q_qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("d2", id_col)
+    )
+    return (
+        cands.join(sigs.select(id_col, "qv"), id_col)
+        .join(F.broadcast(queries.select("query_id", "q_qv")), "query_id")
+        .select("query_id", id_col, "hamming", d2.alias("d2"))
+        .withColumn("rank", rk.cast("long"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", "rank", id_col, "hamming", "d2")
+    )

@@ -170,10 +170,18 @@ def bpe_merges_batched(
     stop at m — the standard trainer shortcut (on natural text the
     raw top-m always shares a symbol: 'e r'/'o r'-style collisions,
     measured on the fixtures).  Disjointness makes the round's
-    replaces commute on each other's counts AND on the string itself
-    (two patterns ``|a|b|`` / ``|c|d|`` over disjoint symbols can
-    never overlap beyond a shared boundary pipe), so applying them in
-    rank order within one projection is well-defined.  The greedy
+    replace PATTERNS non-overlapping on the round-start string (two
+    patterns ``|a|b|`` / ``|c|d|`` over disjoint symbols can never
+    overlap beyond a shared boundary pipe), so applying them in rank
+    order within one projection is well-defined.  It does NOT make
+    the replaces a commuting set: a later pair whose symbol equals an
+    earlier pair's CONCATENATION matches occurrences the earlier
+    replace just created (batch [('a','b'), ('ab','x')] is
+    symbol-disjoint, yet '|a|b|x|' -> '|ab|x|' -> '|abx|'), so
+    application is order-dependent there and the reported round-start
+    ``freq`` can understate what was actually merged — rank-order
+    application IS the defined semantics, and the oracle replays the
+    identical ordered chain.  The greedy
     scan runs over the round's top ``8·m`` candidates only (ONE m-row
     collect stays the point); a round that cannot fill m disjoint
     pairs from that prefix raises loudly (the fuzzy.py max_bucket

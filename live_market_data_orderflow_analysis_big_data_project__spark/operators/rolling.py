@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_active_users"]
+__all__ = ["rolling_active_users", "rolling_active_from_pairs"]
 
 
 def rolling_active_users(
@@ -50,6 +50,48 @@ def rolling_active_users(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    dau = active.groupBy("_d").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = active.select(
+        "_u",
+        F.explode(
+            F.sequence(
+                F.col("_d"), F.date_add(F.col("_d"), window_days - 1)
+            )
+        ).alias("_d"),
+    ).distinct()
+    wau = contrib.groupBy("_d").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        dau.join(wau, "_d")  # inner: only days with their own activity
+        .select(
+            F.date_format("_d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+def rolling_active_from_pairs(
+    active: DataFrame, user_col: str, day_col: str, window_days: int
+) -> DataFrame:
+    """The DAU/WAU/stickiness read over an ALREADY-DISTINCT
+    (user, activity-DATE) pair frame — the entry point for pipelines
+    that own the distinct elsewhere.  The streaming rollup (s25) emits
+    each (user, closed day) exactly once, so re-distincting here would
+    HIDE a double-emission bug instead of surfacing it at the hash
+    gate — this variant deliberately trusts its input's uniqueness.
+
+    NOTE deliberately a standalone twin of ``rolling_active_users``'s
+    tail rather than a shared core: q168 holds a standing driver row
+    whose closure is pinned by tools/stale_check.py, so refactoring
+    the batch path must wait for a round where q168 is in-window (it
+    re-enters at r17 by the age rule).
+    """
+    active = active.select(
+        F.col(user_col).alias("_u"), F.col(day_col).alias("_d")
+    ).localCheckpoint(eager=True)
     dau = active.groupBy("_d").agg(F.count(F.lit(1)).alias("dau"))
     contrib = active.select(
         "_u",

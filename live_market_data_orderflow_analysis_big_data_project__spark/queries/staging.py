@@ -51,6 +51,35 @@ promotion day):
   windowed count agg, the read is domain-bounded; splice scoped to
   ``user_id IS NOT NULL`` (the s20/s22 pushdown lesson, vacuous on
   this fixture, scoped anyway).
+
+Staged during round 14 to fill the r15 window exactly (42 age-rule
+re-entries + 8 promotions — docs/ROTATION_r15.md):
+
+- q195: hyperplane bit-LSH top-k (operators/bitlsh.py
+  ``bit_lsh_topk``) — the BINARY quantization ANN rung (Charikar
+  sign-random-projection): B=16 deterministic md5-derived +-1
+  hyperplanes, signatures packed into ONE BIGINT, candidates by
+  Hamming (XOR + popcount) over signatures alone, exact-int64 d2
+  rerank of the top-C; fully hash-gated (the oracle replays weights,
+  bits, Hamming cut and rerank).
+- q196: char-entropy quality screen (operators/textstats.py
+  ``char_entropy_stats``) — the model-free boilerplate filter rung
+  under q101/q118/q185: exact char-histogram stats + Shannon entropy
+  (factored ln form, ROUND-4) + an exact-integer top-share-ppm flag
+  (never a rounded-double boolean — the q123 lesson).
+- s24: streaming CUSUM drift (operators/monitor.py
+  ``keyed_sum_windowed`` + ``cusum_daily_series``) — the monitor
+  family's change-point member (level shifts, next to s20's PSI and
+  s23's ranking): the stream owns per-(type × closed day) cents
+  TOTALS (state = one int64 per open pair), the read fits a
+  median/MAD baseline on pre-split days and runs Page's CUSUM via
+  the clamped_balance Lindley identity as one window pass; all-int
+  gate, splice scoped to ``value IS NOT NULL``.
+- s25: streaming rolling distinct actives (operators/rolling.py
+  ``rolling_active_from_pairs``) — q168's production split: the
+  stream owns the (user × closed day) distinct (windowed count agg),
+  the batch read runs the contribution-explode DAU/WAU/stickiness;
+  splice scoped to ``user_id IS NOT NULL``.
 """
 
 from __future__ import annotations
@@ -63,6 +92,11 @@ _CENTS = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
 
 # q194's oracle shares the q94-q96/q185 tokenizer pinned in ablock.py
 from .ablock import _Q185_TOKS  # noqa: E402
+
+# q195's oracle replays the SAME deterministic hyperplane matrix the
+# operator embeds (md5-derived +-1 rows — one Python constant, both
+# engines; the in-engine md5 derivation itself is pinned by test)
+from ..operators.bitlsh import hyperplane_weights  # noqa: E402
 
 
 _Q193_DIM = 64
@@ -379,6 +413,10 @@ def q194_bpe_batched(spark, sf):
 
 
 def _q194_sql(rounds: int = _Q194_ROUNDS, top: int = _Q194_TOP) -> str:
+    # the b{i}a/b{i}b CTE pair and the (i-1)*2+k rank arithmetic
+    # hard-code exactly TWO greedy picks per round - fail at import
+    # if the operator knob diverges, not at gate time (r13 ADVICE)
+    assert _Q194_M == 2, 'q194 oracle hard-codes m=2 greedy picks'
     duck_syms = "list_filter(string_split(sym, '|'), x -> x <> '')"
     parts = [f"""
 WITH w0 AS MATERIALIZED (
@@ -538,11 +576,331 @@ LEFT JOIN com m ON m.event_type = cs.event_type AND m.day = cs.day
 """
 
 
+_Q195_DIM = 64
+_Q195_B = 16
+_Q195_C = 40
+_Q195_NQ = 3
+_Q195_K = 10
+
+
+def q195_bitlsh_topk(spark, sf):
+    """Hyperplane bit-LSH top-k (operators/bitlsh.py bit_lsh_topk):
+    the BINARY quantization ANN rung — B=16 deterministic +-1
+    hyperplanes (md5-derived, engine-replayable), one BIGINT signature
+    per vector, candidate generation by exact Hamming distance over
+    signatures alone (XOR + popcount — a 64x byte reduction over the
+    raw vectors), exact-int64 d2 rerank of the top-C=40 candidates,
+    final top-k=10 by (d2, vec_id).  Unlike q92b/q93b's rows-only
+    bucketing paths this is FULLY hash-gated: weights, sign bits,
+    Hamming cut and rerank are all deterministic and the oracle
+    replays each stage.  Queries = the 3 smallest-md5(id) vectors
+    (the q112/q181/q191 contract)."""
+    from ..operators.bitlsh import bit_lsh_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return bit_lsh_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        _Q195_DIM,
+        _Q195_B,
+        _Q195_C,
+        _Q195_NQ,
+        _Q195_K,
+    )
+
+
+def _q195_sql() -> str:
+    weights = hyperplane_weights(_Q195_B, _Q195_DIM)
+    wrows = ", ".join(
+        f"({h}, {d}, {w})"
+        for h, row in enumerate(weights)
+        for d, w in enumerate(row)
+    )
+    return f"""
+WITH qfull AS MATERIALIZED (
+  SELECT vec_id, dim,
+         CAST(floor(CAST(val AS DOUBLE) * 10000) AS BIGINT) + 10000 AS v
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings WHERE embedding IS NOT NULL)
+), w(h, dim, wt) AS (VALUES {wrows}),
+wh AS (SELECT h, CAST(sum(wt) AS BIGINT) AS wsum FROM w GROUP BY 1),
+dots AS (
+  SELECT q.vec_id, w.h, CAST(SUM(w.wt * q.v) AS BIGINT) AS dot
+  FROM qfull q JOIN w ON w.dim = q.dim GROUP BY 1, 2
+), sig AS MATERIALIZED (
+  -- bit h set iff the UNSHIFTED dot >= 0: dot - SHIFT * sum(w) >= 0
+  SELECT d.vec_id,
+         CAST(SUM(CASE WHEN d.dot - 10000 * wh.wsum >= 0
+                       THEN CAST(1 AS BIGINT) << d.h
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM dots d JOIN wh USING (h) GROUP BY 1
+), ordv AS MATERIALIZED (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM (SELECT DISTINCT vec_id FROM qfull)
+), qrs AS MATERIALIZED (
+  SELECT o.vec_id AS query_id, s.sig AS q_sig
+  FROM ordv o JOIN sig s ON s.vec_id = o.vec_id
+  WHERE o.rn <= {_Q195_NQ}
+), ham AS (
+  SELECT r.query_id, s.vec_id,
+         CAST(bit_count(xor(r.q_sig, s.sig)) AS BIGINT) AS hamming
+  FROM qrs r, sig s
+), cand AS MATERIALIZED (
+  SELECT query_id, vec_id, hamming FROM (
+    SELECT query_id, vec_id, hamming,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming, vec_id) AS rk
+    FROM ham
+  ) WHERE rk <= {_Q195_C}
+), scored AS (
+  SELECT c.query_id, c.vec_id, c.hamming,
+         CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+  FROM cand c
+  JOIN qfull a ON a.vec_id = c.vec_id
+  JOIN qfull b ON b.vec_id = c.query_id AND b.dim = a.dim
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id, hamming, d2 FROM (
+  SELECT query_id, vec_id, hamming, d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2, vec_id) AS rk
+  FROM scored
+) WHERE rk <= {_Q195_K}"""
+
+
+Q195_SQL = _q195_sql()
+
+
+_Q196_PPM_THRESHOLD = 200_000
+
+
+def q196_char_entropy(spark, sf):
+    """Char-entropy quality screen (operators/textstats.py
+    char_entropy_stats): per doc, exact char-histogram stats (n_chars,
+    n_distinct, top char with (count desc, char) tie-break, integer
+    top-share ppm) + the Shannon entropy of the char distribution in
+    the factored form H = ln(n) - (SUM c ln c)/n (every ln argument an
+    exact integer; ROUND-4 both sides — the q118/q185 ln rule,
+    sweep-eligible on promotion).  The low-quality FLAG compares exact
+    integers only (top_share_ppm > {thr}) and BINDS both directions at
+    every fixture sf (1/1/9 of 500/500/5000 docs flagged)."""
+    from ..operators.textstats import char_entropy_stats
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return char_entropy_stats(
+        docs, "doc_id", "text", _Q196_PPM_THRESHOLD
+    )
+
+
+Q196_SQL = f"""
+WITH c AS MATERIALIZED (
+  -- the SAME explicit exclusion class as the operator (Java's '.'
+  -- excludes five line terminators, RE2's only LF — chr() builds
+  -- the literal class so neither engine's escape syntax is parsed)
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(text,
+                 '[^' || chr(10) || chr(13) || chr(133)
+                      || chr(8232) || chr(8233) || ']')) AS ch
+        FROM documents)
+  GROUP BY 1, 2
+), tops AS (
+  SELECT doc_id, ch AS top_char, c AS top_cnt FROM (
+    SELECT doc_id, ch, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, ch) AS rk
+    FROM c
+  ) WHERE rk = 1
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         ROUND(ln(CAST(sum(c) AS DOUBLE))
+               - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                 / CAST(sum(c) AS DOUBLE), 4) AS entropy4
+  FROM c GROUP BY 1
+)
+SELECT a.doc_id, a.n_chars, a.n_distinct, t.top_char, t.top_cnt,
+       CAST(t.top_cnt * 1000000 // a.n_chars AS BIGINT) AS top_share_ppm,
+       a.entropy4,
+       (t.top_cnt * 1000000 // a.n_chars) > {_Q196_PPM_THRESHOLD}
+         AS is_low_quality
+FROM agg a JOIN tops t USING (doc_id)
+"""
+
+
+_S24_SPLIT = "2024-01-16"
+# alarm threshold h = 3 x MAD: in MAD units (MAD ~ 0.674 sigma for a
+# normal) this is ~2 sigma — the fixture-binding choice (h=5 never
+# fires at sf0.001; 3 fires 1/12/5 alarms at the three sfs while
+# leaving the majority un-alarmed, both directions pinned by test)
+_S24_H = 3
+
+
+def s24_cusum_stream(spark, sf):
+    """Streaming CUSUM drift monitor (operators/monitor.py) — the
+    monitor family's change-point member (s20 PSI answers "did the
+    distribution move", s23 top-k answers "did the heavy hitters
+    change", this answers "did the LEVEL shift, and when"): the stream
+    owns the per-(type × day) cents TOTALS (keyed_sum_windowed — state
+    per open (type, day) is ONE int64, append emits closed days), and
+    the read fits the robust median/MAD baseline on pre-split days and
+    runs Page's one-sided CUSUM over the monitored days via the
+    clamped_balance Lindley reflection identity as ONE window pass
+    (cusum_daily_series).  Exact int64 end to end, alarm = S >
+    3·MAD (both alarm directions bind at every fixture sf) — no
+    ROUND anywhere.  Splice scoped to ``value IS NOT
+    NULL`` (the operator's amount-NULL filter lands below
+    EventTimeWatermark after Catalyst's pushdown — the s20/s22
+    lesson)."""
+    from ..operators.monitor import cusum_daily_series, keyed_sum_windowed
+    from ..operators.robust import cents
+    from ..streaming.core import run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf)
+    daily = run_to_memory(
+        keyed_sum_windowed(
+            sdf, ["event_type"], "ts", cents("value"), bucket="day"
+        ),
+        "s24_daily",
+        n_state_partitions=8,
+    )
+    daily = daily.localCheckpoint(eager=True)  # the s15 lineage cut
+    return cusum_daily_series(
+        daily, ["event_type"], "day", "total", _S24_SPLIT, h_mult=_S24_H
+    )
+
+
+S24_SQL = f"""
+WITH d AS MATERIALIZED (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(sum({_CENTS}) AS BIGINT) AS total
+  FROM events
+  WHERE value IS NOT NULL
+    AND date_trunc('day', ts)
+        < (SELECT date_trunc('day', max(ts)) FROM events
+           WHERE value IS NOT NULL)
+  GROUP BY 1, 2
+), ref AS (
+  SELECT * FROM d WHERE day < '{_S24_SPLIT}'
+), med AS (
+  SELECT event_type, total AS med_ref FROM (
+    SELECT event_type, total, day,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY total, day) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM ref) WHERE rn = (n + 1) // 2
+), dev0 AS (
+  SELECT r.event_type, r.day, abs(r.total - m.med_ref) AS dv
+  FROM ref r JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, dv AS mad_ref FROM (
+    SELECT event_type, dv, day,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY dv, day) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev0) WHERE rn = (n + 1) // 2
+), base AS (
+  SELECT m.event_type, m.med_ref, a.mad_ref
+  FROM med m JOIN mad a USING (event_type)
+), series AS MATERIALIZED (
+  SELECT c.event_type, c.day, c.total AS x, b.med_ref, b.mad_ref,
+         c.total - b.med_ref - b.mad_ref AS dev
+  FROM d c LEFT JOIN base b USING (event_type)
+  WHERE c.day >= '{_S24_SPLIT}'
+), fold AS (
+  SELECT event_type, day, x, med_ref, mad_ref, dev,
+         CAST(sum(dev) OVER w AS BIGINT) AS prefix
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+), fold2 AS (
+  SELECT event_type, day, x, med_ref, mad_ref, dev, prefix,
+         CAST(least(min(prefix) OVER w2, 0) AS BIGINT) AS floor_
+  FROM fold
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, day, CAST(x AS BIGINT) AS day_total,
+       med_ref, mad_ref, CAST(dev AS BIGINT) AS dev,
+       CAST(prefix - floor_ AS BIGINT) AS cusum,
+       CASE WHEN mad_ref IS NOT NULL
+            THEN (prefix - floor_) > {_S24_H} * mad_ref END AS is_alarm
+FROM fold2
+"""
+
+
+_S25_WINDOW_DAYS = 7
+
+
+def s25_rolling_active_stream(spark, sf):
+    """Streaming rolling distinct actives (operators/rolling.py
+    rolling_active_from_pairs) — q168's production split: the stream
+    owns the (user × day) DISTINCT as a windowed count agg
+    (value_histogram_windowed with the user as the value — each
+    (user, closed day) pair emits exactly once), and the batch read
+    runs the contribution-explode DAU/WAU/stickiness over the emitted
+    pair frame — COUNT(DISTINCT) over a sliding frame stays illegal
+    on streams too, so the same rewrite carries.  Splice scoped to
+    ``user_id IS NOT NULL`` (the histogram stage's NULL-value filter
+    lands below EventTimeWatermark after Catalyst's pushdown — the
+    s20/s22 lesson; vacuous on this fixture, scoped anyway)."""
+    from ..operators.quantsketch import value_histogram_windowed
+    from ..operators.rolling import rolling_active_from_pairs
+    from ..streaming.core import run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf).select("ts", "user_id")
+    pairs = run_to_memory(
+        value_histogram_windowed(
+            sdf, [], "ts", "user_id", bucket="day"
+        ),
+        "s25_active",
+        n_state_partitions=8,
+    )
+    pairs = pairs.localCheckpoint(eager=True)  # the s15 lineage cut
+    active = pairs.select("user_id", F.to_date("day").alias("_day"))
+    return rolling_active_from_pairs(
+        active, "user_id", "_day", _S25_WINDOW_DAYS
+    )
+
+
+S25_SQL = f"""
+WITH active AS MATERIALIZED (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+  WHERE user_id IS NOT NULL
+    AND date_trunc('day', ts)
+        < (SELECT date_trunc('day', max(ts)) FROM events
+           WHERE user_id IS NOT NULL)
+), days AS (
+  SELECT DISTINCT d FROM active
+), wau AS (
+  SELECT dy.d, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+  FROM days dy JOIN active a
+    ON a.d BETWEEN dy.d - {_S25_WINDOW_DAYS - 1} AND dy.d
+  GROUP BY 1
+), dau AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS dau FROM active GROUP BY 1
+)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+"""
+
+
+
 STAGED_QUERIES = {
     "q193_ivfpq_topk": q193_ivfpq_topk,
     "s22_asof_enrich_stream": s22_asof_enrich_stream,
     "q194_bpe_batched": q194_bpe_batched,
     "s23_topk_drift_stream": s23_topk_drift_stream,
+    "q195_bitlsh_topk": q195_bitlsh_topk,
+    "q196_char_entropy": q196_char_entropy,
+    "s24_cusum_stream": s24_cusum_stream,
+    "s25_rolling_active_stream": s25_rolling_active_stream,
 }
 
 STAGED_ORACLE = {
@@ -550,4 +908,8 @@ STAGED_ORACLE = {
     "s22_asof_enrich_stream": S22_SQL,
     "q194_bpe_batched": Q194_SQL,
     "s23_topk_drift_stream": S23_SQL,
+    "q195_bitlsh_topk": Q195_SQL,
+    "q196_char_entropy": Q196_SQL,
+    "s24_cusum_stream": S24_SQL,
+    "s25_rolling_active_stream": S25_SQL,
 }

@@ -418,9 +418,11 @@ def asof_quote_enrich(
     quote strictly before an emitted trade would be late beyond the
     watermark and dropped at the EventTimeWatermark node, never
     reaching this operator.  Held trades flush via event-time TIMEOUT
-    (armed at the earliest pending trade's ms + 1) when the watermark
-    advances on other keys' data or on the AvailableNow final no-data
-    batch — the same mechanism that closes the reference's candle
+    (armed AT the earliest pending trade's ms — Spark fires timeouts
+    strictly below the watermark, so ms+1 would permanently hold a
+    last-millisecond trade; pinned by test_last_ms_trade_emits) when
+    the watermark advances on other keys' data or on the AvailableNow
+    final no-data batch — the same mechanism that closes the reference's candle
     windows.  Under a single-file replay the entire corpus lands in
     micro-batch 1 with watermark 0, so EVERY emission rides the
     timeout path of the final no-data batch — the gate exercises the

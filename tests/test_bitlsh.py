@@ -1,0 +1,124 @@
+"""Hyperplane bit-LSH top-k (operators/bitlsh.py): hand-model
+equality, cross-engine weight derivation, contract guards, and the
+gate-fixture binding discipline."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+
+from live_market_data_orderflow_analysis_big_data_project__spark.operators.bitlsh import (  # noqa: E501
+    bit_lsh_topk,
+    hyperplane_weights,
+)
+
+from conftest import SF0001, SF001
+
+
+def _model(vecs, dim, n_planes, n_candidates, n_queries, topk):
+    """Pure-Python replay: quantize, sign bits, Hamming cut, d2
+    rerank — the reviewer's literal formulation."""
+    import math
+
+    W = hyperplane_weights(n_planes, dim)
+    q = {
+        i: [math.floor(x * 10_000) + 10_000 for x in v]
+        for i, v in vecs.items()
+    }
+    sig = {}
+    for i, qv in q.items():
+        s = 0
+        for h, row in enumerate(W):
+            # unshifted dot >= 0  <=>  shifted dot >= SHIFT * sum(w)
+            if sum(w * v for w, v in zip(row, qv)) >= 10_000 * sum(row):
+                s |= 1 << h
+        sig[i] = s
+    qids = sorted(
+        q, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:n_queries]
+    out = {}
+    for qi in qids:
+        ham = sorted(
+            (bin(sig[qi] ^ sig[i]).count("1"), i) for i in q
+        )[:n_candidates]
+        scored = sorted(
+            (
+                sum((a - b) * (a - b) for a, b in zip(q[i], q[qi])),
+                i,
+                h,
+            )
+            for h, i in ham
+        )
+        for rank, (d2, i, h) in enumerate(scored[:topk], start=1):
+            out[(qi, rank)] = (i, h, d2)
+    return out
+
+
+def test_matches_python_model_on_synthetic_vectors(spark):
+    vecs = {
+        0: [0.5, -0.25, 0.0, 1.0],
+        1: [0.5, -0.25, 0.0, 0.9],
+        2: [-1.0, 1.0, -1.0, 1.0],
+        3: [0.1, 0.1, 0.1, 0.1],
+        4: [-0.5, -0.5, 0.5, 0.5],
+        5: [0.49, -0.26, 0.01, 0.98],
+    }
+    df = spark.createDataFrame(
+        list(vecs.items()), "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.hamming, r.d2)
+        for r in bit_lsh_topk(df, "vec_id", "embedding", 4, 8, 4, 2, 3)
+        .collect()
+    }
+    assert got == _model(vecs, 4, 8, 4, 2, 3)
+
+
+def test_weight_derivation_matches_duckdb_md5():
+    """The +-1 weights come from Python hashlib.md5; the oracle's
+    claim is that an IN-ENGINE derivation would agree — pin DuckDB's
+    md5() against hyperplane_weights on a sample grid."""
+    W = hyperplane_weights(4, 8)
+    con = duckdb.connect()
+    for h in range(4):
+        for d in range(8):
+            hexd = con.execute(
+                "SELECT substring(md5(?), 1, 1)", [f"h{h}:d{d}"]
+            ).fetchone()[0]
+            want = 1 if int(hexd, 16) < 8 else -1
+            assert W[h][d] == want, (h, d)
+    con.close()
+
+
+def test_signature_is_balanced_not_degenerate(spark):
+    """On the real fixture the 16 sign bits must actually vary — a
+    constant signature would make Hamming vacuous and the gate a
+    plain brute-force rerank."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+        q195_bitlsh_topk,
+    )
+
+    for sf in (SF0001, SF001):
+        rows = q195_bitlsh_topk(spark, sf).collect()
+        hams = {r.hamming for r in rows}
+        assert len(hams) > 1, (sf, hams)
+        # rerank does real work: d2 order differs from hamming order
+        by_ham = sorted(rows, key=lambda r: (r.query_id, r.hamming, r.vec_id))
+        by_d2 = sorted(rows, key=lambda r: (r.query_id, r.rank))
+        assert [r.vec_id for r in by_ham] != [r.vec_id for r in by_d2], sf
+
+
+def test_contract_guards(spark):
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="n_planes"):
+        bit_lsh_topk(df, "vec_id", "embedding", 2, 64, 4, 1, 2)
+    with pytest.raises(ValueError, match="topk"):
+        bit_lsh_topk(df, "vec_id", "embedding", 2, 8, 2, 1, 3)
+    with pytest.raises(Exception, match="dimension"):
+        bit_lsh_topk(df, "vec_id", "embedding", 3, 8, 2, 1, 2).collect()
+    with pytest.raises(ValueError, match="available"):
+        bit_lsh_topk(df, "vec_id", "embedding", 2, 8, 2, 5, 2)

@@ -82,6 +82,13 @@ NON_EQUI_OK = {
                                 # crossJoins plus the coarse-probe
                                 # n_queries x coarse_k crossJoin — all
                                 # domain-bounded broadcast frames
+    # Round-14 staged r15 cohort (audited pre-promotion):
+    "q195_bitlsh_topk",         # the n_queries-row signature frame
+                                # broadcast-crossJoined against the
+                                # (id, sig) frame for Hamming candidate
+                                # generation — candidates are cut to
+                                # top-C per query before any vector
+                                # traffic (operators/bitlsh.py)
 }
 
 # Global sorts that are BOUNDED by construction (not whole-dataset):

@@ -113,8 +113,13 @@ class _ModuleIndex:
     def __init__(self, relpath: str, tree: ast.Module):
         self.relpath = relpath
         self.defs: dict[str, ast.stmt] = {}
-        # local name -> (module_relpath, original_name | None for module)
-        self.imports: dict[str, tuple[str, str | None]] = {}
+        # local name -> {(module_relpath, original_name | None)}: a SET
+        # because the dominant gate-entry pattern imports operators
+        # CALL-TIME inside each function, so one local alias may bind
+        # to different modules in different functions — the closure
+        # visits every binding (over-approximating is the safe
+        # direction for a staleness tripwire).
+        self.imports: dict[str, set[tuple[str, str | None]]] = {}
         for node in tree.body:
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
                                  ast.ClassDef)):
@@ -126,19 +131,30 @@ class _ModuleIndex:
             elif isinstance(node, ast.AnnAssign):
                 if isinstance(node.target, ast.Name):
                     self.defs[node.target.id] = node
-            elif isinstance(node, ast.ImportFrom):
+        # imports are indexed over the WHOLE tree, not just tree.body:
+        # function-local ``from ..operators.x import y`` is how nearly
+        # every gate entry reaches its operator module, and indexing
+        # only module-level imports silently excluded ALL of that code
+        # from the closure (found r14: a rolling.py refactor left
+        # q168's fingerprint unchanged).
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom):
                 mod = self._resolve_from(node)
                 if mod is None:
                     continue
                 for alias in node.names:
                     local = alias.asname or alias.name
-                    self.imports[local] = (mod, alias.name)
+                    self.imports.setdefault(local, set()).add(
+                        (mod, alias.name)
+                    )
             elif isinstance(node, ast.Import):
                 for alias in node.names:
                     if alias.name.startswith(PKG):
                         local = alias.asname or alias.name.split(".")[0]
                         rel = alias.name.replace(".", "/") + ".py"
-                        self.imports[local] = (rel, None)
+                        self.imports.setdefault(local, set()).add(
+                            (rel, None)
+                        )
 
     def _resolve_from(self, node: ast.ImportFrom) -> str | None:
         """Resolve a ``from X import y`` to a package-internal relpath."""
@@ -227,21 +243,22 @@ class _ClosureWalker:
                     continue
                 if ref in idx.defs:
                     self._visit(relpath, ref, seen)
-                elif ref in idx.imports:
-                    mod, orig = idx.imports[ref]
-                    if orig is None or orig == "*":
-                        # whole-module reference: too coarse to chase
-                        # attribute-by-attribute; record the module file
-                        # itself so ANY change there counts
-                        seen.add((mod, "<module>"))
-                    else:
-                        self._visit(mod, orig, seen)
+                if ref in idx.imports:
+                    for mod, orig in sorted(idx.imports[ref]):
+                        if orig is None or orig == "*":
+                            # whole-module reference: too coarse to
+                            # chase attribute-by-attribute; record the
+                            # module file itself so ANY change there
+                            # counts
+                            seen.add((mod, "<module>"))
+                        else:
+                            self._visit(mod, orig, seen)
         elif name in idx.imports:
-            mod, orig = idx.imports[name]
-            if orig is None:
-                seen.add((mod, "<module>"))
-            else:
-                self._visit(mod, orig, seen)
+            for mod, orig in sorted(idx.imports[name]):
+                if orig is None:
+                    seen.add((mod, "<module>"))
+                else:
+                    self._visit(mod, orig, seen)
 
     def node_dump(self, relpath: str, name: str) -> str | None:
         if name == "<module>":
