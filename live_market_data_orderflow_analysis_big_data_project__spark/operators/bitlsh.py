@@ -8,9 +8,9 @@ adds the remaining classic rung — Charikar's sign-random-projection
 sketch (SimHash for real vectors): each vector compresses to B sign
 bits (one per hyperplane), candidate generation runs on the B-bit
 signatures alone (Hamming distance via XOR + popcount — one bigint per
-vector, a 64x byte reduction at B=16 over the raw float64[64]), and
-the final ranking re-scores only the top-C Hamming candidates with
-exact int64 squared distance on the quantized grid.
+vector regardless of B <= 63, ~10x fewer bytes than the raw
+float64[64]), and the final ranking re-scores only the top-C Hamming
+candidates with exact int64 squared distance on the quantized grid.
 
 Determinism end to end (every stage engine-replayable):
 
