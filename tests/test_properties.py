@@ -1046,3 +1046,133 @@ def test_seasonal_outliers_matches_python_model(spark, pts, k):
             dv = abs(x - med)
             want[i] = (med, mad, dv, dv > k * mad)
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.dictionaries(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.integers(1, 9)),
+        st.integers(-500, 500),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(1, 5),
+)
+def test_cusum_series_equals_hand_clamp_loop(spark, daily, h):
+    """cusum_daily_series == the literal per-day Lindley clamp loop on
+    arbitrary (group, day, total) frames — reference-day medians/MADs
+    by explicit lower-median selection, groups with no pre-split rows
+    surfacing NULLs (split fixed at day 5)."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.monitor import (  # noqa: E501
+        cusum_daily_series,
+    )
+
+    split = "2024-01-05"
+    rows = [
+        (g, f"2024-01-0{d}", x) for (g, d), x in sorted(daily.items())
+    ]
+    df = spark.createDataFrame(rows, "g string, day string, total long")
+    got = {
+        (r.g, r.day): (r.day_total, r.med_ref, r.mad_ref, r.dev,
+                       r.cusum, r.is_alarm)
+        for r in cusum_daily_series(
+            df, ["g"], "day", "total", split, h_mult=h
+        ).collect()
+    }
+
+    def lower_med(pairs):  # (value, tiebreak) total order
+        return sorted(pairs)[(len(pairs) + 1) // 2 - 1][0]
+
+    want = {}
+    for g in {g for g, _ in daily}:
+        ref = [(x, d) for (gg, d), x in daily.items()
+               if gg == g and f"2024-01-0{d}" < split]
+        cur = sorted(
+            (f"2024-01-0{d}", x) for (gg, d), x in daily.items()
+            if gg == g and f"2024-01-0{d}" >= split
+        )
+        if not cur:
+            continue
+        if not ref:
+            for day, x in cur:
+                want[(g, day)] = (x, None, None, None, None, None)
+            continue
+        med = lower_med(ref)
+        mad = lower_med([(abs(x - med), d) for x, d in ref])
+        prefix, floor = 0, 0
+        for day, x in cur:
+            dev = x - med - mad
+            prefix += dev
+            floor = min(floor, prefix)
+            s = prefix - min(floor, 0)
+            want[(g, day)] = (x, med, mad, dev, s, s > h * mad)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab c.\n\réü ", max_size=25),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(100_000, 900_000),
+)
+def test_char_entropy_matches_reference_model(spark, texts, thr):
+    """char_entropy_stats == the Counter/ln hand model on arbitrary
+    terminator-bearing unicode texts (the test_textstats model,
+    Decimal-HALF_UP rounding mirror included)."""
+    from test_textstats import _model
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.textstats import (  # noqa: E501
+        char_entropy_stats,
+    )
+
+    tmap = dict(enumerate(texts))
+    df = spark.createDataFrame(
+        list(tmap.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_chars, r.n_distinct, r.top_char, r.top_cnt,
+                   r.top_share_ppm, r.entropy4, r.is_low_quality)
+        for r in char_entropy_stats(df, "doc_id", "text", thr).collect()
+    }
+    assert got == _model(tmap, thr)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(-1000, 1000).map(lambda v: v / 1000.0),
+            min_size=4, max_size=4,
+        ),
+        min_size=2, max_size=10,
+    ),
+    st.integers(1, 12),
+)
+def test_bit_lsh_equals_python_model_on_arbitrary_vectors(
+    spark, vecs, n_planes
+):
+    """bit_lsh_topk == the pure-Python signature/Hamming/rerank model
+    (test_bitlsh._model) on arbitrary 4-D point sets and plane
+    counts."""
+    from test_bitlsh import _model
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.bitlsh import (  # noqa: E501
+        bit_lsh_topk,
+    )
+
+    vmap = dict(enumerate(vecs))
+    df = spark.createDataFrame(
+        list(vmap.items()), "vec_id long, embedding array<double>"
+    )
+    n_cand = min(len(vecs), 4)
+    topk = min(2, n_cand)
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.hamming, r.d2)
+        for r in bit_lsh_topk(
+            df, "vec_id", "embedding", 4, n_planes, n_cand, 1, topk
+        ).collect()
+    }
+    assert got == _model(vmap, 4, n_planes, n_cand, 1, topk)
