@@ -25,6 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # host-load provenance: four contamination episodes (r8/r10/r12/r14)
+    # each post-dated a CPU burst on this host; recording the 1/5/15-min
+    # load at bench START makes a contaminated record self-identifying
+    # instead of a forensic reconstruction.
+    loadavg = [round(x, 2) for x in os.getloadavg()]
     import __spark_entry__ as ent
     from live_market_data_orderflow_analysis_big_data_project__spark import get_spark
 
@@ -154,6 +159,7 @@ def main() -> None:
         "samples": n_samples,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "loadavg_start": loadavg,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_full.json"), "w") as f:

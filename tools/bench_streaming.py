@@ -37,6 +37,9 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+# host-load provenance at import (== harness start) — the bench.py rule
+_LOADAVG = [round(x, 2) for x in os.getloadavg()]
+
 
 def stress(sf_dir: str, mult: int, n_chunks: int) -> None:
     from pyspark.sql import functions as F
@@ -149,6 +152,7 @@ def stress(sf_dir: str, mult: int, n_chunks: int) -> None:
                 "metric": "stream_stress_events_per_sec",
                 "value": round(n_events / wall, 1),
                 "unit": "events/sec",
+                "loadavg_start": _LOADAVG,
                 "mult": mult,
                 "n_events": n_events,
                 "n_keys": n_keys,
@@ -313,6 +317,7 @@ def main() -> None:
                 # conservative end is computed, not hand-picked
                 "value": round(n_events / wall, 1),
                 "unit": "events/sec",
+                "loadavg_start": _LOADAVG,
                 "n_events": n_events,
                 "wall_sec": round(wall, 2),
                 "repeats": {
