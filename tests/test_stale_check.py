@@ -140,3 +140,57 @@ def test_history_baselines_are_all_passes():
         rec = by_round[rnd][key]
         assert stale_check._is_driver_row(rec), (key, rnd, rec)
         assert rec.get("hash_match") is not False, (key, rnd, rec)
+
+
+def test_closure_includes_function_local_imports():
+    """The r14 walker fix: nearly every gate entry imports its operator
+    CALL-TIME inside the query function, so the closure must index
+    nested ImportFrom nodes — the old top-level-only index silently
+    excluded ALL operator code (found when a rolling.py refactor left
+    q168's fingerprint unchanged).  Pin it with a synthetic module and
+    with the real q168 closure."""
+    sources = {
+        "pkg/qmod.py": (
+            "def entry():\n"
+            "    from .opmod import helper\n"
+            "    return helper()\n"
+        ),
+        "pkg/opmod.py": (
+            "def helper():\n"
+            "    return 42\n"
+        ),
+    }
+    walker = stale_check._ClosureWalker(lambda rel: sources.get(rel))
+    members = walker.closure("pkg/qmod.py", "entry")
+    assert ("pkg/opmod.py", "helper") in members, members
+
+    points = stale_check.entry_points()
+    mod, fn, extra = points["q168_rolling_active"]
+    real = stale_check._ClosureWalker(stale_check._read_worktree)
+    mods = {m for m, _ in real.closure(mod, fn)}
+    assert any(m.endswith("operators/rolling.py") for m in mods), mods
+
+
+def test_closure_alias_collisions_visit_every_binding():
+    """Two functions importing DIFFERENT helpers under the SAME local
+    alias: the module-wide alias map must visit both bindings (sets,
+    not last-wins) — under-approximating would silently drop one
+    operator from the closure."""
+    sources = {
+        "pkg/qmod.py": (
+            "def entry_a():\n"
+            "    from .op_a import helper\n"
+            "    return helper()\n"
+            "\n"
+            "def entry_b():\n"
+            "    from .op_b import helper\n"
+            "    return helper()\n"
+        ),
+        "pkg/op_a.py": "def helper():\n    return 1\n",
+        "pkg/op_b.py": "def helper():\n    return 2\n",
+    }
+    walker = stale_check._ClosureWalker(lambda rel: sources.get(rel))
+    members = walker.closure("pkg/qmod.py", "entry_a")
+    # over-approximation is the safe direction: both bindings visited
+    assert ("pkg/op_a.py", "helper") in members, members
+    assert ("pkg/op_b.py", "helper") in members, members

@@ -108,9 +108,16 @@ def last_pass_commits() -> dict[str, tuple[int, str]]:
 # --------------------------------------------------------------------------
 
 class _ModuleIndex:
-    """Top-level defs + import aliases of one parsed module."""
+    """Top-level defs + import aliases of one parsed module.
 
-    def __init__(self, relpath: str, tree: ast.Module):
+    ``exists`` resolves sibling-module existence against the SAME
+    source supplier the walker reads from — resolving against the
+    live worktree (the old behavior) is wrong for the git-commit-side
+    walker, where a module may exist now but not at the anchor commit
+    (or vice versa)."""
+
+    def __init__(self, relpath: str, tree: ast.Module, exists=None):
+        self._exists = exists if exists is not None else _exists_any
         self.relpath = relpath
         self.defs: dict[str, ast.stmt] = {}
         # local name -> {(module_relpath, original_name | None)}: a SET
@@ -168,10 +175,10 @@ class _ModuleIndex:
                 pkg_parts = pkg_parts[: len(pkg_parts) - (node.level - 1)]
             base = pkg_parts + (node.module.split(".") if node.module else [])
         cand = "/".join(base) + ".py"
-        if _exists_any(cand):
+        if self._exists(cand):
             return cand
         cand_pkg = "/".join(base) + "/__init__.py"
-        if _exists_any(cand_pkg):
+        if self._exists(cand_pkg):
             return cand_pkg
         return None
 
@@ -218,7 +225,10 @@ class _ClosureWalker:
             else:
                 try:
                     self._idx[relpath] = _ModuleIndex(
-                        relpath, ast.parse(src)
+                        relpath,
+                        ast.parse(src),
+                        exists=lambda rel: self._source_of(rel)
+                        is not None,
                     )
                 except SyntaxError:
                     self._idx[relpath] = None
