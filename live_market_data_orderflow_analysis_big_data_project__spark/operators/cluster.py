@@ -437,9 +437,9 @@ def ivf_pq_topk(
     # concurrent Spark jobs from a thread pool instead of serially.
     # Spark job submission is thread-safe; results are identical
     # because nothing crosses subspaces until the union below (the
-    # hash gate proves it).  Measured on the r14 tree: 5.9 s -> ~2.5 s
-    # at sf0.1.  At cluster scale the same structure overlaps the m
-    # corpus scans instead of serializing them.
+    # hash gate proves it — the pq_adc_topk change, applied here too).
+    # At cluster scale the same structure overlaps the m corpus scans
+    # instead of serializing them.
     def _fit_sub(s: int):
         sub = vecs.select(
             id_col, sub_slice(s).alias("qv")

@@ -27,7 +27,8 @@ promotion day):
   PQ ADC (q191 machinery) into the production FAISS index shape;
   FULLY hash-gated (unlike q92b's float IVF) against an oracle that
   unrolls the coarse chain AND all m sub-chains; nprobe restriction
-  BINDS at every sf (pinned by test); 16x probe 1.04x.
+  BINDS at every sf (pinned by test); 16x probe 1.5x after the r14
+  concurrent-subspace change (absolute 1x floor dropped ~11 -> 8.6 s).
 - s22: streaming as-of enrichment (streaming/core.py
   ``asof_quote_enrich``) — trade <- latest quote strictly before it,
   per key, as applyInPandasWithState with EventTimeTimeout: trades
