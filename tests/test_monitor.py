@@ -168,3 +168,55 @@ def test_rolling_active_stream_matches_batch_on_closed_days(spark):
         }
         assert got == want, sf
         assert any(d < w for _, d, w in got), sf  # windows accumulate
+
+
+def test_keyed_sum_windowed_drops_late_rows(spark):
+    """The s04 late-data semantic on the NEW sum stage — pinned to
+    Spark's ACTUAL contract (measured): the watermark is a lower
+    bound, so a row arriving in the batch where its window is still
+    in state MERGES (eviction runs at batch end, after input), and a
+    row arriving after the window's state was EVICTED in an earlier
+    batch is dropped.  Sequential delivery therefore excludes the
+    two-batches-late row; single-batch delivery (the gate's
+    single-file replay) includes everything."""
+    import time
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (  # noqa: E501
+        run_to_memory,
+        stream_events_dir,
+    )
+
+    schema = "k string, ts timestamp, v long"
+    b1 = [("a", _t(1, 9), 5), ("a", _t(2, 10), 3)]
+    b2 = [("a", _t(3, 12), 9)]   # advances wm; day-1 state EVICTED here
+    b3 = [("a", _t(1, 20), 100),  # two batches late: state gone -> drop
+          ("a", _t(4, 8), 2)]
+    tmp = tempfile.mkdtemp(prefix="s24_late_")
+    for part in (b1, b2, b3):
+        spark.createDataFrame(part, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(tmp)
+        # FileStreamSource orders and admits by file TIMESTAMP: files
+        # written within the same second land in ONE batch even under
+        # maxFilesPerTrigger=1 (measured) — distinct mtimes are what
+        # make the sequential case genuinely sequential
+        time.sleep(1.1)
+
+    def drained(max_files):
+        sdf = stream_events_dir(
+            spark, tmp, schema, max_files_per_trigger=max_files
+        )
+        out = run_to_memory(
+            keyed_sum_windowed(sdf, ["k"], "ts", F.col("v")),
+            f"t_s24_late_{max_files}",
+        )
+        return {(r.k, r.day): r.total for r in out.collect()}
+
+    # one batch: everything is in state together
+    assert drained(None) == {("a", "2024-01-01"): 105,
+                             ("a", "2024-01-02"): 3,
+                             ("a", "2024-01-03"): 9}
+    # sequential: day 1 evicted in batch 2, the batch-3 late row drops
+    assert drained(1) == {("a", "2024-01-01"): 5,
+                          ("a", "2024-01-02"): 3,
+                          ("a", "2024-01-03"): 9}
