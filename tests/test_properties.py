@@ -1176,3 +1176,43 @@ def test_bit_lsh_equals_python_model_on_arbitrary_vectors(
         ).collect()
     }
     assert got == _model(vmap, 4, n_planes, n_cand, 1, topk)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.sets(
+        st.tuples(st.integers(1, 5), st.integers(1, 12)),  # (user, day)
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(1, 7),
+)
+def test_rolling_active_from_pairs_equals_trailing_window_model(
+    spark, pairs, w
+):
+    """rolling_active_from_pairs (the s25 read) == the naive per-day
+    trailing-window distinct count on arbitrary sparse (user, day)
+    activity sets — the contribution-explode rewrite vs the
+    formulation it replaces."""
+    import datetime as dt
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.rolling import (  # noqa: E501
+        rolling_active_from_pairs,
+    )
+
+    rows = [
+        (u, dt.date(2024, 1, d)) for u, d in sorted(pairs)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, d date")
+    got = {
+        r.day: (r.dau, r.wau)
+        for r in rolling_active_from_pairs(df, "user_id", "d", w)
+        .collect()
+    }
+    want = {}
+    days = sorted({d for _, d in pairs})
+    for d in days:
+        dau = len({u for u, dd in pairs if dd == d})
+        wau = len({u for u, dd in pairs if d - w < dd <= d})
+        want[f"2024-01-{d:02d}"] = (dau, wau)
+    assert got == want
