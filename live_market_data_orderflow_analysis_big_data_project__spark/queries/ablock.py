@@ -3188,6 +3188,479 @@ FROM dev v JOIN mad m USING (event_type, dow)
 """
 
 
+# --------------------------------------------------------------------------
+# Round-15 promotion (docs/ROTATION_r15.md), moved verbatim from
+# queries/staging.py: q193 IVF-PQ top-k (coarse quantizer composed with
+# PQ ADC — the production FAISS index shape), q194 batched BPE training
+# (symbol-disjoint top-m merges per round), q195 hyperplane bit-LSH
+# top-k (binary-signature ANN, fully hash-gated), q196 char-entropy
+# quality screen.  s22/s23/s24/s25 (streaming as-of enrichment, top-k
+# ranking drift, CUSUM drift, rolling distinct actives) move to
+# sblock.py.  q193/q194 were staged at r13 close (two standing rounds
+# of pytest oracle evidence at 2 sfs), q195/q196 during r14 (one — the
+# trade the exact-fill window arithmetic forced, docs/ROTATION_r15.md);
+# all carry a hand sf0.1 hash-pass, a 16x scale probe (SCALING.md) and
+# plan/determinism/dtype audits — promotion is the planned dict move.
+# --------------------------------------------------------------------------
+
+# q195's oracle replays the SAME deterministic hyperplane matrix the
+# operator embeds (md5-derived +-1 rows — one Python constant, both
+# engines; the in-engine md5 derivation itself is pinned by test)
+from ..operators.bitlsh import hyperplane_weights  # noqa: E402
+
+_Q193_DIM = 64
+_Q193_CK = 4       # coarse inverted lists
+_Q193_CI = 2       # coarse Lloyd iterations
+_Q193_M = 4        # PQ subspaces
+_Q193_K = 4        # PQ codebook size per subspace
+_Q193_ITERS = 2    # PQ Lloyd iterations
+_Q193_NPROBE = 2
+_Q193_NQ = 3
+_Q193_TOPK = 10
+
+
+def q193_ivfpq_topk(spark, sf):
+    """IVF-PQ top-k (operators/cluster.py ivf_pq_topk): the
+    composition of the engine's two exact ANN rungs into the
+    production FAISS index shape — an integer-k-means coarse
+    quantizer (4 inverted lists, 2 Lloyd iterations) restricts each
+    query to its nprobe=2 nearest lists, and PQ ADC (m=4 subspace
+    codebooks shared across lists) ranks the candidates inside them.
+    Unlike q92b's float-KMeans IVF this is FULLY hash-gated: the
+    oracle unrolls the coarse chain AND all four per-subspace Lloyd
+    chains as MATERIALIZED CTEs (the q183/q191 pattern), replays the
+    probe selection, and re-runs the list-restricted ADC join.  The
+    restriction BINDS at every fixture sf (probed-list candidates <
+    corpus — pinned by test)."""
+    from ..operators.cluster import ivf_pq_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_pq_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        _Q193_DIM,
+        _Q193_CK,
+        _Q193_CI,
+        _Q193_M,
+        _Q193_K,
+        _Q193_ITERS,
+        _Q193_NPROBE,
+        _Q193_NQ,
+        _Q193_TOPK,
+    )
+
+
+def _q193_sql() -> str:
+    ck, ci = _Q193_CK, _Q193_CI
+    k, iters, m = _Q193_K, _Q193_ITERS, _Q193_M
+    sub_d = _Q193_DIM // m
+    parts = [f"""
+WITH qfull AS MATERIALIZED (
+  SELECT vec_id, dim,
+         CAST(floor(CAST(val AS DOUBLE) * 10000) AS BIGINT) + 10000 AS v
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings WHERE embedding IS NOT NULL)
+), ordv AS MATERIALIZED (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM (SELECT DISTINCT vec_id FROM qfull)
+), seeds_c AS MATERIALIZED (
+  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cluster FROM ordv
+  WHERE rn <= {ck}
+), seeds_p AS MATERIALIZED (
+  SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cluster FROM ordv
+  WHERE rn <= {k}
+), qrs AS MATERIALIZED (
+  SELECT vec_id AS query_id FROM ordv WHERE rn <= {_Q193_NQ}
+), cc0 AS MATERIALIZED (
+  SELECT s.cluster, q.dim, q.v FROM seeds_c s JOIN qfull q USING (vec_id)
+)"""]
+    # coarse Lloyd chain over the FULL vectors
+    for i in range(1, ci + 1):
+        parts.append(f""", cd{i} AS MATERIALIZED (
+  SELECT q.vec_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM qfull q JOIN cc{i - 1} c ON q.dim = c.dim GROUP BY 1, 2
+), ca{i} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rk
+    FROM cd{i}
+  ) WHERE rk = 1
+), cu{i} AS MATERIALIZED (
+  SELECT a.cluster, q.dim, CAST(sum(q.v) // count(*) AS BIGINT) AS v
+  FROM ca{i} a JOIN qfull q USING (vec_id) GROUP BY 1, 2
+), cc{i} AS MATERIALIZED (
+  SELECT c.cluster, c.dim, COALESCE(u.v, c.v) AS v
+  FROM cc{i - 1} c
+  LEFT JOIN cu{i} u ON c.cluster = u.cluster AND c.dim = u.dim
+)""")
+    parts.append(f""", bfd AS MATERIALIZED (
+  SELECT q.vec_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM qfull q JOIN cc{ci} c ON q.dim = c.dim GROUP BY 1, 2
+), bkt AS MATERIALIZED (
+  SELECT vec_id, cluster AS bucket FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rk
+    FROM bfd
+  ) WHERE rk = 1
+), probed AS MATERIALIZED (
+  SELECT query_id, cluster AS bucket FROM (
+    SELECT r.query_id, c.cluster,
+           row_number() OVER (
+             PARTITION BY r.query_id
+             ORDER BY SUM((q.v - c.v) * (q.v - c.v)), c.cluster) AS rk
+    FROM qrs r
+    JOIN qfull q ON q.vec_id = r.query_id
+    JOIN cc{ci} c ON q.dim = c.dim
+    GROUP BY r.query_id, c.cluster
+  ) WHERE rk <= {_Q193_NPROBE}
+)""")
+    # PQ sub-chains (the q191 pattern, seeds_p)
+    for s in range(m):
+        lo, hi = s * sub_d, (s + 1) * sub_d
+        parts.append(f""", q_s{s} AS MATERIALIZED (
+  SELECT vec_id, dim - {lo} AS dim, v FROM qfull
+  WHERE dim >= {lo} AND dim < {hi}
+), c0_s{s} AS MATERIALIZED (
+  SELECT s.cluster, q.dim, q.v
+  FROM seeds_p s JOIN q_s{s} q USING (vec_id)
+)""")
+        for i in range(1, iters + 1):
+            parts.append(f""", d{i}_s{s} AS MATERIALIZED (
+  SELECT q.vec_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM q_s{s} q JOIN c{i - 1}_s{s} c ON q.dim = c.dim GROUP BY 1, 2
+), a{i}_s{s} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rk
+    FROM d{i}_s{s}
+  ) WHERE rk = 1
+), u{i}_s{s} AS MATERIALIZED (
+  SELECT a.cluster, q.dim, CAST(sum(q.v) // count(*) AS BIGINT) AS v
+  FROM a{i}_s{s} a JOIN q_s{s} q USING (vec_id) GROUP BY 1, 2
+), c{i}_s{s} AS MATERIALIZED (
+  SELECT c.cluster, c.dim, COALESCE(u.v, c.v) AS v
+  FROM c{i - 1}_s{s} c
+  LEFT JOIN u{i}_s{s} u ON c.cluster = u.cluster AND c.dim = u.dim
+)""")
+        parts.append(f""", fd_s{s} AS MATERIALIZED (
+  SELECT q.vec_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM q_s{s} q JOIN c{iters}_s{s} c ON q.dim = c.dim GROUP BY 1, 2
+), code_s{s} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cluster) AS rk
+    FROM fd_s{s}
+  ) WHERE rk = 1
+), tab_s{s} AS MATERIALIZED (
+  SELECT r.query_id, c.cluster,
+         CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+  FROM qrs r
+  JOIN q_s{s} q ON q.vec_id = r.query_id
+  JOIN c{iters}_s{s} c ON q.dim = c.dim
+  GROUP BY 1, 2
+)""")
+    codes_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, CAST({s} AS BIGINT) AS sub, cluster"
+        f" FROM code_s{s}"
+        for s in range(m)
+    )
+    tab_union = "\n  UNION ALL\n".join(
+        f"  SELECT query_id, CAST({s} AS BIGINT) AS sub, cluster, d2"
+        f" FROM tab_s{s}"
+        for s in range(m)
+    )
+    parts.append(f""", codes AS (
+{codes_union}
+), tab AS (
+{tab_union}
+), scores AS (
+  SELECT t.query_id, c.vec_id, b.bucket,
+         CAST(SUM(t.d2) AS BIGINT) AS adc_d2
+  FROM codes c
+  JOIN bkt b ON b.vec_id = c.vec_id
+  JOIN probed p ON p.bucket = b.bucket
+  JOIN tab t ON t.query_id = p.query_id
+            AND t.sub = c.sub AND t.cluster = c.cluster
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id, bucket, adc_d2
+FROM (
+  SELECT query_id, vec_id, bucket, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, vec_id) AS rk
+  FROM scores
+) WHERE rk <= {_Q193_TOPK}""")
+    return "".join(parts)
+
+
+Q193_SQL = _q193_sql()
+
+
+_Q194_ROUNDS = 2
+_Q194_M = 2
+_Q194_TOP = 20
+
+
+def q194_bpe_batched(spark, sf):
+    """Batched BPE training (operators/bpe.py bpe_merges_batched) —
+    q190's production scale shortcut: each round learns the top m=2
+    SYMBOL-DISJOINT pairs (greedy in (freq desc, l, r) rank order —
+    on natural text the raw top-m always shares a symbol, measured)
+    in ONE m-row collect, applying both replaces in rank order in a
+    single vocab pass — collect count k/m, the shortcut real
+    tokenizer runs (30k+ merges) need.  Batched == sequential is NOT
+    claimed (a merged symbol's new pairs can out-rank the batch tail
+    — observed at both gate sfs, documented in the operator); the
+    batched semantics are deterministic and fully hash-gated: the
+    oracle replays the greedy selection (top-1, then top-1 among
+    symbol-disjoint survivors) and the same replace chain per round
+    as MATERIALIZED CTEs."""
+    from ..operators.bpe import bpe_merges_batched
+
+    docs = load_table(spark, sf, "documents").select("text")
+    return bpe_merges_batched(docs, _Q194_ROUNDS, _Q194_M, _Q194_TOP)
+
+
+def _q194_sql(rounds: int = _Q194_ROUNDS, top: int = _Q194_TOP) -> str:
+    # the b{i}a/b{i}b CTE pair and the (i-1)*2+k rank arithmetic
+    # hard-code exactly TWO greedy picks per round - fail at import
+    # if the operator knob diverges, not at gate time (r13 ADVICE)
+    assert _Q194_M == 2, 'q194 oracle hard-codes m=2 greedy picks'
+    duck_syms = "list_filter(string_split(sym, '|'), x -> x <> '')"
+    parts = [f"""
+WITH w0 AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|'
+           AS sym
+  FROM (SELECT unnest({_Q185_TOKS}) AS w FROM documents)
+  GROUP BY w
+)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", t{i} AS MATERIALIZED (
+  SELECT sym, cnt, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT sym, cnt, {duck_syms} AS arr FROM w{i - 1})
+), p{i} AS MATERIALIZED (
+  SELECT x.tok AS l, y.tok AS r, CAST(sum(x.cnt) AS BIGINT) AS freq
+  FROM t{i} x JOIN t{i} y ON x.sym = y.sym AND y.pos = x.pos + 1
+  GROUP BY 1, 2
+), b{i}a AS MATERIALIZED (
+  SELECT l, r, freq FROM p{i} ORDER BY freq DESC, l, r LIMIT 1
+), b{i}b AS MATERIALIZED (
+  -- greedy rank-order selection: the best pair symbol-disjoint from
+  -- the round's first pick (the operator's batch rule)
+  SELECT p.l, p.r, p.freq FROM p{i} p, b{i}a a
+  WHERE p.l <> a.l AND p.l <> a.r AND p.r <> a.l AND p.r <> a.r
+  ORDER BY p.freq DESC, p.l, p.r LIMIT 1
+), w{i} AS MATERIALIZED (
+  SELECT p.cnt,
+         replace(replace(p.sym,
+                 '|' || a.l || '|' || a.r || '|',
+                 '|' || a.l || a.r || '|'),
+                 '|' || b.l || '|' || b.r || '|',
+                 '|' || b.l || b.r || '|') AS sym
+  FROM w{i - 1} p, b{i}a a, b{i}b b
+)""")
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT 'merge' AS kind, CAST({(i - 1) * 2 + 1} AS BIGINT) "
+        f"AS rank, l || ' ' || r AS token, freq FROM b{i}a\n"
+        "UNION ALL\n"
+        f"SELECT 'merge' AS kind, CAST({(i - 1) * 2 + 2} AS BIGINT) "
+        f"AS rank, l || ' ' || r AS token, freq FROM b{i}b"
+        for i in range(1, rounds + 1)
+    )
+    parts.append(f""", fin AS MATERIALIZED (
+  SELECT cnt, unnest({duck_syms}) AS token FROM w{rounds}
+), vocab AS (
+  SELECT token, CAST(sum(cnt) AS BIGINT) AS freq FROM fin GROUP BY 1
+), topv AS (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rk
+  FROM vocab
+)
+{merge_rows}
+UNION ALL
+SELECT 'symbol' AS kind, CAST(rk AS BIGINT) AS rank, token, freq
+FROM topv WHERE rk <= {top}""")
+    return "".join(parts)
+
+
+Q194_SQL = _q194_sql()
+
+
+_Q195_DIM = 64
+# B=48 planes / C=200 candidates: tuned on the fixtures (uniform-
+# sphere embeddings — the ADVERSARIAL case for any sign-LSH, the same
+# regime that sets q92b's 0.65 IVF floor).  B=16/C=40 measured
+# recall@10 of 0.17-0.3; 48/200 lands 0.83 (sf0.01) / 0.57 (sf0.1),
+# floors pinned by tests/test_bitlsh.py.  The cut still BINDS at
+# every sf (C < corpus).
+_Q195_B = 48
+_Q195_C = 200
+_Q195_NQ = 3
+_Q195_K = 10
+
+
+def q195_bitlsh_topk(spark, sf):
+    """Hyperplane bit-LSH top-k (operators/bitlsh.py bit_lsh_topk):
+    the BINARY quantization ANN rung — B=48 deterministic +-1
+    hyperplanes (md5-derived, engine-replayable), one BIGINT signature
+    per vector, candidate generation by exact Hamming distance over
+    signatures alone (XOR + popcount — ~10x fewer bytes than the raw
+    vectors), exact-int64 d2 rerank of the top-C=200 candidates,
+    final top-k=10 by (d2, vec_id).  Unlike q92b/q93b's rows-only
+    bucketing paths this is FULLY hash-gated: weights, sign bits,
+    Hamming cut and rerank are all deterministic and the oracle
+    replays each stage.  Queries = the 3 smallest-md5(id) vectors
+    (the q112/q181/q191 contract)."""
+    from ..operators.bitlsh import bit_lsh_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return bit_lsh_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        _Q195_DIM,
+        _Q195_B,
+        _Q195_C,
+        _Q195_NQ,
+        _Q195_K,
+    )
+
+
+def _q195_sql() -> str:
+    weights = hyperplane_weights(_Q195_B, _Q195_DIM)
+    wrows = ", ".join(
+        f"({h}, {d}, {w})"
+        for h, row in enumerate(weights)
+        for d, w in enumerate(row)
+    )
+    return f"""
+WITH qfull AS MATERIALIZED (
+  SELECT vec_id, dim,
+         CAST(floor(CAST(val AS DOUBLE) * 10000) AS BIGINT) + 10000 AS v
+  FROM (SELECT vec_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) - 1 AS dim
+        FROM embeddings WHERE embedding IS NOT NULL)
+), w(h, dim, wt) AS (VALUES {wrows}),
+wh AS (SELECT h, CAST(sum(wt) AS BIGINT) AS wsum FROM w GROUP BY 1),
+dots AS (
+  SELECT q.vec_id, w.h, CAST(SUM(w.wt * q.v) AS BIGINT) AS dot
+  FROM qfull q JOIN w ON w.dim = q.dim GROUP BY 1, 2
+), sig AS MATERIALIZED (
+  -- bit h set iff the UNSHIFTED dot >= 0: dot - SHIFT * sum(w) >= 0
+  SELECT d.vec_id,
+         CAST(SUM(CASE WHEN d.dot - 10000 * wh.wsum >= 0
+                       THEN CAST(1 AS BIGINT) << d.h
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM dots d JOIN wh USING (h) GROUP BY 1
+), ordv AS MATERIALIZED (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM (SELECT DISTINCT vec_id FROM qfull)
+), qrs AS MATERIALIZED (
+  SELECT o.vec_id AS query_id, s.sig AS q_sig
+  FROM ordv o JOIN sig s ON s.vec_id = o.vec_id
+  WHERE o.rn <= {_Q195_NQ}
+), ham AS (
+  SELECT r.query_id, s.vec_id,
+         CAST(bit_count(xor(r.q_sig, s.sig)) AS BIGINT) AS hamming
+  FROM qrs r, sig s
+), cand AS MATERIALIZED (
+  SELECT query_id, vec_id, hamming FROM (
+    SELECT query_id, vec_id, hamming,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY hamming, vec_id) AS rk
+    FROM ham
+  ) WHERE rk <= {_Q195_C}
+), scored AS (
+  SELECT c.query_id, c.vec_id, c.hamming,
+         CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+  FROM cand c
+  JOIN qfull a ON a.vec_id = c.vec_id
+  JOIN qfull b ON b.vec_id = c.query_id AND b.dim = a.dim
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, CAST(rk AS BIGINT) AS rank, vec_id, hamming, d2 FROM (
+  SELECT query_id, vec_id, hamming, d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2, vec_id) AS rk
+  FROM scored
+) WHERE rk <= {_Q195_K}"""
+
+
+Q195_SQL = _q195_sql()
+
+
+_Q196_PPM_THRESHOLD = 200_000
+
+
+def q196_char_entropy(spark, sf):
+    """Char-entropy quality screen (operators/textstats.py
+    char_entropy_stats): per doc, exact char-histogram stats (n_chars,
+    n_distinct, top char with (count desc, char) tie-break, integer
+    top-share ppm) + the Shannon entropy of the char distribution in
+    the factored form H = ln(n) - (SUM c ln c)/n (every ln argument an
+    exact integer; ROUND-4 both sides — the q118/q185 ln rule,
+    sweep-eligible on promotion).  The low-quality FLAG compares exact
+    integers only (top_share_ppm > {thr}) and BINDS both directions at
+    every fixture sf (1/1/9 of 500/500/5000 docs flagged)."""
+    from ..operators.textstats import char_entropy_stats
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return char_entropy_stats(
+        docs, "doc_id", "text", _Q196_PPM_THRESHOLD
+    )
+
+
+Q196_SQL = f"""
+WITH c AS MATERIALIZED (
+  -- the SAME explicit exclusion class as the operator (Java's '.'
+  -- excludes five line terminators, RE2's only LF — chr() builds
+  -- the literal class so neither engine's escape syntax is parsed)
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(text,
+                 '[^' || chr(10) || chr(13) || chr(133)
+                      || chr(8232) || chr(8233) || ']')) AS ch
+        FROM documents)
+  GROUP BY 1, 2
+), tops AS (
+  SELECT doc_id, ch AS top_char, c AS top_cnt FROM (
+    SELECT doc_id, ch, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, ch) AS rk
+    FROM c
+  ) WHERE rk = 1
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         ROUND(ln(CAST(sum(c) AS DOUBLE))
+               - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                 / CAST(sum(c) AS DOUBLE), 4) AS entropy4
+  FROM c GROUP BY 1
+)
+SELECT a.doc_id, a.n_chars, a.n_distinct, t.top_char, t.top_cnt,
+       CAST(t.top_cnt * 1000000 // a.n_chars AS BIGINT) AS top_share_ppm,
+       a.entropy4,
+       (t.top_cnt * 1000000 // a.n_chars) > {_Q196_PPM_THRESHOLD}
+         AS is_low_quality
+FROM agg a JOIN tops t USING (doc_id)
+"""
+
+
 QUERIES = {
     "q145_kmv_setops": q145_kmv_setops,
     "q146_fuzzy_match": q146_fuzzy_match,
@@ -3242,6 +3715,10 @@ QUERIES = {
     "q190_bpe_merges": q190_bpe_merges,
     "q191_pq_topk": q191_pq_topk,
     "q192_seasonal_outliers": q192_seasonal_outliers,
+    "q193_ivfpq_topk": q193_ivfpq_topk,
+    "q194_bpe_batched": q194_bpe_batched,
+    "q195_bitlsh_topk": q195_bitlsh_topk,
+    "q196_char_entropy": q196_char_entropy,
 }
 
 ORACLE = {
@@ -3298,4 +3775,8 @@ ORACLE = {
     "q190_bpe_merges": Q190_SQL,
     "q191_pq_topk": Q191_SQL,
     "q192_seasonal_outliers": Q192_SQL,
+    "q193_ivfpq_topk": Q193_SQL,
+    "q194_bpe_batched": Q194_SQL,
+    "q195_bitlsh_topk": Q195_SQL,
+    "q196_char_entropy": Q196_SQL,
 }

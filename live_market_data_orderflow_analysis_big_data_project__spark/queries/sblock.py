@@ -915,6 +915,362 @@ FROM events e JOIN dim ON dim.user_id = e.user_id
 S21_SQL = _s21_sql()
 
 
+# --------------------------------------------------------------------------
+# Round-15 promotion (docs/ROTATION_r15.md), moved verbatim from
+# queries/staging.py: s22 streaming as-of enrichment (the batch
+# asof_join/q25 capability as applyInPandasWithState with event-time
+# timeouts — the fourth point on the streaming-state spectrum), s23
+# streaming top-k ranking drift, s24 streaming CUSUM level-shift
+# drift, s25 streaming rolling distinct actives (q168's production
+# split).  The batch q-members of the cohort (q193-q196) move to
+# ablock.py.  Evidence class per entry: docs/ROTATION_r15.md.
+# --------------------------------------------------------------------------
+
+def s22_asof_enrich_stream(spark, sf):
+    """Streaming as-of enrichment (streaming/core.py
+    asof_quote_enrich): every purchase is emitted exactly once
+    carrying the latest view of the same user STRICTLY before it —
+    the batch asof_join/q25 capability as a custom stateful operator
+    (applyInPandasWithState keyed by user, EventTimeTimeout), the
+    fourth point on the streaming-state spectrum after s08 (running
+    scalar state), s19/s20 (windowed aggs) and s21 (stateless
+    stream-static).  Trades are held in state until the watermark
+    passes their event time (only then is the quote set at-or-before
+    them closed) and flush via event-time timeout — under the
+    single-file replay EVERY emission rides the final no-data batch's
+    timeout path, so the gate exercises the timeout machinery by
+    construction.  SPLICE SCOPING (measured, not assumed): the
+    watermark is attached before the side/value filters in code, but
+    Catalyst's PushPredicateThroughNonJoin moves deterministic
+    predicates that don't reference the event-time column BELOW the
+    EventTimeWatermark node — so filtered rows never advance the
+    watermark REGARDLESS of call order, and the splice must be the
+    max(ts) OVER THE FILTERED SET (the s19 class; the unscoped form
+    was exactly one row generous at sf0.1 — the globally-latest
+    view/purchase row itself), truncated to Spark's whole-ms
+    watermark granularity.  Only a filter evaluated INSIDE a stateful
+    operator (s20's agg-side NULL handling) escapes that pushdown.
+    Unquoted trades surface with NULL quote columns (never dropped);
+    quote choice is strictly-before with the (us, event_id) tie-break
+    — the q184 contract.  Both the enriched and the NULL bucket BIND
+    at every fixture sf (pinned by test)."""
+    from ..streaming.core import (
+        asof_quote_enrich,
+        run_to_memory,
+        stream_events,
+    )
+
+    sdf = stream_events(spark, sf).withWatermark("ts", "0 seconds")
+    sdf = sdf.where(
+        F.col("event_type").isin("view", "purchase")
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.expr(_CENTS).alias("cents"),
+    )
+    return run_to_memory(
+        asof_quote_enrich(sdf, "view", "purchase"),
+        "s22_asof",
+        n_state_partitions=8,
+    )
+
+
+S22_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+         {_CENTS} AS c
+  FROM events
+  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+), wm AS MATERIALIZED (
+  -- the final watermark: max event time over the FILTERED set —
+  -- Catalyst pushes the deterministic side/value filter below the
+  -- EventTimeWatermark node, so only view/purchase non-null-value
+  -- rows advance the watermark (see the query docstring); truncated
+  -- to whole ms (Spark tracks event-time stats in milliseconds)
+  SELECT (max(us) // 1000) * 1000 AS w_us FROM base
+), tr AS (
+  SELECT user_id, event_id, us, c FROM base, wm
+  WHERE event_type = 'purchase' AND us < wm.w_us
+), qt AS (
+  SELECT user_id, event_id, us, c FROM base WHERE event_type = 'view'
+), last_q AS (
+  SELECT tid, qid, qus, qc FROM (
+    SELECT t.event_id AS tid, q.event_id AS qid, q.us AS qus,
+           q.c AS qc,
+           row_number() OVER (PARTITION BY t.event_id
+                              ORDER BY q.us DESC, q.event_id DESC)
+             AS rk
+    FROM tr t JOIN qt q ON q.user_id = t.user_id AND q.us < t.us
+  ) WHERE rk = 1
+)
+SELECT t.user_id, t.event_id, CAST(t.us AS BIGINT) AS t_us,
+       t.c AS trade_cents,
+       l.qid AS quote_event_id, l.qc AS quote_cents,
+       CAST(t.us - l.qus AS BIGINT) AS gap_us
+FROM tr t LEFT JOIN last_q l ON l.tid = t.event_id
+"""
+
+
+_S23_SPLIT = "2024-01-16"
+_S23_K = 5
+
+
+def s23_topk_drift_stream(spark, sf):
+    """Streaming top-k RANKING drift monitor (operators/drift.py
+    topk_drift) — the monitor family's ranking member, completing the
+    s14 (distincts) / s15 (top-k emit) / s19 (quantiles) / s20
+    (distribution PSI) spectrum: per (type × closed day), the day's
+    top-5 users by event count compared against the pre-split
+    reference top-5 — PSI answers "did the distribution move", this
+    answers "did the heavy hitters change".  The stream owns the
+    data-sized stage (the per-(type, day, user) windowed count agg,
+    append emits closed days); the ranking/overlap read runs as a
+    domain-bounded batch view.  Exact gate: counts, integer-ppm
+    Jaccard (the q176 integer-argument rule), null-safe top1_same
+    boolean.  Splice scoped to ``user_id IS NOT NULL`` — the
+    operator's NULL-item filter sits below EventTimeWatermark after
+    Catalyst's pushdown (the s20/s22 lesson; vacuous on this fixture
+    where user_id is never NULL, scoped anyway so a fixture accident
+    cannot silently diverge the gate)."""
+    from ..operators.drift import topk_drift
+    from ..operators.quantsketch import value_histogram_windowed
+    from ..streaming.core import run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf).select(
+        "event_type", "ts", F.col("user_id").alias("item")
+    )
+    hist = run_to_memory(
+        value_histogram_windowed(
+            sdf, ["event_type"], "ts", "item", bucket="day"
+        ),
+        "s23_topkhist",
+        n_state_partitions=8,
+    )
+    hist = hist.localCheckpoint(eager=True)  # the s15 lineage cut
+    return topk_drift(
+        hist, ["event_type"], "day", "item", "n", _S23_SPLIT, _S23_K
+    )
+
+
+S23_SQL = f"""
+WITH h AS MATERIALIZED (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         user_id AS item, CAST(count(*) AS BIGINT) AS n
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND date_trunc('day', ts)
+        < (SELECT date_trunc('day', max(ts)) FROM events
+           WHERE user_id IS NOT NULL)
+  GROUP BY 1, 2, 3
+), reft AS (
+  SELECT event_type, item, CAST(sum(n) AS BIGINT) AS n_ref
+  FROM h WHERE day < '{_S23_SPLIT}' GROUP BY 1, 2
+), refk AS MATERIALIZED (
+  SELECT event_type, item, rk FROM (
+    SELECT event_type, item,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY n_ref DESC, item) AS rk
+    FROM reft
+  ) WHERE rk <= {_S23_K}
+), curk AS MATERIALIZED (
+  SELECT event_type, day, item, rk FROM (
+    SELECT event_type, day, item,
+           row_number() OVER (PARTITION BY event_type, day
+                              ORDER BY n DESC, item) AS rk
+    FROM h WHERE day >= '{_S23_SPLIT}'
+  ) WHERE rk <= {_S23_K}
+), curstats AS (
+  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_cur_k,
+         arg_min(item, rk) AS cur_top1
+  FROM curk GROUP BY 1, 2
+), refstats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_ref_k,
+         arg_min(item, rk) AS ref_top1
+  FROM refk GROUP BY 1
+), com AS (
+  SELECT c.event_type, c.day, CAST(count(*) AS BIGINT) AS n_common
+  FROM curk c JOIN refk r ON r.event_type = c.event_type
+                         AND r.item = c.item
+  GROUP BY 1, 2
+)
+SELECT cs.event_type, cs.day,
+       CAST(COALESCE(rs.n_ref_k, 0) AS BIGINT) AS n_ref_k,
+       cs.n_cur_k,
+       CAST(COALESCE(m.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(m.n_common, 0) * 1000000
+            // (COALESCE(rs.n_ref_k, 0) + cs.n_cur_k
+                - COALESCE(m.n_common, 0)) AS BIGINT) AS jaccard_ppm,
+       rs.ref_top1, cs.cur_top1,
+       (rs.ref_top1 IS NOT DISTINCT FROM cs.cur_top1) AS top1_same
+FROM curstats cs
+LEFT JOIN refstats rs ON rs.event_type = cs.event_type
+LEFT JOIN com m ON m.event_type = cs.event_type AND m.day = cs.day
+"""
+
+
+_S24_SPLIT = "2024-01-16"
+# alarm threshold h = 3 x MAD: in MAD units (MAD ~ 0.674 sigma for a
+# normal) this is ~2 sigma — the fixture-binding choice (h=5 never
+# fires at sf0.001; 3 fires 1/12/5 alarms at the three sfs while
+# leaving the majority un-alarmed, both directions pinned by test)
+_S24_H = 3
+
+
+def s24_cusum_stream(spark, sf):
+    """Streaming CUSUM drift monitor (operators/monitor.py) — the
+    monitor family's change-point member (s20 PSI answers "did the
+    distribution move", s23 top-k answers "did the heavy hitters
+    change", this answers "did the LEVEL shift, and when"): the stream
+    owns the per-(type × day) cents TOTALS (keyed_sum_windowed — state
+    per open (type, day) is ONE int64, append emits closed days), and
+    the read fits the robust median/MAD baseline on pre-split days and
+    runs Page's one-sided CUSUM over the monitored days via the
+    clamped_balance Lindley reflection identity as ONE window pass
+    (cusum_daily_series).  Exact int64 end to end, alarm = S >
+    3·MAD (both alarm directions bind at every fixture sf) — no
+    ROUND anywhere.  Splice scoped to ``value IS NOT
+    NULL`` (the operator's amount-NULL filter lands below
+    EventTimeWatermark after Catalyst's pushdown — the s20/s22
+    lesson)."""
+    from ..operators.monitor import cusum_daily_series, keyed_sum_windowed
+    from ..operators.robust import cents
+    from ..streaming.core import run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf)
+    daily = run_to_memory(
+        keyed_sum_windowed(
+            sdf, ["event_type"], "ts", cents("value"), bucket="day"
+        ),
+        "s24_daily",
+        n_state_partitions=8,
+    )
+    daily = daily.localCheckpoint(eager=True)  # the s15 lineage cut
+    return cusum_daily_series(
+        daily, ["event_type"], "day", "total", _S24_SPLIT, h_mult=_S24_H
+    )
+
+
+S24_SQL = f"""
+WITH d AS MATERIALIZED (
+  SELECT event_type,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(sum({_CENTS}) AS BIGINT) AS total
+  FROM events
+  WHERE value IS NOT NULL
+    AND date_trunc('day', ts)
+        < (SELECT date_trunc('day', max(ts)) FROM events
+           WHERE value IS NOT NULL)
+  GROUP BY 1, 2
+), ref AS (
+  SELECT * FROM d WHERE day < '{_S24_SPLIT}'
+), med AS (
+  SELECT event_type, total AS med_ref FROM (
+    SELECT event_type, total, day,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY total, day) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM ref) WHERE rn = (n + 1) // 2
+), dev0 AS (
+  SELECT r.event_type, r.day, abs(r.total - m.med_ref) AS dv
+  FROM ref r JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, dv AS mad_ref FROM (
+    SELECT event_type, dv, day,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY dv, day) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM dev0) WHERE rn = (n + 1) // 2
+), base AS (
+  SELECT m.event_type, m.med_ref, a.mad_ref
+  FROM med m JOIN mad a USING (event_type)
+), series AS MATERIALIZED (
+  SELECT c.event_type, c.day, c.total AS x, b.med_ref, b.mad_ref,
+         c.total - b.med_ref - b.mad_ref AS dev
+  FROM d c LEFT JOIN base b USING (event_type)
+  WHERE c.day >= '{_S24_SPLIT}'
+), fold AS (
+  SELECT event_type, day, x, med_ref, mad_ref, dev,
+         CAST(sum(dev) OVER w AS BIGINT) AS prefix
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+), fold2 AS (
+  SELECT event_type, day, x, med_ref, mad_ref, dev, prefix,
+         CAST(least(min(prefix) OVER w2, 0) AS BIGINT) AS floor_
+  FROM fold
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, day, CAST(x AS BIGINT) AS day_total,
+       med_ref, mad_ref, CAST(dev AS BIGINT) AS dev,
+       CAST(prefix - floor_ AS BIGINT) AS cusum,
+       CASE WHEN mad_ref IS NOT NULL
+            THEN (prefix - floor_) > {_S24_H} * mad_ref END AS is_alarm
+FROM fold2
+"""
+
+
+_S25_WINDOW_DAYS = 7
+
+
+def s25_rolling_active_stream(spark, sf):
+    """Streaming rolling distinct actives (operators/rolling.py
+    rolling_active_from_pairs) — q168's production split: the stream
+    owns the (user × day) DISTINCT as a windowed count agg
+    (value_histogram_windowed with the user as the value — each
+    (user, closed day) pair emits exactly once), and the batch read
+    runs the contribution-explode DAU/WAU/stickiness over the emitted
+    pair frame — COUNT(DISTINCT) over a sliding frame stays illegal
+    on streams too, so the same rewrite carries.  Splice scoped to
+    ``user_id IS NOT NULL`` (the histogram stage's NULL-value filter
+    lands below EventTimeWatermark after Catalyst's pushdown — the
+    s20/s22 lesson; vacuous on this fixture, scoped anyway)."""
+    from ..operators.quantsketch import value_histogram_windowed
+    from ..operators.rolling import rolling_active_from_pairs
+    from ..streaming.core import run_to_memory, stream_events
+
+    sdf = stream_events(spark, sf).select("ts", "user_id")
+    pairs = run_to_memory(
+        value_histogram_windowed(
+            sdf, [], "ts", "user_id", bucket="day"
+        ),
+        "s25_active",
+        n_state_partitions=8,
+    )
+    pairs = pairs.localCheckpoint(eager=True)  # the s15 lineage cut
+    active = pairs.select("user_id", F.to_date("day").alias("_day"))
+    return rolling_active_from_pairs(
+        active, "user_id", "_day", _S25_WINDOW_DAYS
+    )
+
+
+S25_SQL = f"""
+WITH active AS MATERIALIZED (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+  WHERE user_id IS NOT NULL
+    AND date_trunc('day', ts)
+        < (SELECT date_trunc('day', max(ts)) FROM events
+           WHERE user_id IS NOT NULL)
+), days AS (
+  SELECT DISTINCT d FROM active
+), wau AS (
+  SELECT dy.d, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+  FROM days dy JOIN active a
+    ON a.d BETWEEN dy.d - {_S25_WINDOW_DAYS - 1} AND dy.d
+  GROUP BY 1
+), dau AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS dau FROM active GROUP BY 1
+)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+"""
+
+
 QUERIES = {
     "s01_tumbling_candles": s01_tumbling_candles,
     "s02_sliding_window": s02_sliding_window,
@@ -935,6 +1291,10 @@ QUERIES = {
     "s19_quantile_stream": s19_quantile_stream,
     "s20_psi_drift_stream": s20_psi_drift_stream,
     "s21_pit_enrich_stream": s21_pit_enrich_stream,
+    "s22_asof_enrich_stream": s22_asof_enrich_stream,
+    "s23_topk_drift_stream": s23_topk_drift_stream,
+    "s24_cusum_stream": s24_cusum_stream,
+    "s25_rolling_active_stream": s25_rolling_active_stream,
 }
 
 # DuckDB twins of the drained streaming output (see module docstring for
@@ -1144,4 +1504,8 @@ ORACLE = {
     "s19_quantile_stream": S19_SQL,
     "s20_psi_drift_stream": S20_SQL,
     "s21_pit_enrich_stream": S21_SQL,
+    "s22_asof_enrich_stream": S22_SQL,
+    "s23_topk_drift_stream": S23_SQL,
+    "s24_cusum_stream": S24_SQL,
+    "s25_rolling_active_stream": S25_SQL,
 }

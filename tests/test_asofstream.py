@@ -137,7 +137,7 @@ def test_gate_binding(spark):
     """Fixture binding at both gate sfs: the enriched AND the NULL
     buckets are both non-empty, so the gate exercises the quote
     lookup and the no-prior-quote surface simultaneously."""
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.sblock import (  # noqa: E501
         s22_asof_enrich_stream,
     )
 

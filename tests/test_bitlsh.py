@@ -96,7 +96,7 @@ def test_signature_is_balanced_not_degenerate(spark):
     """On the real fixture the sign bits must actually vary — a
     constant signature would make Hamming vacuous and the gate a
     plain brute-force rerank."""
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
         q195_bitlsh_topk,
     )
 
@@ -123,7 +123,7 @@ def test_recall_floor_vs_exact_bruteforce(spark):
     from live_market_data_orderflow_analysis_big_data_project__spark.operators.cluster import (  # noqa: E501
         quantize_vectors,
     )
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
         q195_bitlsh_topk,
     )
 

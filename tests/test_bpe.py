@@ -201,7 +201,7 @@ def test_batched_gate_binding(spark):
         bpe_merges,
         bpe_merges_batched,
     )
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
         _Q194_M,
         _Q194_ROUNDS,
         q194_bpe_batched,

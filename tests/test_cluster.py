@@ -353,7 +353,7 @@ def test_ivfpq_restriction_binds_on_fixture(spark):
     from live_market_data_orderflow_analysis_big_data_project__spark.operators.cluster import (  # noqa: E501
         ivf_pq_topk,
     )
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
         _Q193_CI,
         _Q193_CK,
         _Q193_DIM,

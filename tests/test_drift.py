@@ -286,7 +286,7 @@ def test_s23_gate_binding(spark):
     divergence simultaneously (the q172 binding discipline)."""
     from conftest import SF0001, SF001
 
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.sblock import (  # noqa: E501
         _S23_K,
         s23_topk_drift_stream,
     )

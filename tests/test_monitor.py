@@ -122,7 +122,7 @@ def test_cusum_series_matches_hand_lindley_loop(spark):
 
 
 def test_cusum_gate_alarm_binds_both_directions(spark):
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.sblock import (  # noqa: E501
         s24_cusum_stream,
     )
 
@@ -143,7 +143,7 @@ def test_rolling_active_stream_matches_batch_on_closed_days(spark):
     from live_market_data_orderflow_analysis_big_data_project__spark.operators.rolling import (  # noqa: E501
         rolling_active_users,
     )
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.sblock import (  # noqa: E501
         s25_rolling_active_stream,
     )
     from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (  # noqa: E501

@@ -85,7 +85,7 @@ def test_gate_flag_binds_both_directions(spark):
     """At both gate sfs the exact-integer flag must fire for SOME
     docs and pass others (a constant boolean column degenerates the
     gate to the numeric columns alone)."""
-    from live_market_data_orderflow_analysis_big_data_project__spark.queries.staging import (  # noqa: E501
+    from live_market_data_orderflow_analysis_big_data_project__spark.queries.ablock import (  # noqa: E501
         q196_char_entropy,
     )
 

@@ -123,10 +123,10 @@ PROBE_QUERIES = [
     ("q190_staged_bpe", "STAGED r12 (now queries/ablock.py): BPE merge learning — corpus-sized work is ONE token count; 3 merge rounds on the vocab frame, 1-row argmax collects"),
     ("q191_staged_pq", "STAGED r12 (now queries/ablock.py): PQ-ADC top-k — m bounded Lloyd loops (broadcast assigns + (cluster,dim) update shuffles), then the CODES frame joins an n_queries*m*k-row broadcast table; no full-vector traffic at query time"),
     ("q192_staged_seasonal", "STAGED r12 (now queries/ablock.py): seasonal day-of-week MAD screen — one daily-totals shuffle, then two keyed selection windows + two broadcast baseline joins on the domain-bounded (type x day) frame"),
-    ("q193_staged_ivfpq", "STAGED r13 (r15 cohort): IVF-PQ top-k — coarse + m PQ Lloyd loops (broadcast assigns + (cluster,dim) update shuffles), search joins the codes frame against an n_queries*nprobe broadcast of probed lists then the broadcast ADC table; per-query work proportional to probed-list population, never the corpus"),
-    ("q194_staged_bpebatch", "STAGED r13 (r15 cohort): batched BPE — one corpus token-count shuffle, then n_rounds vocab-frame pair counts with ONE m-row collect each (k/m driver round-trips, the q190 shape batched)"),
-    ("q195_staged_bitlsh", "STAGED r14 (r15 cohort): hyperplane bit-LSH top-k — one narrow signature projection (B aggregate HOFs, JVM codegen, no shuffle), candidate generation scans n_queries x n SIGNATURE bigints through a per-query top-C window, only n_queries x C rows rejoin full vectors"),
-    ("q196_staged_entropy", "STAGED r14 (r15 cohort): char-entropy quality screen — one (doc, char) explode linear in corpus bytes + one map-side-collapsing (doc, char) count shuffle (<= |alphabet| rows per doc out) + one doc-keyed agg"),
+    ("q193_staged_ivfpq", "STAGED r13 (now queries/ablock.py): IVF-PQ top-k — coarse + m PQ Lloyd loops (broadcast assigns + (cluster,dim) update shuffles), search joins the codes frame against an n_queries*nprobe broadcast of probed lists then the broadcast ADC table; per-query work proportional to probed-list population, never the corpus"),
+    ("q194_staged_bpebatch", "STAGED r13 (now queries/ablock.py): batched BPE — one corpus token-count shuffle, then n_rounds vocab-frame pair counts with ONE m-row collect each (k/m driver round-trips, the q190 shape batched)"),
+    ("q195_staged_bitlsh", "STAGED r14 (now queries/ablock.py): hyperplane bit-LSH top-k — one narrow signature projection (B aggregate HOFs, JVM codegen, no shuffle), candidate generation scans n_queries x n SIGNATURE bigints through a per-query top-C window, only n_queries x C rows rejoin full vectors"),
+    ("q196_staged_entropy", "STAGED r14 (now queries/ablock.py): char-entropy quality screen — one (doc, char) explode linear in corpus bytes + one map-side-collapsing (doc, char) count shuffle (<= |alphabet| rows per doc out) + one doc-keyed agg"),
 ]
 
 
@@ -396,19 +396,19 @@ def _custom_probes():
         ),
         "q193_staged_ivfpq": (
             None,
-            lambda spark, sf, ctx: staging.q193_ivfpq_topk(spark, sf),
+            lambda spark, sf, ctx: ablock.q193_ivfpq_topk(spark, sf),
         ),
         "q194_staged_bpebatch": (
             None,
-            lambda spark, sf, ctx: staging.q194_bpe_batched(spark, sf),
+            lambda spark, sf, ctx: ablock.q194_bpe_batched(spark, sf),
         ),
         "q195_staged_bitlsh": (
             None,
-            lambda spark, sf, ctx: staging.q195_bitlsh_topk(spark, sf),
+            lambda spark, sf, ctx: ablock.q195_bitlsh_topk(spark, sf),
         ),
         "q196_staged_entropy": (
             None,
-            lambda spark, sf, ctx: staging.q196_char_entropy(spark, sf),
+            lambda spark, sf, ctx: ablock.q196_char_entropy(spark, sf),
         ),
         "q147_staged_pps": (
             None,
