@@ -164,6 +164,19 @@ def bit_lsh_topk(
             f"bit_lsh_topk: only {n_q} vectors available for "
             f"n_queries={n_queries}"
         )
+    # a non-binding Hamming cut would silently turn the approximate
+    # path into a brute-force exact rerank of the whole corpus — fail
+    # loudly instead, mirroring the n_queries under-fill guard (the
+    # count is free: `sigs` is already checkpointed).  Callers that
+    # WANT the exact answer should use the exact kNN operator.
+    n_corpus = sigs.count()
+    if n_candidates >= n_corpus:
+        raise ValueError(
+            f"bit_lsh_topk: n_candidates={n_candidates} >= corpus size "
+            f"{n_corpus} - the Hamming cut would be vacuous (a "
+            "brute-force rerank in disguise); lower n_candidates or "
+            "use the exact kNN path"
+        )
 
     # candidate generation on SIGNATURES only: broadcast the
     # n_queries-row frame (sans vectors) against the (id, sig) frame

@@ -446,10 +446,30 @@ def ivf_pq_topk(
         ).localCheckpoint(eager=True)
         return sub, _fit_centroids(sub, id_col, k, iters)
 
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 
+    # submit + wait(FIRST_EXCEPTION) instead of pool.map so a failing
+    # sub-chain (e.g. the seed under-fill ValueError) surfaces as soon
+    # as it happens, not in submission order after healthy siblings
+    # run to completion; queued-but-unstarted siblings are cancelled
+    # (the r14 ADVICE).  A sibling whose Spark job is already IN
+    # FLIGHT still finishes its current action — Python threads cannot
+    # be interrupted — but no further round of its Lloyd chain starts
+    # once the failure propagates from here.  pq_adc_topk keeps the
+    # plain pool.map until q191 re-enters the driver window (r18) —
+    # editing its closure now would orphan its standing r14 evidence
+    # (tools/stale_check.py's contract).
     with ThreadPoolExecutor(max_workers=m) as pool:
-        fitted = list(pool.map(_fit_sub, range(m)))
+        futs = [pool.submit(_fit_sub, s) for s in range(m)]
+        done, _ = wait(futs, return_when=FIRST_EXCEPTION)
+        failed = next(
+            (f for f in done if f.exception() is not None), None
+        )
+        if failed is not None:
+            for f in futs:
+                f.cancel()
+            raise failed.exception()
+        fitted = [f.result() for f in futs]
 
     codes_parts, table_parts = [], []
     for s, (sub, cent_s) in enumerate(fitted):

@@ -158,3 +158,11 @@ def test_contract_guards(spark):
         bit_lsh_topk(df, "vec_id", "embedding", 3, 8, 2, 1, 2).collect()
     with pytest.raises(ValueError, match="available"):
         bit_lsh_topk(df, "vec_id", "embedding", 2, 8, 2, 5, 2)
+    # n_candidates >= corpus: the Hamming cut would be vacuous (a
+    # brute-force rerank in disguise) — loud, like the other guards
+    two = spark.createDataFrame(
+        [(0, [0.1, 0.2]), (1, [0.3, -0.4])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="vacuous"):
+        bit_lsh_topk(two, "vec_id", "embedding", 2, 8, 2, 1, 2)

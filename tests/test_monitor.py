@@ -179,6 +179,8 @@ def test_keyed_sum_windowed_drops_late_rows(spark):
     batch is dropped.  Sequential delivery therefore excludes the
     two-batches-late row; single-batch delivery (the gate's
     single-file replay) includes everything."""
+    import glob
+    import os
     import time
 
     from live_market_data_orderflow_analysis_big_data_project__spark.streaming.core import (  # noqa: E501
@@ -192,15 +194,24 @@ def test_keyed_sum_windowed_drops_late_rows(spark):
     b3 = [("a", _t(1, 20), 100),  # two batches late: state gone -> drop
           ("a", _t(4, 8), 2)]
     tmp = tempfile.mkdtemp(prefix="s24_late_")
-    for part in (b1, b2, b3):
+    # FileStreamSource orders and admits by file TIMESTAMP: files
+    # carrying the same second land in ONE batch even under
+    # maxFilesPerTrigger=1 (measured) — distinct mtimes are what make
+    # the sequential case genuinely sequential.  Stamp each append's
+    # part files with an explicit strictly-increasing whole-second
+    # mtime instead of sleeping past the clock tick: exact on slow or
+    # coarse-mtime filesystems (the r14 ADVICE flake) and faster.
+    base = int(time.time()) - 60
+    stamped: set[str] = set()
+    for i, part in enumerate((b1, b2, b3)):
         spark.createDataFrame(part, schema).coalesce(1).write.mode(
             "append"
         ).parquet(tmp)
-        # FileStreamSource orders and admits by file TIMESTAMP: files
-        # written within the same second land in ONE batch even under
-        # maxFilesPerTrigger=1 (measured) — distinct mtimes are what
-        # make the sequential case genuinely sequential
-        time.sleep(1.1)
+        t_i = base + i * 2
+        for f in glob.glob(os.path.join(tmp, "*.parquet")):
+            if f not in stamped:
+                os.utime(f, (t_i, t_i))
+                stamped.add(f)
 
     def drained(max_files):
         sdf = stream_events_dir(
