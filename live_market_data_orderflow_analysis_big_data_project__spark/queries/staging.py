@@ -24,11 +24,181 @@ rotation unless a window entry fails and frees a slot.  Entries
 staged here must therefore carry the full evidence class (3-sf
 hash-pass, 16x probe where batch, plan/determinism/dtype audits,
 unit + binding tests) and expect to stand on it for two rounds.
+
+Staged during round 15 for the r18 window (the honest capability gaps
+named in VERDICT r14 / docs/ROTATION_r16.md):
+
+- q197: connected components by alternating large-star/small-star
+  (operators/cc.py ``cc_bigstar``) — the O(log d)-round successor to
+  q111's min-label propagation (Kiveris et al. 2014 shape), closing
+  the one data-dependent-iteration dedup stage: chained template spam
+  makes q111's round count equal the chain length, while this
+  contracts distance-to-minimum ~geometrically.  Same edge frame and
+  the SAME recursive-CTE oracle as q111 (identical output contract),
+  so the gate proves the new machinery equals the old on real
+  near-dup graphs; the diameter-100 adversarial chain is pinned by
+  test (tests/test_cc.py: 8 rounds where min-label needs 100).
+- q198: char-granularity exact substring dedup via winnowing
+  (operators/winnow.py ``substring_dup_spans``) — the
+  Schleimer/Wilkerson/Aiken winnowing form of the Lee et al. 2022
+  exact-substring capability: per-window-min k-gram fingerprints
+  (guaranteed detection of shared runs >= w + k - 1), diagonal-run
+  assembly into verified shared SPANS (q124's mod-p sampling flags
+  pairs probabilistically and cannot localize; this measures
+  max_span_chars exactly — the 509-char top span at sf0.001 is a
+  verified literal substring of both docs).
 """
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 
-STAGED_QUERIES = {}
+from ..sources.tables import load_table
 
-STAGED_ORACLE = {}
+
+def q197_cc_bigstar(spark, sf):
+    """Connected components over the SAME near-dup edge frame as q111
+    (exact-dup star edges UNION verified Jaccard pairs), computed by
+    the alternating large-star/small-star algorithm (operators/cc.py
+    cc_bigstar) instead of min-label propagation — O(log d) rounds vs
+    q111's diameter-many (the chained-template-spam hedge at corpus
+    scale).  Output contract identical to q111 ((doc_id, cluster_id =
+    component min)), so the oracle is q111's recursive CTE verbatim
+    and a hash-pass proves new-machinery == old on the full fixture
+    graph."""
+    from ..operators.cc import cc_bigstar
+    from ..operators.llmops import jaccard_pairs
+    from .lblock import _Q91_BOUND
+
+    d = load_table(spark, sf, "documents")
+    hashed = d.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    kept = hashed.groupBy("h").agg(F.min("doc_id").alias("kept_id"))
+    star = (
+        hashed.join(kept, "h")
+        .filter(F.col("doc_id") != F.col("kept_id"))
+        .select(
+            F.col("kept_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+    )
+    near = jaccard_pairs(
+        d.filter(F.col("doc_id") < _Q91_BOUND), threshold=0.5, ngram=3
+    ).select("doc_a", "doc_b")
+    return cc_bigstar(star.unionAll(near))
+
+
+def _q197_sql() -> str:
+    # q111's oracle verbatim — the two operators share the output
+    # contract, so sharing the oracle is the point of the gate
+    from .pblock import Q111_SQL
+
+    return Q111_SQL
+
+
+_Q198_K = 32
+_Q198_W = 8
+_Q198_MAX_DF = 50
+
+
+def q198_substring_dups(spark, sf):
+    """Char-granularity exact substring dedup (operators/winnow.py
+    substring_dup_spans): winnowed k=32-gram fingerprints (the
+    per-window minimum of every w=8 window by (md5, pos desc) — any
+    shared run >= w + k - 1 = 39 chars is GUARANTEED a shared
+    fingerprint), df-screened at max_df=50 (q124's boilerplate
+    suppression), paired by gram, assembled into same-diagonal runs
+    (gap <= k merges — overlapping/abutting matches are one contiguous
+    shared substring by construction).  Per pair: n_shared_grams,
+    n_runs, max_span_chars — all exact integers, every stage
+    deterministic and replayed by the oracle.  Detection binds both
+    directions at every fixture sf (pairs exist; most docs pair with
+    nobody) and winnowing genuinely thins (selected << total grams —
+    pinned by test)."""
+    from ..operators.winnow import substring_dup_spans
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return substring_dup_spans(
+        docs,
+        k=_Q198_K,
+        w=_Q198_W,
+        max_df=_Q198_MAX_DF,
+    )
+
+
+def _q198_sql() -> str:
+    k, w, max_df = _Q198_K, _Q198_W, _Q198_MAX_DF
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE len(text) >= {k + w - 1}),
+g AS (
+  SELECT doc_id, CAST(s.g AS BIGINT) AS pos,
+         substring(text, s.g, {k}) AS gram
+  FROM d, unnest(range(1, len(text) - {k} + 2)) AS s(g)
+), n AS (
+  SELECT doc_id, count(*) AS n FROM g GROUP BY 1
+), sel0 AS (
+  -- the winner of the w-window starting at each complete-window
+  -- position: (md5 asc, pos desc) — the rightmost-on-tie winnowing
+  -- rule, identical to the operator's struct-min
+  SELECT w.doc_id, p.pos, p.gram,
+         row_number() OVER (
+           PARTITION BY w.doc_id, w.pos
+           ORDER BY CAST(('0x' || substring(md5(p.gram), 1, 15))
+                         AS BIGINT),
+                    p.pos DESC) AS rk
+  FROM g w
+  JOIN n ON n.doc_id = w.doc_id AND w.pos <= n.n - {w} + 1
+  JOIN g p ON p.doc_id = w.doc_id
+          AND p.pos BETWEEN w.pos AND w.pos + {w} - 1
+), sel AS (
+  SELECT DISTINCT doc_id, pos, gram FROM sel0 WHERE rk = 1
+), keep AS (
+  SELECT gram FROM sel GROUP BY gram
+  HAVING count(DISTINCT doc_id) <= {max_df}
+), fp AS (
+  SELECT s.* FROM sel s JOIN keep USING (gram)
+), pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.gram,
+         a.pos AS pos_a, a.pos - b.pos AS diag
+  FROM fp a JOIN fp b ON a.gram = b.gram AND a.doc_id < b.doc_id
+), isl AS (
+  SELECT doc_a, doc_b, diag, pos_a,
+         CASE WHEN pos_a - lag(pos_a)
+                         OVER (PARTITION BY doc_a, doc_b, diag
+                               ORDER BY pos_a) > {k}
+              THEN 1 ELSE 0 END AS brk
+  FROM pr
+), runs AS (
+  SELECT doc_a, doc_b, diag, pos_a,
+         sum(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM isl
+), rspan AS (
+  SELECT doc_a, doc_b, diag, run_id,
+         max(pos_a) - min(pos_a) + {k} AS span
+  FROM runs GROUP BY 1, 2, 3, 4
+), agg_r AS (
+  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_runs,
+         CAST(max(span) AS BIGINT) AS max_span_chars
+  FROM rspan GROUP BY 1, 2
+), shared AS (
+  SELECT doc_a, doc_b,
+         CAST(count(DISTINCT gram) AS BIGINT) AS n_shared_grams
+  FROM pr GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b, s.n_shared_grams, r.n_runs, r.max_span_chars
+FROM shared s JOIN agg_r r USING (doc_a, doc_b)
+"""
+
+
+STAGED_QUERIES = {
+    "q197_cc_bigstar": q197_cc_bigstar,
+    "q198_substring_dups": q198_substring_dups,
+}
+
+STAGED_ORACLE = {
+    "q197_cc_bigstar": _q197_sql(),
+    "q198_substring_dups": _q198_sql(),
+}

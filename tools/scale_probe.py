@@ -127,6 +127,8 @@ PROBE_QUERIES = [
     ("q194_staged_bpebatch", "STAGED r13 (now queries/ablock.py): batched BPE — one corpus token-count shuffle, then n_rounds vocab-frame pair counts with ONE m-row collect each (k/m driver round-trips, the q190 shape batched)"),
     ("q195_staged_bitlsh", "STAGED r14 (now queries/ablock.py): hyperplane bit-LSH top-k — one narrow signature projection (B aggregate HOFs, JVM codegen, no shuffle), candidate generation scans n_queries x n SIGNATURE bigints through a per-query top-C window, only n_queries x C rows rejoin full vectors"),
     ("q196_staged_entropy", "STAGED r14 (now queries/ablock.py): char-entropy quality screen — one (doc, char) explode linear in corpus bytes + one map-side-collapsing (doc, char) count shuffle (<= |alphabet| rows per doc out) + one doc-keyed agg"),
+    ("q197_staged_ccbigstar", "STAGED r15 (r18 cohort): large-star/small-star connected components — two keyed self-groupings of a SHRINKING edge frame per round, O(log d) rounds vs min-label's diameter; per-round lineage cuts; 16x data grows the edge frame, not the round count"),
+    ("q198_staged_substrdup", "STAGED r15 (r18 cohort): winnowed substring dedup — gram explode linear in corpus chars + ONE w-row ordered window pass per doc; downstream runs on the ~2/(w+1)-selected fingerprint frame with max_df-bounded pair fan-out"),
 ]
 
 
@@ -409,6 +411,14 @@ def _custom_probes():
         "q196_staged_entropy": (
             None,
             lambda spark, sf, ctx: ablock.q196_char_entropy(spark, sf),
+        ),
+        "q197_staged_ccbigstar": (
+            None,
+            lambda spark, sf, ctx: staging.q197_cc_bigstar(spark, sf),
+        ),
+        "q198_staged_substrdup": (
+            None,
+            lambda spark, sf, ctx: staging.q198_substring_dups(spark, sf),
         ),
         "q147_staged_pps": (
             None,
