@@ -47,6 +47,15 @@ named in VERDICT r14 / docs/ROTATION_r16.md):
   pairs probabilistically and cannot localize; this measures
   max_span_chars exactly — the 509-char top span at sf0.001 is a
   verified literal substring of both docs).
+- s26: streaming incremental banded-LSH near-dup ingest
+  (operators/incdedup.py ``banded_pairs_from_fps`` + the foreachBatch
+  fingerprint store) — q149's production loop as a real micro-batch
+  pipeline: each ingest batch is SimHash-fingerprinted independently
+  (per-doc stateless => batch-invariant, pinned by a 3-batch replay
+  test), appended exactly-once to the shard fp store (the s13
+  batch_id idempotency pattern), band-joined against the persisted
+  index at read time.  Oracle = q149's SQL verbatim (no splice — the
+  s21 stateless class); exact recall by pigeonhole.
 """
 
 from __future__ import annotations
@@ -193,12 +202,96 @@ FROM shared s JOIN agg_r r USING (doc_a, doc_b)
 """
 
 
+def s26_incremental_lsh_stream(spark, sf):
+    """Streaming incremental banded-LSH near-dup ingest — q149's
+    production loop as a REAL micro-batch pipeline (the s12 exact-hash
+    twin's missing similarity rung): the shard band of the documents
+    table replays through the file source, each micro-batch is SimHash-
+    fingerprinted independently inside ``foreachBatch`` (per-doc
+    stateless, so batch boundaries cannot change the result) and
+    appended exactly-once to the shard fingerprint store (one
+    ``batch_id=`` dir per batch — the s13 idempotency pattern); the
+    read stage band-joins the accumulated store against the persisted
+    index fingerprints (banded_pairs_from_fps), emitting (shard x
+    index) + (shard x shard) pairs with exact recall by pigeonhole.
+    No watermark, no state store, no splice — per-row stateless (the
+    s21 class), so the oracle is q149's SQL verbatim and the gate
+    proves stream == batch on the identical pair set.  Per-ingest cost
+    is O(shard batch): the corpus is never re-fingerprinted — the
+    point of the pattern at 100 TB."""
+    import os
+    import tempfile
+
+    from ..operators.incdedup import banded_pairs_from_fps
+    from ..operators.llmops import simhash_fingerprints_long
+    from ..streaming.core import foreach_batch_sink, stream_table
+    from .ablock import _Q149_BOUND
+
+    docs = load_table(spark, sf, "documents").filter(
+        F.col("doc_id") < _Q149_BOUND
+    )
+    split = docs.agg(F.expr("(max(doc_id) * 4) div 5").alias("__s"))
+    d = docs.crossJoin(F.broadcast(split))
+    index_fps = simhash_fingerprints_long(
+        d.filter(F.col("doc_id") < F.col("__s"))
+    ).localCheckpoint(eager=True)
+
+    # the split scalar reaches the stream via a broadcast stream-static
+    # equi-join on a literal key (stream-side cross joins are not
+    # supported; a driver collect is the q137/q149 anti-pattern)
+    sdocs = stream_table(spark, sf, "documents").select(
+        "doc_id", "text", F.lit(1).alias("__k")
+    )
+    sp = split.select("__s", F.lit(1).alias("__k"))
+    shard_stream = (
+        sdocs.join(F.broadcast(sp), "__k")
+        .where(
+            (F.col("doc_id") >= F.col("__s"))
+            & (F.col("doc_id") < _Q149_BOUND)
+        )
+        .select("doc_id", "text")
+    )
+
+    base = tempfile.mkdtemp(prefix="s26_lsh_")
+    store = os.path.join(base, "fps")
+
+    def fp_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return  # AvailableNow's final no-data batch
+        simhash_fingerprints_long(batch_df).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(store, f"batch_id={batch_id}"))
+
+    q = foreach_batch_sink(
+        shard_stream, fp_batch, os.path.join(base, "ckpt")
+    )
+    if not q.awaitTermination(300):
+        q.stop()  # the s13 lesson: never leave an orphan query running
+        raise RuntimeError("s26 availableNow drain timed out after 300s")
+    shard_fps = (
+        spark.read.parquet(store)
+        .drop("batch_id")
+        .localCheckpoint(eager=True)
+    )
+    return banded_pairs_from_fps(index_fps, shard_fps, max_hamming=2)
+
+
+def _s26_sql() -> str:
+    # q149's oracle verbatim — the stream is per-row stateless, so the
+    # drained pair set IS the batch pair set (no splice)
+    from .ablock import Q149_SQL
+
+    return Q149_SQL
+
+
 STAGED_QUERIES = {
     "q197_cc_bigstar": q197_cc_bigstar,
     "q198_substring_dups": q198_substring_dups,
+    "s26_incremental_lsh_stream": s26_incremental_lsh_stream,
 }
 
 STAGED_ORACLE = {
     "q197_cc_bigstar": _q197_sql(),
     "q198_substring_dups": _q198_sql(),
+    "s26_incremental_lsh_stream": _s26_sql(),
 }

@@ -58,6 +58,26 @@ def stream_events(
     return _normalize_ts(df)
 
 
+def stream_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source replay of ANY fixture table as a streaming frame —
+    the generalization of :func:`stream_events` (same
+    schema-from-the-batch-reader convention and ts normalization; the
+    glob pins the single table file so sibling tables in the fixture
+    dir are not picked up)."""
+    raw_schema = load_table(spark, sf_dir, name, normalize=False).schema
+    reader = spark.readStream.schema(raw_schema).option(
+        "pathGlobFilter", f"{name}.parquet"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _normalize_ts(reader.parquet(sf_dir))
+
+
 def stream_events_dir(
     spark: SparkSession,
     path: str,
