@@ -56,6 +56,15 @@ named in VERDICT r14 / docs/ROTATION_r16.md):
   batch_id idempotency pattern), band-joined against the persisted
   index at read time.  Oracle = q149's SQL verbatim (no splice — the
   s21 stateless class); exact recall by pigeonhole.
+- q199: Zipf-aware certified top-k (operators/topk.py
+  ``topk_threshold_rollup``, the candidate carried on VERDICT's list
+  since r12) — the q143 certified heavy-hitter structure with a
+  phi = 1/theta SUPPORT cut instead of the fixed rank-m cut: kept
+  rows adapt to the Zipf head (<= theta + 1 per bucket, far fewer on
+  skewed buckets; dropped mass provably < total/theta), the
+  merge/read certificate algebra is q143's verbatim, and uniform
+  buckets degrade LOUDLY (top-1 only, certified=false) — pinned by
+  tests over both the Zipf token frame and the uniform events frame.
 """
 
 from __future__ import annotations
@@ -284,14 +293,114 @@ def _s26_sql() -> str:
     return Q149_SQL
 
 
+_Q199_THETA = 64
+_Q199_K = 5
+
+
+def q199_topk_zipf(spark, sf):
+    """Zipf-aware certified top-k (operators/topk.py
+    topk_threshold_rollup — the q143 capability's phi-heavy-hitter
+    constructor, carried on VERDICT's list since r12): most frequent
+    word tokens per language, bucketed by source, with the cut at
+    ceil(bucket_total / theta=64) instead of q143's fixed rank-m —
+    space adapts to the Zipf head (kept rows bounded by theta + 1
+    per bucket unconditionally, far fewer on skewed buckets) and the
+    dropped mass is provably below total/theta, so tail bounds are
+    distribution-tight.  The merge and the self-certifying read are
+    q143's topk_merge/topk_read VERBATIM — same certified structure,
+    second constructor.  On the fixture the threshold genuinely drops
+    (most buckets), maps are multi-item, and BOTH certificate
+    outcomes appear at the gate sfs (1/5 groups certified at
+    sf0.001/0.01, 5/5 at sf0.1) — pinned by test.  Word frequencies
+    are the canonical Zipf domain ('most frequent n-grams per shard',
+    the operator docstring's own example)."""
+    from ..operators.llmops import tokens_col
+    from ..operators.topk import (
+        topk_merge,
+        topk_read,
+        topk_threshold_rollup,
+    )
+
+    d = load_table(spark, sf, "documents").select(
+        "lang", "source", F.explode(tokens_col("text")).alias("tok")
+    )
+    rollup = topk_threshold_rollup(
+        d, ["lang"], "source", "tok", theta=_Q199_THETA
+    )
+    merged = topk_merge(rollup, ["lang"])
+    return topk_read(merged, ["lang"], k=_Q199_K).select(
+        "lang", "item", "est", "upper", "rank", "certified"
+    )
+
+
+def _q199_sql() -> str:
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '\\W+'),"
+        " x -> x <> '')"
+    )
+    th, k = _Q199_THETA, _Q199_K
+    return f"""
+WITH c AS (
+  SELECT lang, source, tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT lang, source, unnest({toks}) AS tok FROM documents)
+  GROUP BY 1, 2, 3
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY n DESC, tok ASC) AS rn,
+         (sum(n) OVER (PARTITION BY lang, source) + {th} - 1) // {th}
+           AS thr
+  FROM c
+), kept AS (
+  SELECT *, (n >= thr OR rn = 1) AS keep FROM r
+), tb AS (
+  SELECT lang, source,
+         coalesce(max(CASE WHEN NOT keep THEN n END), 0) AS tail_bound
+  FROM kept GROUP BY 1, 2
+), slack AS (
+  SELECT lang, CAST(sum(tail_bound) AS BIGINT) AS total_slack
+  FROM tb GROUP BY 1
+), merged AS (
+  SELECT x.lang, x.tok AS item, CAST(sum(x.n) AS BIGINT) AS est,
+         CAST(sum(t.tail_bound) AS BIGINT) AS reported_tb
+  FROM kept x JOIN tb t ON x.lang = t.lang AND x.source = t.source
+  WHERE x.keep
+  GROUP BY 1, 2
+), m2 AS (
+  SELECT m.lang, m.item, m.est,
+         m.est + s.total_slack - m.reported_tb AS upper,
+         s.total_slack
+  FROM merged m JOIN slack s USING (lang)
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY est DESC, item ASC) AS rank
+  FROM m2
+), kth AS (
+  SELECT lang, min(est) AS kth_est, max(total_slack) AS slk
+  FROM ranked WHERE rank <= {k} GROUP BY 1
+), outs AS (
+  SELECT lang, max(upper) AS best_out
+  FROM ranked WHERE rank > {k} GROUP BY 1
+)
+SELECT r.lang, r.item, r.est, r.upper, CAST(r.rank AS BIGINT) AS rank,
+       (k.kth_est > greatest(coalesce(o.best_out, 0), k.slk)) AS certified
+FROM ranked r
+JOIN kth k USING (lang)
+LEFT JOIN outs o USING (lang)
+WHERE r.rank <= {k}
+"""
+
+
 STAGED_QUERIES = {
     "q197_cc_bigstar": q197_cc_bigstar,
     "q198_substring_dups": q198_substring_dups,
     "s26_incremental_lsh_stream": s26_incremental_lsh_stream,
+    "q199_topk_zipf": q199_topk_zipf,
 }
 
 STAGED_ORACLE = {
     "q197_cc_bigstar": _q197_sql(),
     "q198_substring_dups": _q198_sql(),
     "s26_incremental_lsh_stream": _s26_sql(),
+    "q199_topk_zipf": _q199_sql(),
 }

@@ -129,6 +129,7 @@ PROBE_QUERIES = [
     ("q196_staged_entropy", "STAGED r14 (now queries/ablock.py): char-entropy quality screen — one (doc, char) explode linear in corpus bytes + one map-side-collapsing (doc, char) count shuffle (<= |alphabet| rows per doc out) + one doc-keyed agg"),
     ("q197_staged_ccbigstar", "STAGED r15 (r18 cohort): large-star/small-star connected components — two keyed self-groupings of a SHRINKING edge frame per round, O(log d) rounds vs min-label's diameter; per-round lineage cuts; 16x data grows the edge frame, not the round count"),
     ("q198_staged_substrdup", "STAGED r15 (r18 cohort): winnowed substring dedup — gram explode linear in corpus chars + ONE w-row ordered window pass per doc; downstream runs on the ~2/(w+1)-selected fingerprint frame with max_df-bounded pair fan-out"),
+    ("q199_staged_topkzipf", "STAGED r15 (r18 cohort): Zipf-aware certified top-k — one (group,bucket,item) token-count shuffle + per-bucket total/rank windows; kept rows <= theta+1 per bucket, merge/read run on the rollup frame"),
 ]
 
 
@@ -419,6 +420,10 @@ def _custom_probes():
         "q198_staged_substrdup": (
             None,
             lambda spark, sf, ctx: staging.q198_substring_dups(spark, sf),
+        ),
+        "q199_staged_topkzipf": (
+            None,
+            lambda spark, sf, ctx: staging.q199_topk_zipf(spark, sf),
         ),
         "q147_staged_pps": (
             None,
