@@ -679,8 +679,8 @@ def q136_ann_recall_gate(spark, sf):
             ["left_id", "right_id"],
         ),
     }
-    rows = []
-    for path, (exact, approx, on) in fams.items():
+    def _family(path):
+        exact, approx, on = fams[path]
         # One action per family: left-join the approx side with a hit
         # marker so n_exact and n_hit come from a single pass (the exact
         # pair-sets are the expensive part; computing them twice doubled
@@ -699,13 +699,31 @@ def q136_ann_recall_gate(spark, sf):
             "q136 recall %s = %.4f (floor %.2f, n_exact %d)",
             path, recall, _Q136_FLOORS[path], hit["n_exact"],
         )
-        rows.append(
-            (
-                path,
-                hit["n_exact"],
-                hit["n_hit"] >= _Q136_FLOORS[path] * hit["n_exact"],
-            )
+        return (
+            path,
+            hit["n_exact"],
+            hit["n_hit"] >= _Q136_FLOORS[path] * hit["n_exact"],
         )
+
+    # The three families are independent blocking collects — run them
+    # as concurrent Spark jobs (the q191/ivf concurrent-submission
+    # pattern: submit + wait(FIRST_EXCEPTION) so a failing family
+    # surfaces immediately and queued siblings are cancelled).  Rows
+    # assemble in fams order, so the output is order-deterministic
+    # regardless of which family finishes first.
+    from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
+
+    with ThreadPoolExecutor(max_workers=len(fams)) as pool:
+        futs = {p: pool.submit(_family, p) for p in fams}
+        done, _ = wait(list(futs.values()), return_when=FIRST_EXCEPTION)
+        failed = next(
+            (f for f in done if f.exception() is not None), None
+        )
+        if failed is not None:
+            for f in futs.values():
+                f.cancel()
+            raise failed.exception()
+        rows = [futs[p].result() for p in fams]
     return spark.createDataFrame(
         rows, "path string, n_exact long, recall_ok boolean"
     )

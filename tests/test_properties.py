@@ -1167,7 +1167,9 @@ def test_bit_lsh_equals_python_model_on_arbitrary_vectors(
     df = spark.createDataFrame(
         list(vmap.items()), "vec_id long, embedding array<double>"
     )
-    n_cand = min(len(vecs), 4)
+    # the r15 vacuous-cut guard requires n_candidates < corpus (a
+    # non-binding Hamming cut raises rather than silently brute-forcing)
+    n_cand = min(len(vecs) - 1, 4)
     topk = min(2, n_cand)
     got = {
         (r.query_id, r.rank): (r.vec_id, r.hamming, r.d2)
