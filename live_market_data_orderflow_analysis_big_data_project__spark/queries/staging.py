@@ -65,6 +65,16 @@ named in VERDICT r14 / docs/ROTATION_r16.md):
   merge/read certificate algebra is q143's verbatim, and uniform
   buckets degrade LOUDLY (top-1 only, certified=false) — pinned by
   tests over both the Zipf token frame and the uniform events frame.
+- q200: training-label QA (operators/labels.py ``label_agreement``)
+  — the label-aggregation stage of a preference/annotation pipeline
+  (a capability family the inventory lacked): per-item majority vote
+  with latest-wins rating dedup and deterministic tie-breaks, plus
+  corpus-level pairwise observed agreement, marginal chance
+  agreement, and kappa in a fixed IEEE parenthesization (the q154
+  discipline — the all-int64 rational form's N^3-scale terms
+  overflowed int64 at the 16x probe, the probe-driven rewrite).
+  Exact-integer item rows + one ROUND-4 summary scalar; 16x probe
+  1.6x.
 """
 
 from __future__ import annotations
@@ -391,11 +401,100 @@ WHERE r.rank <= {k}
 """
 
 
+_Q200_GROUP = 4  # raters per item band: event_id div 4
+
+
+def q200_label_agreement(spark, sf):
+    """Training-label QA (operators/labels.py label_agreement): the
+    label-aggregation stage of a preference/annotation pipeline —
+    per-item majority vote with latest-wins rating dedup and a
+    deterministic (count desc, label asc) tie-break, plus the
+    corpus-level chance-corrected agreement: pairwise observed
+    agreement (the variable-raters-per-item generalization of Fleiss'
+    P_o), marginal chance agreement, and kappa from exact int64 terms
+    in a fixed IEEE parenthesization + ROUND-4 (the q154 discipline;
+    sweep class on promotion).  Framing:
+    each event is a rating — rater = user_id, label = event_type,
+    item = event_id div 4 (bands of 4 consecutive events), so the
+    latest-wins dedup genuinely fires (~90-110 duplicate (item, rater)
+    cells at every sf), unanimity binds both ways (14/250 items at
+    sf0.001), and kappa lands near zero (labels are independent of
+    items in the fixture — the calibration a real pipeline would
+    alarm on)."""
+    from ..operators.labels import label_agreement
+
+    ev = load_table(spark, sf, "events")
+    return label_agreement(ev, F.expr("event_id div 4"))
+
+
+_Q200_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT event_id // 4 AS item_id, user_id AS rater,
+         event_type AS label, epoch_us(ts) AS us, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+), ratings AS (
+  SELECT item_id, rater, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY item_id, rater
+                                 ORDER BY us DESC, event_id DESC) AS rk
+    FROM base
+  ) WHERE rk = 1
+), cells AS MATERIALIZED (
+  SELECT item_id, label, CAST(count(*) AS BIGINT) AS n_c
+  FROM ratings GROUP BY 1, 2
+), items AS MATERIALIZED (
+  SELECT item_id, CAST(sum(n_c) AS BIGINT) AS n_raters,
+         CAST(sum(n_c * (n_c - 1)) AS BIGINT) AS n_concordant
+  FROM cells GROUP BY 1
+), maj AS (
+  SELECT item_id, label AS majority_label, n_c AS maj_n FROM (
+    SELECT *, row_number() OVER (PARTITION BY item_id
+                                 ORDER BY n_c DESC, label) AS rk
+    FROM cells
+  ) WHERE rk = 1
+), marg AS MATERIALIZED (
+  SELECT label, CAST(sum(n_c) AS BIGINT) AS n_l FROM cells GROUP BY 1
+), gmaj AS (
+  SELECT label, n_l FROM (
+    SELECT *, row_number() OVER (ORDER BY n_l DESC, label) AS rk
+    FROM marg
+  ) WHERE rk = 1
+), tot AS (
+  SELECT CAST(sum(n_raters) AS BIGINT) AS n,
+         CAST(sum(n_raters * (n_raters - 1)) AS BIGINT) AS p,
+         CAST(sum(n_concordant) AS BIGINT) AS c
+  FROM items
+), qq AS (
+  SELECT CAST(sum(n_l * n_l) AS BIGINT) AS q FROM marg
+)
+SELECT 'item' AS kind, CAST(i.item_id AS BIGINT) AS item_id,
+       i.n_raters,
+       CAST(i.n_raters * (i.n_raters - 1) AS BIGINT) AS n_pairs,
+       i.n_concordant, m.majority_label,
+       CAST((m.maj_n * 1000000) // i.n_raters AS BIGINT)
+         AS majority_share_ppm,
+       m.maj_n = i.n_raters AS is_unanimous,
+       CAST(NULL AS DOUBLE) AS kappa4
+FROM items i JOIN maj m USING (item_id)
+UNION ALL
+SELECT 'summary', NULL, t.n, t.p, t.c, g.label,
+       CAST((g.n_l * 1000000) // t.n AS BIGINT),
+       CAST(NULL AS BOOLEAN),
+       CASE WHEN t.p > 0 AND t.n * t.n <> s.q
+            THEN ROUND((CAST(t.c AS DOUBLE) / t.p
+                        - CAST(s.q AS DOUBLE) / (t.n * t.n))
+                       / (1.0 - CAST(s.q AS DOUBLE) / (t.n * t.n)), 4)
+            END
+FROM tot t, qq s, gmaj g
+"""
+
+
 STAGED_QUERIES = {
     "q197_cc_bigstar": q197_cc_bigstar,
     "q198_substring_dups": q198_substring_dups,
     "s26_incremental_lsh_stream": s26_incremental_lsh_stream,
     "q199_topk_zipf": q199_topk_zipf,
+    "q200_label_agreement": q200_label_agreement,
 }
 
 STAGED_ORACLE = {
@@ -403,4 +502,5 @@ STAGED_ORACLE = {
     "q198_substring_dups": _q198_sql(),
     "s26_incremental_lsh_stream": _s26_sql(),
     "q199_topk_zipf": _q199_sql(),
+    "q200_label_agreement": _Q200_SQL,
 }

@@ -89,6 +89,11 @@ NON_EQUI_OK = {
                                 # generation — candidates are cut to
                                 # top-C per query before any vector
                                 # traffic (operators/bitlsh.py)
+    # Round-15 staged r18 cohort (audited pre-promotion):
+    "q200_label_agreement",     # 1-row x 1-row recombine of the item
+                                # totals with the label-marginal
+                                # aggregate (the q157 split-aggregate
+                                # pattern)
 }
 
 # Global sorts that are BOUNDED by construction (not whole-dataset):

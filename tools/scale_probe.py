@@ -130,6 +130,7 @@ PROBE_QUERIES = [
     ("q197_staged_ccbigstar", "STAGED r15 (r18 cohort): large-star/small-star connected components — two keyed self-groupings of a SHRINKING edge frame per round, O(log d) rounds vs min-label's diameter; per-round lineage cuts; 16x data grows the edge frame, not the round count"),
     ("q198_staged_substrdup", "STAGED r15 (r18 cohort): winnowed substring dedup — gram explode linear in corpus chars + ONE w-row ordered window pass per doc; downstream runs on the ~2/(w+1)-selected fingerprint frame with max_df-bounded pair fan-out"),
     ("q199_staged_topkzipf", "STAGED r15 (r18 cohort): Zipf-aware certified top-k — one (group,bucket,item) token-count shuffle + per-bucket total/rank windows; kept rows <= theta+1 per bucket, merge/read run on the rollup frame"),
+    ("q200_staged_labelagree", "STAGED r15 (r18 cohort): label aggregation + chance-corrected agreement — one (item,rater) dedup window + one (item,label) count shuffle; summary terms are label-domain-sized, nothing pairwise materialized"),
 ]
 
 
@@ -424,6 +425,10 @@ def _custom_probes():
         "q199_staged_topkzipf": (
             None,
             lambda spark, sf, ctx: staging.q199_topk_zipf(spark, sf),
+        ),
+        "q200_staged_labelagree": (
+            None,
+            lambda spark, sf, ctx: staging.q200_label_agreement(spark, sf),
         ),
         "q147_staged_pps": (
             None,
