@@ -1360,3 +1360,92 @@ def test_threshold_rollup_invariants(spark, rows, theta):
     true = Counter(i for _, i in rows)
     for r in topk_merge(roll, ["g"]).collect():
         assert r.est <= true[r.item] <= r.upper, (r.item, r.est, r.upper)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),   # item
+            st.integers(0, 6),   # rater
+            st.sampled_from("abc"),  # label
+            st.integers(0, 50),  # ts seconds
+            st.integers(0, 999),  # event id
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[4],  # distinct event ids
+    )
+)
+def test_label_agreement_matches_python_model(spark, rows):
+    """label_agreement == the reviewer-written model on arbitrary
+    rating multisets: latest-wins dedup by (ts, id), majority with
+    (count desc, label asc) ties, pair counting, and the
+    fixed-parenthesization kappa."""
+    import datetime as dt
+    from collections import Counter
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.labels import (  # noqa: E501
+        label_agreement,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, r, lb, dt.datetime(2024, 1, 1, 0, 0, s), e)
+            for i, r, lb, s, e in rows
+        ],
+        "item long, user_id long, event_type string, ts timestamp,"
+        " event_id long",
+    )
+    out = label_agreement(df, "item").collect()
+
+    # model
+    final = {}
+    for i, r, lb, s, e in rows:
+        k = (i, r)
+        if k not in final or (s, e) > (final[k][0], final[k][1]):
+            final[k] = (s, e, lb)
+    per_item: dict[int, Counter] = {}
+    for (i, _r), (_s, _e, lb) in final.items():
+        per_item.setdefault(i, Counter())[lb] += 1
+    items = {r.item_id: r for r in out if r.kind == "item"}
+    assert set(items) == set(per_item)
+    N = P = C = 0
+    marg: Counter = Counter()
+    for i, cnt in per_item.items():
+        n = sum(cnt.values())
+        conc = sum(v * (v - 1) for v in cnt.values())
+        maj_lb, maj_n = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        r = items[i]
+        assert (
+            r.n_raters,
+            r.n_pairs,
+            r.n_concordant,
+            r.majority_label,
+            r.majority_share_ppm,
+            r.is_unanimous,
+        ) == (
+            n,
+            n * (n - 1),
+            conc,
+            maj_lb,
+            maj_n * 1_000_000 // n,
+            maj_n == n,
+        ), i
+        N += n
+        P += n * (n - 1)
+        C += conc
+        marg.update(cnt)
+    s = [r for r in out if r.kind == "summary"][0]
+    Q = sum(v * v for v in marg.values())
+    assert (s.n_raters, s.n_pairs, s.n_concordant) == (N, P, C)
+    g_lb, g_n = min(marg.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert s.majority_label == g_lb
+    assert s.majority_share_ppm == g_n * 1_000_000 // N
+    if P > 0 and N * N != Q:
+        pe = Q / (N * N)
+        assert s.kappa4 == round((C / P - pe) / (1.0 - pe), 4)
+    else:
+        assert s.kappa4 is None
