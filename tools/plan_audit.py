@@ -32,6 +32,8 @@ NON_EQUI_OK = {
     "q92_cosine_topk",          # 1-row probe crossJoin
     "q92b_cosine_topk_ivf",     # 1-row probe crossJoin after cell pruning
     "q93_knn_join",             # bounded-sample all-pairs baseline
+    "q93b_knn_lsh",             # r16 envelope gate embeds q93's bounded
+                                # all-pairs exact twin (50-vector slice)
     "q96_tfidf",                # 1-row doc-count crossJoin
     "q103_embedding_near_dup",  # bounded all-pairs baseline (scale: LSH/IVF)
     "q117_bm25_search",         # 1-row N/avgdl scalar crossJoin
