@@ -114,6 +114,49 @@ def get_spark(
     for k, v in ENGINE_CONFS.items():
         builder = builder.config(k, v)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # Driver heap (r16, guide §5 "memory layout"): in local[N] mode the
+    # driver JVM *is* the executor — all N task threads share its heap,
+    # and Spark's default is a bare -Xmx1g.  At N=32 that is ~13 MB of
+    # execution memory per concurrent task: every hash aggregate/join
+    # build spills, and GC time compounds across a long suite (measured
+    # r16: the same queries run 2-5x slower late-suite under the 1g
+    # heap; full bench 314 s -> 186 s with the heap sized to the task
+    # count).  Size the heap to the local core count (384 MB/task-slot,
+    # floor 2g) capped at 1/4 of host RAM; SPARK_GRAFT_DRIVER_MEM_MB
+    # overrides.  On a real cluster (SPARK_MASTER_URL) executor memory
+    # is the deployment's knob and the driver does no data work, so the
+    # same default is simply a sane driver size there.  Only effective
+    # at JVM launch — a pre-existing session keeps its heap.
+    mem_mb = os.environ.get("SPARK_GRAFT_DRIVER_MEM_MB")
+    if mem_mb is None:
+        local_cores = 0
+        if master.startswith("local["):
+            n = master[len("local["):-1]
+            local_cores = os.cpu_count() or 8 if n == "*" else int(n)
+        want = max(2048, 384 * local_cores)
+        try:
+            with open("/proc/meminfo") as f:
+                host_kb = int(f.readline().split()[1])
+            want = min(want, host_kb // 1024 // 4)
+        except (OSError, ValueError, IndexError):
+            pass
+        mem_mb = str(want)
+    builder = builder.config("spark.driver.memory", f"{mem_mb}m")
+    # JIT code cache (r16): a long-lived session running hundreds of
+    # distinct queries generates thousands of Janino/whole-stage-codegen
+    # classes; the JVM default ReservedCodeCacheSize (240 MB) fills
+    # mid-suite, after which the JIT flushes/stops compiling and hot
+    # codegen loops run cold — the measured late-suite 2-5x per-query
+    # degradation.  512 MB keeps the whole suite's generated code
+    # resident.  Appended (not overwritten) if the caller passed its own
+    # extraJavaOptions via extra_conf.
+    _jit = "-XX:ReservedCodeCacheSize=512m"
+    _ejo_key = "spark.driver.extraJavaOptions"
+    if extra_conf and _ejo_key in extra_conf:
+        extra_conf = dict(extra_conf)
+        extra_conf[_ejo_key] = f"{extra_conf[_ejo_key]} {_jit}"
+    else:
+        builder = builder.config(_ejo_key, _jit)
     builder = builder.config("spark.ui.enabled", "false")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
