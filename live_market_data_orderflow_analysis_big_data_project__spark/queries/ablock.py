@@ -141,11 +141,23 @@ def q146_fuzzy_match(spark, sf):
     (the left join), so the output covers the full entity set."""
     cust = load_table(spark, sf, "customer").select("c_name")
     pairs = fuzzy_pairs(cust, "c_name", tau=1)
+    # both directions via ONE explode over the pair stream: the former
+    # unionAll of two projections of ``pairs`` planned the whole
+    # candidate-generation subtree twice (r16 plan fix; same rows).
     both = pairs.select(
-        F.col("name_a").alias("name"), F.col("name_b").alias("nbr")
-    ).unionAll(
-        pairs.select(F.col("name_b").alias("name"), F.col("name_a").alias("nbr"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("name_a").alias("name"),
+                    F.col("name_b").alias("nbr"),
+                ),
+                F.struct(
+                    F.col("name_b").alias("name"),
+                    F.col("name_a").alias("nbr"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.name", "_e.nbr")
     agg = both.groupBy("name").agg(
         F.count("*").alias("n_neighbors"), F.min("nbr").alias("nearest")
     )

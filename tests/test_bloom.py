@@ -66,7 +66,7 @@ def test_no_false_negatives_every_inserted_key_passes(spark):
     bloom = bloom_build(keys, "key", m_bits=256, k=3)
     admitted = (
         keys.crossJoin(F.broadcast(bloom))
-        .where(bloom_might_contain(F.col("key"), F.col("bloom_words"), 256, 3))
+        .where(bloom_might_contain(F.col("key"), F.col("bloom_bits"), 256, 3))
         .count()
     )
     assert admitted == 500
@@ -98,7 +98,7 @@ def test_undersized_bitmap_really_produces_false_positives(spark):
     bloom = bloom_build(small.distinct(), "key", m_bits=512, k=2)
     admitted = (
         big.crossJoin(F.broadcast(bloom))
-        .where(bloom_might_contain(F.col("key"), F.col("bloom_words"), 512, 2))
+        .where(bloom_might_contain(F.col("key"), F.col("bloom_bits"), 512, 2))
         .count()
     )
     assert admitted > 100  # every true match plus a real FP population
@@ -125,7 +125,7 @@ def test_q106b_equals_q106_and_prunes(spark):
     admitted = (
         corpus_sh.crossJoin(F.broadcast(bloom))
         .where(
-            bloom_might_contain(F.col("shingle"), F.col("bloom_words"))
+            bloom_might_contain(F.col("shingle"), F.col("bloom_bits"))
         )
         .count()
     )
