@@ -25,6 +25,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Scratch on the fastest local medium (r16): the streaming entries
+    # create their checkpoint/sink dirs with tempfile.mkdtemp, which
+    # honors $TMPDIR — align it with the engine session's scratch
+    # (session.py routes spark.local.dir/java.io.tmpdir the same way)
+    # so checkpoint fsyncs never ride the shared /tmp block device.
+    # Pre-set TMPDIR or SPARK_GRAFT_SCRATCH="" disables.
+    if "TMPDIR" not in os.environ and os.environ.get(
+        "SPARK_GRAFT_SCRATCH", "/dev/shm"
+    ) and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        _scratch = os.environ.get(
+            "SPARK_GRAFT_SCRATCH"
+        ) or "/dev/shm/spark_graft_local"
+        os.makedirs(_scratch, exist_ok=True)
+        os.environ["TMPDIR"] = _scratch
+        import tempfile as _tempfile
+
+        _tempfile.tempdir = None  # re-read TMPDIR on next gettempdir()
     # host-load provenance: four contamination episodes (r8/r10/r12/r14)
     # each post-dated a CPU burst on this host; recording the 1/5/15-min
     # load at bench START makes a contaminated record self-identifying

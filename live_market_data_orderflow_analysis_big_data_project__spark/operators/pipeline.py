@@ -1051,20 +1051,18 @@ def semdedup(
     corpora grew each cluster 16x and the pair join went quadratic
     (ratio 51.8 vs the linear <= 16 bar; capped it probes linear).
 
-    100 TB: the pair join is pinned sort-merge (``hint("merge")``) —
-    Catalyst's pruned size estimates broadcast the full corpus leg at
-    small SF, which is driver-fatal at scale (the q20/q26 trap, caught
-    round 5 in the physical plan).  Exchange accounting (verified
-    against the AQE final plan): each join leg pays the label-window
-    shuffle plus a (cluster, stripe) exchange — Spark's co-partition
-    check requires ALL cluster keys by default
-    (``requireAllClusterKeysForCoPartition``), so label-only
-    partitioning does not satisfy the join, and the two legs'
-    window subtrees canonicalize differently post-pruning so
-    ReuseExchange cannot dedupe them.  All four exchanges are linear
-    in the corpus and parallel; the quadratic term stays bounded by
-    ``max_cluster`` inside each stripe.  Then one groupBy keyed by
-    vector id and one left join back to the corpus.
+    100 TB (r16 shape): ONE linear shuffle keyed by (cluster, stripe)
+    feeds a vectorized Arrow grouped-map kernel that computes each
+    stripe's pair block with native matrix code — the published
+    SemDeDup blocked-matmul design point, and strictly less data
+    motion than the former stripe-keyed self-join (which shuffled both
+    corpus legs and ran every per-pair dot through the interpreted
+    ArrayAggregate HOF path).  The quadratic term stays bounded by
+    ``max_cluster`` inside each group; peak kernel memory is chunked.
+    Then one groupBy keyed by vector id and one left join back to the
+    corpus.  Numeric contract: the kernel reproduces the expression
+    fold BIT-EXACTLY (see the in-function note), so the ROUND(4) hash
+    gate semantics are unchanged.
 
     Output: (vec_id, label, n_close_earlier, max_cos_earlier ROUND 4 —
     NULL for each stripe's first member, is_kept).  Threshold compares
@@ -1077,36 +1075,69 @@ def semdedup(
         "__sub",
         ((F.row_number().over(w) - F.lit(1)) / F.lit(max_cluster)).cast("int"),
     )
-    nrm = l2_norm(vec_col)
-    a = striped.select(
-        F.col(label_col).alias("__lbl"),
-        F.col("__sub"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        nrm.alias("na"),
+
+    # r16: the per-stripe pairwise kernel is a vectorized Arrow
+    # grouped-map (guide sect. 4.2 — hand whole batches to native
+    # vectorized code) instead of a stripe-keyed self-join whose
+    # per-pair dot ran through the INTERPRETED ArrayAggregate/ZipWith
+    # HOF path (~10 us/pair measured; the join itself was 0.3 s, the
+    # fold 2 s).  Distribution is unchanged — one shuffle keyed by
+    # (label, stripe), quadratic work bounded by ``max_cluster`` inside
+    # each group, exactly the published SemDeDup blocked-matmul shape.
+    #
+    # Bit-exactness contract (the hash gate hashes ROUND(sim, 4), and
+    # the engine's convention is bit-identical doubles BEFORE the
+    # round): float->double widening is exact (== x.cast("double")),
+    # elementwise IEEE double multiply is engine-independent, and
+    # np.cumsum accumulates left-to-right — the same (((p0)+p1)+p2)...
+    # chain as the former F.aggregate fold.  The fold's 0.0 seed turns
+    # a leading -0.0 into +0.0; "+ 0.0" after the cumsum reconciles
+    # that one divergence (x + 0.0 is the identity for every other
+    # IEEE double).  sqrt and division are correctly-rounded IEEE ops
+    # on both sides.  Pinned by test_semdedup_kernel_matches_hof_fold.
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id_b", df.schema[id_col].dataType),
+            StructField("__sim_raw", DoubleType()),
+        ]
     )
-    b = striped.select(
-        F.col(label_col).alias("__lbl"),
-        F.col("__sub"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        nrm.alias("nb"),
-    )
-    sim = F.round(
-        dot("va", "vb") / (F.col("na") * F.col("nb")), 4
-    ).alias("sim")
-    # hint("merge"): both legs are the full corpus — Catalyst's
-    # column-pruned size estimate broadcasts leg b at small SF, which is
-    # driver-fatal at 100 TB (the q20/q26 fact-broadcast trap).  Pinning
-    # sort-merge keeps the join stripe-local: HashPartitioning(__lbl)
-    # from the window's exchange satisfies the (__lbl, __sub) join's
-    # ClusteredDistribution (subset rule), so each leg reuses the window
-    # shuffle and the SMJ adds only an in-partition sort — one logical
-    # exchange for window + join, not three.
+
+    def _pair_sims(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("__id")
+        ids = pdf["__id"].to_numpy()
+        n = len(ids)
+        iu, ju = np.triu_indices(n, k=1)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_b": ids[ju], "__sim_raw": np.zeros(0, dtype=np.float64)}
+            )
+        V = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((V * V).cumsum(axis=1)[:, -1] + 0.0)
+        sims = np.empty(len(iu), dtype=np.float64)
+        # chunked so peak memory stays ~chunk * dim * 8 bytes however
+        # large a stripe is (max_cluster^2 / 2 pairs at the cap)
+        chunk = 1 << 15
+        for s in range(0, len(iu), chunk):
+            i, j = iu[s:s + chunk], ju[s:s + chunk]
+            dots = (V[i] * V[j]).cumsum(axis=1)[:, -1] + 0.0
+            sims[s:s + chunk] = dots / (norms[i] * norms[j])
+        return pd.DataFrame({"id_b": ids[ju], "__sim_raw": sims})
+
     pairs = (
-        a.join(b.hint("merge"), ["__lbl", "__sub"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_b", sim)
+        striped.select(
+            F.col(label_col).alias("__lbl"),
+            F.col("__sub"),
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
+        )
+        .groupBy("__lbl", "__sub")
+        .applyInPandas(_pair_sims, out_schema)
+        .select("id_b", F.round(F.col("__sim_raw"), 4).alias("sim"))
     )
     stats = pairs.groupBy("id_b").agg(
         F.sum(F.when(F.col("sim") >= threshold, 1).otherwise(0))

@@ -150,13 +150,32 @@ def get_spark(
     # degradation.  512 MB keeps the whole suite's generated code
     # resident.  Appended (not overwritten) if the caller passed its own
     # extraJavaOptions via extra_conf.
-    _jit = "-XX:ReservedCodeCacheSize=512m"
+    _jvm_opts = "-XX:ReservedCodeCacheSize=512m"
+    # Scratch space (r16, guide §2.1/§6): spark.local.dir (shuffle
+    # files, spills) and java.io.tmpdir (streaming temp checkpoints —
+    # offset/commit logs and HDFS-backed state stores fsync per
+    # micro-batch) default to /tmp, which on this host is a shared
+    # spinning block device; the streaming suite measured 2.5-3.7x
+    # faster with scratch on the local tmpfs (s02 7.4 s -> 2.9 s,
+    # s19 19.1 s -> 5.1 s under disk contention).  On a real cluster
+    # spark.local.dir is the deployment's NVMe scratch — same posture,
+    # this just picks the fastest local medium here.  Override with
+    # SPARK_GRAFT_SCRATCH; empty string disables.
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if scratch is None and os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK
+    ):
+        scratch = "/dev/shm/spark_graft_local"
+    if scratch:
+        os.makedirs(scratch, exist_ok=True)
+        builder = builder.config("spark.local.dir", scratch)
+        _jvm_opts += f" -Djava.io.tmpdir={scratch}"
     _ejo_key = "spark.driver.extraJavaOptions"
     if extra_conf and _ejo_key in extra_conf:
         extra_conf = dict(extra_conf)
-        extra_conf[_ejo_key] = f"{extra_conf[_ejo_key]} {_jit}"
+        extra_conf[_ejo_key] = f"{extra_conf[_ejo_key]} {_jvm_opts}"
     else:
-        builder = builder.config(_ejo_key, _jit)
+        builder = builder.config(_ejo_key, _jvm_opts)
     builder = builder.config("spark.ui.enabled", "false")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

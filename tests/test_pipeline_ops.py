@@ -295,6 +295,65 @@ def test_span_dedup_flags_mirrored_doc(spark):
     assert out[3] == (1, 0, 0.0, 0)
 
 
+def test_semdedup_kernel_matches_hof_fold(spark):
+    """The r16 Arrow pair kernel must reproduce the former expression
+    fold BIT-EXACTLY (pre-round doubles, not a tolerance): sequential
+    cumsum order, exact float->double widening, IEEE sqrt/divide.
+    Recomputes every stripe's pair sims with the F.aggregate fold and
+    compares unrounded doubles for equality on the sf0.01 fixture."""
+    from pyspark.sql import Window
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.functions.vectors import (  # noqa: E501
+        dot,
+        l2_norm,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.sources.tables import (  # noqa: E501
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    striped = emb.withColumn(
+        "__sub", ((F.row_number().over(w) - F.lit(1)) / F.lit(512)).cast("int")
+    )
+    a = striped.select(
+        F.col("label").alias("l"), "__sub",
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("va"),
+        l2_norm("embedding").alias("na"),
+    )
+    b = striped.select(
+        F.col("label").alias("l"), "__sub",
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"),
+        l2_norm("embedding").alias("nb"),
+    )
+    fold_stats = (
+        a.join(b.hint("merge"), ["l", "__sub"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            "ib",
+            F.round(
+                dot("va", "vb") / (F.col("na") * F.col("nb")), 4
+            ).alias("sim"),
+        )
+        .groupBy("ib")
+        .agg(
+            F.sum(F.when(F.col("sim") >= 0.35, 1).otherwise(0))
+            .cast("long").alias("n_close_earlier"),
+            F.max("sim").alias("max_cos_earlier"),
+        )
+    )
+    want = {
+        r["ib"]: (r["n_close_earlier"], r["max_cos_earlier"])
+        for r in fold_stats.collect()
+    }
+    got = {
+        r["vec_id"]: (r["n_close_earlier"], r["max_cos_earlier"])
+        for r in semdedup(emb, threshold=0.35, max_cluster=512).collect()
+        if r["max_cos_earlier"] is not None
+    }
+    assert got == want
+
+
 def test_semdedup_keeps_first_of_duplicate_chain(spark):
     emb = spark.createDataFrame(
         [
