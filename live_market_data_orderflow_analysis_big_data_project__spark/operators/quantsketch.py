@@ -248,7 +248,17 @@ def quantile_report(
             w_val.rowsBetween(Window.unboundedPreceding, 0)
         ).alias("_cum"),
     )
-    out = tot.join(n_sum, g)
+    # r16 plan shape: ALL quantiles read in ONE pass over ``merged``
+    # and ONE pass over ``full`` via conditional aggregation.  The
+    # former per-quantile (tq, est, exact, at_est) join chain planned
+    # a fresh subtree per frame per quantile — each re-deriving
+    # hist/summary from scratch — which blew the q180 physical plan up
+    # to 150 Exchange nodes (plans/r16/q180_quantile_rollup_before.txt)
+    # for two quantiles; the conditional-agg form is 3 joins total and
+    # value-identical (min over a conditional ≡ where + groupBy + min;
+    # the est-rank error row is unique per group because ``full`` is
+    # grouped by (groups, value)).
+    scalars = tot.join(n_sum, g)
     for name, (num, den) in quantiles.items():
         # same headroom discipline as spaced_summary: num * n_rows
         # must not wrap (the guard is per-GROUP — tot is group-sized,
@@ -261,40 +271,62 @@ def quantile_report(
             f"ELSE ({int(num)} * n_rows + {int(den)} - 1) div {int(den)} "
             "END"
         )
-        tq = tot.select(*g, t_expr.cast("long").alias("_t"))
-        est = (
-            merged.join(F.broadcast(tq), g)
-            .where(F.col("_cw") >= F.col("_t"))
-            .groupBy(*g)
-            .agg(F.min(value_col).alias(f"est_{name}"))
+        scalars = scalars.withColumn(
+            f"_t_{name}", t_expr.cast("long")
         )
-        exact = (
-            full.join(F.broadcast(tq), g)
-            .where(F.col("_cum") >= F.col("_t"))
-            .groupBy(*g)
-            .agg(F.min(value_col).alias(f"exact_{name}"))
+    if not quantiles:
+        return scalars.select(
+            *g, "n_rows", "n_buckets", "err_bound", "n_summary"
         )
-        at_est = (
-            full.join(F.broadcast(est), g)
-            .where(F.col(value_col) == F.col(f"est_{name}"))
-            .join(F.broadcast(tq), g)
-            .select(
-                *g,
-                F.greatest(
-                    F.lit(0).cast("long"),
-                    (F.col("_cum") - F.col("_c") + 1 - F.col("_t"))
-                    .cast("long"),
-                    (F.col("_t") - F.col("_cum")).cast("long"),
-                ).alias(f"err_{name}"),
-            )
+    est = (
+        merged.join(F.broadcast(scalars), g)
+        .groupBy(*g)
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("_cw") >= F.col(f"_t_{name}"),
+                        F.col(value_col),
+                    )
+                ).alias(f"est_{name}")
+                for name in quantiles
+            ]
         )
-        out = (
-            out.join(F.broadcast(est), g)
-            .join(F.broadcast(exact), g)
-            .join(F.broadcast(at_est), g)
-            .withColumn(
-                f"{name}_ok",
-                F.col(f"err_{name}") <= F.col("err_bound"),
-            )
+    )
+    ee_aggs = []
+    for name in quantiles:
+        ee_aggs.append(
+            F.min(
+                F.when(
+                    F.col("_cum") >= F.col(f"_t_{name}"), F.col(value_col)
+                )
+            ).alias(f"exact_{name}")
         )
-    return out
+        ee_aggs.append(
+            F.min(
+                F.when(
+                    F.col(value_col) == F.col(f"est_{name}"),
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        (
+                            F.col("_cum") - F.col("_c") + 1
+                            - F.col(f"_t_{name}")
+                        ).cast("long"),
+                        (F.col(f"_t_{name}") - F.col("_cum")).cast("long"),
+                    ),
+                )
+            ).alias(f"err_{name}")
+        )
+    ee = (
+        full.join(F.broadcast(scalars.join(est, g)), g)
+        .groupBy(*g)
+        .agg(*ee_aggs)
+    )
+    out = scalars.join(F.broadcast(est), g).join(F.broadcast(ee), g)
+    cols = [*g, "n_rows", "n_buckets", "err_bound", "n_summary"]
+    for name in quantiles:
+        out = out.withColumn(
+            f"{name}_ok", F.col(f"err_{name}") <= F.col("err_bound")
+        )
+        cols += [f"est_{name}", f"exact_{name}", f"err_{name}", f"{name}_ok"]
+    return out.select(*cols)

@@ -2243,7 +2243,14 @@ def q180_quantile_rollup(spark, sf):
         .alias("day"),
         F.expr(_CENTS).alias("cents"),
     )
-    hist = value_histogram(base, ["event_type"], "day", "cents")
+    # hist is re-derived by three consumers (per-bucket sizes, the
+    # exact-rank frame, and the summary); it is domain-bounded
+    # (groups x buckets x cents values), so one eager lineage cut
+    # trades a ~ms materialization for two corpus re-aggregations
+    # (r16: 2.5 s -> 1.8 s measured; the s15/s19 lineage-cut pattern).
+    hist = value_histogram(base, ["event_type"], "day", "cents").localCheckpoint(
+        eager=True
+    )
     summ = spaced_summary(hist, ["event_type"], "day", "cents", _Q180_K)
     return quantile_report(
         hist, summ, ["event_type"], "day", "cents", _Q180_K, _Q180_QS
