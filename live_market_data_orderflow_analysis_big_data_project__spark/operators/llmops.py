@@ -99,9 +99,14 @@ def jaccard_pairs(
     which stay discriminative over tiny vocabularies.
     """
     feature = tokens_col(text_col) if ngram == 1 else shingles_col(text_col, ngram)
+    # r16: eager lineage cut — the distinct feature relation feeds both
+    # self-join legs and the sizes agg; uncut, each consumer
+    # re-tokenized the corpus (three copies of the scan+explode+distinct
+    # subtree in the physical plan).
     toks = (
         df.select(F.col(id_col).alias("doc"), F.explode(feature).alias("tok"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
     a, b = toks.alias("a"), toks.alias("b")
@@ -144,9 +149,13 @@ def minhash_band_stages(
     if n_hashes % band_rows:
         raise ValueError("n_hashes must be a multiple of band_rows")
     feature = tokens_col(text_col) if ngram == 1 else shingles_col(text_col, ngram)
+    # r16: eager lineage cut — the feature relation feeds the signature
+    # agg, the sizes agg, and the caller's verify side; uncut, each
+    # planned its own scan+explode+distinct subtree.
     toks = (
         df.select(F.col(id_col).alias("doc"), F.explode(feature).alias("tok"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
     # one aggregation pass computes the whole signature (no per-hash scans)
@@ -211,6 +220,11 @@ def minhash_lsh_pairs(
     toks, sizes, bands = minhash_band_stages(
         df, id_col, text_col, n_hashes, band_rows, ngram
     )
+    # r16 verify shape: attach each candidate's two token SETS (sorted
+    # arrays with their sizes, one groupBy over the stage-shared cut
+    # relation) and intersect in codegen instead of re-joining the
+    # postings twice per candidate — the q174 PPJoin verify shape;
+    # value-identical because the feature relation is distinct per doc.
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(
@@ -222,19 +236,34 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
-    ta = toks.select(F.col("doc").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc").alias("doc_b"), "tok")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    sets = toks.groupBy("doc").agg(
+        F.sort_array(F.collect_list("tok")).alias("_arr"),
+        F.count(F.lit(1)).alias("_n"),
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_tok").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_tok").alias("n_b"))
     out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(
+            sets.select(
+                F.col("doc").alias("doc_a"),
+                F.col("_arr").alias("_aa"),
+                F.col("_n").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc").alias("doc_b"),
+                F.col("_arr").alias("_ab"),
+                F.col("_n").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("_aa", "_ab")).alias("n_inter"),
+            "n_a",
+            "n_b",
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")

@@ -42,10 +42,13 @@ _PRIORITY = (
         "q174_setsim_join",                   # r16 optimization: prefix
                                               # postings ckpt + array
                                               # verify (was q34's slot)
-        "q35_having",                         #     analytics re-entries
-        "q40_rank_window",                    #     (the age rule: four
-        "q42_moving_agg",                     #     rounds is the cap
-        "q44_range_frame",                    #     for everyone)
+        "q91_near_dedup_jaccard",             # r16 optimization: shared
+        "q91b_near_dedup_minhash_lsh",        # feature-relation lineage
+        "q136_ann_recall_gate",               # cut + array verify
+                                              # (yielded: q35/q40/q42)
+        "q188_cluster_split",                 # r16: reaches the shared
+                                              # jaccard_pairs lineage cut
+                                              # (yielded: q44)
         "q46_sliding_window_batch",
         "q62_math_funcs",
         "q63_array_funcs",
