@@ -49,8 +49,8 @@ _PRIORITY = (
         "q188_cluster_split",                 # r16: reaches the shared
                                               # jaccard_pairs lineage cut
                                               # (yielded: q44)
-        "q46_sliding_window_batch",
-        "q62_math_funcs",
+        "q140_zorder_layout",                 # r16: concurrent layout
+        "q140b_zorder_rank_tiles",            # writes (yielded: q46/q62)
         "q63_array_funcs",
         "q71_scalar_subquery",
         "q73_pivot",
