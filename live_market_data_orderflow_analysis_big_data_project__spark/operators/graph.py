@@ -210,6 +210,15 @@ def pagerank_quantized(
     The driver loop holds no data — k bounded shuffle rounds; each
     iteration's frame is localCheckpointed (the q111 lineage-cut
     idiom) so plan depth stays constant."""
+    # r16: cut lineage on the edge set once — deg (two union legs), the
+    # directed expansion (two more), the per-iteration adj joins and
+    # the final deg join otherwise EACH re-derived the caller's edge
+    # subtree (for q171: events scan + lag window + distinct, planned
+    # 4+ times per iteration); pr's per-iteration checkpoint alone
+    # never cut that part.  adj is iteration-invariant, so it gets its
+    # own cut and the k contribution rounds become pure
+    # (cached adj) x (checkpointed pr) joins.
+    edges = edges.localCheckpoint(eager=True)
     deg = _degrees(edges)
     # directed both ways: (node -> nbr)
     out = edges.select(
@@ -217,7 +226,7 @@ def pagerank_quantized(
     ).unionAll(
         edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
     )
-    adj = out.join(deg, "node")  # (node, nbr, deg)
+    adj = out.join(deg, "node").localCheckpoint(eager=True)  # (node, nbr, deg)
     pr = deg.select("node", F.lit(int(scale)).cast("long").alias("pr"))
     base = F.lit(15 * int(scale) // 100).cast("long")
     for _ in range(int(k)):

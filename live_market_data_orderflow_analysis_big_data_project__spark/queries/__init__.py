@@ -51,7 +51,8 @@ _PRIORITY = (
                                               # (yielded: q44)
         "q140_zorder_layout",                 # r16: concurrent layout
         "q140b_zorder_rank_tiles",            # writes (yielded: q46/q62)
-        "q63_array_funcs",
+        "q171_pagerank",                      # r16: edge/adj lineage
+                                              # cuts (yielded: q63)
         "q71_scalar_subquery",
         "q73_pivot",
         "q74_unpivot",
