@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -110,38 +111,42 @@ def bit_lsh_topk(
         eager=True
     )
 
-    def sig_col() -> F.Column:
-        # the dim contract rides in the guard so the optimizer can
-        # never prune it (the q191 slice-length pattern)
-        guard = F.when(
-            F.size("qv") != dim,
-            F.expr(
-                f"CAST(raise_error('bit_lsh_topk: vector dimension <> "
-                f"{dim} - pass the actual dim (operator docstring)') "
-                "AS BIGINT)"
-            ),
+    # r16: the signature is a vectorized Arrow kernel (guide §4.2) —
+    # the former pure-expression form ran n_planes interpreted
+    # zip_with/aggregate folds per row (48 x 128 lambda evaluations
+    # per vector; the signature pass dominated the operator's build).
+    # EXACTNESS IS UNCONDITIONAL here: every term is int64 (quantized
+    # grid coordinates x ±1 weights), and integer addition is
+    # associative — there is no summation-order caveat as with float
+    # kernels — so the packed signatures are identical by arithmetic,
+    # not by test.  |dot| <= dim * 2e4 keeps the matmul far inside
+    # int64.  The dim contract moves into the kernel (same message,
+    # still raises per-batch before any signature is emitted).
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _sig(qv: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(qv) == 0:
+            return pd.Series([], dtype="int64")
+        lens = qv.map(len).to_numpy()
+        if (lens != dim).any():
+            raise ValueError(
+                f"bit_lsh_topk: vector dimension <> {dim} - pass the "
+                "actual dim (operator docstring)"
+            )
+        V = np.stack(qv.to_numpy()).astype(np.int64)
+        W = np.array(weights, dtype=np.int64)          # (planes, dim)
+        th = np.array(
+            [_SHIFT * sum(r) for r in weights], dtype=np.int64
         )
-        bits = []
-        for h, row in enumerate(weights):
-            warr = F.array(*[F.lit(w) for w in row])
-            dot = F.aggregate(
-                F.zip_with("qv", warr, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            )
-            thresh = _SHIFT * sum(row)  # exact shift correction
-            bits.append(
-                F.when(dot >= F.lit(thresh), F.lit(1 << h)).otherwise(
-                    F.lit(0)
-                )
-            )
-        packed = bits[0]
-        for b in bits[1:]:
-            packed = packed + b
-        return guard.otherwise(packed.cast("long"))
+        shifts = np.arange(len(weights), dtype=np.int64)
+        bits = (V @ W.T >= th).astype(np.int64)
+        return pd.Series((bits << shifts).sum(axis=1))
 
     sigs = vecs.select(
-        id_col, "qv", sig_col().alias("sig")
+        id_col, "qv", _sig("qv").alias("sig")
     ).localCheckpoint(eager=True)
 
     queries = (
