@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 
 from .cluster import _SHIFT, quantize_vectors
 
-__all__ = ["hyperplane_weights", "bit_lsh_topk"]
+__all__ = ["hyperplane_weights", "bit_lsh_topk", "signature_udf"]
 
 
 def hyperplane_weights(n_planes: int, dim: int) -> list[list[int]]:
@@ -78,6 +78,62 @@ def hyperplane_weights(n_planes: int, dim: int) -> list[list[int]]:
         ]
         for h in range(n_planes)
     ]
+
+
+def signature_udf(weights: list[list[int]], dim: int):
+    """The vectorized Arrow signature kernel (guide §4.2) for a fixed
+    hyperplane matrix: one packed little-endian sign-bit BIGINT per
+    quantized vector (bit h set iff ``sum_d w(h,d)·qv_d >= SHIFT ·
+    sum_d w(h,d)``).
+
+    r16 moved the signature off the former pure-expression form, which
+    ran n_planes interpreted zip_with/aggregate folds per row (48 x 128
+    lambda evaluations per vector; the signature pass dominated the
+    operator's build).  EXACTNESS IS UNCONDITIONAL: every term is int64
+    (quantized grid coordinates x ±1 weights), and integer addition is
+    associative — there is no summation-order caveat as with float
+    kernels — so the packed signatures are identical by arithmetic,
+    AND pinned by test (tests/test_bitlsh.py kernel-vs-fold equality,
+    the q121 discipline).  |dot| <= dim * 2e4 keeps the matmul far
+    inside int64.  The dim contract lives in the kernel (raises
+    per-batch before any signature is emitted); a NULL vector
+    propagates to a NULL signature — the expression fold's behavior
+    (r16 ADVICE: ``qv.map(len)`` crashed on NULL with an opaque
+    TypeError).  Exposed at module level so the equality test exercises
+    THE kernel the operator runs, not a copy."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _sig(qv: pd.Series) -> pd.Series:
+        import numpy as np
+
+        sub = qv[qv.notna()]
+        if len(sub):
+            lens = sub.map(len).to_numpy()
+            if (lens != dim).any():
+                raise ValueError(
+                    f"bit_lsh_topk: vector dimension <> {dim} - pass "
+                    "the actual dim (operator docstring)"
+                )
+        W = np.array(weights, dtype=np.int64)          # (planes, dim)
+        th = np.array(
+            [_SHIFT * sum(r) for r in weights], dtype=np.int64
+        )
+        shifts = np.arange(len(weights), dtype=np.int64)
+        if len(sub) == len(qv):                        # no NULLs: fast path
+            if len(qv) == 0:
+                return pd.Series([], dtype="int64")
+            V = np.stack(qv.to_numpy()).astype(np.int64)
+            bits = (V @ W.T >= th).astype(np.int64)
+            return pd.Series((bits << shifts).sum(axis=1))
+        out = pd.Series([None] * len(qv), dtype="object")
+        if len(sub):
+            V = np.stack(sub.to_numpy()).astype(np.int64)
+            bits = (V @ W.T >= th).astype(np.int64)
+            out[sub.index] = (bits << shifts).sum(axis=1)
+        return out
+
+    return _sig
 
 
 def bit_lsh_topk(
@@ -111,39 +167,7 @@ def bit_lsh_topk(
         eager=True
     )
 
-    # r16: the signature is a vectorized Arrow kernel (guide §4.2) —
-    # the former pure-expression form ran n_planes interpreted
-    # zip_with/aggregate folds per row (48 x 128 lambda evaluations
-    # per vector; the signature pass dominated the operator's build).
-    # EXACTNESS IS UNCONDITIONAL here: every term is int64 (quantized
-    # grid coordinates x ±1 weights), and integer addition is
-    # associative — there is no summation-order caveat as with float
-    # kernels — so the packed signatures are identical by arithmetic,
-    # not by test.  |dot| <= dim * 2e4 keeps the matmul far inside
-    # int64.  The dim contract moves into the kernel (same message,
-    # still raises per-batch before any signature is emitted).
-    from pyspark.sql.types import LongType
-
-    @F.pandas_udf(LongType())
-    def _sig(qv: pd.Series) -> pd.Series:
-        import numpy as np
-
-        if len(qv) == 0:
-            return pd.Series([], dtype="int64")
-        lens = qv.map(len).to_numpy()
-        if (lens != dim).any():
-            raise ValueError(
-                f"bit_lsh_topk: vector dimension <> {dim} - pass the "
-                "actual dim (operator docstring)"
-            )
-        V = np.stack(qv.to_numpy()).astype(np.int64)
-        W = np.array(weights, dtype=np.int64)          # (planes, dim)
-        th = np.array(
-            [_SHIFT * sum(r) for r in weights], dtype=np.int64
-        )
-        shifts = np.arange(len(weights), dtype=np.int64)
-        bits = (V @ W.T >= th).astype(np.int64)
-        return pd.Series((bits << shifts).sum(axis=1))
+    _sig = signature_udf(weights, dim)
 
     sigs = vecs.select(
         id_col, "qv", _sig("qv").alias("sig")

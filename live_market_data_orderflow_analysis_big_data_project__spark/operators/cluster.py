@@ -21,19 +21,30 @@ to clustering:
   cluster-id tie-break) and recomputes centroids as per-dimension
   integer floor-means (sum div count of non-negative ints — exact and
   engine-identical); an emptied cluster keeps its previous centroid
-  (deterministic carry, schema never shrinks);
-- ITERATIONS is a fixed knob (the q171/q175 bounded-iteration class),
-  each round lineage-cut with localCheckpoint.
+  (deterministic carry, the state never shrinks below k);
+- ITERATIONS is a fixed knob (the q171/q175 bounded-iteration class).
 
-Scale shape: the vector frame is scanned once per iteration; the
-assign step is a BROADCAST of k centroid rows (k rows, never a
-shuffle of the data side) + one zip_with/aggregate HOF per row, all
-JVM-side; the update is one (cluster, dim) sum shuffle — map-side
-combinable, k·d rows out.  Total: iters bounded shuffles of k·d rows
-plus iters broadcast scans, the same shape as distributed MLlib
-k-means but with exact integer state.  Headroom: d · (2·10^4)^2 =
-2.6e10 per distance and n · 2·10^4 per centroid sum — both orders of
-magnitude inside int64 at any corpus size under ~4e14 vectors.
+Scale shape (r17, the distributed-MLlib-KMeans shape): centroid state
+lives on the DRIVER — k·dim int64s of coordination state, not data
+work (guide §5) — and each Lloyd round is exactly ONE distributed pass
+over the quantized frame: a vectorized Arrow kernel (guide §4.2)
+assigns each vector by exact integer matmul and accumulates per-
+(cluster, dim) partial sums inside the task, so only
+partitions · k · (dim + 1) int64s ever leave the executors (the
+treeAggregate shape, map-side-combined by construction; no shuffle at
+all).  The r16 formulation kept centroids as eagerly-checkpointed
+frames and assigned via a centroid crossJoin + interpreted
+zip_with/aggregate d2 fold + row_number window — an n·k-row exchange
+AND k·dim interpreted lambda evaluations per row per assign, plus a
+blocking checkpoint job per iteration per chain; measured at sf0.1
+the fixed job/planning overhead of those chains dominated q183/q191/
+q193 end to end.  The search-side composition (PQ codes, IVF lists,
+ADC tables) follows the same rule: everything whose size is
+O(queries · k · m) — probe lists, ADC lookup tables — is computed
+from the driver-held state as LOCAL relations, never as extra
+distributed jobs.  Headroom: d · (2·10^4)^2 = 2.6e10 per distance and
+n · 2·10^4 per centroid sum — both orders of magnitude inside int64
+at any corpus size under ~4e14 vectors.
 
 (Reference parity: no clustering machinery exists in the reference —
 SURVEY.md §2.4.  This is the LLM-pipeline cluster step SemDeDup-style
@@ -42,6 +53,7 @@ curation needs before q121's within-cluster pruning.)
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -84,89 +96,243 @@ def quantize_vectors(
     )
 
 
-def _d2() -> F.Column:
-    # built lazily — higher-order functions need an active session,
-    # so a module-level Column would break import-before-SparkSession
-    return F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-
-
-def _assign(vecs: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
-    """Argmin assignment of a quantized frame against a centroid frame
-    (broadcast of k rows; exact int64 d2; cluster-id tie-break)."""
-    rk = F.row_number().over(
-        Window.partitionBy(id_col).orderBy("d2", "cluster")
-    )
-    return (
-        vecs.crossJoin(F.broadcast(cent))
-        .select(id_col, "qv", "cluster", _d2().alias("d2"))
-        .withColumn("_rk", rk)
-        .where(F.col("_rk") == 1)
-        .drop("_rk")
-    )
-
-
-def _fit_centroids(
-    vecs: DataFrame, id_col: str, k: int, iters: int
-) -> DataFrame:
-    """Lloyd loop over an (id, qv) quantized frame; returns the final
-    ``(cluster, cv)`` centroid frame.  Caller localCheckpoints the
-    input (it is scanned once per iteration)."""
-    seeds = (
+def _top_hash_rows(vecs: DataFrame, id_col: str, n: int) -> list:
+    """ONE job: the n rows with the smallest (md5(id), id) — the
+    q112/q181 content-hash reproducibility contract — with their full
+    quantized vectors.  Seeds AND queries come from this same prefix
+    (both are defined as smallest-md5 rows), so one TakeOrdered job
+    serves every consumer.  Rows are re-sorted driver-side as
+    belt-and-braces: python's (str, int) sort over ASCII hex equals
+    Spark's UTF8 binary order, pinning the cluster numbering."""
+    rows = (
         vecs.select(
             id_col,
             "qv",
             F.md5(F.col(id_col).cast("string").cast("binary")).alias("_h"),
         )
         .orderBy("_h", id_col)
-        .limit(k)
+        .limit(n)
+        .collect()
     )
-    cent = seeds.select(
-        (
-            F.row_number().over(Window.orderBy("_h", id_col)) - 1
-        ).cast("long").alias("cluster"),
-        F.col("qv").alias("cv"),
-    ).localCheckpoint(eager=True)
-    # the seed LIMIT under-fills silently when the frame holds fewer
-    # than k vectors — fail loudly like the operator's other guards
-    # (the checkpointed frame is k rows, so the count is free)
-    n_seeds = cent.count()
-    if n_seeds < k:
-        raise ValueError(
-            f"_fit_centroids: only {n_seeds} distinct vectors for "
-            f"k={k} seeds - k is bounded by the vector count"
+    rows.sort(key=lambda r: (r["_h"], r[id_col]))
+    return rows
+
+
+def _qv_guard(dim: int, op: str) -> F.Column:
+    """The per-row dimension contract as a JVM expression, folded into
+    the kernel's input so the optimizer can never prune it — a
+    wrong-width vector raises (SparkRuntimeException) instead of
+    silently mis-slicing, exactly the former slice-bound guard."""
+    return F.expr(
+        f"CASE WHEN size(qv) <> {dim} THEN "
+        f"CAST(raise_error('{op}: vector dimension <> {dim}"
+        " - pass the actual dim (operator docstring)') AS ARRAY<BIGINT>) "
+        "ELSE qv END"
+    )
+
+
+def _dist_matrix(V, C):
+    """Exact int64 squared-L2 distance matrix between row sets V (n, d)
+    and C (k, d): (v-c)² = v² + c² - 2vc term by term in exact integer
+    arithmetic — numpy int64 matmul is exact C-loop integer math (no
+    BLAS float path).  Headroom: every product <= (2·10^4)² and every
+    sum <= d·(2·10^4)² ≈ 2.6e10·d — orders of magnitude inside int64."""
+    import numpy as np
+
+    return (
+        (V * V).sum(axis=1)[:, None]
+        + (C * C).sum(axis=1)[None, :]
+        - 2 * (V @ C.T)
+    )
+
+
+def _argmin_udf(cents: list[list[int]], lo: int = 0, d: int | None = None):
+    """Vectorized Arrow argmin kernel (guide §4.2, the q195/q121
+    discipline) over a FIXED centroid list (index = cluster id): per
+    quantized vector (sliced to [lo, lo+d) when d is given), the
+    ``(cluster, d2)`` of its nearest centroid — min d2, cluster-id
+    tie-break.  ``np.argmin`` returns the FIRST minimum and the
+    centroid rows are ordered by ascending cluster id, so the
+    tie-break is exactly the former window's (d2 asc, cluster asc).
+    Replaces the interpreted zip_with/aggregate fold — k·dim lambda
+    evaluations per row, the dominant CPU of every Lloyd pass (the
+    same pathology the r16 bitlsh signature kernel removed).  Exact by
+    integer arithmetic (see ``_dist_matrix``) and pinned by
+    tests/test_cluster.py's pure-Python twins."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cv_l = [list(v) for v in cents]
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("cluster", LongType()),
+                StructField("d2", LongType()),
+            ]
+        )
+    )
+    def _am(qv: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        if len(qv) == 0:
+            return pd.DataFrame({"cluster": [], "d2": []}, dtype="int64")
+        if qv.isna().any():
+            raise ValueError(
+                "_argmin_udf: NULL quantized vector - quantize_vectors "
+                "excludes null vectors (operator docstring)"
+            )
+        V = np.stack(qv.to_numpy()).astype(np.int64)
+        if d is not None:
+            V = V[:, lo:lo + d]
+        D = _dist_matrix(V, np.array(cv_l, dtype=np.int64))
+        j = D.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": j.astype(np.int64),
+             "d2": D[np.arange(len(j)), j]}
         )
 
-    for _ in range(iters):
-        a = _assign(vecs, cent, id_col)
-        upd = (
-            a.select("cluster", F.posexplode("qv").alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.expr("sum(v) div count(1)").alias("nv"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("dim", "nv"))
+    return _am
+
+
+def _lloyd_multi(
+    vecs: DataFrame,
+    chains: dict,
+    full_dim: int | None,
+    op: str,
+) -> dict:
+    """Run every chain's Lloyd loop over ``vecs`` with ONE distributed
+    pass per round shared by ALL chains (coarse + subspaces together —
+    they are independent given the shared scan, so fusing them divides
+    the per-job fixed cost by the chain count; the r16 form ran one
+    thread pool of per-chain job chains instead).
+
+    ``chains``: name -> {"lo", "d" (None = full vector), "cents"
+    (list of centroid vectors, index = cluster), "iters"}.  Each round
+    maps to a single mapInPandas pass emitting per-(partition, chain,
+    cluster) partial sums and counts — partitions · k · (d+1) int64s,
+    the treeAggregate shape — folded on the driver into the floor-mean
+    update ``sum div count`` (python ``//`` of non-negative ints ==
+    Spark's ``div``).  Emptied clusters keep their previous centroid.
+    Value-identical to the per-chain formulation: same assignments
+    (exact argmin, cluster tie-break), same per-dimension integer
+    means, same carry."""
+    rounds = max((c["iters"] for c in chains.values()), default=0)
+    for rnd in range(rounds):
+        live = {
+            name: (
+                spec["lo"],
+                spec["d"],
+                [list(v) for v in spec["cents"]],
+            )
+            for name, spec in chains.items()
+            if spec["iters"] > rnd
+        }
+
+        def _partials(batches):
+            import numpy as np
+
+            state = {
+                name: (
+                    lo,
+                    dd,
+                    np.array(cv, dtype=np.int64),
+                    np.zeros(
+                        (len(cv), dd if dd is not None else 0), dtype=np.int64
                     ),
-                    lambda s: s.getField("nv"),
-                ).alias("ncv")
+                    np.zeros(len(cv), dtype=np.int64),
+                )
+                for name, (lo, dd, cv) in live.items()
+            }
+            inited = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qv = pdf["qv"]
+                if qv.isna().any():
+                    raise ValueError(
+                        f"{op}: NULL quantized vector - quantize_vectors"
+                        " excludes null vectors (operator docstring)"
+                    )
+                V = np.stack(qv.to_numpy()).astype(np.int64)
+                if full_dim is not None and V.shape[1] != full_dim:
+                    raise ValueError(
+                        f"{op}: vector dimension <> {full_dim} - pass "
+                        "the actual dim (operator docstring)"
+                    )
+                if not inited:
+                    # dimension-agnostic chains (d=None) size their
+                    # accumulators from the first batch's width
+                    state = {
+                        name: (
+                            lo,
+                            dd,
+                            C,
+                            s
+                            if s.shape[1]
+                            else np.zeros(
+                                (C.shape[0], V.shape[1]), dtype=np.int64
+                            ),
+                            n,
+                        )
+                        for name, (lo, dd, C, s, n) in state.items()
+                    }
+                    inited = True
+                for name, (lo, dd, C, sums, cnts) in state.items():
+                    Vs = V[:, lo:lo + dd] if dd is not None else V
+                    j = _dist_matrix(Vs, C).argmin(axis=1)
+                    cnts += np.bincount(j, minlength=C.shape[0])
+                    np.add.at(sums, j, Vs)
+            out = {"name": [], "cluster": [], "cnt": [], "sums": []}
+            for name, (lo, dd, C, sums, cnts) in state.items():
+                for c in range(C.shape[0]):
+                    out["name"].append(name)
+                    out["cluster"].append(c)
+                    out["cnt"].append(int(cnts[c]))
+                    out["sums"].append(
+                        [int(x) for x in sums[c]] if inited else []
+                    )
+            yield pd.DataFrame(out)
+
+        parts = (
+            vecs.select("qv")
+            .mapInPandas(
+                _partials,
+                "name string, cluster long, cnt long, sums array<long>",
             )
+            .collect()
         )
-        # emptied clusters keep their previous centroid (deterministic
-        # carry; the output schema never shrinks below k)
-        cent = (
-            cent.join(upd, "cluster", "left")
-            .select(
-                "cluster",
-                F.coalesce("ncv", "cv").alias("cv"),
-            )
-            .localCheckpoint(eager=True)  # the q171 per-iteration cut
+        tot: dict = {}
+        for r in parts:
+            key = (r["name"], r["cluster"])
+            cnt, sums = tot.get(key, (0, None))
+            cur = list(r["sums"])
+            if sums is None:
+                merged = cur if cur else None
+            elif not cur:
+                merged = sums
+            else:
+                merged = [a + b for a, b in zip(sums, cur)]
+            tot[key] = (cnt + r["cnt"], merged)
+        for name in live:
+            new_cents = []
+            for c, cv in enumerate(chains[name]["cents"]):
+                cnt, sums = tot.get((name, c), (0, None))
+                if cnt:
+                    new_cents.append([s // cnt for s in sums])
+                else:
+                    new_cents.append(cv)
+            chains[name]["cents"] = new_cents
+    return {name: spec["cents"] for name, spec in chains.items()}
+
+
+def _seed_check(rows: list, k: int, op: str) -> None:
+    # the seed LIMIT under-fills silently when the frame holds fewer
+    # than k vectors — fail loudly like the operators' other guards
+    if len(rows) < k:
+        raise ValueError(
+            f"{op}: only {len(rows)} distinct vectors for "
+            f"k={k} seeds - k is bounded by the vector count"
         )
-    return cent
 
 
 def kmeans_quantized(
@@ -182,14 +348,35 @@ def kmeans_quantized(
 
     ``iters`` full (assign, update) rounds run, then one final assign
     against the last centroids.  Deterministic given (data, k, iters):
-    rerun-stable across engines, partitionings and cluster sizes."""
+    rerun-stable across engines, partitionings and cluster sizes.
+
+    Job count (r17): seeds collect (materializes the lazily
+    checkpointed quantized frame) + one fused pass per iteration +
+    the caller's final action — iters + 2 jobs total."""
     if k < 1 or iters < 0:
         raise ValueError("k must be >= 1 and iters >= 0")
     vecs = quantize_vectors(df, id_col, vec_col).localCheckpoint(
-        eager=True
+        eager=False
     )
-    cent = _fit_centroids(vecs, id_col, k, iters)
-    return _assign(vecs, cent, id_col).select(id_col, "cluster", "d2")
+    seeds = _top_hash_rows(vecs, id_col, k)
+    _seed_check(seeds, k, "_fit_centroids")
+    chains = {
+        "km": {
+            "lo": 0,
+            "d": None,
+            "cents": [list(r["qv"]) for r in seeds],
+            "iters": iters,
+        }
+    }
+    cents = _lloyd_multi(vecs, chains, None, "kmeans_quantized")["km"]
+    kernel = _argmin_udf(cents)
+    return vecs.select(
+        id_col, kernel("qv").alias("_best")
+    ).select(
+        id_col,
+        F.col("_best.cluster").alias("cluster"),
+        F.col("_best.d2").alias("d2"),
+    )
 
 
 def pq_adc_topk(
@@ -219,101 +406,92 @@ def pq_adc_topk(
     never a d-dimensional scan.  Output per query: ``query_id``,
     ``rank`` (ADC distance asc, id tie-break), ``id_col``, ``adc_d2``.
 
-    At 100 TB: codebooks are m·k rows (broadcast); encoding is m
-    bounded Lloyd loops over the vector frame (each the
-    kmeans_quantized shape — broadcast assign + (cluster, dim) update
-    shuffle); the search joins the CODES frame (m ints per vector,
-    the whole point of PQ) against an n_queries·m·k-row broadcast
-    table and aggregates m rows per (query, vector) — map-side
-    combinable, no full-vector traffic at query time.  The dimension
-    guard is folded into every slice bound so the optimizer can never
-    prune it.
-    """
+    At 100 TB (r17 shape): the m codebooks fit in ONE fused Lloyd
+    pass per iteration (see ``_lloyd_multi`` — driver-held k·dim
+    state, treeAggregate partials, no per-chain job chains); the
+    n_queries·m·k ADC table is computed FROM that state as a local
+    relation (broadcast, zero extra jobs); encoding + search is one
+    final plan over the codes (m ints per vector, the whole point of
+    PQ).  Total: 1 seeds/queries job + iters fused passes + the
+    search action.  The dimension guard is a raise_error folded into
+    the kernel input so the optimizer can never prune it."""
     if dim % m != 0:
         raise ValueError(f"m={m} must divide dim={dim}")
     if n_queries < 1 or topk < 1:
         raise ValueError("n_queries and topk must be >= 1")
     sub_d = dim // m
     vecs = quantize_vectors(df, id_col, vec_col).localCheckpoint(
-        eager=True
+        eager=False
     )
-    queries = (
-        vecs.select(
-            F.col(id_col).alias("query_id"),
-            "qv",
-            F.md5(F.col(id_col).cast("string").cast("binary")).alias("_h"),
-        )
-        .orderBy("_h", "query_id")
-        .limit(n_queries)
-        .drop("_h")
-        .localCheckpoint(eager=True)
-    )
-    # LIMIT under-fills silently when fewer than n_queries vectors
-    # exist — fail loudly like the dim/param guards (the checkpointed
-    # frame is n_queries rows, so the count is free)
-    n_q = queries.count()
-    if n_q < n_queries:
+    top = _top_hash_rows(vecs, id_col, max(k, n_queries))
+    if len(top) < n_queries:
         raise ValueError(
-            f"pq_adc_topk: only {n_q} vectors available for "
+            f"pq_adc_topk: only {len(top)} vectors available for "
             f"n_queries={n_queries}"
         )
+    _seed_check(top[:k], k, "_fit_centroids")
+    # query rows are corpus rows: a wrong-width query cannot produce
+    # output — the search plan's _qv_guard raises on that same row at
+    # the final action (SparkRuntimeException, the former slice-guard
+    # semantics), so no driver-side width check is needed here
 
-    def sub_slice(s: int) -> F.Column:
-        # the dim contract rides in the slice LENGTH argument — a
-        # wrong-width vector raises instead of silently mis-slicing
-        return F.expr(
-            f"slice(qv, {s * sub_d + 1}, "
-            f"CASE WHEN size(qv) <> {dim} THEN "
-            f"CAST(raise_error('pq_adc_topk: vector dimension <> {dim}"
-            " - pass the actual dim (operator docstring)') AS INT) "
-            f"ELSE {sub_d} END)"
+    chains = {
+        f"s{s}": {
+            "lo": s * sub_d,
+            "d": sub_d,
+            "cents": [
+                list(r["qv"])[s * sub_d:(s + 1) * sub_d] for r in top[:k]
+            ],
+            "iters": iters,
+        }
+        for s in range(m)
+    }
+    books = _lloyd_multi(vecs, chains, dim, "pq_adc_topk")
+
+    # ADC lookup table — n_queries · m · k rows of exact python-int d2,
+    # computed from driver state: a LOCAL relation, zero extra jobs
+    spark = vecs.sparkSession
+    table_rows = [
+        (
+            r[id_col],
+            s,
+            c,
+            sum(
+                (a - b) * (a - b)
+                for a, b in zip(
+                    list(r["qv"])[s * sub_d:(s + 1) * sub_d], cv
+                )
+            ),
         )
+        for r in top[:n_queries]
+        for s in range(m)
+        for c, cv in enumerate(books[f"s{s}"])
+    ]
+    table = spark.createDataFrame(
+        table_rows, "query_id long, sub long, code long, d2 long"
+    )
 
-    # The m sub-chains are independent (disjoint coordinate slices,
-    # separate codebooks) but each contains BLOCKING actions (eager
-    # lineage cuts, the seed under-fill count) — run them as
-    # concurrent Spark jobs from a thread pool instead of serially.
-    # Spark job submission is thread-safe; results are identical
-    # because nothing crosses subspaces until the union below (the
-    # hash gate proves it).  Measured on the r14 tree: 5.9 s -> ~2.5 s
-    # at sf0.1.  At cluster scale the same structure overlaps the m
-    # corpus scans instead of serializing them.
-    def _fit_sub(s: int):
-        sub = vecs.select(
-            id_col, sub_slice(s).alias("qv")
-        ).localCheckpoint(eager=True)
-        return sub, _fit_centroids(sub, id_col, k, iters)
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=m) as pool:
-        fitted = list(pool.map(_fit_sub, range(m)))
-
-    codes_parts, table_parts = [], []
-    for s, (sub, cent_s) in enumerate(fitted):
-        codes_parts.append(
-            _assign(sub, cent_s, id_col).select(
-                id_col,
-                F.lit(s).cast("long").alias("sub"),
-                F.col("cluster").alias("code"),
+    guarded = vecs.select(id_col, _qv_guard(dim, "pq_adc_topk").alias("qv"))
+    code_cols = [
+        _argmin_udf(books[f"s{s}"], s * sub_d, sub_d)("qv")
+        .getField("cluster")
+        .alias(f"_c{s}")
+        for s in range(m)
+    ]
+    codes = guarded.select(id_col, *code_cols).select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("sub"),
+                        F.col(f"_c{s}").alias("code"),
+                    )
+                    for s in range(m)
+                ]
             )
-        )
-        table_parts.append(
-            queries.select("query_id", sub_slice(s).alias("qv"))
-            .crossJoin(F.broadcast(cent_s))
-            .select(
-                "query_id",
-                F.lit(s).cast("long").alias("sub"),
-                F.col("cluster").alias("code"),
-                _d2().alias("d2"),
-            )
-        )
-    codes = codes_parts[0]
-    for p in codes_parts[1:]:
-        codes = codes.unionByName(p)
-    table = table_parts[0]
-    for p in table_parts[1:]:
-        table = table.unionByName(p)
+        ).alias("_sc"),
+    ).select(id_col, F.col("_sc.sub").alias("sub"), F.col("_sc.code").alias("code"))
     scores = (
         codes.join(F.broadcast(table), ["sub", "code"])
         .groupBy("query_id", id_col)
@@ -363,15 +541,17 @@ def ivf_pq_topk(
     nprobe knob buys; at these fixture knobs the restriction BINDS
     (probed-bucket candidates < corpus, pinned by test).
 
-    At 100 TB: coarse fit is ``coarse_iters`` broadcast-assign +
-    (cluster, dim) update shuffles (the kmeans_quantized shape); PQ
-    encode is m of the same over sub-vectors; the SEARCH touches the
-    codes frame (m ints per vector) filtered by an
-    n_queries·nprobe-row broadcast of probed lists, then an
-    n_queries·m·k-row broadcast ADC table — per-query work is
-    proportional to the probed lists' population, never the corpus,
-    which is the entire point of IVF.
-    """
+    At 100 TB (r17 shape): the coarse quantizer and all m PQ
+    codebooks fit together — ONE fused Lloyd pass per round over the
+    quantized frame (see ``_lloyd_multi``; the r16 form ran m + 1
+    concurrent per-chain job chains, whose fixed job cost dominated).
+    Probe lists (n_queries · nprobe) and the ADC table
+    (n_queries · m · k) are computed from the driver-held state as
+    LOCAL relations.  The SEARCH is one plan: per-vector bucket + m
+    codes from one Arrow kernel pass, probed-list restriction and ADC
+    via two broadcast hash joins, then the top-k window — per-query
+    work proportional to the probed lists' population, never the
+    corpus, which is the entire point of IVF."""
     if dim % m != 0:
         raise ValueError(f"m={m} must divide dim={dim}")
     if min(n_queries, topk, nprobe, coarse_k, coarse_iters) < 1:
@@ -382,124 +562,113 @@ def ivf_pq_topk(
         raise ValueError(f"nprobe={nprobe} exceeds coarse_k={coarse_k}")
     sub_d = dim // m
     vecs = quantize_vectors(df, id_col, vec_col).localCheckpoint(
-        eager=True
+        eager=False
     )
-    queries = (
-        vecs.select(
-            F.col(id_col).alias("query_id"),
-            "qv",
-            F.md5(F.col(id_col).cast("string").cast("binary")).alias("_h"),
-        )
-        .orderBy("_h", "query_id")
-        .limit(n_queries)
-        .drop("_h")
-        .localCheckpoint(eager=True)
-    )
-    n_q = queries.count()
-    if n_q < n_queries:
+    top = _top_hash_rows(vecs, id_col, max(coarse_k, k, n_queries))
+    if len(top) < n_queries:
         raise ValueError(
-            f"ivf_pq_topk: only {n_q} vectors available for "
+            f"ivf_pq_topk: only {len(top)} vectors available for "
             f"n_queries={n_queries}"
         )
+    _seed_check(top[:max(coarse_k, k)], max(coarse_k, k), "_fit_centroids")
+    # query rows are corpus rows: a wrong-width query cannot produce
+    # output — the search plan's _qv_guard raises on that same row at
+    # the final action (SparkRuntimeException, the former slice-guard
+    # semantics), so no driver-side width check is needed here
 
-    # ---- coarse quantizer: corpus -> inverted lists --------------------
-    cent_c = _fit_centroids(vecs, id_col, coarse_k, coarse_iters)
-    buckets = _assign(vecs, cent_c, id_col).select(
-        id_col, F.col("cluster").alias("bucket")
-    )
-    probe_rk = F.row_number().over(
-        Window.partitionBy("query_id").orderBy("d2", "cluster")
-    )
-    probed = (
-        queries.crossJoin(F.broadcast(cent_c))
-        .select("query_id", "cluster", _d2().alias("d2"))
-        .withColumn("_rk", probe_rk)
-        .where(F.col("_rk") <= nprobe)
-        .select("query_id", F.col("cluster").alias("bucket"))
-        .localCheckpoint(eager=True)  # n_queries * nprobe rows
-    )
+    chains = {
+        "coarse": {
+            "lo": 0,
+            "d": dim,
+            "cents": [list(r["qv"]) for r in top[:coarse_k]],
+            "iters": coarse_iters,
+        },
+    }
+    for s in range(m):
+        chains[f"s{s}"] = {
+            "lo": s * sub_d,
+            "d": sub_d,
+            "cents": [
+                list(r["qv"])[s * sub_d:(s + 1) * sub_d] for r in top[:k]
+            ],
+            "iters": iters,
+        }
+    fitted = _lloyd_multi(vecs, chains, dim, "ivf_pq_topk")
+    coarse = fitted["coarse"]
 
-    def sub_slice(s: int) -> F.Column:
-        # the dim contract rides in the slice LENGTH argument — a
-        # wrong-width vector raises instead of silently mis-slicing
-        return F.expr(
-            f"slice(qv, {s * sub_d + 1}, "
-            f"CASE WHEN size(qv) <> {dim} THEN "
-            f"CAST(raise_error('ivf_pq_topk: vector dimension <> {dim}"
-            " - pass the actual dim (operator docstring)') AS INT) "
-            f"ELSE {sub_d} END)"
-        )
-
-    # ---- PQ codebooks + codes (shared across lists) --------------------
-    # The m sub-chains are independent (disjoint coordinate slices,
-    # separate codebooks) but each contains BLOCKING actions (eager
-    # lineage cuts, the seed under-fill count) — run them as
-    # concurrent Spark jobs from a thread pool instead of serially.
-    # Spark job submission is thread-safe; results are identical
-    # because nothing crosses subspaces until the union below (the
-    # hash gate proves it — the pq_adc_topk change, applied here too).
-    # At cluster scale the same structure overlaps the m corpus scans
-    # instead of serializing them.
-    def _fit_sub(s: int):
-        sub = vecs.select(
-            id_col, sub_slice(s).alias("qv")
-        ).localCheckpoint(eager=True)
-        return sub, _fit_centroids(sub, id_col, k, iters)
-
-    from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
-
-    # submit + wait(FIRST_EXCEPTION) instead of pool.map so a failing
-    # sub-chain (e.g. the seed under-fill ValueError) surfaces as soon
-    # as it happens, not in submission order after healthy siblings
-    # run to completion; queued-but-unstarted siblings are cancelled
-    # (the r14 ADVICE).  A sibling whose Spark job is already IN
-    # FLIGHT still finishes its current action — Python threads cannot
-    # be interrupted — but no further round of its Lloyd chain starts
-    # once the failure propagates from here.  pq_adc_topk keeps the
-    # plain pool.map until q191 re-enters the driver window (r18) —
-    # editing its closure now would orphan its standing r14 evidence
-    # (tools/stale_check.py's contract).
-    with ThreadPoolExecutor(max_workers=m) as pool:
-        futs = [pool.submit(_fit_sub, s) for s in range(m)]
-        done, _ = wait(futs, return_when=FIRST_EXCEPTION)
-        failed = next(
-            (f for f in done if f.exception() is not None), None
-        )
-        if failed is not None:
-            for f in futs:
-                f.cancel()
-            raise failed.exception()
-        fitted = [f.result() for f in futs]
-
-    codes_parts, table_parts = [], []
-    for s, (sub, cent_s) in enumerate(fitted):
-        codes_parts.append(
-            _assign(sub, cent_s, id_col).select(
-                id_col,
-                F.lit(s).cast("long").alias("sub"),
-                F.col("cluster").alias("code"),
+    # probe selection — per query the nprobe nearest coarse lists by
+    # (d2 asc, cluster asc), exact python ints from driver state
+    spark = vecs.sparkSession
+    probed_rows = []
+    for r in top[:n_queries]:
+        qv = list(r["qv"])
+        ds = sorted(
+            (
+                sum((a - b) * (a - b) for a, b in zip(qv, cv)),
+                c,
             )
+            for c, cv in enumerate(coarse)
         )
-        table_parts.append(
-            queries.select("query_id", sub_slice(s).alias("qv"))
-            .crossJoin(F.broadcast(cent_s))
-            .select(
-                "query_id",
-                F.lit(s).cast("long").alias("sub"),
-                F.col("cluster").alias("code"),
-                _d2().alias("d2"),
-            )
+        probed_rows += [(r[id_col], c) for _, c in ds[:nprobe]]
+    probed = spark.createDataFrame(
+        probed_rows, "query_id long, bucket long"
+    )
+    table_rows = [
+        (
+            r[id_col],
+            s,
+            c,
+            sum(
+                (a - b) * (a - b)
+                for a, b in zip(
+                    list(r["qv"])[s * sub_d:(s + 1) * sub_d], cv
+                )
+            ),
         )
-    codes = codes_parts[0]
-    for p in codes_parts[1:]:
-        codes = codes.unionByName(p)
-    table = table_parts[0]
-    for p in table_parts[1:]:
-        table = table.unionByName(p)
+        for r in top[:n_queries]
+        for s in range(m)
+        for c, cv in enumerate(fitted[f"s{s}"])
+    ]
+    table = spark.createDataFrame(
+        table_rows, "query_id long, sub long, code long, d2 long"
+    )
 
-    # ---- ADC restricted to probed lists ---------------------------------
-    cand = codes.join(buckets, id_col).join(
-        F.broadcast(probed), "bucket"
+    # ---- search: bucket + m codes in one kernel pass, ADC restricted
+    # to probed lists via broadcast hash joins ----------------------------
+    guarded = vecs.select(id_col, _qv_guard(dim, "ivf_pq_topk").alias("qv"))
+    assign_cols = [
+        _argmin_udf(coarse)("qv").getField("cluster").alias("bucket")
+    ] + [
+        _argmin_udf(fitted[f"s{s}"], s * sub_d, sub_d)("qv")
+        .getField("cluster")
+        .alias(f"_c{s}")
+        for s in range(m)
+    ]
+    cand = (
+        guarded
+        .select(id_col, *assign_cols)
+        .select(
+            id_col,
+            "bucket",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).cast("long").alias("sub"),
+                            F.col(f"_c{s}").alias("code"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("_sc"),
+        )
+        .select(
+            id_col,
+            "bucket",
+            F.col("_sc.sub").alias("sub"),
+            F.col("_sc.code").alias("code"),
+        )
+        .join(F.broadcast(probed), "bucket")
     )
     scores = (
         cand.join(F.broadcast(table), ["query_id", "sub", "code"])

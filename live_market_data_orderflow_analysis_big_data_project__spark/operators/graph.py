@@ -125,7 +125,15 @@ def triangle_counts(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
     at fixture scale, but plan size alone bloats compile and AQE
     work at real scale).  ``checkpoint=True`` (default) cuts both —
     the q111/pagerank idiom; the frames are graph-sized (nodes /
-    oriented edges), far under the corpus the tape derives from."""
+    oriented edges), far under the corpus the tape derives from.
+
+    r17 (the q171 edge-cut shape, VERDICT r16 item 4): ``edges``
+    itself is ALSO cut — it feeds two consumers (the degree agg and
+    the orientation join), so uncut the whole upstream edge-tape
+    derivation (events scan + lag window + distinct for q170) was
+    computed twice per run."""
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=False)
     deg = _degrees(edges)
     if checkpoint:
         deg = deg.localCheckpoint(eager=False)

@@ -65,6 +65,32 @@ def shingles_col(text_col: Column | str, n: int) -> Column:
     )
 
 
+def feature_relation(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """The distinct ``(doc, tok)`` feature relation both near-dup paths
+    score over — tokens at ``ngram=1``, word shingles otherwise —
+    eagerly lineage-cut (it feeds the self-join legs, the sizes agg and
+    the signature agg; uncut, every consumer re-planned the whole
+    scan+explode+distinct subtree).
+
+    Exposed (r17) so a caller running BOTH the exact and the MinHash
+    path over the same frame (q136's recall gate) materializes the
+    relation once and passes it to each via ``features=``, instead of
+    paying two identical eager builds back to back."""
+    feature = (
+        tokens_col(text_col) if ngram == 1 else shingles_col(text_col, ngram)
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(feature).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -90,6 +116,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 1,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard pairs with similarity >= threshold.
 
@@ -97,16 +124,19 @@ def jaccard_pairs(
     integers, so bit-identical across engines with no rounding.
     ``ngram=1`` is plain token sets; ``ngram>=2`` uses word shingles,
     which stay discriminative over tiny vocabularies.
+
+    ``features`` (optional) is a prebuilt ``feature_relation`` — the
+    caller owns its materialization; by default it is built (and
+    eagerly lineage-cut) here.
     """
-    feature = tokens_col(text_col) if ngram == 1 else shingles_col(text_col, ngram)
     # r16: eager lineage cut — the distinct feature relation feeds both
     # self-join legs and the sizes agg; uncut, each consumer
     # re-tokenized the corpus (three copies of the scan+explode+distinct
     # subtree in the physical plan).
     toks = (
-        df.select(F.col(id_col).alias("doc"), F.explode(feature).alias("tok"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        feature_relation(df, id_col, text_col, ngram)
+        if features is None
+        else features
     )
     sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
     a, b = toks.alias("a"), toks.alias("b")
@@ -138,6 +168,7 @@ def minhash_band_stages(
     n_hashes: int = 8,
     band_rows: int = 1,
     ngram: int = 1,
+    features: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The candidate-generation stages of MinHash LSH, exposed so
     diagnostics (tools/probe_q91b_terms.py) measure EXACTLY the
@@ -145,17 +176,17 @@ def minhash_band_stages(
     is the distinct (doc, tok) feature relation, ``sizes`` the per-doc
     token counts, and ``bands`` the (doc, band, bkey) banding relation
     whose per-(band, bkey) group sizes drive the bucket self-join
-    fan-out."""
+    fan-out.  ``features`` (optional) is a prebuilt, caller-owned
+    ``feature_relation``."""
     if n_hashes % band_rows:
         raise ValueError("n_hashes must be a multiple of band_rows")
-    feature = tokens_col(text_col) if ngram == 1 else shingles_col(text_col, ngram)
     # r16: eager lineage cut — the feature relation feeds the signature
     # agg, the sizes agg, and the caller's verify side; uncut, each
     # planned its own scan+explode+distinct subtree.
     toks = (
-        df.select(F.col(id_col).alias("doc"), F.explode(feature).alias("tok"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        feature_relation(df, id_col, text_col, ngram)
+        if features is None
+        else features
     )
     sizes = toks.groupBy("doc").agg(F.count("*").alias("n_tok"))
     # one aggregation pass computes the whole signature (no per-hash scans)
@@ -189,6 +220,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     band_rows: int = 1,
     ngram: int = 1,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHash + banded LSH (the scale path).
 
@@ -215,10 +247,11 @@ def minhash_lsh_pairs(
 
     Declared rows-only in the gate: the exact twin ``jaccard_pairs`` is
     the hash-checked baseline (q91); this path can drop a borderline pair
-    with small probability by construction.
+    with small probability by construction.  ``features`` (optional) is
+    a prebuilt, caller-owned ``feature_relation``.
     """
     toks, sizes, bands = minhash_band_stages(
-        df, id_col, text_col, n_hashes, band_rows, ngram
+        df, id_col, text_col, n_hashes, band_rows, ngram, features
     )
     # r16 verify shape: attach each candidate's two token SETS (sorted
     # arrays with their sizes, one groupBy over the stage-shared cut

@@ -28,6 +28,7 @@ from ..operators.llmops import (
     exact_dedup,
     lang_id,
     quality_score,
+    feature_relation,
     jaccard_pairs,
     rolling_fingerprint,
     rolling_fingerprint_fast,
@@ -696,31 +697,45 @@ def q136_ann_recall_gate(spark, sf):
     docs = _t(spark, sf, "documents").filter(F.col("doc_id") < _Q91_BOUND)
     emb = _t(spark, sf, "embeddings")
     emb50 = emb.filter(F.col("vec_id") < 50)
-    fams = {
-        "q91b_vs_q91": (
-            jaccard_pairs(docs, threshold=0.5, ngram=3).select(
-                "doc_a", "doc_b"
-            ),
-            minhash_lsh_pairs(docs, threshold=0.5, ngram=3).select(
-                "doc_a", "doc_b"
-            ),
-            ["doc_a", "doc_b"],
-        ),
-        "q92b_vs_q92": (
-            cosine_topk(emb, probe_id=0, k=10).select("vec_id"),
-            ann_ivf(
-                emb, probe_id=0, k=10, n_clusters=16, n_probe=8, seed=42
-            ).select("vec_id"),
-            ["vec_id"],
-        ),
-        "q93b_vs_q93": (
+
+    # Families are BUILT inside their worker threads (r17): construction
+    # itself runs blocking Spark jobs (the llmops eager feature-relation
+    # cut, ann_ivf's KMeans fit, knn_join_lsh's LSH fit) — built
+    # up-front on the caller thread, those jobs serialized and the
+    # "concurrent" families only overlapped the final joins (the r16
+    # q136 3 s -> 7 s regression, VERDICT item 2).  The q91b family
+    # additionally shares ONE feature relation between its exact and
+    # approx sides (identical (doc, 3-shingle) distinct relation —
+    # llmops ``features=`` injection) instead of materializing it twice.
+    def _build(path):
+        if path == "q91b_vs_q91":
+            feats = feature_relation(docs, ngram=3)
+            return (
+                jaccard_pairs(
+                    docs, threshold=0.5, ngram=3, features=feats
+                ).select("doc_a", "doc_b"),
+                minhash_lsh_pairs(
+                    docs, threshold=0.5, ngram=3, features=feats
+                ).select("doc_a", "doc_b"),
+                ["doc_a", "doc_b"],
+            )
+        if path == "q92b_vs_q92":
+            return (
+                cosine_topk(emb, probe_id=0, k=10).select("vec_id"),
+                ann_ivf(
+                    emb, probe_id=0, k=10, n_clusters=16, n_probe=8,
+                    seed=42,
+                ).select("vec_id"),
+                ["vec_id"],
+            )
+        return (
             knn_join(emb50, k=3).select("left_id", "right_id"),
             knn_join_lsh(emb50, k=3).select("left_id", "right_id"),
             ["left_id", "right_id"],
-        ),
-    }
+        )
+
     def _family(path):
-        exact, approx, on = fams[path]
+        exact, approx, on = _build(path)
         # One action per family: left-join the approx side with a hit
         # marker so n_exact and n_hit come from a single pass (the exact
         # pair-sets are the expensive part; computing them twice doubled
@@ -749,12 +764,13 @@ def q136_ann_recall_gate(spark, sf):
     # as concurrent Spark jobs (the q191/ivf concurrent-submission
     # pattern: submit + wait(FIRST_EXCEPTION) so a failing family
     # surfaces immediately and queued siblings are cancelled).  Rows
-    # assemble in fams order, so the output is order-deterministic
+    # assemble in paths order, so the output is order-deterministic
     # regardless of which family finishes first.
     from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 
-    with ThreadPoolExecutor(max_workers=len(fams)) as pool:
-        futs = {p: pool.submit(_family, p) for p in fams}
+    paths = ("q91b_vs_q91", "q92b_vs_q92", "q93b_vs_q93")
+    with ThreadPoolExecutor(max_workers=len(paths)) as pool:
+        futs = {p: pool.submit(_family, p) for p in paths}
         done, _ = wait(list(futs.values()), return_when=FIRST_EXCEPTION)
         failed = next(
             (f for f in done if f.exception() is not None), None
@@ -763,7 +779,7 @@ def q136_ann_recall_gate(spark, sf):
             for f in futs.values():
                 f.cancel()
             raise failed.exception()
-        rows = [futs[p].result() for p in fams]
+        rows = [futs[p].result() for p in paths]
     return spark.createDataFrame(
         rows, "path string, n_exact long, recall_ok boolean"
     )

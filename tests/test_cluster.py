@@ -170,17 +170,23 @@ def test_fixture_binding(spark):
         assert final != seed_only, sf
 
 
-def test_no_python_in_plan(spark):
+def test_assign_plan_shape(spark):
+    """r17 invariant: the final assign is ONE narrow Arrow kernel pass
+    (guide §4.2 — vectorized, never row-at-a-time BatchEvalPython),
+    with no join/exchange/sort/window left in the assign plan — the
+    pre-r17 shape was a centroid crossJoin + row_number window (an
+    n·k-row exchange per assign)."""
     plan = (
         kmeans_quantized(_df(spark, _pts()), "vec_id", "embedding", 2, 1)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
-    # the centroid cross join must stay a BROADCAST of the k-row frame
-    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan          # no pickled-row UDF
+    assert "ArrowEvalPython" in plan              # the argmin kernel
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "Exchange", "Window", "Sort"):
+        assert node not in plan, node
 
 
 def _pq_model(rows, dim, m, k, iters, n_queries, topk):
@@ -304,8 +310,10 @@ def test_pq_no_python_no_cartesian_in_plan(spark):
         .executedPlan()
         .toString()
     )
+    # r17: the per-(query, sub) code assigns run through the Arrow
+    # argmin kernel (guide §4.2) — vectorized only, never pickled rows
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
     assert "CartesianProduct" not in plan
 
 
@@ -419,8 +427,10 @@ def test_ivfpq_no_python_no_cartesian_in_plan(spark):
         .executedPlan()
         .toString()
     )
+    # r17: the per-(query, sub) code assigns run through the Arrow
+    # argmin kernel (guide §4.2) — vectorized only, never pickled rows
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
     assert "CartesianProduct" not in plan
 
 
