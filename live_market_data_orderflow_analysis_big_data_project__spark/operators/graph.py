@@ -180,10 +180,12 @@ def triangle_counts(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
         F.col("lo").alias("b"), F.col("hi").alias("c")
     )
     tri = wedges.join(closing, ["b", "c"]).select("apex", "b", "c")
+    # r17 (guide §2.4): each triangle credits its three corners via ONE
+    # explode instead of a three-way unionAll of tri — the union planned
+    # the whole wedge+closing join subtree three times (3x the exchanges
+    # and 3x the join work for an identical node multiset).
     votes = (
-        tri.select(F.col("apex").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("apex", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

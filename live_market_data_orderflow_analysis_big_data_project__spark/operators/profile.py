@@ -149,6 +149,29 @@ def profile_columns(
         ).alias("_sum_l"),
     )
 
+    # one row per DECLARED column even on empty input (r16 ADVICE: the
+    # histogram fold emits only observed groups, so an empty frame
+    # produced ZERO rows where the docstring promises one per spec —
+    # and where the pre-r16 keyless agg and the approx path still emit
+    # n_rows=0/n_null=0/n_distinct=0 rows).  Left-joining the fold onto
+    # the literal spec-name frame restores the contract; on non-empty
+    # input every declared column has at least one histogram group, so
+    # the join is 1:1 and the coalesces are no-ops — output identical.
+    names = df.sparkSession.createDataFrame(
+        [(n,) for n, _ in specs], "c string"
+    )
+    fold = names.join(fold, "c", "left").select(
+        "c",
+        F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        F.coalesce("n_null", F.lit(0)).alias("n_null"),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        "_mn_l",
+        "_mx_l",
+        "_mn_s",
+        "_mx_s",
+        "_sum_l",
+    )
+
     def _render(slot_l, slot_s):
         out = None
         for name, kind in specs:

@@ -166,3 +166,76 @@ def test_contract_guards(spark):
     )
     with pytest.raises(ValueError, match="vacuous"):
         bit_lsh_topk(two, "vec_id", "embedding", 2, 8, 2, 1, 2)
+
+
+def test_signature_kernel_matches_expression_fold(spark):
+    """The Arrow matmul signature kernel == the pure-expression
+    zip_with/aggregate fold it replaced (r16), bit for bit on the real
+    fixture — the test_semdedup_kernel_matches_hof_fold discipline.
+    Every term is int64 so equality is exact, not approximate; the
+    test applies ``signature_udf`` (THE kernel bit_lsh_topk ships, not
+    a copy) next to the fold in one projection."""
+    from pyspark.sql import functions as F
+
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.bitlsh import (  # noqa: E501
+        signature_udf,
+    )
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.cluster import (  # noqa: E501
+        quantize_vectors,
+    )
+
+    n_planes, dim = 16, 64
+    W = hyperplane_weights(n_planes, dim)
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    vecs = quantize_vectors(emb, "vec_id", "embedding")
+    fold = None
+    for h, row in enumerate(W):
+        dot = F.aggregate(
+            F.zip_with(
+                "qv",
+                F.array(*[F.lit(w).cast("long") for w in row]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(
+            dot >= F.lit(10_000 * sum(row)).cast("long"),
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2 ** h).cast("long")
+        fold = term if fold is None else fold + term
+    rows = vecs.select(
+        "vec_id",
+        signature_udf(W, dim)("qv").alias("kern"),
+        fold.alias("fold"),
+    ).collect()
+    assert rows, "fixture must be non-empty"
+    assert all(r.kern == r.fold for r in rows)
+
+
+def test_signature_kernel_null_and_dim_contract(spark):
+    """NULL vector -> NULL signature (the expression fold's behavior;
+    the r16 kernel crashed with an opaque TypeError — ADVICE r16);
+    wrong width still raises the documented dimension message."""
+    from live_market_data_orderflow_analysis_big_data_project__spark.operators.bitlsh import (  # noqa: E501
+        signature_udf,
+    )
+
+    W = hyperplane_weights(4, 3)
+    sig = signature_udf(W, 3)
+    df = spark.createDataFrame(
+        [(0, [10_000, 10_001, 9_999]), (1, None), (2, [10_000] * 3)],
+        "vec_id long, qv array<bigint>",
+    )
+    got = {
+        r.vec_id: r.s
+        for r in df.select("vec_id", sig("qv").alias("s")).collect()
+    }
+    assert got[1] is None
+    assert got[0] is not None and got[2] is not None
+    bad = spark.createDataFrame(
+        [(0, [10_000, 10_000])], "vec_id long, qv array<bigint>"
+    )
+    with pytest.raises(Exception, match="dimension"):
+        bad.select(sig("qv")).collect()

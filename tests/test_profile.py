@@ -70,3 +70,21 @@ def test_approx_distinct_flag_runs(spark):
 def test_unknown_kind_rejected(spark):
     with pytest.raises(ValueError):
         _prof(spark, [("i", "float")])
+
+
+def test_empty_input_yields_one_zero_row_per_spec(spark):
+    """The docstring contract (r16 ADVICE): an EMPTY frame still emits
+    one row per declared column — n_rows/n_null/n_distinct = 0,
+    min/max/sum NULL — matching the approx path and the pre-r16
+    keyless-agg behavior; a downstream audit filtering this profile
+    must never silently see nothing for an empty drop."""
+    df = spark.createDataFrame([], SCHEMA)
+    specs = [("i", "int"), ("m", "cents"), ("s", "str"), ("t", "ts")]
+    rows = {
+        r["col_name"]: r for r in profile_columns(df, specs).collect()
+    }
+    assert set(rows) == {"i", "m", "s", "t"}
+    for r in rows.values():
+        assert (r["n_rows"], r["n_null"], r["n_distinct"]) == (0, 0, 0)
+        assert r["min_str"] is None and r["max_str"] is None
+        assert r["sum_anchor"] is None
